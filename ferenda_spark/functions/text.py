@@ -1,0 +1,114 @@
+"""Scalar text functions with paired Python + Column implementations.
+
+Each function exists twice: a plain-Python form used inside Arrow UDF
+stages (and by the fixture generator, so golden text is produced by
+the same canonical definition), and a Column-expression form that
+stays JVM-side inside whole-stage codegen for use in declarative
+plans. The pairs are asserted equivalent in tests/test_functions.py.
+
+Semantics modeled on the reference (maxreimerson/ferenda):
+  * normalize_space       — ferenda/util.py:287-296
+  * clean_xml_chars       — ferenda/elements/elements.py:238-247
+  * strip_backspace       — ferenda/sources/tech/rfc.py:462-467
+  * natural sort key      — ferenda/util.py:191-243 (numcmp/split_numalpha)
+  * slugify               — ferenda/thirdparty/coin.py:57-97 (SlugTransformer)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Canonical whitespace definition (shared by Python and JVM sides):
+# NBSP is first translated to a plain space, then runs of ASCII
+# whitespace collapse to one space, then the ends are trimmed.
+# Java regex \s is ASCII-only by default, so the Column form matches
+# the Python form exactly as long as Python uses the explicit class.
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_BACKSPACE_RE = re.compile(r".\x08")
+# XML 1.0 invalid codepoints (C0 controls except \t\n\r, and the
+# surrogate/noncharacter range ends).
+_XML_INVALID_RE = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
+)
+
+
+def normalize_space(s: str) -> str:
+    """Collapse whitespace (incl. NBSP) to single spaces and trim."""
+    return _WS_RE.sub(" ", s.replace("\xa0", " ")).strip()
+
+
+def normalize_space_col(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.translate(c, "\xa0", " "), r"[ \t\n\r\f\x0B]+", " "))
+
+
+def strip_backspace(s: str) -> str:
+    """Remove char+backspace overstrike pairs (faux-bold in RFC text)."""
+    return _BACKSPACE_RE.sub("", s)
+
+
+def strip_backspace_col(c: Column) -> Column:
+    return F.regexp_replace(c, ".\x08", "")
+
+
+def clean_xml_chars(s: str) -> str:
+    """Strip XML-invalid codepoints."""
+    return _XML_INVALID_RE.sub("", s)
+
+
+_NUM_RE = re.compile(r"(\d+)")
+
+
+def natural_sort_key(s: str) -> list[str]:
+    """Sort key under which '2 §' < '10 §' and '6 a' sorts naturally.
+
+    Numeric runs are zero-padded to 12 digits so plain string
+    comparison of the joined key equals numeric comparison.
+    """
+    parts = _NUM_RE.split(s or "")
+    return ["".join(p.zfill(12) if p.isdigit() else p for p in parts)]
+
+
+def natural_sort_key_col(c: Column) -> Column:
+    """Column form: zero-pad every digit run to width 12 in place.
+
+    Pure JVM expression (regexp_replace with a lambda is unavailable,
+    so we pad via repeated substitution on bounded digit-run widths —
+    documents never carry >12-digit ordinals).
+    """
+    out = c
+    # Pad shorter runs first; the (?<!\d)(?!\d) guards keep already
+    # padded runs from re-matching.
+    for width in range(11, 0, -1):
+        pad = "0" * (12 - width)
+        out = F.regexp_replace(
+            out, rf"(?<![0-9])([0-9]{{{width}}})(?![0-9])", pad + r"$1"
+        )
+    return out
+
+
+_SLUG_TRANSLATE = {
+    "å": "aa", "ä": "ae", "ö": "oe", "Å": "aa", "Ä": "ae", "Ö": "oe",
+    "é": "e", "è": "e", "ü": "ue",
+}
+_SLUG_STRIP_RE = re.compile(r"[^a-z0-9/#_-]")
+
+
+def slugify(s: str) -> str:
+    """URL-safe slug: lowercase, transliterate, spaces → '-', strip rest."""
+    s = (s or "").lower()
+    for k, v in _SLUG_TRANSLATE.items():
+        s = s.replace(k.lower(), v)
+    s = s.replace(" ", "-")
+    return _SLUG_STRIP_RE.sub("", s)
+
+
+def slugify_col(c: Column) -> Column:
+    out = F.lower(c)
+    for k, v in _SLUG_TRANSLATE.items():
+        if k == k.lower():
+            out = F.replace(out, F.lit(k), F.lit(v))
+    out = F.replace(out, F.lit(" "), F.lit("-"))
+    return F.regexp_replace(out, r"[^a-z0-9/#_-]", "")

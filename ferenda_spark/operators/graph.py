@@ -1,0 +1,169 @@
+"""Graph materialization: triples → (node, edge, provenance) tables
+with snapshot lineage and idempotent resume.
+
+The Spark restatement of the reference's relate/distill phases
+(/root/reference/ferenda/documentrepository.py:1885-1995 ``relate``,
+documentstore.py:400-470 ``needed()`` mtime freshness, documententry.py
+:266-342 per-document status/duration lineage records): each stage
+writes to a snapshot-committed table; a rerun anti-joins its input
+against the last committed snapshot's (url, input_hash) set, so only
+new/changed documents reprocess, and old snapshots are retained.
+
+In production this is Iceberg (``df.writeTo(tbl).append()`` /
+``MERGE INTO`` on (url, input_hash); snapshots are Iceberg snapshots).
+The sandbox has no Iceberg runtime jars, so ``GraphStore`` implements
+the identical contract over parquet directories with an atomically
+renamed JSON manifest — every method maps 1:1 onto an Iceberg call,
+noted inline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROVENANCE_SCHEMA = (
+    "url string, stage string, attempt_ts timestamp, success boolean, "
+    "duration_s double, rows_out long, warnings string, error string, "
+    "input_hash string, partition_id int"
+)
+
+
+class GraphStore:
+    """Snapshot-committed table store (Iceberg-contract emulation)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_snapshots.json")
+
+    def _read_manifest(self, table: str) -> list[dict]:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, snapshots: list[dict]) -> None:
+        # Atomic commit: write tmp, rename over manifest — the analog
+        # of an Iceberg metadata-file swap.
+        p = self._manifest_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snapshots, f, indent=1)
+        os.replace(tmp, p)
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._read_manifest(table)
+
+    # -- table ops (each maps to one Iceberg call) --------------------------
+
+    def append(self, df: DataFrame, table: str) -> str:
+        """Iceberg: ``df.writeTo(table).append()``."""
+        snap_id = f"snap-{len(self._read_manifest(table)):06d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.root, table, snap_id)
+        df.write.mode("overwrite").parquet(path)
+        snaps = self._read_manifest(table)
+        snaps.append({"id": snap_id, "path": path, "ts": time.time()})
+        self._commit(table, snaps)
+        return snap_id
+
+    def read(self, table: str) -> DataFrame:
+        """Iceberg: ``spark.read.table(table)`` (current snapshot)."""
+        snaps = self._read_manifest(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        return self.spark.read.parquet(*[s["path"] for s in snaps])
+
+    def exists(self, table: str) -> bool:
+        return bool(self._read_manifest(table))
+
+    def rollback(self, table: str, n: int = 1) -> None:
+        """Iceberg: rollback_to_snapshot — drop the last n snapshots."""
+        snaps = self._read_manifest(table)
+        self._commit(table, snaps[: max(0, len(snaps) - n)])
+
+    def truncate(self, table: str) -> None:
+        self._commit(table, [])
+
+
+# -- resume / incremental recompute ----------------------------------------
+
+def with_input_hash(pages: DataFrame) -> DataFrame:
+    """Content hash for change detection (reference: md5 content hashes,
+    documententry.py:248-253; download_is_different:1096-1101)."""
+    return pages.withColumn("input_hash", F.md5(F.col("html")))
+
+
+def pending_pages(pages: DataFrame, store: GraphStore,
+                  stage: str = "materialize") -> DataFrame:
+    """Anti-join pages against the last committed provenance snapshot:
+    only urls that are new, changed (hash differs), or previously
+    failed remain — the ``needed()`` freshness check as a join.
+
+    At scale this is a shuffle-free broadcast when the committed set
+    is small relative to input, else an AQE-planned SMJ on url.
+    """
+    hashed = with_input_hash(pages)
+    if not store.exists("provenance"):
+        return hashed
+    done = (store.read("provenance")
+            .filter((F.col("stage") == stage) & F.col("success"))
+            .select("url", "input_hash").distinct())
+    return hashed.join(done, ["url", "input_hash"], "left_anti")
+
+
+def provenance_rows(pages: DataFrame, stage: str,
+                    rows_out_col=None) -> DataFrame:
+    """One lineage row per (url × stage × attempt), with the physical
+    partition id — per-partition metrics per the north rule."""
+    hashed = pages if "input_hash" in pages.columns else with_input_hash(pages)
+    return hashed.select(
+        "url",
+        F.lit(stage).alias("stage"),
+        F.current_timestamp().alias("attempt_ts"),
+        F.lit(True).alias("success"),
+        F.lit(0.0).alias("duration_s"),
+        (rows_out_col if rows_out_col is not None else F.lit(0)
+         ).cast("long").alias("rows_out"),
+        F.lit(None).cast("string").alias("warnings"),
+        F.lit(None).cast("string").alias("error"),
+        "input_hash",
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
+# -- node/edge projections ---------------------------------------------------
+
+def edges_from_triples(triples: DataFrame) -> DataFrame:
+    return triples.select("subj", "pred", "obj", "obj_is_literal",
+                          "obj_datatype", "obj_lang")
+
+
+def nodes_from_triples(triples: DataFrame) -> DataFrame:
+    """node(uri, rdf_type, label, props) — a pivot-style projection of
+    the triple table (reference facet_query SELECT shape,
+    documentrepository.py:2290-2380)."""
+    t = triples
+    return (t.groupBy(F.col("subj").alias("uri"))
+            .agg(
+                F.first(F.when(F.col("pred") == "rdf:type", F.col("obj")),
+                        ignorenulls=True).alias("rdf_type"),
+                F.first(F.when(F.col("pred") == "dcterms:title",
+                               F.col("obj")), ignorenulls=True).alias("label"),
+                F.map_filter(
+                    F.map_from_entries(F.collect_list(
+                        F.when(F.col("obj_is_literal"),
+                               F.struct("pred", "obj")))),
+                    lambda k, v: v.isNotNull()).alias("props")))

@@ -1,0 +1,87 @@
+"""Entity linking: free-text labels → canonical entity URIs.
+
+Two-phase lookup-join, the Spark restatement of the reference's
+``lookup_resource`` (/root/reference/ferenda/documentrepository.py:
+500-547): exact match on the entity label first, then a fuzzy pass
+with ``difflib.get_close_matches(cutoff=0.8)`` top-1 for the misses.
+
+Phase 1 is a **broadcast** equi-join (the entity dimension is
+broadcast-sized — it mirrors ferenda's commondata extra/*.ttl files).
+Phase 2 confines the expensive fuzzy matching to exact-miss *distinct
+labels only* (typically a tiny set), computed in one Arrow-batched
+pandas UDF against the broadcast label list — never a crossJoin of
+full data. At 100 TB this keeps the fuzzy path O(distinct misses),
+not O(rows).
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.text import normalize_space_col
+
+
+def link_labels(mentions: DataFrame, entities: DataFrame,
+                label_col: str = "label",
+                cutoff: float = 0.8) -> DataFrame:
+    """mentions(..., label) → mentions + ``entity_uri`` (null if unlinkable).
+
+    ``entities`` must have (uri, label). Any extra mention columns pass
+    through untouched.
+    """
+    ent = entities.select(F.col("uri").alias("entity_uri"),
+                          normalize_space_col(F.col("label")).alias("_elabel"))
+
+    m = mentions.withColumn("_mlabel", normalize_space_col(F.col(label_col)))
+    exact = m.join(F.broadcast(ent), m["_mlabel"] == ent["_elabel"], "left")
+
+    hits = (exact.filter(F.col("entity_uri").isNotNull())
+            .drop("_elabel", "_mlabel"))
+    misses = exact.filter(F.col("entity_uri").isNull()).drop(
+        "entity_uri", "_elabel")
+
+    # Fuzzy phase over DISTINCT miss labels only.
+    labels = [r["_elabel"] for r in ent.select("_elabel").distinct().collect()]
+    uri_by_label = {r["_elabel"]: r["entity_uri"]
+                    for r in ent.distinct().collect()}
+
+    distinct_miss = misses.select("_mlabel").distinct()
+
+    def fuzzy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for lab in pdf["_mlabel"]:
+                best = difflib.get_close_matches(lab, labels, n=1,
+                                                 cutoff=cutoff)
+                out.append({"_mlabel": lab,
+                            "entity_uri": uri_by_label[best[0]]
+                            if best else None})
+            yield pd.DataFrame(out, columns=["_mlabel", "entity_uri"])
+
+    fuzzy_map = distinct_miss.mapInPandas(
+        fuzzy, schema="_mlabel string, entity_uri string")
+
+    fuzzy_hits = (misses.join(F.broadcast(fuzzy_map), "_mlabel", "left")
+                  .drop("_mlabel"))
+    return hits.unionByName(fuzzy_hits)
+
+
+def publisher_triples(extracted: DataFrame, entities: DataFrame) -> DataFrame:
+    """(url, header.Publisher) → dcterms:publisher edges for linkable labels."""
+    mentions = (extracted.filter(F.col("is_doc"))
+                .select("url", F.col("header")["Publisher"].alias("label"))
+                .filter(F.col("label").isNotNull()))
+    linked = link_labels(
+        mentions, entities.filter(F.col("kind") == "publisher"))
+    return (linked.filter(F.col("entity_uri").isNotNull())
+            .select(F.col("url").alias("subj"),
+                    F.lit("dcterms:publisher").alias("pred"),
+                    F.col("entity_uri").alias("obj"),
+                    F.lit(False).alias("obj_is_literal"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang")))

@@ -1,0 +1,103 @@
+"""Mention/citation recognition: section text → candidate citation triples.
+
+The Spark restatement of the reference's citation grammar stack
+(/root/reference/ferenda/citationparser.py:10-165 scanString over every
+string node; /root/reference/ferenda/citationpatterns.py:16-36 url
+grammar with trailing-punctuation exclusion; /root/reference/ferenda/
+sources/tech/rfc.py:430-452 ``section N.N of [RFC X]`` grammar;
+/root/reference/ferenda/sources/legal/se/legalref.py:603-608
+``currentlynamedlaws`` within-document alias state).
+
+Everything here is JVM-side Column work: ``regexp_extract_all`` finds
+candidates, ``explode`` turns them into rows, and URI formatting
+(reference uriformats.py:14-58) is a concat/when cascade. The
+within-document alias state never crosses documents, so it is a
+``map_from_arrays`` computed per row *before* the section explode —
+no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.fixtures.pages import BASE
+
+# "section 4.2 of [RFC 123]" (section group optional) — one combined
+# pattern so a sectioned citation is not double-counted as a bare one.
+RFC_CITE_RE = r"(?:section (\d+(?:\.\d+)*) of )?\[RFC (\d+)\]"
+ALIAS_DEF_RE = r"\[([A-Z]{3,8})\] refers to \[RFC (\d+)\]"
+ALIAS_MENTION_RE = r"\[([A-Z]{3,8})\]"
+URL_CITE_RE = r'https?://[^\s<>" ]+'
+TRAILING_PUNCT_RE = r"[.,;:!?)\]]+$"
+
+
+def _fragments(extracted: DataFrame) -> DataFrame:
+    """Explode docs to (url, frag_uri, text, aliases) rows."""
+    docs = extracted.filter(F.col("is_doc")).withColumn(
+        "aliases",
+        F.map_from_arrays(
+            F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 1),
+            F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 2)))
+    sec_rows = docs.select(
+        "url", "aliases", F.explode("sections").alias("sec")
+    ).select(
+        "url", "aliases",
+        F.concat(F.col("url"), F.lit("#S"), F.col("sec.ordinal")
+                 ).alias("frag_uri"),
+        F.col("sec.text").alias("text"))
+    # Document-level row: citations in non-section prose attribute to
+    # the page URI itself (pages without section structure still cite).
+    doc_rows = docs.select(
+        "url", "aliases", F.col("url").alias("frag_uri"),
+        F.col("preamble").alias("text"))
+    return sec_rows.unionByName(doc_rows)
+
+
+def citation_triples(extracted: DataFrame) -> DataFrame:
+    """Candidate (frag_uri, dcterms:references, target_uri) triples."""
+    frags = _fragments(extracted)
+
+    # 1. RFC citations (optionally section-qualified)
+    rfc = (frags
+           .select("frag_uri",
+                   F.explode(F.regexp_extract_all(
+                       "text", F.lit(RFC_CITE_RE), 0)).alias("m"))
+           .select(
+               "frag_uri",
+               F.concat(
+                   F.lit(BASE + "res/rfc/"),
+                   F.regexp_extract("m", RFC_CITE_RE, 2),
+                   F.when(F.regexp_extract("m", RFC_CITE_RE, 1) != "",
+                          F.concat(F.lit("#S"),
+                                   F.regexp_extract("m", RFC_CITE_RE, 1))
+                          ).otherwise(F.lit(""))).alias("obj")))
+
+    # 2. Within-document alias mentions, resolved via the per-doc map
+    alias = (frags
+             .filter(F.size(F.map_keys("aliases")) > 0)
+             .select("frag_uri", "aliases",
+                     F.explode(F.regexp_extract_all(
+                         "text", F.lit(ALIAS_MENTION_RE), 1)).alias("name"))
+             .withColumn("num", F.col("aliases")[F.col("name")])
+             .filter(F.col("num").isNotNull())
+             .select("frag_uri",
+                     F.concat(F.lit(BASE + "res/rfc/"),
+                              F.col("num")).alias("obj")))
+
+    # 3. Bare URLs, trailing punctuation excluded
+    urls = (frags
+            .select("frag_uri",
+                    F.explode(F.regexp_extract_all(
+                        "text", F.lit(URL_CITE_RE), 0)).alias("m"))
+            .select("frag_uri",
+                    F.regexp_replace("m", TRAILING_PUNCT_RE, "").alias("obj")))
+
+    cites = rfc.unionByName(alias).unionByName(urls).dropDuplicates()
+    return cites.select(
+        F.col("frag_uri").alias("subj"),
+        F.lit("dcterms:references").alias("pred"),
+        F.col("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))

@@ -1,0 +1,81 @@
+"""End-to-end KG-construction pipeline.
+
+pages (url, warc_ts, html, text, lang)
+  → extract (Arrow UDF)                        operators/extract.py
+  → doc metadata + section triples (columns)   operators/metadata.py
+  → citation mentions (columns)                operators/mention.py
+  → entity linking (broadcast + fuzzy)         operators/linker.py
+  → canonical triples
+  → materialize node/edge/provenance           operators/graph.py
+
+The reference equivalent is parse → distill → relate
+(/root/reference/ferenda/documentrepository.py:1193-1216, 1885-1995);
+here every stage is a DataFrame transform, the only control crossings
+are Spark's own shuffles, and resume is the pending_pages anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.extract import extract
+from ferenda_spark.operators.graph import (
+    GraphStore,
+    edges_from_triples,
+    nodes_from_triples,
+    pending_pages,
+    provenance_rows,
+    with_input_hash,
+)
+from ferenda_spark.operators.linker import publisher_triples
+from ferenda_spark.operators.mention import citation_triples
+from ferenda_spark.operators.metadata import doc_metadata_triples, section_triples
+
+
+def build_triples(pages: DataFrame, entities: DataFrame) -> DataFrame:
+    """pages → canonical triple DataFrame (the distilled graph)."""
+    extracted = extract(pages)
+    # One Python parse per page feeds four downstream column-only
+    # plans — persist the (small, html-free) extract output so the
+    # Arrow UDF runs once, not four times.
+    extracted = extracted.persist()
+    triples = (
+        doc_metadata_triples(extracted)
+        .unionByName(section_triples(extracted))
+        .unionByName(citation_triples(extracted))
+        .unionByName(publisher_triples(extracted, entities))
+        # Malformed pages (missing header keys, unparseable dates)
+        # must degrade to fewer triples, never to null-object rows.
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                & (F.col("obj") != ""))
+        .dropDuplicates()
+    )
+    return triples
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
+                 store: GraphStore, stage: str = "materialize") -> dict:
+    """Incremental run: process only pending pages, commit snapshots.
+
+    Returns run stats. Rerunning on the same input is a no-op (the
+    resume contract: second run processes only uncommitted urls and
+    the final edge table equals the single-run result).
+    """
+    todo = pending_pages(pages, store, stage).persist()
+    n_todo = todo.count()
+    if n_todo == 0:
+        todo.unpersist()
+        return {"pages": 0, "triples": 0, "skipped": True}
+
+    triples = build_triples(todo.drop("input_hash"), entities)
+    edges = edges_from_triples(triples).persist()
+    n_triples = edges.count()
+
+    store.append(edges, "edge")
+    store.append(nodes_from_triples(edges), "node")
+    store.append(provenance_rows(todo, stage, rows_out_col=F.lit(n_triples)),
+                 "provenance")
+    todo.unpersist()
+    edges.unpersist()
+    return {"pages": n_todo, "triples": n_triples, "skipped": False}

@@ -1,0 +1,11 @@
+import pytest
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ferenda-spark-tests", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()

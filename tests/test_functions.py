@@ -1,0 +1,56 @@
+"""Python/Column implementation-pair equivalence for scalar functions."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.text import (
+    natural_sort_key,
+    natural_sort_key_col,
+    normalize_space,
+    normalize_space_col,
+    slugify,
+    slugify_col,
+    strip_backspace,
+    strip_backspace_col,
+)
+
+SAMPLES = [
+    "  a\xa0b\t c \n\nd  ",
+    "plain",
+    "", "\xa0\xa0", "x  y",
+    "M\x08MU\x08US\x08ST\x08T be",
+    "2 § and 10 § and 6 a",
+    "Best Current Practice",
+    "Återkommande Öl & bröd",
+]
+
+
+def _run_pair(spark, py_fn, col_fn):
+    df = spark.createDataFrame(pd.DataFrame({"s": SAMPLES}))
+    got = [r["o"] for r in
+           df.select(col_fn(F.col("s")).alias("o")).collect()]
+    want = [py_fn(s) for s in SAMPLES]
+    assert got == want
+
+
+def test_normalize_space_pair(spark):
+    _run_pair(spark, normalize_space, normalize_space_col)
+
+
+def test_strip_backspace_pair(spark):
+    _run_pair(spark, strip_backspace, strip_backspace_col)
+
+
+def test_slugify_pair(spark):
+    _run_pair(spark, slugify, slugify_col)
+
+
+def test_natural_sort_key_orders_numerically(spark):
+    vals = ["2 §", "10 §", "6 a", "6 b", "1.2.10", "1.2.2"]
+    want = sorted(vals, key=natural_sort_key)
+    df = spark.createDataFrame(pd.DataFrame({"s": vals}))
+    got = [r["s"] for r in
+           df.orderBy(natural_sort_key_col(F.col("s"))).collect()]
+    assert got == want
+    assert want.index("2 §") < want.index("10 §")
+    assert want.index("1.2.2") < want.index("1.2.10")

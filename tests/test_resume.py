@@ -1,0 +1,65 @@
+"""Snapshot resume: rerun is a no-op; partial rollback reprocesses
+only missing urls; final edge set equals the single-run result."""
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.fixtures.pages import entities_df, pages_df
+from ferenda_spark.operators.graph import GraphStore, pending_pages
+from ferenda_spark.pipeline import run_pipeline
+
+N = 40
+
+
+def _edge_set(store):
+    return {tuple(r) for r in
+            store.read("edge").select("subj", "pred", "obj").collect()}
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+
+    first = run_pipeline(spark, pages, ents, store)
+    assert first["pages"] == N and first["triples"] > 0
+    single_run_edges = _edge_set(store)
+
+    second = run_pipeline(spark, pages, ents, store)
+    assert second["skipped"] is True
+    assert _edge_set(store) == single_run_edges
+
+
+def test_changed_pages_reprocess(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+    run_pipeline(spark, pages, ents, store)
+
+    # mutate one page's html → exactly that url becomes pending
+    changed = pages.withColumn(
+        "html",
+        F.when(F.col("url").endswith("/rfc/3"),
+               F.concat(F.col("html"), F.lit(b" ")))
+        .otherwise(F.col("html")))
+    todo = pending_pages(changed, store)
+    assert [r["url"] for r in todo.select("url").collect()] == \
+        ["https://example.org/res/rfc/3"]
+
+
+def test_resume_after_partial_commit(spark, tmp_path):
+    """Run half, then run full input — second run only does the rest,
+    and the final edges equal a from-scratch single run."""
+    ents = entities_df(spark)
+    pages = pages_df(spark, N, partitions=2)
+
+    full_store = GraphStore(spark, str(tmp_path / "full"))
+    run_pipeline(spark, pages, ents, full_store)
+    want = _edge_set(full_store)
+
+    part_store = GraphStore(spark, str(tmp_path / "part"))
+    half = pages.filter(F.md5("url").rlike("^[0-7]"))
+    n_half = half.count()
+    run_pipeline(spark, half, ents, part_store)
+    stats = run_pipeline(spark, pages, ents, part_store)
+    assert stats["pages"] == N - n_half
+    assert _edge_set(part_store) == want
