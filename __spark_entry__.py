@@ -1,38 +1,966 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship KG-construction run on sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2
+                     + training-data extensions), each (spark, sf_dir)
+                     → DataFrame.
+``oracle_sql()``   — matching ANSI SQL for DuckDB over the same
+                     parquet views. The KG pipeline itself is oracled
+                     by deriving the pages table deterministically
+                     from `documents` (pure arithmetic on doc_id), so
+                     DuckDB can reconstruct the expected triples
+                     independently.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, ShortType
 
+from ferenda_spark.fixtures.pages import CATEGORIES, MONTHS, PUBLISHERS, BASE
+from ferenda_spark.fixtures.pages import entities_df
+from ferenda_spark.operators import analytics, dedup, multimodal, similarity
+from ferenda_spark.operators import textstats
+from ferenda_spark.operators.extract import extract
+from ferenda_spark.operators.graph import edges_from_triples, nodes_from_triples
+from ferenda_spark.operators.linker import link_labels
+from ferenda_spark.sources.testdata import (
+    DOC_PAGE_URL_RE,
+    load_table,
+    pages_from_documents,
+)
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _longify(df: DataFrame) -> DataFrame:
+    """Cast int/short columns to long so Spark and DuckDB schemas agree
+    (DuckDB count/len/row_number are all BIGINT)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (IntegerType, ShortType)):
+            cols.append(F.col(f.name).cast("long").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(_docs(spark, sf_dir))
+
+
+def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
+    return edges_from_triples(build_triples_from_extracted(ext, spark))
+
+
+def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
+    """build_triples but reusing an already-built extract DF."""
+    from ferenda_spark.operators.linker import publisher_triples
+    from ferenda_spark.operators.mention import citation_triples
+    from ferenda_spark.operators.metadata import (
+        doc_metadata_triples,
+        section_triples,
+    )
+    ents = entities_df(spark)
+    # the Arrow-UDF extract feeds four downstream branches — persist
+    # the (html-free) output so it parses once, not four times
+    ext = ext.persist()
+    triples = (
+        doc_metadata_triples(ext)
+        .unionByName(section_triples(ext))
+        .unionByName(citation_triples(ext))
+        .unionByName(publisher_triples(ext, ents))
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                & (F.col("obj") != ""))
+        .dropDuplicates()
+    )
+    return triples
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, cutoff: int = 100,
+                mutate: bool = False) -> DataFrame:
+    """documents ∪ copies (doc_id+10000) — exact copies, or
+    near-copies with a 3-word prefix when ``mutate``."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < cutoff).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.concat(F.lit("near duplicate copy "), F.col("text"))
+         if mutate else F.col("text")).alias("text"))
+    return docs.unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments for the oracles
+# ---------------------------------------------------------------------------
+
+def _sql_list(vals: list[str]) -> str:
+    inner = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+    return f"[{inner}]"
+
+
+_PUB_LIST = _sql_list([p[0] for p in PUBLISHERS])
+_CAT_LIST = _sql_list(CATEGORIES)
+_MONTH_LIST = _sql_list(MONTHS)
+
+_NORM = ("trim(regexp_replace(replace({c}, chr(160), ' '), "
+         "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))")
+
+# derived per-doc feature CTE — mirrors sources/testdata.doc_features
+_F_CTE = f"""
+f AS (
+  SELECT
+    doc_id,
+    lang,
+    'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    'Document ' || CAST(doc_id AS VARCHAR) AS title,
+    ({_PUB_LIST})[CAST(doc_id % 5 AS INT) + 1] AS publisher,
+    ({_CAT_LIST})[CAST(doc_id % 5 AS INT) + 1] AS category,
+    ({_MONTH_LIST})[CAST(doc_id % 12 AS INT) + 1] AS month,
+    CAST(1990 + doc_id % 30 AS VARCHAR) AS year,
+    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS month_num,
+    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 97 + 1 AS VARCHAR) END AS updates,
+    CAST(CASE WHEN doc_id % 10 < 6 THEN doc_id % 7 + 1
+              ELSE doc_id * 7 % 499 + 1 END AS VARCHAR) AS cite_a,
+    CAST(doc_id * 13 % 499 + 1 AS VARCHAR) AS cite_b,
+    CAST(doc_id % 5 + 1 AS VARCHAR) || '.' || CAST(doc_id % 3 + 1 AS VARCHAR) AS cite_sec,
+    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 250 + 1 AS VARCHAR) END AS alias_target,
+    {_NORM.format(c='text')} AS body
+  FROM documents
+)
+"""
+
+_SEC1 = ("(CASE WHEN alias_target IS NOT NULL THEN "
+         "'In this document, [DGRAM] refers to [RFC ' || alias_target || ']. '"
+         " ELSE '' END || body)")
+_SEC11 = ("('See [RFC ' || cite_a || '] and section ' || cite_sec || "
+          "' of [RFC ' || cite_b || '].' || "
+          "CASE WHEN alias_target IS NOT NULL THEN "
+          "' As defined in [DGRAM] above.' ELSE '' END)")
+
+_EXPECTED_TEXT = f"""(
+  publisher || ' Request for Comments: ' || CAST(doc_id AS VARCHAR)
+  || ' Category: ' || category
+  || CASE WHEN updates IS NOT NULL THEN ' Updates: ' || updates ELSE '' END
+  || ' ' || month || ' ' || year || ' ' || title
+  || ' 1. Introduction ' || {_SEC1}
+  || ' 1.1. Details ' || {_SEC11}
+)"""
+
+_CAT_TYPE = ("CASE WHEN category IN ('Standards Track', "
+             "'Best Current Practice') THEN 'bibo:Standard' "
+             "ELSE 'bibo:Report' END")
+_CAT_URI = ("'https://example.org/res/category/' || "
+            "replace(lower(category), ' ', '-')")
+_PUB_URI = ("'https://example.org/res/org/' || "
+            "replace(lower(publisher), ' ', '-')")
+_RFC = "'https://example.org/res/rfc/'"
+
+# golden triple CTE: every (subj,pred,obj,...) the pipeline must emit
+_TRIPLES_CTE = f"""
+golden AS (
+  SELECT DISTINCT * FROM (
+    SELECT url AS subj, 'rdf:type' AS pred, {_CAT_TYPE} AS obj,
+           FALSE AS obj_is_literal, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang FROM f
+    UNION ALL SELECT url, 'dcterms:title', title, TRUE, NULL, lang FROM f
+    UNION ALL SELECT url, 'dcterms:identifier',
+           'RFC ' || CAST(doc_id AS VARCHAR), TRUE, NULL, NULL FROM f
+    UNION ALL SELECT url, 'dcterms:issued', year || '-' || month_num,
+           TRUE, 'xsd:gYearMonth', NULL FROM f
+    UNION ALL SELECT url, 'dcterms:subject', {_CAT_URI}, FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url, 'dcterms:publisher', {_PUB_URI}, FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url, 'rfc:updates', {_RFC} || updates, FALSE, NULL, NULL
+           FROM f WHERE updates IS NOT NULL
+    UNION ALL SELECT url || '#S1', 'rdf:type', 'bibo:DocumentPart',
+           FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1', 'bibo:chapter', '1', TRUE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1', 'dcterms:isPartOf', url, FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1', 'dcterms:title', 'Introduction',
+           TRUE, NULL, lang FROM f
+    UNION ALL SELECT url || '#S1.1', 'rdf:type', 'bibo:DocumentPart',
+           FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1.1', 'bibo:chapter', '1.1', TRUE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1.1', 'dcterms:isPartOf', url || '#S1',
+           FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1.1', 'dcterms:title', 'Details',
+           TRUE, NULL, lang FROM f
+    UNION ALL SELECT url || '#S1.1', 'dcterms:references', {_RFC} || cite_a,
+           FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1.1', 'dcterms:references',
+           {_RFC} || cite_b || '#S' || cite_sec, FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S1', 'dcterms:references', {_RFC} || alias_target,
+           FALSE, NULL, NULL FROM f WHERE alias_target IS NOT NULL
+    UNION ALL SELECT url || '#S1.1', 'dcterms:references', {_RFC} || alias_target,
+           FALSE, NULL, NULL FROM f WHERE alias_target IS NOT NULL
+  )
+)
+"""
+
+_WORDS = ("list_filter(string_split_regex(trim({c}), '\\s+'), "
+          "w -> w <> '')")
+
+def _sh_expr(words: str, n: int = 3) -> str:
+    grams = " || ' ' || ".join(f"{words}[i+{j}]" if j else f"{words}[i]"
+                               for j in range(n))
+    return (f"CASE WHEN len({words}) >= {n} THEN "
+            f"list_distinct([{grams} "
+            f"for i in generate_series(1, len({words}) - {n - 1})]) "
+            f"ELSE [] END")
+
+_JACCARD_CORE = """
+e AS (SELECT id, unnest(sh) AS shingle FROM t),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.id = inter.id_a
+  JOIN sz sb ON sb.id = inter.id_b)
+"""
+
+_DOT = ("list_reduce(list_prepend(0.0, [{a}[i] * {b}[i] "
+        "for i in generate_series(1, 64)]), (x, y) -> x + y)")
+
+
+def _bucket_sql(v: str, n_planes: int = 4) -> str:
+    terms = []
+    for j in range(n_planes):
+        prods = (f"[{v}[i+1] * ((((i*31 + {j}*17 + 7) % 11) - 5)::DOUBLE) "
+                 f"for i in generate_series(0, 63)]")
+        d = f"list_reduce(list_prepend(0.0, {prods}), (x, y) -> x + y)"
+        terms.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = ("round({dot} / (sqrt({na}) * sqrt({nb})), 6)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.format(
+        dot=_DOT.format(a=a, b=b),
+        na=_DOT.format(a=a, b=a),
+        nb=_DOT.format(a=b, b=b))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KG-construction DAG (extract → mention →
+    link → mint) over pages derived from sf0.001 documents."""
+    return _kg_edges(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG pipeline -----------------------------------------------------
+    def kg_extract_text(spark, sf):
+        ext = extract(_pages(spark, sf), doc_url_regex=DOC_PAGE_URL_RE)
+        return ext.filter(F.col("is_doc")).select(
+            "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+    q["kg_extract_text"] = kg_extract_text
 
+    q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
+
+    def kg_nodes(spark, sf):
+        return nodes_from_triples(_kg_edges(spark, sf)).select(
+            "uri", "rdf_type", "label")
+    q["kg_nodes"] = kg_nodes
+
+    def kg_citations_by_target(spark, sf):
+        e = _kg_edges(spark, sf)
+        return _longify(
+            e.filter(F.col("pred") == "dcterms:references")
+            .groupBy(F.col("obj").alias("target"))
+            .agg(F.count(F.lit(1)).alias("n_citations"),
+                 F.countDistinct("subj").alias("n_citing_fragments")))
+    q["kg_citations_by_target"] = kg_citations_by_target
+
+    def kg_closure(spark, sf):
+        e = _kg_edges(spark, sf)
+        part_of = (e.filter(F.col("pred") == "dcterms:isPartOf")
+                   .select(F.col("subj").alias("child"),
+                           F.col("obj").alias("parent")))
+        return _longify(analytics.transitive_closure(part_of, max_depth=4))
+    q["kg_closure"] = kg_closure
+
+    def kg_keyword_inversion(spark, sf):
+        e = _kg_edges(spark, sf)
+        inv = analytics.keyword_inversion(e, "dcterms:subject")
+        return _longify(inv.select(
+            "term", F.array_join("members", ",").alias("members_csv"),
+            "n_members"))
+    q["kg_keyword_inversion"] = kg_keyword_inversion
+
+    def kg_dependency_edges(spark, sf):
+        return analytics.dependency_edges(_kg_edges(spark, sf))
+    q["kg_dependency_edges"] = kg_dependency_edges
+
+    def kg_publisher_stats(spark, sf):
+        e = _kg_edges(spark, sf)
+        return _longify(
+            e.filter(F.col("pred") == "dcterms:publisher")
+            .groupBy(F.col("obj").alias("publisher"))
+            .agg(F.countDistinct("subj").alias("n_docs")))
+    q["kg_publisher_stats"] = kg_publisher_stats
+
+    # ---- relational / analytics -----------------------------------------
+    def q1_pricing(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return _longify(
+            li.filter(F.col("l_shipdate").cast("date")
+                      <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+    q["q1_pricing"] = q1_pricing
+
+    def q3_shipping(spark, sf):
+        c = load_table(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderdate").cast("date") < F.lit("1998-06-01"))
+        li = load_table(spark, sf, "lineitem").filter(
+            F.col("l_shipdate").cast("date") >= F.lit("1998-06-01"))
+        rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .groupBy("l_orderkey",
+                        F.col("o_orderdate").cast("date").cast("string")
+                        .alias("orderdate"))
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
+        w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        return _longify(rev.withColumn("rank", F.row_number().over(w))
+                        .filter(F.col("rank") <= 10))
+    q["q3_shipping"] = q3_shipping
+
+    def q5_local_supplier(spark, sf):
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
+        joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .join(c, o.o_custkey == c.c_custkey)
+                  .join(s, li.l_suppkey == s.s_suppkey)
+                  .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+                  .join(F.broadcast(n), F.col("s_nationkey")
+                        == F.col("n_nationkey"))
+                  .join(F.broadcast(r), F.col("n_regionkey")
+                        == F.col("r_regionkey")))
+        return _longify(
+            joined.groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+    q["q5_local_supplier"] = q5_local_supplier
+
+    def facet_stats_cube(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return _longify(analytics.facet_stats(
+            o, ["o_orderstatus", "o_orderpriority"])
+            .withColumn("grouping_mask",
+                        F.col("grouping_mask").cast("long")))
+    q["facet_stats_cube"] = facet_stats_cube
+
+    def topk_orders(spark, sf):
+        o = load_table(spark, sf, "orders")
+        top = analytics.topk_per_group(
+            o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+            ["o_orderpriority"], "o_totalprice", 3,
+            tiebreak_col="o_orderkey")
+        return _longify(top)
+    q["topk_orders"] = topk_orders
+
+    def events_pagination(spark, sf):
+        e = load_table(spark, sf, "events")
+        return _longify(analytics.paginate(
+            e.select("event_id", "event_type", "ts"), "event_type", "ts",
+            100).select("event_id", "event_type", "rn", "page"))
+    q["events_pagination"] = events_pagination
+
+    def asof_purchase_click(spark, sf):
+        e = load_table(spark, sf, "events")
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        out = analytics.asof_join(purchases, clicks, "user_id",
+                                  right_cols=["event_id"])
+        return _longify(out.select(
+            F.col("event_id").alias("purchase_event"),
+            "user_id",
+            F.col("asof_event_id").alias("click_event")))
+    q["asof_purchase_click"] = asof_purchase_click
+
+    def sessionize_events(spark, sf):
+        e = load_table(spark, sf, "events")
+        return _longify(analytics.sessionize(
+            e.select("event_id", "user_id", "ts"), gap_minutes=30)
+            .select("event_id", "user_id", "session_id"))
+    q["sessionize_events"] = sessionize_events
+
+    def range_filters(spark, sf):
+        e = load_table(spark, sf, "events")
+        return _longify(
+            e.filter(F.col("value").between(5, 20)
+                     & (F.year("ts") == 2024)
+                     & F.col("event_type").like("%i%"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+    q["range_filters"] = range_filters
+
+    def setops_users(spark, sf):
+        e = load_table(spark, sf, "events")
+        buyers = e.filter((F.col("event_type") == "purchase")
+                          & (F.col("value") > 200)).select("user_id")
+        erroring = e.filter((F.col("event_type") == "error")
+                            & (F.col("value") > 200)).select("user_id")
+        return buyers.subtract(erroring)
+    q["setops_users"] = setops_users
+
+    def natural_sort_parts(spark, sf):
+        p = load_table(spark, sf, "part")
+        from ferenda_spark.functions.text import natural_sort_key_col
+        lab = F.concat(F.lit("item "), F.col("p_size").cast("string"),
+                       F.lit(" rev "), (F.col("p_partkey") % 10)
+                       .cast("string"))
+        df = p.select("p_partkey", lab.alias("label"))
+        w = Window.orderBy(natural_sort_key_col(F.col("label")),
+                           F.asc("p_partkey"))
+        return _longify(df.withColumn("rank", F.row_number().over(w)))
+    q["natural_sort_parts"] = natural_sort_parts
+
+    # ---- training-data ops ----------------------------------------------
+    def dedup_exact_docs(spark, sf):
+        return _longify(dedup.exact_dedup(_dup_corpus(spark, sf, 100)))
+    q["dedup_exact_docs"] = dedup_exact_docs
+
+    def dedup_jaccard(spark, sf):
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 150)
+        return _longify(dedup.jaccard_pairs(corpus, threshold=0.8))
+    q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_minhash_lsh(spark, sf):
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 150)
+        return _longify(dedup.minhash_dedup_pairs(
+            corpus, k=8, bands=4, threshold=0.8))
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):
+        return _longify(dedup.simhash_signatures(_docs(spark, sf)))
+    q["dedup_simhash"] = dedup_simhash
+
+    def sim_topk_cosine(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return _longify(similarity.cosine_topk(emb, qs, k=5))
+    q["sim_topk_cosine"] = sim_topk_cosine
+
+    def sim_lsh_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return _longify(similarity.lsh_topk(emb, qs, dim=64, k=5))
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    def sim_label_centroids(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return _longify(similarity.label_centroids(emb, dim=64))
+    q["sim_label_centroids"] = sim_label_centroids
+
+    def sim_embedding_neardup(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return _longify(similarity.embedding_near_dup_pairs(
+            emb, dim=64, threshold=0.4))
+    q["sim_embedding_neardup"] = sim_embedding_neardup
+
+    def text_token_stats(spark, sf):
+        return _longify(textstats.token_stats(_docs(spark, sf)))
+    q["text_token_stats"] = text_token_stats
+
+    def text_quality(spark, sf):
+        return _longify(textstats.quality_score(_docs(spark, sf)))
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):
+        return _longify(textstats.langid(_docs(spark, sf)))
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf):
+        return _longify(textstats.fingerprint(_docs(spark, sf)))
+    q["text_fingerprint"] = text_fingerprint
+
+    def media_meta(spark, sf):
+        media = multimodal.attach_media(_docs(spark, sf))
+        return _longify(multimodal.media_metadata(media, fake=True))
+    q["media_meta"] = media_meta
+
+    def streaming_hourly_events(spark, sf):
+        e = load_table(spark, sf, "events")
+        return _longify(
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").cast("string").alias("hour"),
+                    "event_type", "n", "total_value"))
+    q["streaming_hourly_events"] = streaming_hourly_events
+
+    def salted_join_suppliers(spark, sf):
+        li = load_table(spark, sf, "lineitem").select(
+            F.col("l_suppkey").alias("s_suppkey"), "l_quantity")
+        s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+        joined = analytics.salted_join(li, s, "s_suppkey", salt=8)
+        return _longify(
+            joined.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+    q["salted_join_suppliers"] = salted_join_suppliers
+
+    def entity_link_fuzzy(spark, sf):
+        # fuzzy phase has no SQL analog (difflib ratio) → rows-only check
+        n = load_table(spark, sf, "nation")
+        ents = n.select(
+            F.concat(F.lit(BASE + "res/nation/"),
+                     F.lower(F.col("n_name"))).alias("uri"),
+            F.col("n_name").alias("label"))
+        mentions = n.select(
+            F.expr("substring(n_name, 1, length(n_name) - 1)").alias("label"))
+        linked = link_labels(mentions, ents)
+        return linked.select("label", "entity_uri")
+    q["entity_link_fuzzy"] = entity_link_fuzzy
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["kg_extract_text"] = f"""
+WITH {_F_CTE}
+SELECT url, md5({_EXPECTED_TEXT}) AS text_md5 FROM f
+"""
+
+    o["kg_edges"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT * FROM golden
+"""
+
+    o["kg_nodes"] = f"""
+WITH {_F_CTE}
+SELECT url AS uri, {_CAT_TYPE} AS rdf_type, title AS label FROM f
+UNION ALL
+SELECT url || '#S1', 'bibo:DocumentPart', 'Introduction' FROM f
+UNION ALL
+SELECT url || '#S1.1', 'bibo:DocumentPart', 'Details' FROM f
+"""
+
+    o["kg_citations_by_target"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT obj AS target, count(*) AS n_citations,
+       count(DISTINCT subj) AS n_citing_fragments
+FROM golden WHERE pred = 'dcterms:references' GROUP BY obj
+"""
+
+    o["kg_closure"] = f"""
+WITH RECURSIVE {_F_CTE},
+edges AS (
+  SELECT url || '#S1' AS child, url AS parent FROM f
+  UNION ALL SELECT url || '#S1.1', url || '#S1' FROM f
+),
+closure AS (
+  SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.descendant, e.parent, c.depth + 1
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+  WHERE c.depth < 4
+)
+SELECT descendant, ancestor, CAST(min(depth) AS BIGINT) AS depth
+FROM closure GROUP BY 1, 2
+"""
+
+    o["kg_keyword_inversion"] = f"""
+WITH {_F_CTE}
+SELECT {_CAT_URI} AS term,
+       string_agg(url, ',' ORDER BY url) AS members_csv,
+       count(DISTINCT url) AS n_members
+FROM f GROUP BY 1
+"""
+
+    o["kg_dependency_edges"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT subj, pred, obj FROM golden
+WHERE pred NOT IN ('rdf:type', 'owl:sameAs') AND NOT obj_is_literal
+  AND obj NOT IN (SELECT DISTINCT subj FROM golden)
+"""
+
+    o["kg_publisher_stats"] = f"""
+WITH {_F_CTE}
+SELECT {_PUB_URI} AS publisher, count(DISTINCT url) AS n_docs
+FROM f GROUP BY 1
+"""
+
+    o["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["q3_shipping"] = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+    AND CAST(l_shipdate AS DATE) >= DATE '1998-06-01'
+  GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT l_orderkey, orderdate, revenue,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+  FROM rev) WHERE rank <= 10
+"""
+
+    o["q5_local_supplier"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+    o["facet_stats_cube"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus) * 1
+            + grouping(o_orderpriority) * 2 AS BIGINT) AS grouping_mask
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+    o["topk_orders"] = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+    o["events_pagination"] = """
+SELECT event_id, event_type,
+       row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn,
+       CAST(floor((row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC) - 1) / 100)
+            AS BIGINT) AS page
+FROM events
+"""
+
+    o["asof_purchase_click"] = """
+SELECT a.event_id AS purchase_event, a.user_id, b.event_id AS click_event
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+    o["sessionize_events"] = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS n
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id,
+       sum(n) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+FROM flagged
+"""
+
+    o["range_filters"] = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE value BETWEEN 5 AND 20 AND year(ts) = 2024 AND event_type LIKE '%i%'
+GROUP BY event_type
+"""
+
+    o["setops_users"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+"""
+
+    o["natural_sort_parts"] = """
+SELECT p_partkey,
+       'item ' || CAST(p_size AS VARCHAR) || ' rev '
+           || CAST(p_partkey % 10 AS VARCHAR) AS label,
+       row_number() OVER (ORDER BY p_size, p_partkey % 10, p_partkey) AS rank
+FROM part
+"""
+
+    _corpus = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+)"""
+    o["dedup_exact_docs"] = f"""
+WITH {_corpus}
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+    _near_corpus = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000, 'near duplicate copy ' || text
+  FROM documents WHERE doc_id < 100
+)"""
+    words_c = _WORDS.format(c="text")
+    o["dedup_jaccard"] = f"""
+WITH {_near_corpus},
+t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+{_JACCARD_CORE}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+    sig_expr = ("[list_min([md5(CAST(i AS VARCHAR) || '|' || s) "
+                "for s in sh]) for i in generate_series(0, 7)]")
+    o["dedup_minhash_lsh"] = f"""
+WITH {_near_corpus},
+t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+sigs AS (SELECT id, {sig_expr} AS sig FROM t WHERE len(sh) > 0),
+bands AS (
+  SELECT id, g.b AS band,
+         md5(sig[2 * g.b + 1] || '|' || sig[2 * g.b + 2]) AS band_key
+  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+e AS (SELECT id, unnest(sh) AS shingle FROM t),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN e ea ON ea.id = c.id_a
+  JOIN e eb ON eb.id = c.id_b AND ea.shingle = eb.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = inter.id_a
+JOIN sz sb ON sb.id = inter.id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8
+"""
+
+    th_expr = (f"list_transform({words_c}, "
+               "w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT))")
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {j}) & 1 = 1)) "
+        f"> len(th) THEN {1 << j} ELSE 0 END"
+        for j in range(32))
+    o["dedup_simhash"] = f"""
+WITH t AS (SELECT doc_id AS id, {th_expr} AS th FROM documents)
+SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+"""
+
+    o["sim_topk_cosine"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM it WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id AS item_id, {_cos_sql('v', 'qv')} AS cos_sim
+  FROM it, qs WHERE vec_id <> query_id)
+SELECT query_id, item_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, item_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+    o["sim_lsh_topk"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+itb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM it),
+qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM itb WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, i.vec_id AS item_id, {_cos_sql('v', 'qv')} AS cos_sim
+  FROM itb i JOIN qs ON i.bucket = qs.bucket
+  WHERE i.vec_id <> qs.query_id)
+SELECT query_id, item_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, item_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+    o["sim_label_centroids"] = """
+SELECT label, g.i AS dim_idx,
+       round(avg(embedding[g.i + 1]), 6) AS centroid_component,
+       count(*) AS n_vectors
+FROM embeddings,
+     (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS i) g
+GROUP BY label, g.i
+"""
+
+    o["sim_embedding_neardup"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+itb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM it),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql('a.v', 'b.v')} AS cos_sim
+  FROM itb a JOIN itb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+    sub_re = r"([0-9]+|[^\sA-Za-z0-9]+)"
+    sub_repl = r" \1 "
+    sub_expr = f"regexp_replace(text, '{sub_re}', '{sub_repl}', 'g')"
+    sw_words = _WORDS.format(c=sub_expr)
+    o["text_token_stats"] = f"""
+WITH t AS (SELECT doc_id, text, {words_c} AS w,
+           {sw_words} AS sw
+           FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(sw) AS n_subtokens,
+       length(text) AS n_chars_measured,
+       len(list_distinct(w)) AS n_distinct_tokens,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                 (a, b) -> a + b)
+             / greatest(len(w), 1), 4) AS mean_token_len
+FROM t
+"""
+
+    stop_list = _sql_list(textstats.STOPWORDS)
+    o["text_quality"] = f"""
+WITH t AS (SELECT doc_id, {words_c} AS w FROM documents),
+m AS (SELECT doc_id, len(w) AS n,
+             len(list_filter(w, x -> list_contains({stop_list}, x))) AS n_stop,
+             len(list_distinct(w)) AS n_dist
+      FROM t)
+SELECT doc_id,
+       round(n_stop / greatest(n, 1), 4) AS stopword_ratio,
+       round(n_dist / greatest(n, 1), 4) AS lexical_diversity,
+       round(CAST(0.4 AS DOUBLE) * least(n / CAST(50.0 AS DOUBLE), 1.0)
+             + CAST(0.3 AS DOUBLE)
+               * least(n_stop / greatest(n, 1) * 5, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_dist / greatest(n, 1)), 4) AS quality
+FROM m
+"""
+
+    lang_hits = []
+    for rank, lang in enumerate(textstats.LANG_ORDER):
+        ml = _sql_list(textstats.LANG_MARKERS[lang])
+        lang_hits.append(
+            f"len(list_filter(w, x -> list_contains({ml}, x))) AS h_{lang}")
+    keys = ", ".join(f"h_{l} * 100 - {r} AS k_{l}"
+                     for r, l in enumerate(textstats.LANG_ORDER))
+    maxk = "greatest(" + ", ".join(
+        f"k_{l}" for l in textstats.LANG_ORDER) + ")"
+    pred_case = "CASE " + " ".join(
+        f"WHEN k_{l} = {maxk} THEN '{l}'"
+        for l in textstats.LANG_ORDER) + " END"
+    hits_case = "CASE " + " ".join(
+        f"WHEN k_{l} = {maxk} THEN h_{l}"
+        for l in textstats.LANG_ORDER) + " END"
+    o["text_langid"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS.format(c='lower(text)')} AS w FROM documents),
+h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
+k AS (SELECT doc_id, {keys},
+             h_en, h_es, h_fr, h_de, h_zh FROM h)
+SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
+"""
+
+    o["text_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, text,
+  list_transform({words_c},
+      x -> CAST(ascii(substr(x, 1, 1)) * 100 + length(x) AS BIGINT)) AS vals
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp,
+       md5(text) AS text_md5
+FROM t
+"""
+
+    o["media_meta"] = """
+WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+                  md5(text) AS content_md5 FROM documents),
+k AS (SELECT *, (['image', 'audio', 'video'])[CAST(n % 3 AS INT) + 1] AS kind
+      FROM m)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes, content_md5, kind,
+       CASE WHEN kind IN ('image', 'video')
+            THEN CAST(n % 640 + 16 AS BIGINT) END AS width,
+       CASE WHEN kind IN ('image', 'video')
+            THEN CAST(n % 480 + 16 AS BIGINT) END AS height,
+       CASE WHEN kind IN ('audio', 'video')
+            THEN CAST(n * 7 % 100000 AS BIGINT) END AS duration_ms
+FROM k
+"""
+
+    o["streaming_hourly_events"] = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["salted_join_suppliers"] = """
+SELECT s_name, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+    # entity_link_fuzzy: intentionally no oracle (difflib ratio has no
+    # ANSI-SQL equivalent) → driver records rows-only check.
+    return o

@@ -1,0 +1,212 @@
+"""Relational analytics operators from the reference's serving side,
+generalized: facet statistics, TOC grouping, top-k, pagination,
+as-of/temporal joins, sessionization, transitive closure, keyword
+inversion, dependency filtering, and an explicit salted-join helper
+for skewed keys.
+
+Each maps to a SURVEY.md §2 row (noted per function). All pure
+DataFrame ops — Catalyst picks the physical plan; the salted join is
+the one place we override it (hot-key skew per the north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.text import natural_sort_key_col
+
+
+# -- A1/A2: facet statistics & grouping -------------------------------------
+
+def facet_stats(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Per-dimension distinct-doc counts — the reference's API stats
+    endpoint (wsgiapp.py:232-386) as ONE pass via grouping sets
+    (cube), instead of its per-facet Python loop."""
+    mask = (sum([F.grouping(d).cast("long") * (1 << i)
+                 for i, d in enumerate(dims)]) if dims
+            else F.lit(0).cast("long"))
+    return (df.cube(*dims)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 mask.alias("grouping_mask")))
+
+
+def toc_pages(df: DataFrame, group_col: str, title_col: str,
+              natural: bool = False) -> DataFrame:
+    """TOC grouping (toc_pagesets/toc_select_for_pages,
+    documentrepository.py:2852-2992): per group, the member titles in
+    collation order (natural numeric order when ``natural``)."""
+    key = (natural_sort_key_col(F.col(title_col)) if natural
+           else F.col(title_col))
+    return (df.select(group_col, F.col(title_col), key.alias("_k"))
+            .groupBy(group_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_k").alias("k"),
+                                                     F.col(title_col)
+                                                     .alias("t")))),
+                lambda s: s["t"]).alias("titles"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# -- W3/W4/W5: sort / top-k / pagination -------------------------------------
+
+def topk_per_group(df: DataFrame, group_cols: list[str],
+                   order_col: str, k: int, desc: bool = True,
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Per-group top-k via row_number window (reference: frontpage
+    latest-5, rfc.py:699-719; multi-value facet pick W6)."""
+    order = [F.desc(order_col) if desc else F.asc(order_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def paginate(df: DataFrame, partition_col: str, order_col: str,
+             page_size: int = 100) -> DataFrame:
+    """Archive pagination (news_write_atom archivesize, W3/W5): page id
+    = floor((rn-1)/page_size) per partition, newest first."""
+    w = Window.partitionBy(partition_col).orderBy(F.desc(order_col))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .withColumn("page", F.floor((F.col("rn") - 1) / page_size)))
+
+
+# -- J8: as-of / temporal join ----------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None) -> DataFrame:
+    """For each left row, the latest right row with the same key and
+    right_ts ≤ left_ts (TemporalElement.in_effect / consolidated-
+    version semantics, SURVEY J8).
+
+    Implemented as union + window (one shuffle on the key, no range
+    crossJoin): tag sides, sort by time within key, carry the last
+    right value forward onto left rows.
+    """
+    rcols = right_cols or [c for c in right.columns
+                           if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols])
+                         .alias("s")).schema["s"].dataType).alias("_r"))
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns])
+                        .alias("s")).schema["s"].dataType).alias("_l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"))
+    # right rows sort before left rows at equal _ts (right_ts ≤ left_ts
+    # inclusive), via _side ascending
+    w = (Window.partitionBy(on).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (l_tag.unionByName(r_tag)
+              .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+              .filter(F.col("_side") == 1))
+    out = merged.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_match")[c].alias(f"asof_{c}") for c in rcols])
+    return out
+
+
+# -- W: sessionization ------------------------------------------------------
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since
+    the user's previous event exceeds the gap. lag + running sum —
+    two window passes over one shuffle on user."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            (F.unix_timestamp(F.col(ts_col))
+             - F.unix_timestamp(F.lag(ts_col).over(w))) > gap_s, 1)
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0))
+    return flagged.withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).drop("_new")
+
+
+# -- J3: bounded transitive closure ----------------------------------------
+
+def transitive_closure(edges: DataFrame, max_depth: int = 4,
+                       child_col: str = "child",
+                       parent_col: str = "parent") -> DataFrame:
+    """All (descendant, ancestor, depth) pairs up to max_depth — the
+    ``isPartOf*`` closure behind annotation construction
+    (res/sparql/annotations.rq:4-19, SURVEY J3). Iterative self-join;
+    depth is bounded (section nesting ≤ 3-4), each iteration is one
+    shuffle, results unioned. At scale: checkpoint() between
+    iterations to cut lineage."""
+    base = edges.select(F.col(child_col).alias("descendant"),
+                        F.col(parent_col).alias("ancestor"),
+                        F.lit(1).alias("depth"))
+    out = base
+    frontier = base
+    for d in range(2, max_depth + 1):
+        nxt = (frontier.alias("f")
+               .join(base.alias("b"),
+                     F.col("f.ancestor") == F.col("b.descendant"))
+               .select(F.col("f.descendant").alias("descendant"),
+                       F.col("b.ancestor").alias("ancestor"),
+                       F.lit(d).alias("depth")))
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return (out.groupBy("descendant", "ancestor")
+            .agg(F.min("depth").alias("depth")))
+
+
+# -- J5: keyword hub inversion ----------------------------------------------
+
+def keyword_inversion(edges: DataFrame, pred: str = "dcterms:subject"
+                      ) -> DataFrame:
+    """subject-term → sorted member docs (keyword.py:107-160): groupBy
+    the object of subject edges, collect + sort the citing subjects."""
+    return (edges.filter(F.col("pred") == pred)
+            .groupBy(F.col("obj").alias("term"))
+            .agg(F.array_sort(F.collect_set("subj")).alias("members"),
+                 F.countDistinct("subj").alias("n_members")))
+
+
+# -- P6: dependency-edge filter --------------------------------------------
+
+def dependency_edges(edges: DataFrame,
+                     skip_preds: tuple = ("rdf:type", "owl:sameAs")
+                     ) -> DataFrame:
+    """Outbound dependency edges: drop structural predicates and
+    objects that are subjects within the same graph
+    (relate_dependencies, documentrepository.py:2026-2034)."""
+    subjects = edges.select(F.col("subj").alias("obj")).distinct()
+    return (edges.filter(~F.col("pred").isin(*skip_preds)
+                         & ~F.col("obj_is_literal"))
+            .join(subjects, "obj", "left_anti")
+            .select("subj", "pred", "obj"))
+
+
+# -- skew: salted join helper ----------------------------------------------
+
+def salted_join(big: DataFrame, dim: DataFrame, key: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with explicit key salting for skewed keys: the big
+    side gets a random-free deterministic salt (hash of all columns
+    mod ``salt``), the dim side is replicated ``salt``× via explode —
+    turning one hot-key partition into ``salt`` even ones. Use when a
+    specific hot-key list is known; otherwise AQE skew-join handles
+    moderate skew. Result is identical to a plain join (tested)."""
+    big_cols = [c for c in big.columns]
+    b = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big_cols]), F.lit(salt)))
+    d = (dim.withColumn("_salt", F.explode(
+        F.sequence(F.lit(0), F.lit(salt - 1)))))
+    out = b.join(d, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -50,6 +50,9 @@ def get_spark(
         # 64MB leaves headroom for a hot-key list at full scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # UTC everywhere: naive parquet timestamps must mean the same
+        # instant on every executor (and match ANSI-SQL oracles).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

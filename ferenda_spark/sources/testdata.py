@@ -1,0 +1,163 @@
+"""Sources over the driver's parquet testdata + the pages derivation.
+
+``load_table`` is the plain scan path (parquet today, Iceberg
+``spark.read.table`` in production — same DataFrame downstream).
+
+``pages_from_documents`` turns the ``documents`` table into the
+BASELINE input shape ``(url, warc_ts, html, text, lang)`` with **pure
+Column expressions** (no Python, no randomness): every header field,
+section, and embedded citation is a deterministic function of
+``doc_id``, so an ANSI-SQL oracle can reconstruct the expected
+extracted text and the expected triple set independently. This makes
+the *whole* KG pipeline (extract → mention → link → mint) checkable
+against DuckDB, not just its relational fragments.
+
+The page shape mirrors the synthetic corpus in fixtures/pages.py
+(RFC-like header block + sections, modeled on the reference's RFC repo
+/root/reference/ferenda/sources/tech/rfc.py:550-644 header extraction
+and elements_from_soup semantics /root/reference/ferenda/elements/
+html.py:23-71).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferenda_spark.fixtures.pages import (
+    BASE,
+    CATEGORIES,
+    MONTHS,
+    PUBLISHERS,
+)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Pages derived from `documents` mint under /res/doc/ (the fixture
+# corpus uses /res/rfc/) — the discovery regex is a parameter of the
+# extract stage either way.
+DOC_PAGE_URL_RE = r"^https://example\.org/res/doc/\d+$"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver testdata table. Iceberg equivalent:
+    ``spark.read.table(f"testdata.{name}")``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _elem(values: list[str], idx_col, alias: str):
+    """values[idx_col] as a Column (idx 0-based) via element_at."""
+    return F.element_at(F.array(*[F.lit(v) for v in values]),
+                        idx_col.cast("int") + 1).alias(alias)
+
+
+def doc_features(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → per-doc derived fields.
+
+    Everything is arithmetic on doc_id (reconstructible in ANSI SQL):
+      publisher   = PUBLISHERS[doc_id % 5]          (canonical label)
+      category    = CATEGORIES[doc_id % 5]
+      month/year  = MONTHS[doc_id % 12], 1990 + doc_id % 30
+      updates     = [doc_id % 97 + 1]               iff doc_id % 3 == 0
+      cite_a      = doc_id % 7 + 1     (hot head)   iff doc_id % 10 < 6
+                    else doc_id * 7 % 499 + 1       (cold tail)
+      cite_b      = doc_id * 13 % 499 + 1, section s = (d%5+1).(d%3+1)
+      alias_target= doc_id % 250 + 1                iff doc_id % 4 == 0
+
+    The cite_a split gives the zipf-ish head-entity skew of the north
+    star: 60% of all citations target just 7 URIs.
+    """
+    d = F.col("doc_id").cast("long")
+    return documents.select(
+        "doc_id", "lang",
+        F.concat(F.lit(BASE + "res/doc/"), d.cast("string")).alias("url"),
+        F.concat(F.lit("Document "), d.cast("string")).alias("title"),
+        _elem([p[0] for p in PUBLISHERS], d % 5, "publisher"),
+        _elem(CATEGORIES, d % 5, "category"),
+        _elem(MONTHS, d % 12, "month"),
+        (F.lit(1990) + d % 30).cast("string").alias("year"),
+        F.lpad((d % 12 + 1).cast("string"), 2, "0").alias("month_num"),
+        F.when(d % 3 == 0, (d % 97 + 1).cast("string")).alias("updates"),
+        F.when(d % 10 < 6, d % 7 + 1)
+         .otherwise(d * 7 % 499 + 1).cast("string").alias("cite_a"),
+        (d * 13 % 499 + 1).cast("string").alias("cite_b"),
+        F.concat((d % 5 + 1).cast("string"), F.lit("."),
+                 (d % 3 + 1).cast("string")).alias("cite_sec"),
+        F.when(d % 4 == 0, (d % 250 + 1).cast("string")).alias("alias_target"),
+        # body text, normalized exactly like the extract stage will
+        # (normalize_space semantics, reference util.py:287-296)
+        F.trim(F.regexp_replace(F.translate(F.col("text"), "\xa0", " "),
+                                r"[ \t\n\r\f\x0B]+", " ")).alias("body"),
+    )
+
+
+def pages_from_documents(documents: DataFrame) -> DataFrame:
+    """documents → pages(url, warc_ts, html, text, lang), pure columns.
+
+    Layout (identical in spirit to fixtures.render_html): header div
+    with publisher / RFC-number / category / updates / date lines, h1
+    title, <script> noise the extractor must drop, section S1 carrying
+    the document body (plus an alias-definition sentence for every 4th
+    doc), section S1.1 carrying citation sentences.
+    """
+    f = doc_features(documents)
+    c = F.concat
+
+    alias_def = F.when(
+        F.col("alias_target").isNotNull(),
+        c(F.lit("In this document, [DGRAM] refers to [RFC "),
+          F.col("alias_target"), F.lit("]. "))).otherwise(F.lit(""))
+    alias_use = F.when(
+        F.col("alias_target").isNotNull(),
+        F.lit(" As defined in [DGRAM] above.")).otherwise(F.lit(""))
+
+    sec1_text = c(alias_def, F.col("body"))
+    sec11_text = c(F.lit("See [RFC "), F.col("cite_a"),
+                   F.lit("] and section "), F.col("cite_sec"),
+                   F.lit(" of [RFC "), F.col("cite_b"), F.lit("]."),
+                   alias_use)
+
+    updates_line = F.when(
+        F.col("updates").isNotNull(),
+        c(F.lit("<p>Updates: "), F.col("updates"), F.lit("</p>"))
+    ).otherwise(F.lit(""))
+
+    html_str = c(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>'),
+        F.col("title"),
+        F.lit("</title><script>var t=1;</script></head><body>"),
+        F.lit('<div class="header"><p>'), F.col("publisher"),
+        F.lit("</p><p>Request for Comments: "), F.col("doc_id").cast("string"),
+        F.lit("</p><p>Category: "), F.col("category"), F.lit("</p>"),
+        updates_line,
+        F.lit("<p>"), F.col("month"), F.lit(" "), F.col("year"),
+        F.lit("</p></div><h1>"), F.col("title"), F.lit("</h1>"),
+        F.lit("<script>document.write('NOISE');</script>"),
+        F.lit('<div class="section" about="#S1"><h2>1. Introduction</h2><p>'),
+        sec1_text,
+        F.lit('</p></div><div class="section" about="#S1.1">'
+              "<h3>1.1. Details</h3><p>"),
+        sec11_text,
+        F.lit("</p><font>noise</font></div></body></html>"))
+
+    # expected extracted text (chunks joined with single spaces) — the
+    # byte-identical per-url invariant, reconstructed declaratively
+    expected_text = c(
+        F.col("publisher"),
+        F.lit(" Request for Comments: "), F.col("doc_id").cast("string"),
+        F.lit(" Category: "), F.col("category"),
+        F.when(F.col("updates").isNotNull(),
+               c(F.lit(" Updates: "), F.col("updates"))).otherwise(F.lit("")),
+        F.lit(" "), F.col("month"), F.lit(" "), F.col("year"),
+        F.lit(" "), F.col("title"),
+        F.lit(" 1. Introduction "), sec1_text,
+        F.lit(" 1.1. Details "), sec11_text)
+
+    return f.select(
+        F.col("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 137
+                            ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        expected_text.alias("text"),
+        "lang")

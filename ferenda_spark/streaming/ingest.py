@@ -1,0 +1,68 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference is batch-only; its incremental devices (``lastdownload``
+crawl gating, ``needed()`` mtime freshness, dependency-triggered
+regeneration — /root/reference/ferenda/decorators.py:67-80,
+documentstore.py:400-470) map onto Structured Streaming as:
+
+* source offset / watermark on ``warc_ts``  ← lastdownload gating
+* per-micro-batch idempotent MERGE          ← needed() freshness
+* snapshot retention in the GraphStore      ← archive of versions
+
+``stream_pipeline`` runs the SAME batch transforms per micro-batch via
+``foreachBatch`` — one code path for batch and streaming (the Spark
+idiom), with the GraphStore anti-join making replays idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.graph import GraphStore
+from ferenda_spark.pipeline import run_pipeline
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def read_page_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of page parquet drops (a stand-in for a
+    Kafka/WARC feed; same DataFrame downstream either way)."""
+    return (spark.readStream
+            .schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_pipeline(spark: SparkSession, pages_stream: DataFrame,
+                    entities: DataFrame, store: GraphStore,
+                    checkpoint_dir: str):
+    """Incremental KG construction: each micro-batch runs the batch
+    pipeline; the store's (url, input_hash) anti-join makes redelivery
+    a no-op, so exactly-once output on at-least-once input."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        run_pipeline(spark, batch_df, entities, store)
+
+    return (pages_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(events_stream: DataFrame,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is bounded — the 100 TB-stream
+    essential). Batch-equivalent: the streaming_hourly_events query."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "total_value"))

@@ -1,0 +1,206 @@
+"""Tests for the training-data operator family (dedup, similarity,
+textstats, multimodal) and the analytics operators."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="a quick brown fox jumps over the lazy dog"),
+        Row(doc_id=4, text="completely different words here entirely now"),
+        Row(doc_id=5, text="to be"),  # shorter than one 3-shingle
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    out = {r["text_md5"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert sum(r["n_copies"] for r in out.values()) == 5
+    dupe = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dupe) == 1 and dupe[0]["keeper_id"] == 1
+
+
+def test_shingles_and_jaccard(docs):
+    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+    by_id = {r["doc_id"]: r["sh"] for r in sh.collect()}
+    assert "the quick brown" in by_id[1]
+    assert len(by_id[1]) == 7  # 9 tokens → 7 trigrams, all distinct
+    assert by_id[5] == []      # short doc → empty, not an error
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.minhash_dedup_pairs(
+                 docs, k=8, bands=4, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0    # identical docs always collide
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_properties(docs):
+    sigs = {r["id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_close = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_close < ham_far
+
+
+def test_cosine_topk_exact(spark):
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate([
+        [1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0],   # closest to 0
+        [0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0],  # opposite of 0
+    ])]
+    emb = spark.createDataFrame(rows)
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, qs, k=3).collect()
+    ranked = [r["item_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    top = [r for r in out if r["rank"] == 1][0]
+    expect = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(top["cos_sim"] - expect) < 1e-6
+
+
+def test_lsh_bucket_deterministic(spark):
+    rows = [Row(vec_id=i, embedding=[float((i * 7 + j) % 5 - 2)
+                                     for j in range(8)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows)
+    b1 = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", similarity.lsh_bucket(
+            F.col("embedding"), 8).alias("b")).collect()}
+    b2 = {r["vec_id"]: r["b"] for r in emb.repartition(7).select(
+        "vec_id", similarity.lsh_bucket(
+            F.col("embedding"), 8).alias("b")).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_textstats(docs):
+    stats = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["n_distinct_tokens"] == 8  # 'the' twice
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert 0 <= q[1]["quality"] <= 1
+    assert q[1]["stopword_ratio"] > q[4]["stopword_ratio"]
+    fp = {r["doc_id"]: r for r in textstats.fingerprint(docs).collect()}
+    assert fp[1]["rolling_fp"] == fp[2]["rolling_fp"]
+    assert fp[1]["rolling_fp"] != fp[3]["rolling_fp"]
+
+
+def test_langid(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog of the house is that"),
+        Row(doc_id=2, text="el gato de la casa que los perros una por"),
+        Row(doc_id=3, text="le chat dans la maison est pour les des une"),
+        Row(doc_id=4, text="der hund und die katze ist nicht ein mit"),
+    ]
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.langid(spark.createDataFrame(rows)).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de"}
+
+
+def test_media_metadata_fake_and_stub(docs, spark):
+    media = multimodal.attach_media(docs)
+    meta = {r["media_id"]: r
+            for r in multimodal.media_metadata(media, fake=True).collect()}
+    assert meta[1]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog")
+    assert meta[1]["kind"] in ("image", "audio", "video")
+    with pytest.raises(Exception) as exc:
+        multimodal.media_metadata(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError)
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame([
+        Row(k="a", ts=10, v="l1"), Row(k="a", ts=20, v="l2"),
+        Row(k="b", ts=5, v="l3")])
+    right = spark.createDataFrame([
+        Row(k="a", ts=9, p="r1"), Row(k="a", ts=15, p="r2"),
+        Row(k="b", ts=6, p="r3")])
+    out = {(r["k"], r["ts"]): r["asof_p"]
+           for r in analytics.asof_join(left, right, "k",
+                                        right_cols=["p"]).collect()}
+    assert out == {("a", 10): "r1", ("a", 20): "r2", ("b", 5): None}
+
+
+def test_sessionize(spark):
+    rows = [Row(user_id=1, event_id=i, ts=t) for i, t in enumerate([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",  # session 1
+        "2024-01-01 12:00:00",                          # session 2
+    ])]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r["session_id"]
+           for r in analytics.sessionize(df).collect()}
+    assert out == {0: 1, 1: 1, 2: 2}
+
+
+def test_transitive_closure(spark):
+    edges = spark.createDataFrame([
+        Row(child="s11", parent="s1"), Row(child="s1", parent="doc"),
+        Row(child="s12", parent="s1")])
+    out = {(r["descendant"], r["ancestor"]): r["depth"]
+           for r in analytics.transitive_closure(edges).collect()}
+    assert out[("s11", "s1")] == 1
+    assert out[("s11", "doc")] == 2
+    assert out[("s1", "doc")] == 1
+    assert len(out) == 5
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [Row(k=i % 3, v=i) for i in range(100)])
+    dim = spark.createDataFrame(
+        [Row(k=i, name=f"n{i}") for i in range(3)])
+    plain = set(map(tuple, big.join(dim, "k").select(
+        "k", "v", "name").collect()))
+    salted = set(map(tuple, analytics.salted_join(big, dim, "k", salt=4)
+                     .select("k", "v", "name").collect()))
+    assert plain == salted
+
+
+def test_facet_stats_cube(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="p"), Row(a="x", b="q"), Row(a="y", b="p")])
+    out = analytics.facet_stats(df, ["a", "b"]).collect()
+    total = [r for r in out if r["grouping_mask"] == 3]
+    assert len(total) == 1 and total[0]["n"] == 3
+    per_a = {r["a"]: r["n"] for r in out if r["grouping_mask"] == 2}
+    assert per_a == {"x": 2, "y": 1}
+
+
+def test_natural_sort_key_col(spark):
+    from ferenda_spark.functions.text import natural_sort_key_col
+    # ordinal domain as the reference compares it (util.numcmp over
+    # split_numalpha sort keys): "2" < "6" < "6 a" < "10"
+    df = spark.createDataFrame(
+        [Row(s="2"), Row(s="10"), Row(s="6 a"), Row(s="6")])
+    out = [r["s"] for r in df.orderBy(
+        natural_sort_key_col(F.col("s"))).collect()]
+    assert out == ["2", "6", "6 a", "10"]
