@@ -82,7 +82,10 @@ def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
         .unionByName(publisher_triples(ext, ents))
         .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull()
                 & (F.col("obj") != ""))
-        .dropDuplicates()
+        # no global dropDuplicates: each branch is duplicate-free by
+        # construction (see pipeline.build_triples) — and the oracle's
+        # DISTINCT golden set doubles as the proof (a duplicate row
+        # would fail the row-count compare)
     )
     return triples
 

@@ -167,3 +167,35 @@ def nodes_from_triples(triples: DataFrame) -> DataFrame:
                         F.when(F.col("obj_is_literal"),
                                F.struct("pred", "obj")))),
                     lambda k, v: v.isNotNull()).alias("props")))
+
+
+# -- graph diff / P-R harness ------------------------------------------------
+
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+              "obj_lang"]
+
+
+def graph_diff(got: DataFrame, want: DataFrame,
+               key: list[str] | None = None):
+    """(in_both, only_got, only_want) on canonicalized triple sets —
+    the reference's validation compare (rdflib graph_diff per
+    decorators.py:253-259, assertEqualGraphs testutil.py:58-117)
+    restated as intersect/except on DataFrames."""
+    key = key or TRIPLE_KEY
+    g = got.select(*key).distinct()
+    w = want.select(*key).distinct()
+    return g.intersect(w), g.subtract(w), w.subtract(g)
+
+
+def precision_recall(got: DataFrame, want: DataFrame,
+                     key: list[str] | None = None) -> dict:
+    """Triple P/R vs a golden set (the BASELINE ≥0.95 gate)."""
+    both, only_got, only_want = graph_diff(got, want, key)
+    tp = both.count()
+    fp = only_got.count()
+    fn = only_want.count()
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": tp / (tp + fp) if tp + fp else 1.0,
+        "recall": tp / (tp + fn) if tp + fn else 1.0,
+    }

@@ -46,9 +46,9 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
         "entity_uri", "_elabel")
 
     # Fuzzy phase over DISTINCT miss labels only.
-    labels = [r["_elabel"] for r in ent.select("_elabel").distinct().collect()]
-    uri_by_label = {r["_elabel"]: r["entity_uri"]
-                    for r in ent.distinct().collect()}
+    ent_rows = ent.distinct().collect()
+    labels = sorted({r["_elabel"] for r in ent_rows})
+    uri_by_label = {r["_elabel"]: r["entity_uri"] for r in ent_rows}
 
     distinct_miss = misses.select("_mlabel").distinct()
 

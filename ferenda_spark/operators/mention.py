@@ -18,6 +18,10 @@ no shuffle, no Python.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -101,3 +105,74 @@ def citation_triples(extracted: DataFrame) -> DataFrame:
         F.lit(False).alias("obj_is_literal"),
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"))
+
+
+# -- citation segmentation (the golden <str>/<Link> shape) ------------------
+
+_SEG_RE = re.compile(
+    "(" + RFC_CITE_RE + "|" + ALIAS_MENTION_RE + "|" + URL_CITE_RE + ")")
+_RFC_ONLY_RE = re.compile(RFC_CITE_RE)
+_ALIAS_ONLY_RE = re.compile(r"^\[([A-Z]{3,8})\]$")
+_ALIAS_DEF_SCAN_RE = re.compile(ALIAS_DEF_RE)
+_TRAIL_RE = re.compile(TRAILING_PUNCT_RE)
+
+SEGMENTS_SCHEMA = ("frag_uri string, "
+                   "segments array<struct<kind:string, text:string, "
+                   "uri:string>>")
+
+
+def segment_text(text: str, aliases: dict[str, str]) -> list[dict]:
+    """Split one text into str/link segments — the reference's
+    CitationParser.parse_string semantics (citationparser.py:65-96):
+    unmatched spans stay ``str`` segments, matches become ``link``
+    segments carrying the minted URI."""
+    out: list[dict] = []
+    pos = 0
+    for m in _SEG_RE.finditer(text):
+        tok = m.group(0)
+        uri = None
+        rm = _RFC_ONLY_RE.fullmatch(tok)
+        am = _ALIAS_ONLY_RE.fullmatch(tok)
+        if rm:
+            uri = f"{BASE}res/rfc/{rm.group(2)}"
+            if rm.group(1):
+                uri += f"#S{rm.group(1)}"
+        elif am:
+            num = aliases.get(am.group(1))
+            if num is None:
+                continue  # unresolvable alias stays plain text
+            uri = f"{BASE}res/rfc/{num}"
+        else:  # bare URL; exclude trailing punctuation from the link
+            trail = _TRAIL_RE.search(tok)
+            if trail:
+                tok = tok[:trail.start()]
+            uri = tok
+        if m.start() > pos:
+            out.append({"kind": "str", "text": text[pos:m.start()],
+                        "uri": None})
+        out.append({"kind": "link", "text": tok, "uri": uri})
+        pos = m.start() + len(tok)
+    if pos < len(text):
+        out.append({"kind": "str", "text": text[pos:], "uri": None})
+    return out
+
+
+def citation_segments(extracted: DataFrame) -> DataFrame:
+    """Per-fragment str/Link segmentation rows (Arrow-batched; alias
+    state is per-document, resolved before the per-fragment scan —
+    the FIXTURES.md §4 golden shape)."""
+    frags = _fragments(extracted).select("frag_uri", "text", "aliases")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for frag_uri, text, aliases in zip(
+                    pdf["frag_uri"], pdf["text"], pdf["aliases"]):
+                rows.append({
+                    "frag_uri": frag_uri,
+                    "segments": segment_text(text or "",
+                                             dict(aliases or {})),
+                })
+            yield pd.DataFrame(rows)
+
+    return frags.mapInPandas(run, schema=SEGMENTS_SCHEMA)

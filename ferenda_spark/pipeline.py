@@ -33,8 +33,17 @@ from ferenda_spark.operators.mention import citation_triples
 from ferenda_spark.operators.metadata import doc_metadata_triples, section_triples
 
 
-def build_triples(pages: DataFrame, entities: DataFrame) -> DataFrame:
-    """pages → canonical triple DataFrame (the distilled graph)."""
+def build_triples(pages: DataFrame, entities: DataFrame,
+                  dedup: bool = False) -> DataFrame:
+    """pages → canonical triple DataFrame (the distilled graph).
+
+    ``dedup=False`` skips a global dropDuplicates: every branch is
+    duplicate-free by construction (citation_triples dedups within
+    documents; metadata/section triples are unique per (subj, pred) by
+    the extract stage's per-doc ordinal dedup), and at 10^12-row scale
+    a full-output 6-column shuffle would be the single most expensive
+    stage of the job. Set True when unioning untrusted extra sources.
+    """
     extracted = extract(pages)
     # One Python parse per page feeds four downstream column-only
     # plans — persist the (small, html-free) extract output so the
@@ -49,9 +58,8 @@ def build_triples(pages: DataFrame, entities: DataFrame) -> DataFrame:
         # must degrade to fewer triples, never to null-object rows.
         .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull()
                 & (F.col("obj") != ""))
-        .dropDuplicates()
     )
-    return triples
+    return triples.dropDuplicates() if dedup else triples
 
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,

@@ -22,8 +22,8 @@ def test_stream_pipeline_incremental(spark, tmp_path):
     store = GraphStore(spark, str(tmp_path / "graph"))
 
     # drop 1: first half of the corpus
-    pages.filter(F.col("url").rlike("/(rfc|page)[1-6]$")).write.mode(
-        "append").parquet(in_dir)
+    pages.filter(F.regexp_extract("url", r"(\d+)$", 1).cast("int") <= 6
+                 ).write.mode("append").parquet(in_dir)
     q = stream_pipeline(spark, read_page_stream(spark, in_dir), ents,
                         store, ckpt)
     q.awaitTermination(120)
