@@ -319,6 +319,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return analytics.dependency_edges(_kg_edges(spark, sf))
     q["kg_dependency_edges"] = kg_dependency_edges
 
+    def kg_facet_projection(spark, sf):
+        e = _kg_edges(spark, sf)
+        return analytics.facet_projection(
+            e, ["rdf:type", "dcterms:title", "dcterms:identifier",
+                "dcterms:issued", "dcterms:publisher"])
+    q["kg_facet_projection"] = kg_facet_projection
+
+    def kg_sql_citations(spark, sf):
+        # the SQL query surface (SURVEY Q2): plain spark.sql over the
+        # edge view — section-qualified citation targets only
+        _kg_edges(spark, sf).createOrReplaceTempView("edge")
+        return spark.sql("""
+            SELECT obj AS target, count(*) AS n
+            FROM edge
+            WHERE pred = 'dcterms:references' AND obj LIKE '%#S%'
+            GROUP BY obj""")
+    q["kg_sql_citations"] = kg_sql_citations
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -485,6 +503,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(dedup.simhash_signatures(_docs(spark, sf)))
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_simhash_pairs(spark, sf):
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 100)
+        return _longify(dedup.simhash_near_pairs(
+            corpus, bits=32, max_hamming=6, bands=4))
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    def toc_documents(spark, sf):
+        d = _docs(spark, sf)
+        toc = analytics.toc_pages(d.select("lang", "source"),
+                                  "lang", "source")
+        return _longify(toc.select(
+            "lang", F.array_join("titles", ",").alias("titles_csv"), "n"))
+    q["toc_documents"] = toc_documents
+
+    def mint_documents(spark, sf):
+        from ferenda_spark.functions.minting import UriTemplate, mint
+        d = _docs(spark, sf).select(
+            "doc_id", "source",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.col("doc_id")).alias("even_id"))
+        templates = [
+            UriTemplate(priority=1, uri_template="res/even/{even_id}",
+                        bindings=["even_id"]),
+            UriTemplate(priority=2, uri_template="res/src/{source}",
+                        bindings=["source"], slug=["source"]),
+        ]
+        return mint(d, templates, BASE).select("doc_id", "uri")
+    q["mint_documents"] = mint_documents
+
     def sim_topk_cosine(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id") < 10).select(
@@ -551,6 +599,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("l_quantity"), 2).alias("total_qty")))
     q["salted_join_suppliers"] = salted_join_suppliers
+
+    def first_success_events(spark, sf):
+        # J6 composite coalesce: per user, the first (lowest event_id)
+        # event that "succeeded" (value > 1), sources tried in order
+        e = load_table(spark, sf, "events")
+        return _longify(analytics.first_success(
+            e.select("user_id", "event_id", "event_type", "value"),
+            key="user_id", priority_col="event_id",
+            success_col=None).withColumn(
+                "value", F.round("value", 2)))
+    q["first_success_events"] = first_success_events
 
     def entity_link_fuzzy(spark, sf):
         # fuzzy phase has no SQL analog (difflib ratio) → rows-only check
@@ -631,6 +690,32 @@ WITH {_F_CTE}, {_TRIPLES_CTE}
 SELECT subj, pred, obj FROM golden
 WHERE pred NOT IN ('rdf:type', 'owl:sameAs') AND NOT obj_is_literal
   AND obj NOT IN (SELECT DISTINCT subj FROM golden)
+"""
+
+    o["kg_facet_projection"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT subj AS uri,
+       max(CASE WHEN pred = 'rdf:type' THEN obj END) AS type,
+       max(CASE WHEN pred = 'dcterms:title' THEN obj END) AS title,
+       max(CASE WHEN pred = 'dcterms:identifier' THEN obj END) AS identifier,
+       max(CASE WHEN pred = 'dcterms:issued' THEN obj END) AS issued,
+       max(CASE WHEN pred = 'dcterms:publisher' THEN obj END) AS publisher
+FROM golden GROUP BY subj
+"""
+
+    o["kg_sql_citations"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT obj AS target, count(*) AS n FROM golden
+WHERE pred = 'dcterms:references' AND obj LIKE '%#S%'
+GROUP BY obj
+"""
+
+    o["first_success_events"] = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rn
+      FROM events) WHERE rn = 1
 """
 
     o["kg_publisher_stats"] = f"""
@@ -815,6 +900,51 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8
     o["dedup_simhash"] = f"""
 WITH t AS (SELECT doc_id AS id, {th_expr} AS th FROM documents)
 SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+"""
+
+    _near_corpus_100 = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, 'near duplicate copy ' || text
+  FROM documents WHERE doc_id < 100
+)"""
+    sh_bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {j}) & 1 = 1)) "
+        f"> len(th) THEN {1 << j} ELSE 0 END"
+        for j in range(32))
+    o["dedup_simhash_pairs"] = f"""
+WITH {_near_corpus_100},
+t AS (SELECT doc_id AS id, {th_expr} AS th FROM corpus),
+sigs AS (SELECT id, CAST({sh_bit_terms} AS BIGINT) AS simhash FROM t),
+banded AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * 8)) & 255 AS block
+  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT
+             AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.block = b.block AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+    o["toc_documents"] = """
+SELECT lang, string_agg(source, ',' ORDER BY source) AS titles_csv,
+       count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+    o["mint_documents"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://example.org/res/even/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://example.org/res/src/' ||
+                 regexp_replace(replace(lower(source), ' ', '-'),
+                                '[^a-z0-9/#_-]', '', 'g')
+       END AS uri
+FROM documents
 """
 
     o["sim_topk_cosine"] = f"""

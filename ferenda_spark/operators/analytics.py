@@ -210,3 +210,34 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str,
         F.sequence(F.lit(0), F.lit(salt - 1)))))
     out = b.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+# -- J6: composite-repo coalesce --------------------------------------------
+
+def first_success(df: DataFrame, key: str, priority_col: str,
+                  success_col: str | None = None) -> DataFrame:
+    """Per key, the row from the highest-priority source that
+    succeeded — the composite-repository semantics (subrepos tried in
+    declared order until one parses, compositerepository.py:57-130) as
+    one window, not a driver loop."""
+    base = df if success_col is None else df.filter(F.col(success_col))
+    w = Window.partitionBy(key).orderBy(F.asc(priority_col))
+    return (base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# -- P4: facet projection ---------------------------------------------------
+
+def facet_projection(edges: DataFrame, preds: list[str],
+                     type_filter: list[str] | None = None) -> DataFrame:
+    """Long triples → one wide row per subject with a column per
+    predicate (the reference's facet SELECT with one OPTIONAL block
+    per facet, facet_query documentrepository.py:2290-2380).
+    max() keeps multi-valued predicates deterministic (the reference
+    warns + picks one, _relate_fulltext_value:2176-2185)."""
+    aggs = [F.max(F.when(F.col("pred") == p, F.col("obj")))
+            .alias(p.split(":")[-1]) for p in preds]
+    wide = edges.groupBy(F.col("subj").alias("uri")).agg(*aggs)
+    if type_filter:
+        wide = wide.filter(F.col("type").isin(*type_filter))
+    return wide
