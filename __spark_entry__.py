@@ -319,6 +319,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return analytics.dependency_edges(_kg_edges(spark, sf))
     q["kg_dependency_edges"] = kg_dependency_edges
 
+    def kg_resolved_citations(spark, sf):
+        # J2: the skewed citation-resolution join (zipf-hot targets);
+        # salt=8 exercises the explicit skew path — result must equal
+        # the plain join (the oracle is strategy-agnostic)
+        from ferenda_spark.operators.resolve import resolve_citations
+        e = _kg_edges(spark, sf)
+        pages = _pages(spark, sf).select("url")
+        resolved = resolve_citations(e, pages, salt=8)
+        return _longify(resolved.groupBy("target_url")
+                        .agg(F.count(F.lit(1)).alias("n")))
+    q["kg_resolved_citations"] = kg_resolved_citations
+
+    def kg_inbound_refs(spark, sf):
+        from ferenda_spark.operators.resolve import inbound_references
+        e = _kg_edges(spark, sf)
+        pages = _pages(spark, sf).select("url")
+        return inbound_references(e, pages)
+    q["kg_inbound_refs"] = kg_inbound_refs
+
     def kg_facet_projection(spark, sf):
         e = _kg_edges(spark, sf)
         return analytics.facet_projection(
@@ -690,6 +709,30 @@ WITH {_F_CTE}, {_TRIPLES_CTE}
 SELECT subj, pred, obj FROM golden
 WHERE pred NOT IN ('rdf:type', 'owl:sameAs') AND NOT obj_is_literal
   AND obj NOT IN (SELECT DISTINCT subj FROM golden)
+"""
+
+    _resolve_cte = r"""
+c AS (SELECT subj, obj,
+             regexp_extract(regexp_replace(obj, '#.*$', ''),
+                            '/res/[a-z]+/(\d+)', 1) AS basefile
+      FROM golden WHERE pred = 'dcterms:references'),
+t AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS basefile,
+             'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_url
+      FROM documents)"""
+
+    o["kg_resolved_citations"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte}
+SELECT t.target_url, count(*) AS n
+FROM c LEFT JOIN t ON c.basefile = t.basefile
+GROUP BY t.target_url
+"""
+
+    o["kg_inbound_refs"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte}
+SELECT DISTINCT t.target_url AS subj,
+       'dcterms:isReferencedBy' AS pred, c.subj AS obj
+FROM c JOIN t ON c.basefile = t.basefile
 """
 
     o["kg_facet_projection"] = f"""

@@ -125,7 +125,7 @@ def pending_pages(pages: DataFrame, store: GraphStore,
 
 
 def provenance_rows(pages: DataFrame, stage: str,
-                    rows_out_col=None) -> DataFrame:
+                    rows_out_col=None, duration_s: float = 0.0) -> DataFrame:
     """One lineage row per (url × stage × attempt), with the physical
     partition id — per-partition metrics per the north rule."""
     hashed = pages if "input_hash" in pages.columns else with_input_hash(pages)
@@ -134,7 +134,7 @@ def provenance_rows(pages: DataFrame, stage: str,
         F.lit(stage).alias("stage"),
         F.current_timestamp().alias("attempt_ts"),
         F.lit(True).alias("success"),
-        F.lit(0.0).alias("duration_s"),
+        F.lit(float(duration_s)).alias("duration_s"),
         (rows_out_col if rows_out_col is not None else F.lit(0)
          ).cast("long").alias("rows_out"),
         F.lit(None).cast("string").alias("warnings"),

@@ -70,6 +70,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
     resume contract: second run processes only uncommitted urls and
     the final edge table equals the single-run result).
     """
+    import time as _time
+
+    t0 = _time.time()
     todo = pending_pages(pages, store, stage).persist()
     n_todo = todo.count()
     if n_todo == 0:
@@ -82,8 +85,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
 
     store.append(edges, "edge")
     store.append(nodes_from_triples(edges), "node")
-    store.append(provenance_rows(todo, stage, rows_out_col=F.lit(n_triples)),
-                 "provenance")
+
+    # per-document metrics: triples emitted per url (fragment subjects
+    # roll up to their page), so the lineage row carries the real
+    # per-doc output size — documententry.py's per-doc status analog
+    per_url = (edges
+               .select(F.regexp_replace("subj", r"#.*$", "").alias("url"))
+               .groupBy("url")
+               .agg(F.count(F.lit(1)).alias("_rows_out")))
+    duration = _time.time() - t0
+    prov = provenance_rows(todo.join(per_url, "url", "left"), stage,
+                           rows_out_col=F.coalesce("_rows_out", F.lit(0)),
+                           duration_s=duration)
+    store.append(prov.drop("_rows_out"), "provenance")
     todo.unpersist()
     edges.unpersist()
-    return {"pages": n_todo, "triples": n_triples, "skipped": False}
+    return {"pages": n_todo, "triples": n_triples, "skipped": False,
+            "duration_s": round(duration, 3)}

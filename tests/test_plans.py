@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the properties that make the
+engine scale must survive refactors — filter pushdown to the scan,
+column pruning, broadcast of dimension sides, and salted-join result
+equivalence."""
+
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_scan_prunes_columns(spark):
+    from ferenda_spark.operators.extract import extract
+    from ferenda_spark.sources.testdata import (
+        DOC_PAGE_URL_RE,
+        load_table,
+        pages_from_documents,
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ext = extract(pages_from_documents(docs), doc_url_regex=DOC_PAGE_URL_RE)
+    m = re.search(r"ReadSchema: (\S+)", _plan(ext))
+    assert m, "no parquet scan found"
+    # only the columns the html derivation needs — not source/n_chars
+    assert "n_chars" not in m.group(1)
+    assert "source" not in m.group(1)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02")) \
+          .select("l_returnflag")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_dimension_join_broadcasts(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey) \
+          .groupBy("s_name").count()
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_entity_link_exact_phase_broadcasts(spark):
+    from ferenda_spark.fixtures.pages import entities_df
+    from ferenda_spark.operators.linker import link_labels
+    mentions = spark.createDataFrame(
+        [Row(id=i, label="Network Working Group") for i in range(10)])
+    linked = link_labels(mentions, entities_df(spark))
+    assert "BroadcastHashJoin" in _plan(linked)
+
+
+def test_salted_resolve_equals_plain(spark):
+    from ferenda_spark.fixtures.pages import entities_df, pages_df
+    from ferenda_spark.operators.resolve import (
+        inbound_references,
+        resolve_citations,
+    )
+    from ferenda_spark.pipeline import build_triples
+    pages = pages_df(spark, 30, partitions=2).persist()
+    edges = build_triples(pages, entities_df(spark)).persist()
+    uris = pages.select("url")
+    plain = set(map(tuple, resolve_citations(edges, uris).collect()))
+    salted = set(map(tuple,
+                     resolve_citations(edges, uris, salt=8).collect()))
+    assert plain == salted and plain
+    # inversion: every inbound edge corresponds to a resolved citation
+    inb = inbound_references(edges, uris)
+    assert inb.filter(F.col("pred") != "dcterms:isReferencedBy").count() == 0
+    assert {r["subj"] for r in inb.collect()} <= {
+        t[2] for t in plain if t[2] is not None}
+    pages.unpersist()
+    edges.unpersist()
