@@ -58,6 +58,18 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass execution (operators/fused.py)."""
+    from ferenda_spark.operators.fused import fused_triples
+    pages = _pages(spark, sf_dir)
+    labels = [(p[0], BASE + "res/org/" + p[0].lower().replace(" ", "-"))
+              for p in PUBLISHERS]
+    ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE,
+                  entity_labels=labels)
+    return edges_from_triples(fused_triples(ext))
+
+
+def _kg_edges_modular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modular operator DAG (the specification path)."""
     pages = _pages(spark, sf_dir)
     ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
     return edges_from_triples(build_triples_from_extracted(ext, spark))
@@ -284,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_extract_text"] = kg_extract_text
 
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
+    q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
 
     def kg_nodes(spark, sf):
         return nodes_from_triples(_kg_edges(spark, sf)).select(
@@ -337,6 +350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = _pages(spark, sf).select("url")
         return inbound_references(e, pages)
     q["kg_inbound_refs"] = kg_inbound_refs
+
+    def kg_facet_statistics(spark, sf):
+        from ferenda_spark.functions.facets import Facet, facet_statistics
+        e = _kg_edges(spark, sf)
+        facets = [Facet("rdf:type"),
+                  Facet("dcterms:issued", "year"),
+                  Facet("dcterms:title", "firstletter")]
+        return _longify(facet_statistics(e, facets))
+    q["kg_facet_statistics"] = kg_facet_statistics
 
     def kg_facet_projection(spark, sf):
         e = _kg_edges(spark, sf)
@@ -662,6 +684,7 @@ SELECT url, md5({_EXPECTED_TEXT}) AS text_md5 FROM f
 WITH {_F_CTE}, {_TRIPLES_CTE}
 SELECT * FROM golden
 """
+    o["kg_edges_modular"] = o["kg_edges"]
 
     o["kg_nodes"] = f"""
 WITH {_F_CTE}
@@ -733,6 +756,26 @@ WITH {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte}
 SELECT DISTINCT t.target_url AS subj,
        'dcterms:isReferencedBy' AS pred, c.subj AS obj
 FROM c JOIN t ON c.basefile = t.basefile
+"""
+
+    o["kg_facet_statistics"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+wide AS (
+  SELECT subj,
+         max(CASE WHEN pred = 'rdf:type' THEN obj END) AS type,
+         substr(max(CASE WHEN pred = 'dcterms:issued' THEN obj END),
+                1, 4) AS issued_year,
+         substr(lower(trim(max(CASE WHEN pred = 'dcterms:title'
+                                    THEN obj END))), 1, 1)
+             AS title_firstletter
+  FROM golden GROUP BY subj)
+SELECT 'type' AS facet, type AS value, count(*) AS n
+FROM wide GROUP BY type
+UNION ALL
+SELECT 'issued_year', issued_year, count(*) FROM wide GROUP BY issued_year
+UNION ALL
+SELECT 'title_firstletter', title_firstletter, count(*)
+FROM wide GROUP BY title_firstletter
 """
 
     o["kg_facet_projection"] = f"""

@@ -112,3 +112,23 @@ def slugify_col(c: Column) -> Column:
             out = F.replace(out, F.lit(k), F.lit(v))
     out = F.replace(out, F.lit(" "), F.lit("-"))
     return F.regexp_replace(out, r"[^a-z0-9/#_-]", "")
+
+
+def collation_key(locale_name: str = "C"):
+    """Locale-collation sort key as an Arrow-batched pandas UDF (the
+    reference sorts TOC values with locale.strxfrm under
+    collate_locale — documentrepository.py:193, toc_pagesets:2921-2923).
+    Falls back to casefold when the locale is unavailable in the
+    runtime image."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType
+
+    def key(s):
+        import locale as loc
+        try:
+            loc.setlocale(loc.LC_COLLATE, locale_name)
+            return s.map(lambda x: loc.strxfrm(x) if x is not None else None)
+        except loc.Error:
+            return s.map(lambda x: x.casefold() if x is not None else None)
+
+    return pandas_udf(key, "string", PandasUDFType.SCALAR)

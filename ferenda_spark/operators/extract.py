@@ -45,7 +45,8 @@ _SECTION_PREFIX_RE = re.compile(r"^(\d+(?:\.\d+)*)\. ")
 EXTRACT_SCHEMA = (
     "url string, lang string, is_doc boolean, text string, title string, "
     "preamble string, header map<string,string>, "
-    "sections array<struct<ordinal:string, heading:string, text:string>>"
+    "sections array<struct<ordinal:string, heading:string, text:string>>, "
+    "publisher_uri string"
 )
 
 
@@ -189,17 +190,51 @@ def parse_page(html_bytes: bytes) -> dict:
 DOC_URL_RE = r"^https://example\.org/res/rfc/\d+$"
 
 
-def extract(pages: DataFrame, doc_url_regex: str = DOC_URL_RE) -> DataFrame:
+def _make_publisher_resolver(entity_labels):
+    """(label → uri) resolver with the linker's exact→fuzzy semantics
+    (lookup_resource, documentrepository.py:500-547): exact match on
+    the normalized label, else difflib.get_close_matches cutoff 0.8
+    top-1. Memoized per task — labels repeat heavily."""
+    import difflib
+    exact = {normalize_space(lb): uri for lb, uri in entity_labels}
+    keys = sorted(exact)
+    memo: dict = {}
+
+    def resolve(label):
+        if label is None:
+            return None
+        norm = normalize_space(label)
+        if norm in memo:
+            return memo[norm]
+        uri = exact.get(norm)
+        if uri is None:
+            best = difflib.get_close_matches(norm, keys, n=1, cutoff=0.8)
+            uri = exact[best[0]] if best else None
+        memo[norm] = uri
+        return uri
+
+    return resolve
+
+
+def extract(pages: DataFrame, doc_url_regex: str = DOC_URL_RE,
+            entity_labels: list | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text?, lang) → extracted DataFrame.
 
     Reads only (url, html, lang) — column pruning keeps the scan
     narrow. Document discovery (reference: basefile_regex link
     matching, documentrepository.py:892-935) is the ``is_doc`` flag.
+
+    ``entity_labels`` (list of (label, uri), broadcast-sized) folds
+    publisher entity-linking into this single Python stage
+    (``publisher_uri`` column) — the fused fast path; without it the
+    column is null and linking happens via the linker join operator.
     """
     url_re = re.compile(doc_url_regex)
     src = pages.select("url", "html", "lang")
+    labels = entity_labels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolve = _make_publisher_resolver(labels) if labels else None
         for pdf in batches:
             out = []
             for url, html_bytes, lang in zip(pdf["url"], pdf["html"],
@@ -214,6 +249,9 @@ def extract(pages: DataFrame, doc_url_regex: str = DOC_URL_RE) -> DataFrame:
                     "preamble": parsed["preamble"],
                     "header": parsed["header"],
                     "sections": parsed["sections"],
+                    "publisher_uri": (
+                        resolve(parsed["header"].get("Publisher"))
+                        if resolve else None),
                 })
             yield pd.DataFrame(out)
 

@@ -199,3 +199,34 @@ def precision_recall(got: DataFrame, want: DataFrame,
         "precision": tp / (tp + fp) if tp + fp else 1.0,
         "recall": tp / (tp + fn) if tp + fn else 1.0,
     }
+
+
+def ntriples_lines(edges: DataFrame) -> DataFrame:
+    """Edge rows → N-Triples lines (the reference's dump.nt sink,
+    relate_all_teardown documentrepository.py:1860-1871), sorted by
+    (subj, pred, obj) like render_head's deterministic serialization
+    (:1523-1524) so dumps diff cleanly run-to-run."""
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\"')
+    literal = F.concat(
+        F.lit('"'), esc, F.lit('"'),
+        F.when(F.col("obj_lang").isNotNull(),
+               F.concat(F.lit("@"), F.col("obj_lang")))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")))
+        .otherwise(F.lit("")))
+    obj_term = F.when(F.col("obj_is_literal"), literal).otherwise(
+        F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+    return (edges
+            .orderBy("subj", "pred", "obj")
+            .select(F.concat(
+                F.lit("<"), F.col("subj"), F.lit("> <"),
+                F.col("pred"), F.lit("> "), obj_term,
+                F.lit(" .")).alias("value")))
+
+
+def export_ntriples(edges: DataFrame, path: str, partitions: int = 1) -> None:
+    """Write the sorted NT dump (parity-diff artifact). ``partitions``
+    > 1 keeps global order via range partitioning on write."""
+    ntriples_lines(edges).coalesce(partitions).write.mode(
+        "overwrite").text(path)

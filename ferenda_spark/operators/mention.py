@@ -59,52 +59,52 @@ def _fragments(extracted: DataFrame) -> DataFrame:
 
 
 def citation_triples(extracted: DataFrame) -> DataFrame:
-    """Candidate (frag_uri, dcterms:references, target_uri) triples."""
+    """Candidate (frag_uri, dcterms:references, target_uri) triples.
+
+    All three grammars evaluate in ONE pass over each fragment — the
+    per-row candidate arrays concatenate and dedup (array_distinct)
+    before a single explode, so the whole stage is map-only: one scan,
+    one explode, zero shuffles. (Duplicates can only occur within a
+    fragment — same row — so array_distinct fully replaces the old
+    union + dropDuplicates exchange.)
+    """
     frags = _fragments(extracted)
 
     # 1. RFC citations (optionally section-qualified)
-    rfc = (frags
-           .select("frag_uri",
-                   F.explode(F.regexp_extract_all(
-                       "text", F.lit(RFC_CITE_RE), 0)).alias("m"))
-           .select(
-               "frag_uri",
-               F.concat(
-                   F.lit(BASE + "res/rfc/"),
-                   F.regexp_extract("m", RFC_CITE_RE, 2),
-                   F.when(F.regexp_extract("m", RFC_CITE_RE, 1) != "",
-                          F.concat(F.lit("#S"),
-                                   F.regexp_extract("m", RFC_CITE_RE, 1))
-                          ).otherwise(F.lit(""))).alias("obj")))
+    rfc_objs = F.transform(
+        F.regexp_extract_all("text", F.lit(RFC_CITE_RE), 0),
+        lambda m: F.concat(
+            F.lit(BASE + "res/rfc/"),
+            F.regexp_extract(m, RFC_CITE_RE, 2),
+            F.when(F.regexp_extract(m, RFC_CITE_RE, 1) != "",
+                   F.concat(F.lit("#S"),
+                            F.regexp_extract(m, RFC_CITE_RE, 1))
+                   ).otherwise(F.lit(""))))
 
     # 2. Within-document alias mentions, resolved via the per-doc map
-    alias = (frags
-             .filter(F.size(F.map_keys("aliases")) > 0)
-             .select("frag_uri", "aliases",
-                     F.explode(F.regexp_extract_all(
-                         "text", F.lit(ALIAS_MENTION_RE), 1)).alias("name"))
-             .withColumn("num", F.col("aliases")[F.col("name")])
-             .filter(F.col("num").isNotNull())
-             .select("frag_uri",
-                     F.concat(F.lit(BASE + "res/rfc/"),
-                              F.col("num")).alias("obj")))
+    alias_objs = F.transform(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all("text", F.lit(ALIAS_MENTION_RE), 1),
+                lambda n: F.col("aliases")[n]),
+            lambda num: num.isNotNull()),
+        lambda num: F.concat(F.lit(BASE + "res/rfc/"), num))
 
     # 3. Bare URLs, trailing punctuation excluded
-    urls = (frags
-            .select("frag_uri",
-                    F.explode(F.regexp_extract_all(
-                        "text", F.lit(URL_CITE_RE), 0)).alias("m"))
-            .select("frag_uri",
-                    F.regexp_replace("m", TRAILING_PUNCT_RE, "").alias("obj")))
+    url_objs = F.transform(
+        F.regexp_extract_all("text", F.lit(URL_CITE_RE), 0),
+        lambda m: F.regexp_replace(m, TRAILING_PUNCT_RE, ""))
 
-    cites = rfc.unionByName(alias).unionByName(urls).dropDuplicates()
-    return cites.select(
-        F.col("frag_uri").alias("subj"),
-        F.lit("dcterms:references").alias("pred"),
-        F.col("obj"),
-        F.lit(False).alias("obj_is_literal"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"))
+    objs = F.array_distinct(F.concat(rfc_objs, alias_objs, url_objs))
+    return (frags
+            .select("frag_uri", F.explode(objs).alias("obj"))
+            .select(
+                F.col("frag_uri").alias("subj"),
+                F.lit("dcterms:references").alias("pred"),
+                F.col("obj"),
+                F.lit(False).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang")))
 
 
 # -- citation segmentation (the golden <str>/<Link> shape) ------------------

@@ -34,8 +34,15 @@ from ferenda_spark.operators.metadata import doc_metadata_triples, section_tripl
 
 
 def build_triples(pages: DataFrame, entities: DataFrame,
-                  dedup: bool = False) -> DataFrame:
+                  dedup: bool = False, fused: bool = True) -> DataFrame:
     """pages → canonical triple DataFrame (the distilled graph).
+
+    ``fused=True`` (default) runs the single-pass execution
+    (operators/fused.py): one Python extract stage with publisher
+    linking folded in, one wide Column expression, one explode — no
+    persist barrier, no joins, no shuffles. ``fused=False`` runs the
+    modular operator DAG (the specification path); both emit the
+    identical triple set (verified against the same oracles).
 
     ``dedup=False`` skips a global dropDuplicates: every branch is
     duplicate-free by construction (citation_triples dedups within
@@ -44,6 +51,14 @@ def build_triples(pages: DataFrame, entities: DataFrame,
     a full-output 6-column shuffle would be the single most expensive
     stage of the job. Set True when unioning untrusted extra sources.
     """
+    if fused:
+        from ferenda_spark.operators.fused import fused_triples
+        labels = [(r["label"], r["uri"])
+                  for r in entities.filter(F.col("kind") == "publisher")
+                  .select("label", "uri").collect()]
+        ext = extract(pages, entity_labels=labels)
+        triples = fused_triples(ext)
+        return triples.dropDuplicates() if dedup else triples
     extracted = extract(pages)
     # One Python parse per page feeds four downstream column-only
     # plans — persist the (small, html-free) extract output so the

@@ -204,3 +204,46 @@ def test_natural_sort_key_col(spark):
     out = [r["s"] for r in df.orderBy(
         natural_sort_key_col(F.col("s"))).collect()]
     assert out == ["2", "6", "6 a", "10"]
+
+
+def test_facet_schema_and_statistics(spark):
+    from ferenda_spark.functions.facets import (
+        Facet,
+        facet_statistics,
+        faceted_data,
+    )
+    cols = "subj string, pred string, obj string"
+    edges = spark.createDataFrame([
+        ("d1", "rdf:type", "T1"), ("d1", "dcterms:issued", "1998-07"),
+        ("d1", "dcterms:title", "Alpha"),
+        ("d2", "rdf:type", "T1"), ("d2", "dcterms:issued", "2001-01"),
+        ("d2", "dcterms:title", "beta"),
+        ("d3", "rdf:type", "T2"), ("d3", "dcterms:title", "Axe"),
+    ], cols)
+    facets = [Facet("rdf:type"), Facet("dcterms:issued", "year"),
+              Facet("dcterms:title", "firstletter")]
+    wide = {r["uri"]: r for r in faceted_data(edges, facets).collect()}
+    assert wide["d1"]["issued_year"] == "1998"
+    assert wide["d2"]["title_firstletter"] == "b"
+    assert wide["d3"]["issued_year"] is None
+
+    stats = {(r["facet"], r["value"]): r["n"]
+             for r in facet_statistics(edges, facets).collect()}
+    assert stats[("type", "T1")] == 2
+    assert stats[("type", "T2")] == 1
+    assert stats[("title_firstletter", "a")] == 2
+    assert stats[("issued_year", None)] == 1  # d3 lacks issued
+
+
+def test_collation_key_sorts(spark):
+    from pyspark.sql import Row
+    from ferenda_spark.functions.text import collation_key
+    df = spark.createDataFrame(
+        [Row(s="Banana"), Row(s="apple"), Row(s="Cherry")])
+    key = collation_key("C")
+    out = [r["s"] for r in
+           df.orderBy(key(F.col("s")), F.col("s")).collect()]
+    # casefold fallback (C locale strxfrm is codepoint order; either
+    # way the key must be deterministic and case-insensitive-or-binary)
+    assert set(out) == {"Banana", "apple", "Cherry"}
+    assert len(out) == 3
