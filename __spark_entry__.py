@@ -891,10 +891,10 @@ WITH flagged AS (
               WHEN CAST(floor(epoch(ts)) AS BIGINT)
                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS n
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id,
-       sum(n) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM flagged
 """
 
@@ -947,15 +947,24 @@ t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
-    sig_expr = ("[list_min([md5(CAST(i AS VARCHAR) || '|' || s) "
-                "for s in sh]) for i in generate_series(0, 7)]")
+    # mirrors dedup.minhash_signature: one md5 per shingle folded to a
+    # 60-bit int, then k=8 universal hashes (a_i*h + b_i) mod p
+    _p = 2147483647
+    hs_expr = ("list_transform(sh, s -> CAST(concat('0x', "
+               "substr(md5(s), 1, 15)) AS BIGINT) % " + str(_p) + ")")
+    sig_expr = (
+        "[list_min([(((2654435761 * (i + 1)) % {p}) * h "
+        "+ (40503 * (i + 1) + 17) % {p}) % {p} for h in hv]) "
+        "for i in generate_series(0, 7)]").format(p=_p)
     o["dedup_minhash_lsh"] = f"""
 WITH {_near_corpus},
 t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
-sigs AS (SELECT id, {sig_expr} AS sig FROM t WHERE len(sh) > 0),
+hv AS (SELECT id, sh, {hs_expr} AS hv FROM t WHERE len(sh) > 0),
+sigs AS (SELECT id, {sig_expr} AS sig FROM hv),
 bands AS (
   SELECT id, g.b AS band,
-         md5(sig[2 * g.b + 1] || '|' || sig[2 * g.b + 2]) AS band_key
+         CAST(sig[2 * g.b + 1] AS VARCHAR) || '|' ||
+         CAST(sig[2 * g.b + 2] AS VARCHAR) AS band_key
   FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

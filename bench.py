@@ -181,7 +181,7 @@ def run_scaling(n_docs: int = 40000, n_small: int = 8,
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M')} UTC)\n\n"
             f"Same job (full KG pipeline, {n_docs} synthetic pages, "
-            f"{results[8]['triples']} triples), same input, two "
+            f"{results[n_small]['triples']} triples), same input, two "
             f"parallelism levels (sandbox substitution for N→4N "
             f"executors):\n\n"
             f"| level | cores | wall (s) | triples/sec |\n"

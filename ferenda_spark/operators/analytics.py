@@ -115,11 +115,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 # -- W: sessionization ------------------------------------------------------
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
-               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+               ts_col: str = "ts", gap_minutes: int = 30,
+               tiebreak_col: str | None = "event_id") -> DataFrame:
     """Gap-based sessions: a new session starts when the time since
     the user's previous event exceeds the gap. lag + running sum —
-    two window passes over one shuffle on user."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    two window passes over one shuffle on user.
+
+    ``tiebreak_col`` (when present in the frame) makes session ids
+    deterministic under tied timestamps; pass None to order by time
+    alone."""
+    order = [F.asc(ts_col)]
+    if tiebreak_col and tiebreak_col in events.columns:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_s = gap_minutes * 60
     flagged = events.withColumn(
         "_new",
@@ -144,26 +152,43 @@ def transitive_closure(edges: DataFrame, max_depth: int = 4,
     ``isPartOf*`` closure behind annotation construction
     (res/sparql/annotations.rq:4-19, SURVEY J3). Iterative self-join;
     depth is bounded (section nesting ≤ 3-4), each iteration is one
-    shuffle, results unioned. At scale: checkpoint() between
-    iterations to cut lineage."""
-    base = edges.select(F.col(child_col).alias("descendant"),
-                        F.col(parent_col).alias("ancestor"),
-                        F.lit(1).alias("depth"))
-    out = base
+    shuffle over the persisted base — the (possibly expensive) edge
+    lineage is computed exactly once, and each frontier is persisted
+    so termination (count of the already-materialized join result)
+    costs no extra recompute. At 100 TB scale swap persist() for
+    localCheckpoint() to also truncate the growing plan lineage."""
+    from pyspark import StorageLevel
+    base = (edges.select(F.col(child_col).alias("descendant"),
+                         F.col(parent_col).alias("ancestor"),
+                         F.lit(1).alias("depth"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    parts = [base]
     frontier = base
+    held = []
     for d in range(2, max_depth + 1):
         nxt = (frontier.alias("f")
                .join(base.alias("b"),
                      F.col("f.ancestor") == F.col("b.descendant"))
                .select(F.col("f.descendant").alias("descendant"),
                        F.col("b.ancestor").alias("ancestor"),
-                       F.lit(d).alias("depth")))
-        if nxt.isEmpty():
+                       F.lit(d).alias("depth"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        n = nxt.count()  # materializes nxt; termination is free
+        if n == 0:
+            nxt.unpersist()
             break
-        out = out.unionByName(nxt)
+        parts.append(nxt)
+        held.append(nxt)
         frontier = nxt
-    return (out.groupBy("descendant", "ancestor")
-            .agg(F.min("depth").alias("depth")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    result = (out.groupBy("descendant", "ancestor")
+              .agg(F.min("depth").alias("depth")))
+    # NOTE: base/frontiers stay persisted until the caller's action
+    # completes; Spark evicts LRU, and ContextCleaner reclaims them
+    # when the DataFrames go out of scope.
+    return result
 
 
 # -- J5: keyword hub inversion ----------------------------------------------
@@ -202,7 +227,14 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str,
     mod ``salt``), the dim side is replicated ``salt``× via explode —
     turning one hot-key partition into ``salt`` even ones. Use when a
     specific hot-key list is known; otherwise AQE skew-join handles
-    moderate skew. Result is identical to a plain join (tested)."""
+    moderate skew. Result is identical to a plain join (tested).
+
+    Only inner/left are supported: the dim side is replicated
+    ``salt``x, so right/full-outer would emit ``salt`` duplicate rows
+    for unmatched dim keys."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}")
     big_cols = [c for c in big.columns]
     b = big.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in big_cols]), F.lit(salt)))

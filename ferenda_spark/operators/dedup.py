@@ -6,17 +6,21 @@ Design for 100 TB:
   the minimum id per key (deterministic keeper).
 * **jaccard** — shingle-explode + equi-join on shingle, then group by
   pair. Quadratic only within shingle-buckets, never a crossJoin.
-* **minhash** — k md5-based min-hashes per doc (pure columns), banded
-  into b bands of r rows; candidate pairs meet only inside a band
-  bucket (equi-join on (band, band_hash)), then exact-Jaccard verify.
-  This is the scale path: shuffle keys are tiny signatures, the
-  verify join touches candidates only.
+* **minhash** — ONE md5 per shingle folded to a 60-bit int, then k
+  universal hashes (a_i*h+b_i) mod p derived with integer-only
+  codegen ops (not k separate md5 calls); banded into b bands of r
+  rows; candidate pairs meet only inside a band bucket (equi-join on
+  (band, band_key)), then exact-Jaccard verify.  This is the scale
+  path: shuffle keys are tiny signatures, the verify join touches
+  candidates only.
 * **simhash** — 32-bit signature via per-token md5 bit voting; pure
   columns; near-dups = signatures at hamming distance ≤ t found by
   pivoting on 4 sub-bands (exact-match on any band → candidate).
 
-All hashing is md5-based so the identical computation is expressible
-in ANSI SQL for the correctness oracle (no engine-specific hash()).
+All hashing bottoms out in md5 hex (folded to ints where needed) so
+the identical computation is expressible in ANSI SQL for the
+correctness oracle (no engine-specific hash()); the expensive md5 is
+called once per token/shingle, never once per (hash_i, shingle).
 The reference's nearest analog is its content-hash change detection
 (/root/reference/ferenda/documententry.py:248-253,
 documentstore.py:1096-1101); the near-dup family is a training-data
@@ -98,35 +102,66 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h stays < 2^63
+
+
+def _minhash_a(i) -> Column:
+    """Multiplier for hash family member i (Knuth constant, mod p)."""
+    return (F.lit(2654435761).cast("long") * (i + 1)) % MINHASH_P
+
+
+def _minhash_b(i) -> Column:
+    return (F.lit(40503).cast("long") * (i + 1) + 17) % MINHASH_P
+
+
 def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
-    """k MinHash values as an array<string>: for hash i, the minimum of
-    md5(i || '|' || shingle) over the doc's shingles. md5 keeps it
-    SQL-reproducible; string min == lexicographic min both engines."""
+    """k MinHash values as an array<long> via universal hashing:
+    ONE md5 per shingle (folded to a 60-bit int h), then k derived
+    hashes (a_i*h + b_i) mod p — integer-only, so the per-doc cost is
+    |shingles| md5 calls + k*|shingles| codegen int ops, not
+    k*|shingles| md5-string calls.  All steps (md5 hex fold, the
+    (a_i, b_i) family, mod-p arithmetic) are reproducible in ANSI
+    SQL for the oracle.
+
+    Shape: one aggregate pass whose accumulator is the running k
+    minima; the shingle → h transform runs exactly once (it is the
+    aggregate's input array), avoiding Catalyst projection-collapse
+    re-evaluating the md5 k times.  Empty docs yield the sentinel
+    signature [p, p, ...] — callers filter on sig[0] != p.
+    """
     sh = shingles(text, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.encode(
-                F.concat(i.cast("string"), F.lit("|"), s), "UTF-8")))))
+    hs = F.transform(
+        sh, lambda s: F.conv(
+            F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15),
+            16, 10).cast("long") % MINHASH_P)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), k)
+    return F.aggregate(
+        hs, init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(m, (_minhash_a(i) * h + _minhash_b(i))
+                                 % MINHASH_P)))
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 16, bands: int = 4,
                   n: int = 3) -> DataFrame:
-    """(id, band, band_key) rows: band_key = md5 of its r signature
-    values; docs sharing any band_key are LSH candidates."""
+    """(id, band, band_key) rows: band_key = '|'-joined r signature
+    values of the band (no extra hash — the values are already small
+    ints); docs sharing any band_key are LSH candidates."""
     r = k // bands
     sig = minhash_signature(F.col(text_col), k, n)
     return (docs
             .select(F.col(id_col).alias("id"), sig.alias("sig"))
-            .filter(F.size(F.filter("sig", lambda v: v.isNull())) == 0)
+            .filter(F.col("sig")[0] != MINHASH_P)  # drop shingle-less docs
             .select("id", F.explode(F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.encode(F.array_join(
-                        F.slice("sig", b * r + 1, r), "|"), "UTF-8")
-                    ).alias("band_key")))).alias("bk"))
+                    F.array_join(
+                        F.transform(F.slice("sig", b * r + 1, r),
+                                    lambda v: v.cast("string")), "|")
+                    .alias("band_key")))).alias("bk"))
             .select("id", "bk.band", "bk.band_key"))
 
 
@@ -176,19 +211,38 @@ def simhash(text: Column, bits: int = 32) -> Column:
 
     Token hash = first 8 hex chars of md5 (32 bits) — parsed with
     conv(); per-bit votes via aggregate; fully SQL-reproducible.
+
+    One aggregate pass over the token-hash array: the accumulator is
+    (per-bit one-counts array, token count), each token updates all
+    ``bits`` counters via an indexed transform, and the finish lambda
+    folds counters into the signature — O(bits x tokens) column work
+    total instead of ``bits`` separate rescans of the array.
     """
     toks = tokens(text)
     th = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8),
                                16, 10).cast("long"))
-    def bit_vote(j: int) -> Column:
-        ones = F.size(F.filter(
-            th, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0))
-        return F.when(ones * 2 > F.size(th), F.lit(1 << j)).otherwise(F.lit(0))
-    sig = bit_vote(0)
-    for j in range(1, bits):
-        sig = sig + bit_vote(j)
-    return sig.cast("long")
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        th,
+        F.struct(F.array_repeat(zero, bits).alias("c"), zero.alias("n")),
+        lambda acc, h: F.struct(
+            F.transform(
+                acc["c"],
+                # bit j of h, via a pow-derived mask (shiftright needs
+                # a literal shift; pow is exact for j < 53)
+                lambda c, j: c + F.when(
+                    h.bitwiseAND(F.pow(F.lit(2.0), j).cast("long")) != 0,
+                    F.lit(1).cast("long")).otherwise(zero)
+            ).alias("c"),
+            (acc["n"] + 1).alias("n")),
+        lambda acc: F.aggregate(
+            F.transform(
+                acc["c"],
+                lambda c, j: F.when(
+                    c * 2 > acc["n"],
+                    F.pow(F.lit(2.0), j).cast("long")).otherwise(zero)),
+            zero, lambda a, x: a + x))
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",

@@ -206,8 +206,14 @@ def ntriples_lines(edges: DataFrame) -> DataFrame:
     relate_all_teardown documentrepository.py:1860-1871), sorted by
     (subj, pred, obj) like render_head's deterministic serialization
     (:1523-1524) so dumps diff cleanly run-to-run."""
-    esc = F.regexp_replace(
-        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\"')
+    esc = F.col("obj")
+    # N-Triples string-escape chain (backslash first, then the rest)
+    # (replacement strings are Java-regex replacements: `\\\\` emits
+    # two backslash chars, `\\"` emits backslash+quote, `\\n` emits
+    # backslash+n)
+    for pat, rep in ((r"\\", r"\\\\"), ('"', r'\\"'),
+                     ("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        esc = F.regexp_replace(esc, pat, rep)
     literal = F.concat(
         F.lit('"'), esc, F.lit('"'),
         F.when(F.col("obj_lang").isNotNull(),
@@ -226,7 +232,17 @@ def ntriples_lines(edges: DataFrame) -> DataFrame:
 
 
 def export_ntriples(edges: DataFrame, path: str, partitions: int = 1) -> None:
-    """Write the sorted NT dump (parity-diff artifact). ``partitions``
-    > 1 keeps global order via range partitioning on write."""
-    ntriples_lines(edges).coalesce(partitions).write.mode(
-        "overwrite").text(path)
+    """Write the sorted NT dump (parity-diff artifact).
+
+    ``partitions == 1`` gives a single globally-sorted file.  For
+    ``partitions > 1`` the lines are range-partitioned on their value
+    before the write, so part files are globally ordered by file
+    index (coalesce after orderBy would merge range partitions
+    arbitrarily and lose that)."""
+    lines = ntriples_lines(edges)
+    if partitions == 1:
+        lines.coalesce(1).write.mode("overwrite").text(path)
+    else:
+        (lines.repartitionByRange(partitions, "value")
+         .sortWithinPartitions("value")
+         .write.mode("overwrite").text(path))
