@@ -83,14 +83,16 @@ def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
         doc_metadata_triples,
         section_triples,
     )
+    from ferenda_spark.grammar.citations import stateful_reference_triples
     ents = entities_df(spark)
-    # the Arrow-UDF extract feeds four downstream branches — persist
-    # the (html-free) output so it parses once, not four times
+    # the Arrow-UDF extract feeds five downstream branches — persist
+    # the (html-free) output so it parses once, not five times
     ext = ext.persist()
     triples = (
         doc_metadata_triples(ext)
         .unionByName(section_triples(ext))
         .unionByName(citation_triples(ext))
+        .unionByName(stateful_reference_triples(ext))
         .unionByName(publisher_triples(ext, ents))
         .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull()
                 & (F.col("obj") != ""))
@@ -149,6 +151,41 @@ f AS (
     CAST(doc_id * 13 % 499 + 1 AS VARCHAR) AS cite_b,
     CAST(doc_id % 5 + 1 AS VARCHAR) || '.' || CAST(doc_id % 3 + 1 AS VARCHAR) AS cite_sec,
     CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 250 + 1 AS VARCHAR) END AS alias_target,
+    CASE WHEN doc_id % 6 = 0 THEN CAST(doc_id % 79 + 1 AS VARCHAR) END AS bcp_num,
+    CASE WHEN doc_id % 7 = 1 THEN CAST(doc_id % 50 + 1 AS VARCHAR) END AS std_num,
+    CASE WHEN doc_id % 5 = 1 THEN 'draft-ietf-wg' || CAST(doc_id % 20 AS VARCHAR)
+         || '-proto-' || lpad(CAST(doc_id % 9 AS VARCHAR), 2, '0') END AS draft_slug,
+    CASE WHEN doc_id % 5 = 1 THEN 'draft-ietf-wg' || CAST(doc_id % 20 AS VARCHAR)
+         || '-proto' END AS draft_canon,
+    CASE WHEN doc_id % 8 = 2 THEN '10.1000/jproto.' || CAST(doc_id AS VARCHAR) END AS doi_id,
+    CASE WHEN doc_id % 9 = 3 THEN CAST(8000 + doc_id % 600 AS VARCHAR) END AS iso_num,
+    CASE WHEN doc_id % 9 = 3 THEN CAST(1996 + doc_id % 25 AS VARCHAR) END AS iso_year,
+    CASE WHEN doc_id % 10 = 4 THEN CAST(doc_id % 60 + 40 AS VARCHAR) END AS eu_year2,
+    CASE WHEN doc_id % 10 = 4 THEN CAST(
+         CASE WHEN doc_id % 60 + 40 >= 50 THEN 1900 + doc_id % 60 + 40
+              ELSE 2000 + doc_id % 60 + 40 END AS VARCHAR) END AS eu_year4,
+    CASE WHEN doc_id % 10 = 4 THEN CAST(doc_id % 200 + 1 AS VARCHAR) END AS eu_num,
+    CASE WHEN doc_id % 11 = 5 THEN CAST(doc_id % 400 + 1 AS VARCHAR) END AS case_num,
+    CASE WHEN doc_id % 11 = 5 THEN lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') END AS case_year2,
+    CASE WHEN doc_id % 11 = 5 THEN CAST(2000 + doc_id % 20 AS VARCHAR) END AS case_year4,
+    CASE WHEN doc_id % 12 = 6 THEN lpad(CAST(doc_id % 90 + 1 AS VARCHAR), 4, '0') END AS list_a,
+    CASE WHEN doc_id % 12 = 6 THEN lpad(CAST(doc_id % 90 + 101 AS VARCHAR), 4, '0') END AS list_b,
+    CASE WHEN doc_id % 12 = 6 THEN lpad(CAST(doc_id % 90 + 201 AS VARCHAR), 4, '0') END AS list_c,
+    CASE WHEN doc_id % 12 = 6 THEN CAST(doc_id % 90 + 1 AS VARCHAR) END AS list_a_n,
+    CASE WHEN doc_id % 12 = 6 THEN CAST(doc_id % 90 + 101 AS VARCHAR) END AS list_b_n,
+    CASE WHEN doc_id % 12 = 6 THEN CAST(doc_id % 90 + 201 AS VARCHAR) END AS list_c_n,
+    CASE WHEN doc_id % 13 = 7 THEN CAST(doc_id % 6 + 1 AS VARCHAR) || '.'
+         || CAST(doc_id % 2 + 1 AS VARCHAR) END AS that_sec,
+    CASE WHEN doc_id % 3 = 2 THEN 'https://www.example.com/spec/'
+         || CAST(doc_id AS VARCHAR) END AS ext_url,
+    -- expected resolution of the stateful short-form: the most recent
+    -- document-level citation before the sentence, in document order
+    -- (rfc_list last element ≻ alias mention in S1.1 ≻ sectioned
+    -- [RFC cite_b])
+    CASE WHEN doc_id % 13 = 7 THEN CAST(
+         CASE WHEN doc_id % 12 = 6 THEN doc_id % 90 + 201
+              WHEN doc_id % 4 = 0 THEN doc_id % 250 + 1
+              ELSE doc_id * 13 % 499 + 1 END AS VARCHAR) END AS that_target,
     {_NORM.format(c='text')} AS body
   FROM documents
 )
@@ -162,6 +199,18 @@ _SEC11 = ("('See [RFC ' || cite_a || '] and section ' || cite_sec || "
           "CASE WHEN alias_target IS NOT NULL THEN "
           "' As defined in [DGRAM] above.' ELSE '' END)")
 
+_SEC2 = """('Normative and informative references.'
+  || CASE WHEN bcp_num IS NOT NULL THEN ' This practice is documented in BCP ' || bcp_num || '.' ELSE '' END
+  || CASE WHEN std_num IS NOT NULL THEN ' See also STD ' || std_num || '.' ELSE '' END
+  || CASE WHEN draft_slug IS NOT NULL THEN ' A newer revision appears in ' || draft_slug || '.' ELSE '' END
+  || CASE WHEN doi_id IS NOT NULL THEN ' Published at doi:' || doi_id || '.' ELSE '' END
+  || CASE WHEN iso_num IS NOT NULL THEN ' Timestamps follow ISO ' || iso_num || ':' || iso_year || '.' ELSE '' END
+  || CASE WHEN eu_num IS NOT NULL THEN ' Processing is governed by Directive ' || eu_year2 || '/' || eu_num || '/EC.' ELSE '' END
+  || CASE WHEN case_num IS NOT NULL THEN ' Interpreted in Case C-' || case_num || '/' || case_year2 || '.' ELSE '' END
+  || CASE WHEN list_a IS NOT NULL THEN ' It consolidates RFCs ' || list_a || ', ' || list_b || ' and ' || list_c || '.' ELSE '' END
+  || CASE WHEN ext_url IS NOT NULL THEN ' The registry lives at ' || ext_url || '.' ELSE '' END
+  || CASE WHEN that_sec IS NOT NULL THEN ' Section ' || that_sec || ' of that document applies.' ELSE '' END)"""
+
 _EXPECTED_TEXT = f"""(
   publisher || ' Request for Comments: ' || CAST(doc_id AS VARCHAR)
   || ' Category: ' || category
@@ -169,6 +218,7 @@ _EXPECTED_TEXT = f"""(
   || ' ' || month || ' ' || year || ' ' || title
   || ' 1. Introduction ' || {_SEC1}
   || ' 1.1. Details ' || {_SEC11}
+  || ' 2. References ' || {_SEC2}
 )"""
 
 _CAT_TYPE = ("CASE WHEN category IN ('Standards Track', "
@@ -217,6 +267,44 @@ golden AS (
            FALSE, NULL, NULL FROM f WHERE alias_target IS NOT NULL
     UNION ALL SELECT url || '#S1.1', 'dcterms:references', {_RFC} || alias_target,
            FALSE, NULL, NULL FROM f WHERE alias_target IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'rdf:type', 'bibo:DocumentPart',
+           FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S2', 'bibo:chapter', '2', TRUE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S2', 'dcterms:isPartOf', url, FALSE, NULL, NULL FROM f
+    UNION ALL SELECT url || '#S2', 'dcterms:title', 'References',
+           TRUE, NULL, lang FROM f
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/bcp/' || bcp_num, FALSE, NULL, NULL
+           FROM f WHERE bcp_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/std/' || std_num, FALSE, NULL, NULL
+           FROM f WHERE std_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/draft/' || draft_canon, FALSE, NULL, NULL
+           FROM f WHERE draft_slug IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://doi.org/' || doi_id, FALSE, NULL, NULL
+           FROM f WHERE doi_id IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/iso/' || iso_num, FALSE, NULL, NULL
+           FROM f WHERE iso_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/eu/dir/' || eu_year4 || '/' || eu_num,
+           FALSE, NULL, NULL FROM f WHERE eu_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/ecj/C-' || case_num || '-' || case_year4,
+           FALSE, NULL, NULL FROM f WHERE case_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references', {_RFC} || list_a_n,
+           FALSE, NULL, NULL FROM f WHERE list_a IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references', {_RFC} || list_b_n,
+           FALSE, NULL, NULL FROM f WHERE list_b IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references', {_RFC} || list_c_n,
+           FALSE, NULL, NULL FROM f WHERE list_c IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           {_RFC} || that_target || '#S' || that_sec, FALSE, NULL, NULL
+           FROM f WHERE that_sec IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references', ext_url,
+           FALSE, NULL, NULL FROM f WHERE ext_url IS NOT NULL
   )
 )
 """
@@ -319,6 +407,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.col("obj").alias("parent")))
         return _longify(analytics.transitive_closure(part_of, max_depth=4))
     q["kg_closure"] = kg_closure
+
+    def kg_citation_classes(spark, sf):
+        """Per-class citation counts — the grammar-registry coverage
+        check (every grammar/citations.py class must appear)."""
+        e = _kg_edges(spark, sf)
+        cls = (F.when(F.col("obj").startswith(BASE + "res/bcp/"), "bcp")
+               .when(F.col("obj").startswith(BASE + "res/std/"), "std")
+               .when(F.col("obj").startswith(BASE + "res/draft/"), "draft")
+               .when(F.col("obj").startswith("https://doi.org/"), "doi")
+               .when(F.col("obj").startswith(BASE + "res/iso/"), "iso")
+               .when(F.col("obj").startswith(BASE + "res/eu/dir/"),
+                     "eu_directive")
+               .when(F.col("obj").startswith(BASE + "res/ecj/"), "ecj_case")
+               .when(F.col("obj").startswith(BASE + "res/rfc/")
+                     & F.col("obj").contains("#S"), "rfc_section")
+               .when(F.col("obj").startswith(BASE + "res/rfc/"), "rfc")
+               .otherwise("url"))
+        return _longify(
+            e.filter(F.col("pred") == "dcterms:references")
+            .groupBy(cls.alias("cls"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("obj").alias("n_targets")))
+    q["kg_citation_classes"] = kg_citation_classes
 
     def kg_keyword_inversion(spark, sf):
         e = _kg_edges(spark, sf)
@@ -693,6 +804,8 @@ UNION ALL
 SELECT url || '#S1', 'bibo:DocumentPart', 'Introduction' FROM f
 UNION ALL
 SELECT url || '#S1.1', 'bibo:DocumentPart', 'Details' FROM f
+UNION ALL
+SELECT url || '#S2', 'bibo:DocumentPart', 'References' FROM f
 """
 
     o["kg_citations_by_target"] = f"""
@@ -707,6 +820,7 @@ WITH RECURSIVE {_F_CTE},
 edges AS (
   SELECT url || '#S1' AS child, url AS parent FROM f
   UNION ALL SELECT url || '#S1.1', url || '#S1' FROM f
+  UNION ALL SELECT url || '#S2', url FROM f
 ),
 closure AS (
   SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
@@ -717,6 +831,25 @@ closure AS (
 )
 SELECT descendant, ancestor, CAST(min(depth) AS BIGINT) AS depth
 FROM closure GROUP BY 1, 2
+"""
+
+    o["kg_citation_classes"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT CASE
+    WHEN obj LIKE 'https://example.org/res/bcp/%' THEN 'bcp'
+    WHEN obj LIKE 'https://example.org/res/std/%' THEN 'std'
+    WHEN obj LIKE 'https://example.org/res/draft/%' THEN 'draft'
+    WHEN obj LIKE 'https://doi.org/%' THEN 'doi'
+    WHEN obj LIKE 'https://example.org/res/iso/%' THEN 'iso'
+    WHEN obj LIKE 'https://example.org/res/eu/dir/%' THEN 'eu_directive'
+    WHEN obj LIKE 'https://example.org/res/ecj/%' THEN 'ecj_case'
+    WHEN obj LIKE 'https://example.org/res/rfc/%' AND obj LIKE '%#S%'
+        THEN 'rfc_section'
+    WHEN obj LIKE 'https://example.org/res/rfc/%' THEN 'rfc'
+    ELSE 'url' END AS cls,
+  count(*) AS n, count(DISTINCT obj) AS n_targets
+FROM golden WHERE pred = 'dcterms:references'
+GROUP BY 1
 """
 
     o["kg_keyword_inversion"] = f"""
@@ -737,7 +870,7 @@ WHERE pred NOT IN ('rdf:type', 'owl:sameAs') AND NOT obj_is_literal
     _resolve_cte = r"""
 c AS (SELECT subj, obj,
              regexp_extract(regexp_replace(obj, '#.*$', ''),
-                            '/res/[a-z]+/(\d+)', 1) AS basefile
+                            '/res/(?:rfc|doc)/(\d+)', 1) AS basefile
       FROM golden WHERE pred = 'dcterms:references'),
 t AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS basefile,
              'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)

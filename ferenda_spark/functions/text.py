@@ -132,3 +132,41 @@ def collation_key(locale_name: str = "C"):
             return s.map(lambda x: x.casefold() if x is not None else None)
 
     return pandas_udf(key, "string", PandasUDFType.SCALAR)
+
+
+# -- F6: citation-id normalization family -----------------------------------
+# The normalize_sfsid / normalize_lawname analog
+# (/root/reference/ferenda/sources/legal/se/legalref.py:609-629):
+# citation identifiers are normalized before minting/joining so
+# surface variants ("RFC 0822", "draft-...-03", "Directive 95/46/EC")
+# land on ONE canonical URI. Paired py + Column forms, equivalence-
+# tested like normalize_space.
+
+def strip_leading_zeros(s: str) -> str:
+    """'0822' → '822' (RFC numbers are often zero-padded)."""
+    return re.sub(r"^0+(\d)", r"\1", s or "")
+
+
+def strip_leading_zeros_col(c: Column) -> Column:
+    return F.regexp_replace(c, r"^0+(\d)", "$1")
+
+
+def expand_year2(y: str) -> str:
+    """Two-digit year → four digits, pivot 50 ('95'→'1995','04'→'2004')."""
+    return ("19" + y) if int(y) >= 50 else ("20" + y)
+
+
+def expand_year2_col(c: Column) -> Column:
+    return F.when(c.cast("int") >= 50,
+                  F.concat(F.lit("19"), c)).otherwise(
+        F.concat(F.lit("20"), c))
+
+
+def strip_draft_version(slug: str) -> str:
+    """'draft-ietf-x-proto-03' → 'draft-ietf-x-proto' (the revision
+    suffix is not part of the draft's identity)."""
+    return re.sub(r"-\d{2}$", "", slug or "")
+
+
+def strip_draft_version_col(c: Column) -> Column:
+    return F.regexp_replace(c, r"-\d{2}$", "")

@@ -23,12 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ferenda_spark.fixtures.pages import BASE, MONTHS
-from ferenda_spark.operators.mention import (
-    ALIAS_DEF_RE,
-    ALIAS_MENTION_RE,
-    RFC_CITE_RE,
-    TRAILING_PUNCT_RE,
-    URL_CITE_RE,
+from ferenda_spark.grammar.citations import (
+    alias_map,
+    cite_objs,
+    stateful_reference_structs,
 )
 from ferenda_spark.operators.metadata import _CATEGORY_TYPE_ITEMS, _triple
 
@@ -40,34 +38,12 @@ def _when_arr(cond: Column, arr: Column) -> Column:
     return F.when(cond, arr).otherwise(F.array().cast(_EMPTY))
 
 
-def _cite_objs(text: Column, aliases: Column) -> Column:
-    """Distinct citation-target URIs found in one text (same grammars
-    as mention.citation_triples, single pass)."""
-    rfc = F.transform(
-        F.regexp_extract_all(text, F.lit(RFC_CITE_RE), 0),
-        lambda m: F.concat(
-            F.lit(BASE + "res/rfc/"),
-            F.regexp_extract(m, RFC_CITE_RE, 2),
-            F.when(F.regexp_extract(m, RFC_CITE_RE, 1) != "",
-                   F.concat(F.lit("#S"),
-                            F.regexp_extract(m, RFC_CITE_RE, 1))
-                   ).otherwise(F.lit(""))))
-    alias = F.transform(
-        F.filter(
-            F.transform(
-                F.regexp_extract_all(text, F.lit(ALIAS_MENTION_RE), 1),
-                lambda n: aliases[n]),
-            lambda num: num.isNotNull()),
-        lambda num: F.concat(F.lit(BASE + "res/rfc/"), num))
-    urls = F.transform(
-        F.regexp_extract_all(text, F.lit(URL_CITE_RE), 0),
-        lambda m: F.regexp_replace(m, TRAILING_PUNCT_RE, ""))
-    return F.array_distinct(F.concat(rfc, alias, urls))
-
-
 def _cite_structs(subj: Column, text: Column, aliases: Column) -> Column:
+    """Shared multi-class grammar (grammar/citations.py) — the fused
+    and modular plans consume the same registry, so a new citation
+    class lands in both executions by construction."""
     return F.transform(
-        _cite_objs(text, aliases),
+        cite_objs(text, aliases),
         lambda obj: F.struct(
             subj.alias("subj"),
             F.lit("dcterms:references").alias("pred"),
@@ -140,9 +116,7 @@ def fused_triples(ext: DataFrame) -> DataFrame:
                     literal=True, lang=F.col("lang")),
         )
 
-    aliases = F.map_from_arrays(
-        F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 1),
-        F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 2))
+    aliases = alias_map(F.col("text"))
 
     sec_arr = F.flatten(F.transform(F.col("sections"), sec_structs))
     sec_cites = F.flatten(F.transform(
@@ -151,11 +125,17 @@ def fused_triples(ext: DataFrame) -> DataFrame:
             F.concat(uri, F.lit("#S"), sec["ordinal"]),
             sec["text"], aliases)))
     pre_cites = _cite_structs(uri, F.col("preamble"), aliases)
+    # stateful short-form refs ("Section N of that document"):
+    # the currentlaw-analog fold stays inside the same map-only stage
+    state_cites = F.transform(
+        stateful_reference_structs(uri, F.col("preamble"),
+                                   F.col("sections"), aliases),
+        lambda r: _triple(r["frag"], "dcterms:references", r["obj"]))
 
     all_triples = F.concat(doc_arr, pub_arr,
                            rel_arr("Updates", "rfc:updates"),
                            rel_arr("Obsoletes", "rfc:obsoletes"),
-                           sec_arr, sec_cites, pre_cites)
+                           sec_arr, sec_cites, pre_cites, state_cites)
 
     return (docs
             .select(F.explode(all_triples).alias("t"))

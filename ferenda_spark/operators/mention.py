@@ -38,11 +38,9 @@ TRAILING_PUNCT_RE = r"[.,;:!?)\]]+$"
 
 def _fragments(extracted: DataFrame) -> DataFrame:
     """Explode docs to (url, frag_uri, text, aliases) rows."""
+    from ferenda_spark.grammar.citations import alias_map
     docs = extracted.filter(F.col("is_doc")).withColumn(
-        "aliases",
-        F.map_from_arrays(
-            F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 1),
-            F.regexp_extract_all("text", F.lit(ALIAS_DEF_RE), 2)))
+        "aliases", alias_map(F.col("text")))
     sec_rows = docs.select(
         "url", "aliases", F.explode("sections").alias("sec")
     ).select(
@@ -61,41 +59,23 @@ def _fragments(extracted: DataFrame) -> DataFrame:
 def citation_triples(extracted: DataFrame) -> DataFrame:
     """Candidate (frag_uri, dcterms:references, target_uri) triples.
 
-    All three grammars evaluate in ONE pass over each fragment — the
-    per-row candidate arrays concatenate and dedup (array_distinct)
-    before a single explode, so the whole stage is map-only: one scan,
-    one explode, zero shuffles. (Duplicates can only occur within a
+    ALL citation classes (grammar/citations.py registry: rfc,
+    rfc_list, bcp, std, draft, doi, iso, eu_directive, ecj_case,
+    alias, url) evaluate in ONE pass over each fragment — the per-row
+    candidate arrays concatenate and dedup (array_distinct) before a
+    single explode, so the whole stage is map-only: one scan, one
+    explode, zero shuffles. (Duplicates can only occur within a
     fragment — same row — so array_distinct fully replaces the old
     union + dropDuplicates exchange.)
+
+    The stateful short-form class is the one class NOT handled here
+    (it needs document order across fragments) — see
+    grammar.citations.stateful_reference_triples, unioned in
+    pipeline.build_triples.
     """
+    from ferenda_spark.grammar.citations import cite_objs
     frags = _fragments(extracted)
-
-    # 1. RFC citations (optionally section-qualified)
-    rfc_objs = F.transform(
-        F.regexp_extract_all("text", F.lit(RFC_CITE_RE), 0),
-        lambda m: F.concat(
-            F.lit(BASE + "res/rfc/"),
-            F.regexp_extract(m, RFC_CITE_RE, 2),
-            F.when(F.regexp_extract(m, RFC_CITE_RE, 1) != "",
-                   F.concat(F.lit("#S"),
-                            F.regexp_extract(m, RFC_CITE_RE, 1))
-                   ).otherwise(F.lit(""))))
-
-    # 2. Within-document alias mentions, resolved via the per-doc map
-    alias_objs = F.transform(
-        F.filter(
-            F.transform(
-                F.regexp_extract_all("text", F.lit(ALIAS_MENTION_RE), 1),
-                lambda n: F.col("aliases")[n]),
-            lambda num: num.isNotNull()),
-        lambda num: F.concat(F.lit(BASE + "res/rfc/"), num))
-
-    # 3. Bare URLs, trailing punctuation excluded
-    url_objs = F.transform(
-        F.regexp_extract_all("text", F.lit(URL_CITE_RE), 0),
-        lambda m: F.regexp_replace(m, TRAILING_PUNCT_RE, ""))
-
-    objs = F.array_distinct(F.concat(rfc_objs, alias_objs, url_objs))
+    objs = cite_objs(F.col("text"), F.col("aliases"))
     return (frags
             .select("frag_uri", F.explode(objs).alias("obj"))
             .select(

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BASEFILE_RE = r"/res/[a-z]+/(\d+)"
+# only the document series resolve to pages — companion series (bcp,
+# std, iso, eu, ecj, draft) are external identities, like the
+# reference's per-repo basefile_from_uri scoping (each repo claims
+# only its own URI space, documentrepository.py:719-743)
+BASEFILE_RE = r"/res/(?:rfc|doc)/(\d+)"
 
 
 def basefile_from_uri(col) -> "F.Column":

@@ -64,10 +64,12 @@ def build_triples(pages: DataFrame, entities: DataFrame,
     # plans — persist the (small, html-free) extract output so the
     # Arrow UDF runs once, not four times.
     extracted = extracted.persist()
+    from ferenda_spark.grammar.citations import stateful_reference_triples
     triples = (
         doc_metadata_triples(extracted)
         .unionByName(section_triples(extracted))
         .unionByName(citation_triples(extracted))
+        .unionByName(stateful_reference_triples(extracted))
         .unionByName(publisher_triples(extracted, entities))
         # Malformed pages (missing header keys, unparseable dates)
         # must degrade to fewer triples, never to null-object rows.

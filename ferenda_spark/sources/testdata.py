@@ -85,6 +85,42 @@ def doc_features(documents: DataFrame) -> DataFrame:
         F.concat((d % 5 + 1).cast("string"), F.lit("."),
                  (d % 3 + 1).cast("string")).alias("cite_sec"),
         F.when(d % 4 == 0, (d % 250 + 1).cast("string")).alias("alias_target"),
+        # multi-class citation features (grammar/citations.py classes);
+        # presence gated on distinct moduli so classes mix freely
+        F.when(d % 6 == 0, (d % 79 + 1).cast("string")).alias("bcp_num"),
+        F.when(d % 7 == 1, (d % 50 + 1).cast("string")).alias("std_num"),
+        F.when(d % 5 == 1, F.concat(
+            F.lit("draft-ietf-wg"), (d % 20).cast("string"),
+            F.lit("-proto-"),
+            F.lpad((d % 9).cast("string"), 2, "0"))).alias("draft_slug"),
+        F.when(d % 8 == 2,
+               F.concat(F.lit("10.1000/jproto."), d.cast("string"))
+               ).alias("doi_id"),
+        F.when(d % 9 == 3, (8000 + d % 600).cast("string")).alias("iso_num"),
+        F.when(d % 9 == 3, (1996 + d % 25).cast("string")).alias("iso_year"),
+        # two-digit years 40..99 exercise both pivot branches (>=50 →
+        # 19xx, <50 → 20xx) of the year normalizer
+        F.when(d % 10 == 4,
+               (d % 60 + 40).cast("string")).alias("eu_year2"),
+        F.when(d % 10 == 4, (d % 200 + 1).cast("string")).alias("eu_num"),
+        F.when(d % 11 == 5, (d % 400 + 1).cast("string")).alias("case_num"),
+        F.when(d % 11 == 5,
+               F.lpad((d % 20).cast("string"), 2, "0")).alias("case_year2"),
+        # zero-padded list items (RFC 0822 style) exercise
+        # strip_leading_zeros on the mint path
+        F.when(d % 12 == 6,
+               F.lpad((d % 90 + 1).cast("string"), 4, "0")).alias("list_a"),
+        F.when(d % 12 == 6,
+               F.lpad((d % 90 + 101).cast("string"), 4, "0")).alias("list_b"),
+        F.when(d % 12 == 6,
+               F.lpad((d % 90 + 201).cast("string"), 4, "0")).alias("list_c"),
+        F.when(d % 13 == 7, F.concat(
+            (d % 6 + 1).cast("string"), F.lit("."),
+            (d % 2 + 1).cast("string"))).alias("that_sec"),
+        # bare external URL (trailing-punctuation exclusion class)
+        F.when(d % 3 == 2, F.concat(
+            F.lit("https://www.example.com/spec/"),
+            d.cast("string"))).alias("ext_url"),
         # body text, normalized exactly like the extract stage will
         # (normalize_space semantics, reference util.py:287-296)
         F.trim(F.regexp_replace(F.translate(F.col("text"), "\xa0", " "),
@@ -118,6 +154,38 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
                    F.lit(" of [RFC "), F.col("cite_b"), F.lit("]."),
                    alias_use)
 
+    def opt(col_name: str, *pieces) -> "F.Column":
+        return F.when(F.col(col_name).isNotNull(),
+                      c(*pieces)).otherwise(F.lit(""))
+
+    # S2 "References": one optional sentence per citation class, in a
+    # fixed order (the stateful short-form last, so its expected
+    # resolution target is well-defined)
+    sec2_text = c(
+        F.lit("Normative and informative references."),
+        opt("bcp_num", F.lit(" This practice is documented in BCP "),
+            F.col("bcp_num"), F.lit(".")),
+        opt("std_num", F.lit(" See also STD "), F.col("std_num"),
+            F.lit(".")),
+        opt("draft_slug", F.lit(" A newer revision appears in "),
+            F.col("draft_slug"), F.lit(".")),
+        opt("doi_id", F.lit(" Published at doi:"), F.col("doi_id"),
+            F.lit(".")),
+        opt("iso_num", F.lit(" Timestamps follow ISO "), F.col("iso_num"),
+            F.lit(":"), F.col("iso_year"), F.lit(".")),
+        opt("eu_num", F.lit(" Processing is governed by Directive "),
+            F.col("eu_year2"), F.lit("/"), F.col("eu_num"), F.lit("/EC.")),
+        opt("case_num", F.lit(" Interpreted in Case C-"),
+            F.col("case_num"), F.lit("/"), F.col("case_year2"),
+            F.lit(".")),
+        opt("list_a", F.lit(" It consolidates RFCs "), F.col("list_a"),
+            F.lit(", "), F.col("list_b"), F.lit(" and "), F.col("list_c"),
+            F.lit(".")),
+        opt("ext_url", F.lit(" The registry lives at "), F.col("ext_url"),
+            F.lit(".")),
+        opt("that_sec", F.lit(" Section "), F.col("that_sec"),
+            F.lit(" of that document applies.")))
+
     updates_line = F.when(
         F.col("updates").isNotNull(),
         c(F.lit("<p>Updates: "), F.col("updates"), F.lit("</p>"))
@@ -139,7 +207,11 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         F.lit('</p></div><div class="section" about="#S1.1">'
               "<h3>1.1. Details</h3><p>"),
         sec11_text,
-        F.lit("</p><font>noise</font></div></body></html>"))
+        F.lit("</p><font>noise</font></div>"
+              '<div class="section" about="#S2">'
+              "<h2>2. References</h2><p>"),
+        sec2_text,
+        F.lit("</p></div></body></html>"))
 
     # expected extracted text (chunks joined with single spaces) — the
     # byte-identical per-url invariant, reconstructed declaratively
@@ -152,7 +224,8 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         F.lit(" "), F.col("month"), F.lit(" "), F.col("year"),
         F.lit(" "), F.col("title"),
         F.lit(" 1. Introduction "), sec1_text,
-        F.lit(" 1.1. Details "), sec11_text)
+        F.lit(" 1.1. Details "), sec11_text,
+        F.lit(" 2. References "), sec2_text)
 
     return f.select(
         F.col("url"),

@@ -1,0 +1,154 @@
+"""Multi-class citation grammar: golden input → expected links.
+
+Modeled on the reference's legalref golden corpus
+(/root/reference/test/files/legalref/{SFS,Short,DV,Regpubl,EGLag,ECJ}/
+*.txt: one source string per case, the expected link set alongside).
+Each case here feeds a one-document DataFrame through the vectorized
+grammar and asserts the exact minted URI set.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.fixtures.pages import BASE
+from ferenda_spark.grammar.citations import (
+    CLASSES,
+    alias_map,
+    cite_objs,
+    stateful_reference_structs,
+)
+from ferenda_spark.grammar.combinators import Alt, Cap, Lit, Opt, Rep, Rx, Seq
+
+
+# -- combinator compilation -------------------------------------------------
+
+def test_compile_assigns_groups_in_order():
+    g = Seq(Cap("a", Rx(r"\d+")), Lit("-"),
+            Cap("b", Seq(Rx(r"[a-z]+"), Opt(Cap("c", Rx(r"\d")))))).compile()
+    assert g.groups == {"a": 1, "b": 2, "c": 3}
+
+
+def test_rx_rejects_capturing_groups_and_lookaround():
+    with pytest.raises(ValueError):
+        Rx(r"(\d+)")
+    with pytest.raises(ValueError):
+        Rx(r"a(?=b)")
+
+
+def test_rep_rejects_caps_in_body():
+    with pytest.raises(ValueError):
+        Seq(Rep(Cap("x", Rx(r"\d+")), Lit(","))).compile()
+
+
+def test_alt_order_is_preserved():
+    g = Alt(Lit("abc"), Lit("ab")).compile()
+    import re
+    assert re.match(g.pattern, "abcd").group(0) == "abc"
+
+
+# -- golden link sets -------------------------------------------------------
+
+GOLDEN = [
+    ("[RFC 45]", {f"{BASE}res/rfc/45"}),
+    ("section 2.3 of [RFC 678]", {f"{BASE}res/rfc/678#S2.3"}),
+    ("[RFC 0822]", {f"{BASE}res/rfc/822"}),          # zero-pad normalized
+    ("RFCs 0012, 0112 and 0212 apply",
+     {f"{BASE}res/rfc/12", f"{BASE}res/rfc/112", f"{BASE}res/rfc/212"}),
+    ("BCP 14 and STD 66",
+     {f"{BASE}res/bcp/14", f"{BASE}res/std/66"}),
+    ("draft-ietf-wg9-proto-03 expired",
+     {f"{BASE}res/draft/draft-ietf-wg9-proto"}),     # version stripped
+    ("doi:10.1000/jproto.77.", {"https://doi.org/10.1000/jproto.77"}),
+    ("ISO 8601:2004 format", {f"{BASE}res/iso/8601"}),  # year stripped
+    ("Directive 95/46/EC", {f"{BASE}res/eu/dir/1995/46"}),
+    ("Directive 45/9/EC", {f"{BASE}res/eu/dir/2045/9"}),  # pivot < 50
+    ("Case C-101/01", {f"{BASE}res/ecj/C-101-2001"}),
+    ("see https://x.example/a,b.", {"https://x.example/a,b"}),
+    ("no citations here", set()),
+]
+
+
+def test_golden_links(spark):
+    rows = [(i, text) for i, (text, _) in enumerate(GOLDEN)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = df.select(
+        "i", cite_objs(F.col("text"), alias_map(F.col("text"))).alias("objs")
+    ).collect()
+    for r in got:
+        assert set(r["objs"]) == GOLDEN[r["i"]][1], GOLDEN[r["i"]][0]
+
+
+def test_alias_definition_and_mention(spark):
+    text = ("In this document, [HTPX] refers to [RFC 0123]. "
+            "Later [HTPX] is cited, but [MISSING] is not defined.")
+    df = spark.createDataFrame([(text,)], "text string")
+    got = set(df.select(
+        cite_objs(F.col("text"), alias_map(F.col("text"))).alias("o")
+    ).collect()[0]["o"])
+    # the definition's [RFC 0123] and the resolved [HTPX] mention,
+    # normalized; the unresolvable alias emits nothing
+    assert got == {f"{BASE}res/rfc/123"}
+
+
+# -- stateful short-form (currentlaw semantics) -----------------------------
+
+def _stateful(spark, preamble, sections):
+    df = spark.createDataFrame(
+        [("https://d/1", preamble, sections)],
+        "url string, preamble string, "
+        "sections array<struct<ordinal:string, text:string>>")
+    full = F.concat_ws(
+        " ", F.col("preamble"),
+        F.array_join(F.transform("sections", lambda s: s["text"]), " "))
+    refs = stateful_reference_structs(
+        F.col("url"), F.col("preamble"), F.col("sections"),
+        alias_map(full))
+    return [tuple(r) for r in df.select(F.explode(refs)).select(
+        "col.frag", "col.obj").collect()]
+
+
+def test_stateful_resolves_most_recent_citation(spark):
+    out = _stateful(
+        spark, "",
+        [("1", "See [RFC 10] and [RFC 20]."),
+         ("2", "Section 4.2 of that document applies.")])
+    assert out == [("https://d/1#S2", f"{BASE}res/rfc/20#S4.2")]
+
+
+def test_stateful_state_crosses_sections_in_order(spark):
+    out = _stateful(
+        spark, "Preamble cites [RFC 7].",
+        [("1", "Section 1.1 of that document."),
+         ("2", "Now [RFC 9]."),
+         ("3", "Section 2 of that document.")])
+    assert out == [("https://d/1#S1", f"{BASE}res/rfc/7#S1.1"),
+                   ("https://d/1#S3", f"{BASE}res/rfc/9#S2")]
+
+
+def test_stateful_without_prior_citation_emits_nothing(spark):
+    assert _stateful(
+        spark, "", [("1", "Section 3 of that document.")]) == []
+
+
+def test_stateful_list_takes_last_element(spark):
+    out = _stateful(
+        spark, "",
+        [("1", "RFCs 0001, 0002 and 0042 apply."),
+         ("2", "Section 5 of that document.")])
+    assert out == [("https://d/1#S2", f"{BASE}res/rfc/42#S5")]
+
+
+def test_stateful_alias_mention_updates_state(spark):
+    out = _stateful(
+        spark, "In this document, [HTPX] refers to [RFC 77].",
+        [("1", "See [RFC 5]. As defined in [HTPX]."),
+         ("2", "Section 9 of that document.")])
+    assert out == [("https://d/1#S2", f"{BASE}res/rfc/77#S9")]
+
+
+def test_every_registry_class_has_formatter_and_pattern():
+    names = {c.name for c in CLASSES}
+    assert names == {"rfc", "rfc_list", "bcp", "std", "draft", "doi",
+                     "iso", "eu_directive", "ecj_case"}
+    for c in CLASSES:
+        assert c.pattern and callable(c.formatter)
