@@ -431,6 +431,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.countDistinct("obj").alias("n_targets")))
     q["kg_citation_classes"] = kg_citation_classes
 
+    def kg_structure_tree(spark, sf):
+        """Statute-depth structure parse (G7): 5-level node tree from
+        plain text, gated against the arithmetic reconstruction."""
+        from ferenda_spark.operators.structure import statute_structure
+        from ferenda_spark.sources.testdata import (
+            statute_pages_from_documents,
+        )
+        acts = statute_pages_from_documents(_docs(spark, sf))
+        return _longify(statute_structure(acts))
+    q["kg_structure_tree"] = kg_structure_tree
+
+    def kg_structure_closure(spark, sf):
+        """Transitive ancestor closure over the statute tree — the
+        isPartOf* closure (J3) at its real depth (5 levels), not the
+        flat HTML corpus's 2."""
+        from ferenda_spark.operators.structure import statute_structure
+        from ferenda_spark.sources.testdata import (
+            statute_pages_from_documents,
+        )
+        acts = statute_pages_from_documents(_docs(spark, sf))
+        nodes = statute_structure(acts)
+        edges = nodes.select(
+            F.concat("url", F.lit("#"), "node_id").alias("child"),
+            F.coalesce(F.concat("url", F.lit("#"), "parent_id"),
+                       F.col("url")).alias("parent"))
+        return _longify(analytics.transitive_closure(edges, max_depth=5))
+    q["kg_structure_closure"] = kg_structure_closure
+
     def kg_keyword_inversion(spark, sf):
         e = _kg_edges(spark, sf)
         inv = analytics.keyword_inversion(e, "dcterms:subject")
@@ -850,6 +878,71 @@ SELECT CASE
   count(*) AS n, count(DISTINCT obj) AS n_targets
 FROM golden WHERE pred = 'dcterms:references'
 GROUP BY 1
+"""
+
+    # statute structure tree: reconstruct the expected node table from
+    # the same doc_id arithmetic that generated the text (see
+    # sources/testdata.statute_pages_from_documents)
+    _struct_ctes = """a AS (
+  SELECT doc_id, doc_id % 2 + 2 AS nchap, doc_id % 5 = 0 AS has_letters,
+         'https://example.org/res/act/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+chap AS (
+  SELECT a.*, CAST(g.c AS BIGINT) AS c
+  FROM a, (SELECT unnest(generate_series(1, 3)) AS c) g
+  WHERE g.c <= nchap),
+secs AS (
+  SELECT chap.*, 2 * (c - 1) + gi.i AS s
+  FROM chap, (SELECT unnest([1, 2]) AS i) gi)"""
+    _struct_select = """
+SELECT url, 'K' || c AS node_id, 'chapter' AS kind,
+       CAST(c AS VARCHAR) AS ordinal, CAST(NULL AS VARCHAR) AS parent_id,
+       CAST(1 AS BIGINT) AS depth,
+       (['General Provisions', 'Obligations', 'Supervision'])[CAST(c AS INT)]
+           AS text
+FROM chap
+UNION ALL
+SELECT url, 'K' || c || 'P' || s, 'section', CAST(s AS VARCHAR),
+       'K' || c, 2, 'Provisions on handling.' FROM secs
+UNION ALL
+SELECT url, 'K' || c || 'P' || s || 'S1', 'piece', '1',
+       'K' || c || 'P' || s, 3,
+       'First piece of section ' || s || '.' FROM secs
+UNION ALL
+SELECT url, 'K' || c || 'P' || s || 'S2', 'piece', '2',
+       'K' || c || 'P' || s, 3,
+       'Second piece of section ' || s || '.' FROM secs WHERE s % 3 = 0
+UNION ALL
+SELECT url, 'K' || c || 'P' || s || 'S1N' || gn.n, 'item',
+       CAST(gn.n AS VARCHAR), 'K' || c || 'P' || s || 'S1', 4,
+       (['first', 'second'])[gn.n] || ' item of section ' || s || '.'
+FROM secs, (SELECT unnest([1, 2]) AS n) gn WHERE s % 2 = 1
+UNION ALL
+SELECT url, 'K' || c || 'P' || s || 'S1N2B' || gl.l, 'letter', gl.l,
+       'K' || c || 'P' || s || 'S1N2', 5,
+       CASE gl.l WHEN 'a' THEN 'first' ELSE 'second' END
+           || ' letter item.'
+FROM secs, (SELECT unnest(['a', 'b']) AS l) gl
+WHERE s % 2 = 1 AND has_letters
+"""
+    o["kg_structure_tree"] = f"WITH {_struct_ctes} {_struct_select}"
+
+    o["kg_structure_closure"] = f"""
+WITH RECURSIVE {_struct_ctes},
+nodes AS ({_struct_select}),
+edges AS (
+  SELECT url || '#' || node_id AS child,
+         coalesce(url || '#' || parent_id, url) AS parent
+  FROM nodes),
+closure AS (
+  SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.descendant, e.parent, c.depth + 1
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+  WHERE c.depth < 5
+)
+SELECT descendant, ancestor, CAST(min(depth) AS BIGINT) AS depth
+FROM closure GROUP BY 1, 2
 """
 
     o["kg_keyword_inversion"] = f"""

@@ -44,8 +44,11 @@ from pyspark.sql import functions as F
 
 from ferenda_spark.fixtures.pages import BASE
 from ferenda_spark.functions.text import (
+    expand_year2,
     expand_year2_col,
+    strip_draft_version,
     strip_draft_version_col,
+    strip_leading_zeros,
     strip_leading_zeros_col,
 )
 from ferenda_spark.grammar.combinators import (
@@ -74,6 +77,10 @@ class CitationClass:
     formatter: Callable[[Column], Column]
     updates_state: Callable[[Column], Column] | None = None
     consumes_state: bool = False
+    # Python twin of ``formatter`` for the per-token markup path
+    # (segmentation / golden str-Link trees); equivalence against the
+    # Column formatter is pytest-gated
+    py_formatter: Callable[[object], list] | None = None
 
     @property
     def pattern(self) -> str:
@@ -97,6 +104,12 @@ def _rfc_uri(num: Column) -> Column:
 
 def build_classes() -> list[CitationClass]:
     classes: list[CitationClass] = []
+
+    import re as _re
+
+    def pg(cls, m, name):
+        """Group of a python re.Match by grammar name ('' if absent)."""
+        return m.group(cls.compiled.group_index(name)) or ""
 
     # 1/2. [RFC n], optionally section-qualified (rfc.py:430-452) —
     # one production so the sectioned form is not double-counted
@@ -188,6 +201,31 @@ def build_classes() -> list[CitationClass]:
         F.lit(BASE + "res/ecj/C-"), cls.g(m, "num"), F.lit("-"),
         expand_year2_col(cls.g(m, "year")))))(c)
     classes.append(c)
+
+    # Python twins of the Column formatters (markup/segmentation path)
+    by = {cc.name: cc for cc in classes}
+    by["rfc"].py_formatter = lambda m, cls=by["rfc"]: [
+        BASE + "res/rfc/" + strip_leading_zeros(pg(cls, m, "num"))
+        + (("#S" + pg(cls, m, "sec")) if pg(cls, m, "sec") else "")]
+    by["rfc_list"].py_formatter = lambda m, cls=by["rfc_list"]: [
+        BASE + "res/rfc/" + strip_leading_zeros(n)
+        for n in _re.findall(r"\d+", pg(cls, m, "list"))]
+    by["bcp"].py_formatter = lambda m, cls=by["bcp"]: [
+        BASE + "res/bcp/" + strip_leading_zeros(pg(cls, m, "num"))]
+    by["std"].py_formatter = lambda m, cls=by["std"]: [
+        BASE + "res/std/" + strip_leading_zeros(pg(cls, m, "num"))]
+    by["draft"].py_formatter = lambda m, cls=by["draft"]: [
+        BASE + "res/draft/" + strip_draft_version(pg(cls, m, "slug"))]
+    by["doi"].py_formatter = lambda m, cls=by["doi"]: [
+        "https://doi.org/" + pg(cls, m, "id")]
+    by["iso"].py_formatter = lambda m, cls=by["iso"]: [
+        BASE + "res/iso/" + pg(cls, m, "num")]
+    by["eu_directive"].py_formatter = lambda m, cls=by["eu_directive"]: [
+        BASE + "res/eu/dir/" + expand_year2(pg(cls, m, "year"))
+        + "/" + pg(cls, m, "num")]
+    by["ecj_case"].py_formatter = lambda m, cls=by["ecj_case"]: [
+        BASE + "res/ecj/C-" + pg(cls, m, "num") + "-"
+        + expand_year2(pg(cls, m, "year"))]
 
     return classes
 

@@ -89,52 +89,114 @@ def citation_triples(extracted: DataFrame) -> DataFrame:
 
 # -- citation segmentation (the golden <str>/<Link> shape) ------------------
 
-_SEG_RE = re.compile(
-    "(" + RFC_CITE_RE + "|" + ALIAS_MENTION_RE + "|" + URL_CITE_RE + ")")
-_RFC_ONLY_RE = re.compile(RFC_CITE_RE)
 _ALIAS_ONLY_RE = re.compile(r"^\[([A-Z]{3,8})\]$")
-_ALIAS_DEF_SCAN_RE = re.compile(ALIAS_DEF_RE)
 _TRAIL_RE = re.compile(TRAILING_PUNCT_RE)
+_NUM_RE = re.compile(r"\d+")
 
 SEGMENTS_SCHEMA = ("frag_uri string, "
                    "segments array<struct<kind:string, text:string, "
                    "uri:string>>")
 
 
+def _grammar():
+    """Registry + master segmentation regex (built lazily, cached)."""
+    global _G
+    try:
+        return _G
+    except NameError:
+        pass
+    from ferenda_spark.grammar.citations import (
+        ALIAS_MENTION, CLASSES, URL,
+    )
+    master = re.compile("|".join(
+        [f"(?:{c.pattern})" for c in CLASSES]
+        + [ALIAS_MENTION.pattern, URL.pattern]))
+    compiled = [(c, re.compile(c.pattern)) for c in CLASSES]
+    _G = (master, compiled)
+    return _G
+
+
+def _token_segments(tok: str, aliases: dict) -> list[dict] | None:
+    """One master-regex token → its link segment(s); None = leave as
+    plain text (unresolvable alias)."""
+    from ferenda_spark.functions.text import strip_leading_zeros
+    _, compiled = _grammar()
+    for cls, crx in compiled:
+        fm = crx.fullmatch(tok)
+        if fm is None:
+            continue
+        uris = cls.py_formatter(fm)
+        if cls.name == "rfc_list":
+            # plural production: each number is its own Link, the
+            # separators stay str (format_tokentree multi-link case)
+            segs, pos, i = [], 0, 0
+            for nm in _NUM_RE.finditer(tok):
+                if nm.start() > pos:
+                    segs.append({"kind": "str", "text": tok[pos:nm.start()],
+                                 "uri": None})
+                segs.append({"kind": "link", "text": nm.group(0),
+                             "uri": uris[i]})
+                i += 1
+                pos = nm.end()
+            if pos < len(tok):
+                segs.append({"kind": "str", "text": tok[pos:], "uri": None})
+            return segs
+        return [{"kind": "link", "text": tok, "uri": uris[0]}]
+    am = _ALIAS_ONLY_RE.fullmatch(tok)
+    if am:
+        num = aliases.get(am.group(1))
+        if num is None:
+            return None  # unresolvable alias stays plain text
+        return [{"kind": "link", "text": tok,
+                 "uri": f"{BASE}res/rfc/{strip_leading_zeros(num)}"}]
+    # bare URL; exclude trailing punctuation from the link
+    trail = _TRAIL_RE.search(tok)
+    if trail:
+        tok = tok[:trail.start()]
+    return [{"kind": "link", "text": tok, "uri": tok}]
+
+
 def segment_text(text: str, aliases: dict[str, str]) -> list[dict]:
     """Split one text into str/link segments — the reference's
     CitationParser.parse_string semantics (citationparser.py:65-96):
     unmatched spans stay ``str`` segments, matches become ``link``
-    segments carrying the minted URI."""
+    segments carrying the minted URI.  Every grammar-registry class
+    participates (the py_formatter twins of the Column formatters)."""
+    master, _ = _grammar()
     out: list[dict] = []
     pos = 0
-    for m in _SEG_RE.finditer(text):
-        tok = m.group(0)
-        uri = None
-        rm = _RFC_ONLY_RE.fullmatch(tok)
-        am = _ALIAS_ONLY_RE.fullmatch(tok)
-        if rm:
-            uri = f"{BASE}res/rfc/{rm.group(2)}"
-            if rm.group(1):
-                uri += f"#S{rm.group(1)}"
-        elif am:
-            num = aliases.get(am.group(1))
-            if num is None:
-                continue  # unresolvable alias stays plain text
-            uri = f"{BASE}res/rfc/{num}"
-        else:  # bare URL; exclude trailing punctuation from the link
-            trail = _TRAIL_RE.search(tok)
-            if trail:
-                tok = tok[:trail.start()]
-            uri = tok
+    for m in master.finditer(text):
+        segs = _token_segments(m.group(0), aliases)
+        if segs is None:
+            continue
         if m.start() > pos:
             out.append({"kind": "str", "text": text[pos:m.start()],
                         "uri": None})
-        out.append({"kind": "link", "text": tok, "uri": uri})
-        pos = m.start() + len(tok)
+        out.extend(segs)
+        consumed = sum(len(s["text"]) for s in segs)
+        pos = m.start() + consumed
     if pos < len(text):
         out.append({"kind": "str", "text": text[pos:], "uri": None})
     return out
+
+
+def segment_tree(node: dict, aliases: dict[str, str]) -> dict:
+    """Recursive citation markup over a nested element tree — the
+    reference's CitationParser.parse_recursive (citationparser.py:
+    98-165): walk an element whose children are strings or nested
+    elements, replace each string child with its str/link segments,
+    recurse into element children, preserving structure.
+
+    Node shape: ``{"tag": str, ..., "children": [str | node]}`` —
+    the dict form of the reference's element tree.
+    """
+    out_children: list = []
+    for ch in node.get("children", []):
+        if isinstance(ch, str):
+            out_children.extend(segment_text(ch, aliases))
+        else:
+            out_children.append(segment_tree(ch, aliases))
+    return {**node, "children": out_children}
 
 
 def citation_segments(extracted: DataFrame) -> DataFrame:

@@ -234,3 +234,61 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         F.encode(html_str, "UTF-8").alias("html"),
         expected_text.alias("text"),
         "lang")
+
+
+STATUTE_CHAPTER_TITLES = ["General Provisions", "Obligations", "Supervision"]
+
+
+def statute_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """documents → plain-text statute pages (url, text), pure columns.
+
+    The statute-depth corpus for the structure parser
+    (operators/structure.py): every doc is a 5-level act — chapters
+    ("Chapter N. Title"), continuously-numbered sections ("N §"),
+    pieces (plain paragraphs), numbered items ("1."), letter items
+    ("a)") — all derived from doc_id arithmetic so the expected node
+    tree is reconstructible in ANSI SQL:
+
+      nchap    = doc_id % 2 + 2          (2-3 chapters)
+      sections = 2 per chapter, numbered 2(c-1)+1, 2(c-1)+2
+      piece 2  iff section % 3 == 0
+      items    iff section % 2 == 1      (two numbered items)
+      letters  iff additionally doc_id % 5 == 0 (a/b under item 2)
+    """
+    d = F.col("doc_id").cast("long")
+    nchap = d % 2 + 2
+
+    def sec_block(s):
+        s_str = s.cast("string")
+        items = F.when(
+            s % 2 == 1,
+            F.concat(
+                F.lit("1. first item of section "), s_str, F.lit(".\n\n"),
+                F.lit("2. second item of section "), s_str, F.lit(".\n\n"),
+                F.when(d % 5 == 0,
+                       F.lit("a) first letter item.\n\n"
+                             "b) second letter item.\n\n"))
+                .otherwise(F.lit("")))).otherwise(F.lit(""))
+        piece2 = F.when(
+            s % 3 == 0,
+            F.concat(F.lit("Second piece of section "), s_str,
+                     F.lit(".\n\n"))).otherwise(F.lit(""))
+        return F.concat(
+            s_str, F.lit(" § Provisions on handling.\n\n"),
+            F.lit("First piece of section "), s_str, F.lit(".\n\n"),
+            items, piece2)
+
+    chap_arr = F.transform(
+        F.sequence(F.lit(1).cast("long"), nchap),
+        lambda c: F.concat(
+            F.lit("Chapter "), c.cast("string"), F.lit(". "),
+            F.element_at(
+                F.array(*[F.lit(t) for t in STATUTE_CHAPTER_TITLES]),
+                c.cast("int")),
+            F.lit("\n\n"),
+            sec_block(2 * (c - 1) + 1),
+            sec_block(2 * (c - 1) + 2)))
+
+    return documents.select(
+        F.concat(F.lit(BASE + "res/act/"), d.cast("string")).alias("url"),
+        F.array_join(chap_arr, "").alias("text"))

@@ -152,3 +152,57 @@ def test_every_registry_class_has_formatter_and_pattern():
                      "iso", "eu_directive", "ecj_case"}
     for c in CLASSES:
         assert c.pattern and callable(c.formatter)
+
+
+# -- segmentation: py formatters mirror the Column formatters ---------------
+
+def test_py_and_column_formatters_agree(spark):
+    """The markup path (py_formatter) and the triple path (Column
+    formatter) must mint identical URIs for every golden case."""
+    from ferenda_spark.operators.mention import segment_text
+    for text, expected in GOLDEN:
+        links = [s["uri"] for s in segment_text(text, {})
+                 if s["kind"] == "link"]
+        assert set(links) == expected, text
+
+
+def test_segment_text_multiclass_roundtrip():
+    from ferenda_spark.operators.mention import segment_text
+    text = "Use BCP 14 with RFCs 0012 and 0212, per Directive 95/46/EC."
+    segs = segment_text(text, {})
+    # segments reassemble to the source text exactly
+    assert "".join(s["text"] for s in segs) == text
+    links = [(s["text"], s["uri"]) for s in segs if s["kind"] == "link"]
+    assert links == [
+        ("BCP 14", f"{BASE}res/bcp/14"),
+        ("0012", f"{BASE}res/rfc/12"),
+        ("0212", f"{BASE}res/rfc/212"),
+        ("Directive 95/46/EC", f"{BASE}res/eu/dir/1995/46"),
+    ]
+
+
+def test_segment_tree_recursive():
+    from ferenda_spark.operators.mention import segment_tree
+    tree = {"tag": "section", "children": [
+        "Intro cites [RFC 5].",
+        {"tag": "blockquote", "children": [
+            "Nested quote cites BCP 14.",
+            {"tag": "footnote", "children": ["Deep: Case C-7/04."]},
+        ]},
+        "Tail text, no citations.",
+    ]}
+    out = segment_tree(tree, {})
+    assert out["tag"] == "section"
+    top_links = [c["uri"] for c in out["children"]
+                 if isinstance(c, dict) and c.get("kind") == "link"]
+    assert top_links == [f"{BASE}res/rfc/5"]
+    quote = [c for c in out["children"]
+             if isinstance(c, dict) and c.get("tag") == "blockquote"][0]
+    q_links = [c["uri"] for c in quote["children"]
+               if c.get("kind") == "link"]
+    assert q_links == [f"{BASE}res/bcp/14"]
+    foot = [c for c in quote["children"] if c.get("tag") == "footnote"][0]
+    assert [c["uri"] for c in foot["children"] if c.get("kind") == "link"] \
+        == [f"{BASE}res/ecj/C-7-2004"]
+    # structure preserved: original tree untouched (pure function)
+    assert isinstance(tree["children"][0], str)
