@@ -459,6 +459,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(analytics.transitive_closure(edges, max_depth=5))
     q["kg_structure_closure"] = kg_structure_closure
 
+    def fulltext_search_docs(spark, sf):
+        """S9/Q1: fielded inverted index + boost-ranked search
+        (source field boosted 4x over body text)."""
+        from ferenda_spark.operators import fulltext as ft
+        d = _docs(spark, sf).select("doc_id", "text", "source")
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
+        idf = ft.idf_milli(idx, d.count())
+        return _longify(ft.fulltext_search(
+            idx, idf, ["table", "window", "spark"], k=20))
+    q["fulltext_search_docs"] = fulltext_search_docs
+
+    def doc_versions_latest(spark, sf):
+        """J8 archive half: current-version view over the version
+        archive (one window, one shuffle on url)."""
+        from ferenda_spark.operators import versions as V
+        from ferenda_spark.sources.testdata import (
+            doc_versions_from_documents,
+        )
+        vs = doc_versions_from_documents(_docs(spark, sf))
+        return _longify(V.latest_versions(vs).select(
+            "url", "version", "valid_from", "archive_uri", "n_versions"))
+    q["doc_versions_latest"] = doc_versions_latest
+
+    def doc_versions_asof(spark, sf):
+        """J8: the version of each document in effect on 2020-06-15
+        (TemporalElement / consolidated-statute semantics)."""
+        from ferenda_spark.operators import versions as V
+        from ferenda_spark.sources.testdata import (
+            doc_versions_from_documents,
+        )
+        vs = doc_versions_from_documents(_docs(spark, sf))
+        return _longify(V.versions_asof(vs, "2020-06-15").select(
+            "url", "version", "valid_from"))
+    q["doc_versions_asof"] = doc_versions_asof
+
+    def feedsets_events(spark, sf):
+        """A4: per-type feeds plus the union 'All' feed, newest-first,
+        25 entries per feed."""
+        e = load_table(spark, sf, "events").select(
+            "event_id", "event_type", "ts")
+        return _longify(analytics.feedsets(
+            e, "event_type", "ts", feed_size=25, tiebreak_col="event_id")
+            .select("feed", "event_id", "rank"))
+    q["feedsets_events"] = feedsets_events
+
+    def grouped_agg_value_median(spark, sf):
+        """§2.11 GROUPED_AGG pandas UDF surface: per-type median event
+        value via an Arrow-batched grouped aggregate."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        # explicit functionType: `from __future__ import annotations`
+        # stringifies hints, so inference can't see them here
+        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def median_udf(v):
+            return float(v.median())
+
+        e = load_table(spark, sf, "events")
+        # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg —
+        # count via a second grouped-agg-free pass joined back
+        med = (e.groupBy("event_type")
+               .agg(F.round(median_udf("value"), 4).alias("median_value")))
+        cnt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        return _longify(med.join(cnt, "event_type"))
+    q["grouped_agg_value_median"] = grouped_agg_value_median
+
+    def kg_facet_multitype(spark, sf):
+        """Multi-type facet guards: per-facet rdftype FILTER + the
+        repo-level type IN filter, one aggregation pass."""
+        from ferenda_spark.functions.facets import Facet, facet_statistics
+        e = _kg_edges(spark, sf)
+        facets = [
+            Facet("dcterms:issued", "year", name="std_year",
+                  rdftype="bibo:Standard"),
+            Facet("dcterms:title", "firstletter", name="rep_letter",
+                  rdftype="bibo:Report"),
+        ]
+        return _longify(facet_statistics(
+            e, facets, types=["bibo:Standard", "bibo:Report"]))
+    q["kg_facet_multitype"] = kg_facet_multitype
+
     def kg_keyword_inversion(spark, sf):
         e = _kg_edges(spark, sf)
         inv = analytics.keyword_inversion(e, "dcterms:subject")
@@ -792,16 +872,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["first_success_events"] = first_success_events
 
     def entity_link_fuzzy(spark, sf):
-        # fuzzy phase has no SQL analog (difflib ratio) → rows-only check
-        n = load_table(spark, sf, "nation")
-        ents = n.select(
-            F.concat(F.lit(BASE + "res/nation/"),
-                     F.lower(F.col("n_name"))).alias("uri"),
-            F.col("n_name").alias("label"))
-        mentions = n.select(
-            F.expr("substring(n_name, 1, length(n_name) - 1)").alias("label"))
-        linked = link_labels(mentions, ents)
-        return linked.select("label", "entity_uri")
+        """J1 fuzzy phase, value-gated: the PUBLISHERS fixture
+        *declares* which variants must link (close, ratio ≥ 0.8) and
+        which must NOT (far) — the oracle is that declaration, so the
+        difflib cutoff semantics are checked against data designed
+        for it, not re-derived."""
+        from ferenda_spark.fixtures.pages import PUBLISHERS
+        rows = []
+        for canonical, close, far in PUBLISHERS:
+            rows.append((canonical,))
+            rows += [(v,) for v in close] + [(v,) for v in far]
+        mentions = spark.createDataFrame(rows, "label string")
+        ents = entities_df(spark).filter(F.col("kind") == "publisher")
+        return link_labels(mentions, ents).select("label", "entity_uri")
     q["entity_link_fuzzy"] = entity_link_fuzzy
 
     return q
@@ -943,6 +1026,99 @@ closure AS (
 )
 SELECT descendant, ancestor, CAST(min(depth) AS BIGINT) AS depth
 FROM closure GROUP BY 1, 2
+"""
+
+    o["kg_facet_multitype"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+wide AS (
+  SELECT subj,
+         max(CASE WHEN pred = 'rdf:type' THEN obj END) AS rdftype,
+         max(CASE WHEN pred = 'dcterms:issued' THEN obj END) AS issued,
+         max(CASE WHEN pred = 'dcterms:title' THEN obj END) AS title
+  FROM golden GROUP BY subj),
+typed AS (
+  SELECT CASE WHEN rdftype = 'bibo:Standard'
+              THEN substr(issued, 1, 4) END AS std_year,
+         CASE WHEN rdftype = 'bibo:Report'
+              THEN substr(lower(trim(title)), 1, 1) END AS rep_letter
+  FROM wide WHERE rdftype IN ('bibo:Standard', 'bibo:Report'))
+SELECT 'std_year' AS facet, std_year AS value, count(*) AS n
+FROM typed GROUP BY 2
+UNION ALL
+SELECT 'rep_letter', rep_letter, count(*) FROM typed GROUP BY 2
+"""
+
+    o["feedsets_events"] = """
+WITH tagged AS (
+  SELECT event_id, ts, feed
+  FROM events, unnest([event_type, 'All']) AS t(feed)),
+ranked AS (
+  SELECT feed, event_id,
+         row_number() OVER (PARTITION BY feed
+                            ORDER BY ts DESC, event_id) AS rank
+  FROM tagged)
+SELECT feed, event_id, rank FROM ranked WHERE rank <= 25
+"""
+
+    o["grouped_agg_value_median"] = """
+SELECT event_type, round(median(value), 4) AS median_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+    _versions_cte = """v AS (
+  SELECT 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'v' || CAST(g.i AS VARCHAR) AS version,
+         DATE '2020-01-01' + INTERVAL (CAST(doc_id % 200 AS INT)
+             + CAST(g.i AS INT) * 37) DAY AS valid_from,
+         CASE WHEN g.i = doc_id % 3
+              THEN 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
+                   || '/arkiv/v' || CAST(g.i AS VARCHAR) END AS archive_uri,
+         doc_id % 3 + 1 AS n_versions
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS i) g
+  WHERE g.i <= doc_id % 3)"""
+
+    o["doc_versions_latest"] = f"""
+WITH {_versions_cte}
+SELECT url, version, CAST(valid_from AS DATE) AS valid_from,
+       archive_uri, n_versions
+FROM v WHERE version = 'v' || CAST(n_versions - 1 AS VARCHAR)
+"""
+
+    o["doc_versions_asof"] = f"""
+WITH {_versions_cte},
+eligible AS (
+  SELECT url, version, CAST(valid_from AS DATE) AS valid_from,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY valid_from DESC, version DESC) AS rn
+  FROM v WHERE valid_from <= DATE '2020-06-15')
+SELECT url, version, valid_from FROM eligible WHERE rn = 1
+"""
+
+    _ft_toks = ("list_filter(string_split_regex(lower(trim({c})), "
+                "'\\s+'), t -> t <> '')")
+    o["fulltext_search_docs"] = f"""
+WITH rows AS (
+  SELECT doc_id AS id, 'source' AS field, CAST(4 AS BIGINT) AS boost,
+         unnest({_ft_toks.format(c='source')}) AS term FROM documents
+  UNION ALL
+  SELECT doc_id, 'text', 1, unnest({_ft_toks.format(c='text')})
+  FROM documents),
+tf AS (SELECT term, field, boost, id, count(*) AS tf
+       FROM rows GROUP BY 1, 2, 3, 4),
+idf AS (SELECT term, CAST(floor(1000 * ln(
+            CAST((SELECT count(*) FROM documents) AS DOUBLE)
+            / count(DISTINCT id))) AS BIGINT) AS idf_milli
+        FROM tf GROUP BY term),
+hits AS (
+  SELECT tf.id, sum(tf.tf * tf.boost * idf.idf_milli) AS score
+  FROM tf JOIN idf USING (term)
+  WHERE term IN ('table', 'window', 'spark') GROUP BY tf.id)
+SELECT id, score, rank FROM (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id) AS rank
+  FROM hits) WHERE rank <= 20
 """
 
     o["kg_keyword_inversion"] = f"""
@@ -1415,6 +1591,22 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 """
 
-    # entity_link_fuzzy: intentionally no oracle (difflib ratio has no
-    # ANSI-SQL equivalent) → driver records rows-only check.
+    # entity_link_fuzzy: the oracle is the PUBLISHERS declaration
+    # itself (close variants link to the canonical uri, far variants
+    # must come back null) — not a difflib re-derivation.
+    from ferenda_spark.fixtures.pages import PUBLISHERS, publisher_uri
+    vals = []
+    for canonical, close, far in PUBLISHERS:
+        uri = publisher_uri(canonical)
+        vals.append((canonical, uri))
+        vals += [(v, uri) for v in close]
+        vals += [(v, None) for v in far]
+    rows_sql = ", ".join(
+        "('{}', {})".format(
+            label.replace("'", "''"),
+            "'" + uri + "'" if uri else "CAST(NULL AS VARCHAR)")
+        for label, uri in vals)
+    o["entity_link_fuzzy"] = (
+        f"SELECT * FROM (VALUES {rows_sql}) AS t(label, entity_uri)")
+
     return o

@@ -54,11 +54,16 @@ SELECTORS: dict[str, Callable[[Column], Column]] = {
 
 @dataclass
 class Facet:
-    """rdftype guard omitted (single-type repos); ``pred`` is the long
-    qname column source, ``selector`` a SELECTORS key."""
+    """``pred`` is the long qname column source, ``selector`` a
+    SELECTORS key.  ``rdftype`` (optional) guards the facet to
+    subjects of that type — the reference's per-facet rdftype FILTER
+    in facet_query (documentrepository.py:2290-2380): in a multi-type
+    graph a bibo:Standard facet must not pick up bibo:Report values.
+    """
     pred: str
     selector: str = "identity"
     name: str | None = None
+    rdftype: str | None = None
 
     @property
     def colname(self) -> str:
@@ -67,26 +72,44 @@ class Facet:
                              else f"{base}_{self.selector}")
 
 
-def faceted_data(edges: DataFrame, facets: list[Facet]) -> DataFrame:
+def faceted_data(edges: DataFrame, facets: list[Facet],
+                 types: list[str] | None = None) -> DataFrame:
     """Long triples → one row per subject with one selector column per
     facet (the reference's cached faceted_data(),
     documentrepository.py:2232-2288). One groupBy — no per-facet
-    scans."""
-    aggs = []
+    scans.
+
+    ``types`` restricts rows to subjects whose rdf:type is in the
+    list (the multi-repo ``FILTER (?type IN ...)`` of facet_query);
+    per-facet ``rdftype`` guards null out values on other types.
+    Both guards ride the same single aggregation pass.
+    """
+    raw_aggs = [F.max(F.when(F.col("pred") == "rdf:type", F.col("obj")))
+                .alias("_rdftype")]
+    for f in facets:
+        raw_aggs.append(
+            F.max(F.when(F.col("pred") == f.pred, F.col("obj")))
+            .alias(f"_raw_{f.colname}"))
+    wide = edges.groupBy(F.col("subj").alias("uri")).agg(*raw_aggs)
+    if types:
+        wide = wide.filter(F.col("_rdftype").isin(*types))
+    outcols = [F.col("uri")]
     for f in facets:
         sel = SELECTORS[f.selector]
-        aggs.append(
-            sel(F.max(F.when(F.col("pred") == f.pred, F.col("obj"))))
-            .alias(f.colname))
-    return edges.groupBy(F.col("subj").alias("uri")).agg(*aggs)
+        val = sel(F.col(f"_raw_{f.colname}"))
+        if f.rdftype:
+            val = F.when(F.col("_rdftype") == f.rdftype, val)
+        outcols.append(val.alias(f.colname))
+    return wide.select(*outcols)
 
 
-def facet_statistics(edges: DataFrame, facets: list[Facet]) -> DataFrame:
+def facet_statistics(edges: DataFrame, facets: list[Facet],
+                     types: list[str] | None = None) -> DataFrame:
     """Distinct-document counts per facet value for every facet in ONE
     grouping-sets pass (the API stats endpoint, wsgiapp.py:232-386;
     the reference loops facets in Python — grouping sets is the free
     upgrade SURVEY §2.4 notes). Output: (facet, value, n)."""
-    wide = faceted_data(edges, facets)
+    wide = faceted_data(edges, facets, types)
     cols = [f.colname for f in facets]
     # the grouping-set marker must be computed inside agg() —
     # grouping() is only valid under GroupingSets/Cube/Rollup; via

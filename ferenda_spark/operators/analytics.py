@@ -72,6 +72,28 @@ def paginate(df: DataFrame, partition_col: str, order_col: str,
             .withColumn("page", F.floor((F.col("rn") - 1) / page_size)))
 
 
+# -- A4: feedsets (per-facet feeds + the "All" union feed) -------------------
+
+def feedsets(entries: DataFrame, facet_col: str, ts_col: str,
+             feed_size: int = 25,
+             tiebreak_col: str | None = None) -> DataFrame:
+    """Newest-first entry feeds per facet value PLUS the union "All"
+    feed — the reference's news_feedsets shape (every feedset carries
+    its per-value feeds and one feed over all entries,
+    documentrepository.py:3398-3437 news_select_for_feeds).
+
+    One explode (each entry lands in its facet feed and in "All"),
+    one window per feed — no driver loop over facets."""
+    tagged = entries.withColumn(
+        "feed", F.explode(F.array(F.col(facet_col), F.lit("All"))))
+    order = [F.desc(ts_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy("feed").orderBy(*order)
+    return (tagged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= feed_size))
+
+
 # -- J8: as-of / temporal join ----------------------------------------------
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,

@@ -292,3 +292,30 @@ def statute_pages_from_documents(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.concat(F.lit(BASE + "res/act/"), d.cast("string")).alias("url"),
         F.array_join(chap_arr, "").alias("text"))
+
+
+def doc_versions_from_documents(documents: DataFrame) -> DataFrame:
+    """documents → version-archive rows (url, version, valid_from,
+    archive_uri), pure columns: doc d has d%3+1 versions v0..v(d%3),
+    effective every 37 days from a per-doc epoch; non-current versions
+    live under the reference-style ``/arkiv/`` path
+    (documentstore.py:781-820)."""
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit(BASE + "res/doc/"), d.cast("string"))
+    n_extra = d % 3
+    return documents.select(d.alias("doc_id"), url.alias("url"),
+                            n_extra.alias("_n")).select(
+        "url",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n")))
+        .alias("_v"),
+        F.col("_n")).select(
+        "url",
+        F.concat(F.lit("v"), F.col("_v").cast("string")).alias("version"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"),
+            (F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 200
+             + F.col("_v").cast("int") * 37)).alias("valid_from"),
+        F.when(F.col("_v") == F.col("_n"), F.col("url"))
+        .otherwise(F.concat(F.col("url"), F.lit("/arkiv/v"),
+                            F.col("_v").cast("string")))
+        .alias("archive_uri"))
