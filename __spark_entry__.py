@@ -349,6 +349,32 @@ def _bucket_sql(v: str, n_planes: int = 4) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _band_bucket_sql(v: str, band: int, planes_per_band: int = 6) -> str:
+    """Mirror of similarity.band_bucket_udf for one band: sign bits
+    of planes band*r+0 .. band*r+r-1, on milli-unit-quantized
+    components (floor(x*1000) as BIGINT) so the dot is exact integer
+    arithmetic — order-independent, hence identical between DuckDB's
+    sequential fold here and the numpy matmul in the UDF."""
+    terms = []
+    for j in range(planes_per_band):
+        p = band * planes_per_band + j
+        prods = (f"[CAST(floor({v}[i+1] * 1000) AS BIGINT) "
+                 f"* (((i*31 + {p}*17 + 7) % 11) - 5) "
+                 f"for i in generate_series(0, 63)]")
+        d = f"list_reduce(list_prepend(CAST(0 AS BIGINT), {prods}), (x, y) -> x + y)"
+        terms.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _banded_cte(src: str, id_expr: str, bands: int = 4) -> str:
+    """(id, v, band, bucket) rows for every band."""
+    arms = " UNION ALL ".join(
+        f"SELECT {id_expr} AS id, v, {b} AS band, "
+        f"{_band_bucket_sql('v', b)} AS bucket FROM {src}"
+        for b in range(bands))
+    return arms
+
+
 _COS = ("round({dot} / (sqrt({na}) * sqrt({nb})), 6)")
 
 
@@ -751,6 +777,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") % 10000) < 150)
         return _longify(dedup.jaccard_pairs(corpus, threshold=0.8))
     q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_jaccard_capped(spark, sf):
+        """Jaccard with a document-frequency cap on shingles — the
+        hot-shingle skew guard, value-gated (sizes recomputed over
+        the capped universe)."""
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 150)
+        return _longify(dedup.jaccard_pairs(
+            corpus, threshold=0.8, max_df=20))
+    q["dedup_jaccard_capped"] = dedup_jaccard_capped
 
     def dedup_minhash_lsh(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
@@ -1354,6 +1390,31 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
     _p = 2147483647
     hs_expr = ("list_transform(sh, s -> CAST(concat('0x', "
                "substr(md5(s), 1, 15)) AS BIGINT) % " + str(_p) + ")")
+    _JACCARD_CAPPED = """
+e0 AS (SELECT id, unnest(sh) AS shingle FROM t),
+hot AS (SELECT shingle FROM (
+          SELECT shingle, count(*) AS df FROM e0 GROUP BY 1)
+        WHERE df > 20),
+e AS (SELECT * FROM e0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.id = inter.id_a
+  JOIN sz sb ON sb.id = inter.id_b)
+"""
+    o["dedup_jaccard_capped"] = f"""
+WITH {_near_corpus},
+t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+{_JACCARD_CAPPED}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
     sig_expr = (
         "[list_min([(((2654435761 * (i + 1)) % {p}) * h "
         "+ (40503 * (i + 1) + 17) % {p}) % {p} for h in hv]) "
@@ -1460,12 +1521,14 @@ SELECT query_id, item_id, cos_sim, rank FROM (
     o["sim_lsh_topk"] = f"""
 WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-itb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM it),
-qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM itb WHERE vec_id < 10),
+itb AS ({_banded_cte('it', 'vec_id')}),
+qs AS (SELECT id AS query_id, v AS qv, band, bucket
+       FROM itb WHERE id < 10),
 scored AS (
-  SELECT query_id, i.vec_id AS item_id, {_cos_sql('v', 'qv')} AS cos_sim
-  FROM itb i JOIN qs ON i.bucket = qs.bucket
-  WHERE i.vec_id <> qs.query_id)
+  SELECT DISTINCT query_id, i.id AS item_id,
+         {_cos_sql('i.v', 'qv')} AS cos_sim
+  FROM itb i JOIN qs ON i.band = qs.band AND i.bucket = qs.bucket
+  WHERE i.id <> qs.query_id)
 SELECT query_id, item_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, item_id) AS rank
@@ -1484,11 +1547,12 @@ GROUP BY label, g.i
     o["sim_embedding_neardup"] = f"""
 WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-itb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM it),
+itb AS ({_banded_cte('it', 'vec_id')}),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT a.id AS id_a, b.id AS id_b,
          {_cos_sql('a.v', 'b.v')} AS cos_sim
-  FROM itb a JOIN itb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM itb a JOIN itb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
 SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 """
 

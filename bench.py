@@ -29,6 +29,8 @@ HEADLINE = [
     "kg_edges",
     "kg_citations_by_target",
     "kg_closure",
+    "kg_structure_tree",
+    "fulltext_search_docs",
     "q1_pricing",
     "q5_local_supplier",
     "topk_orders",

@@ -71,18 +71,39 @@ def shingle_rows(docs: DataFrame, text_col: str = "text",
         F.explode(shingles(F.col(text_col), n)).alias("shingle"))
 
 
+def df_cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles occurring in more than ``max_df`` documents —
+    the hot-key guard for the shingle equi-join on open-domain text
+    (boilerplate shingles appear in millions of pages and would make
+    the within-bucket join quadratic in the corpus).
+
+    The hot list is tiny by construction (only ultra-common
+    shingles), so it broadcasts and the cap is a map-side anti-join —
+    no extra shuffle on the big side.  shingle_rows is distinct per
+    (id, shingle), so count(*) per shingle IS document frequency."""
+    hot = (sh.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df)
+           .select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_df: int | None = None) -> DataFrame:
     """All id pairs (a < b) with shingle-Jaccard ≥ threshold.
 
     |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|. The join key
     is the shingle itself — frequent shingles are the skew point, so
-    callers on open-domain text should pre-filter ultra-common
-    shingles (document-frequency cap) — see lsh_candidate_pairs for
-    the scalable variant.
+    on open-domain text pass ``max_df`` to pre-drop ultra-common
+    shingles (sizes are recomputed post-cap, so the jaccard stays a
+    true set similarity over the capped universe); see
+    lsh_candidate_pairs for the banded variant.
     """
     sh = shingle_rows(docs, text_col, id_col, n)
+    if max_df is not None:
+        sh = df_cap_shingles(sh, max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from ferenda_spark.functions.text import normalize_space_col
 
+#: link_labels collects the entity dim to the driver for the difflib
+#: pass — cap it at a comfortably-broadcastable size.
+_MAX_ENTITY_DIM = 1_000_000
+
 
 def link_labels(mentions: DataFrame, entities: DataFrame,
                 label_col: str = "label",
@@ -45,8 +49,16 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
     misses = exact.filter(F.col("entity_uri").isNull()).drop(
         "entity_uri", "_elabel")
 
-    # Fuzzy phase over DISTINCT miss labels only.
-    ent_rows = ent.distinct().collect()
+    # Fuzzy phase over DISTINCT miss labels only. The entity dim is
+    # contract-bound to broadcast size (ferenda's commondata files are
+    # a few thousand resources); enforce it so a misuse with a huge
+    # dim fails loudly instead of OOMing the driver.
+    ent_rows = ent.distinct().limit(_MAX_ENTITY_DIM + 1).collect()
+    if len(ent_rows) > _MAX_ENTITY_DIM:
+        raise ValueError(
+            f"link_labels: entity dimension exceeds the broadcast "
+            f"contract ({_MAX_ENTITY_DIM} distinct rows); partition "
+            f"the entity set or use a join-based linker instead")
     labels = sorted({r["_elabel"] for r in ent_rows})
     uri_by_label = {r["_elabel"]: r["entity_uri"] for r in ent_rows}
 

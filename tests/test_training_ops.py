@@ -99,6 +99,68 @@ def test_lsh_bucket_deterministic(spark):
     assert all(0 <= v < 16 for v in b1.values())
 
 
+def test_band_buckets_udf_matches_column(spark):
+    """The Arrow-matmul hot path and the declarative Column form of
+    banded LSH bucketing must agree bit-for-bit (both operate on
+    milli-unit-quantized integer components, so there is no
+    float-summation-order ambiguity)."""
+    rows = [Row(vec_id=i,
+                embedding=[(((i * 13 + j * 7) % 17) - 8) / 5.0
+                           for j in range(16)])
+            for i in range(50)]
+    emb = spark.createDataFrame(rows)
+    col_form = {r["vec_id"]: list(r["b"]) for r in emb.select(
+        "vec_id", similarity.lsh_band_buckets(
+            F.col("embedding"), 16, bands=3, planes_per_band=4)
+        .alias("b")).collect()}
+    udf_form = {r["vec_id"]: list(r["b"]) for r in emb.select(
+        "vec_id", similarity.band_bucket_udf(16, bands=3, planes_per_band=4)(
+            F.col("embedding")).alias("b")).collect()}
+    assert col_form == udf_form
+    assert all(len(v) == 3 and all(0 <= x < 16 for x in v)
+               for v in col_form.values())
+
+
+def test_banded_lsh_recall_vs_brute(spark):
+    """Banded multi-probe LSH near-dup must recover most true
+    cos≥0.95 pairs (recall vs the exact all-pairs baseline) and
+    never emit a pair below the threshold."""
+    import numpy as np
+    dim = 16
+    vecs = {}
+    vid = 0
+    for c in range(8):  # 8 clusters × 3 near-identical members
+        base = np.array([((c * 31 + j * 11 + 3) % 13) - 6.0
+                         for j in range(dim)])
+        for k in range(3):
+            v = base.copy()
+            v[(c + k) % dim] += 0.05 * k
+            vecs[vid] = v
+            vid += 1
+    truth = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                va, vb = vecs[a], vecs[b]
+                cos = va.dot(vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+                if cos >= 0.95:
+                    truth.add((a, b))
+    assert len(truth) >= 8  # fixture produces real near-dup pairs
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in vecs.items()])
+    found = {(r["id_a"], r["id_b"])
+             for r in similarity.embedding_near_dup_pairs(
+                 emb, dim, threshold=0.95,
+                 bands=4, planes_per_band=4).collect()}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.75
+    for a, b in found:  # precision: nothing below threshold
+        va, vb = vecs[a], vecs[b]
+        cos = va.dot(vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.9499
+
+
 def test_textstats(docs):
     stats = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
     assert stats[1]["n_tokens"] == 9
