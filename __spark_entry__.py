@@ -829,6 +829,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mint(d, templates, BASE).select("doc_id", "uri")
     q["mint_documents"] = mint_documents
 
+    def patch_documents(spark, sf):
+        """G10: per-document unified-diff patches (reference
+        patch_if_needed) — applied patch upcases line 2; a bogus-
+        context patch must flag 'conflict' and keep the text."""
+        from ferenda_spark.operators import patch as patch_op
+        d = _docs(spark, sf)
+        words = F.split(F.col("text"), " ")
+        l1 = F.array_join(F.slice(words, 1, 10), " ")
+        l2 = F.array_join(F.slice(words, 11, 10), " ")
+        l3 = F.array_join(F.slice(words, 21, 1000000), " ")
+        base = d.select("doc_id",
+                        F.concat_ws("\n", l1, l2, l3).alias("text"),
+                        l1.alias("_l1"), l2.alias("_l2"), l3.alias("_l3"))
+        good = base.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("@@ -1,3 +1,3 @@ normalize line2"),
+                F.concat(F.lit(" "), F.col("_l1")),
+                F.concat(F.lit("-"), F.col("_l2")),
+                F.concat(F.lit("+"), F.upper(F.col("_l2"))),
+                F.concat(F.lit(" "), F.col("_l3"))).alias("patch"))
+        bad = base.filter(F.col("doc_id") % 5 == 3).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("@@ -1,2 +1,2 @@ bogus"),
+                F.lit(" THIS CONTEXT DOES NOT EXIST"),
+                F.lit("-NOR THIS"),
+                F.lit("+REPLACEMENT")).alias("patch"))
+        out = patch_op.apply_patches(base.select("doc_id", "text"),
+                                     good.unionByName(bad))
+        return out.select("doc_id", "patched_text",
+                          "patch_status", "patch_desc")
+    q["patch_documents"] = patch_documents
+
     def sim_topk_cosine(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id") < 10).select(
@@ -842,6 +878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding")
         return _longify(similarity.lsh_topk(emb, qs, dim=64, k=5))
     q["sim_lsh_topk"] = sim_lsh_topk
+
+    def sim_ivf_topk(spark, sf):
+        """IVF-list ANN: 8 seed-sampled centroid lists, nprobe=2."""
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return _longify(similarity.ivf_topk(
+            emb, qs, dim=64, k=5, n_centroids=8, nprobe=2))
+    q["sim_ivf_topk"] = sim_ivf_topk
 
     def sim_label_centroids(spark, sf):
         emb = load_table(spark, sf, "embeddings")
@@ -1505,6 +1550,24 @@ SELECT doc_id,
 FROM documents
 """
 
+    o["patch_documents"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l AS (SELECT doc_id,
+        coalesce(array_to_string(ws[1:10], ' '), '') AS l1,
+        coalesce(array_to_string(ws[11:20], ' '), '') AS l2,
+        coalesce(array_to_string(ws[21:], ' '), '') AS l3
+      FROM w)
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0
+       THEN l1 || chr(10) || upper(l2) || chr(10) || l3
+       ELSE l1 || chr(10) || l2 || chr(10) || l3 END AS patched_text,
+  CASE WHEN doc_id % 5 = 0 THEN 'applied'
+       WHEN doc_id % 5 = 3 THEN 'conflict' END AS patch_status,
+  CASE WHEN doc_id % 5 = 0 THEN 'normalize line2'
+       WHEN doc_id % 5 = 3 THEN 'bogus' END AS patch_desc
+FROM l
+"""
+
     o["sim_topk_cosine"] = f"""
 WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
@@ -1529,6 +1592,39 @@ scored AS (
          {_cos_sql('i.v', 'qv')} AS cos_sim
   FROM itb i JOIN qs ON i.band = qs.band AND i.bucket = qs.bucket
   WHERE i.id <> qs.query_id)
+SELECT query_id, item_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, item_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+    # IVF: centroids = 8 lowest-id vectors; exact int64 L2 on
+    # milli-quantized components, ties -> lower cid (mirrors the
+    # stable argsort in similarity.ivf_assign_udf)
+    _ivf_d = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+              "[(CAST(floor(i.v[x+1]*1000) AS BIGINT)"
+              " - CAST(floor(c.cv[x+1]*1000) AS BIGINT))"
+              " * (CAST(floor(i.v[x+1]*1000) AS BIGINT)"
+              " - CAST(floor(c.cv[x+1]*1000) AS BIGINT)) "
+              "for x in generate_series(0, 63)]), (a, b) -> a + b)")
+    o["sim_ivf_topk"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM it WHERE vec_id < 8),
+dist AS (SELECT i.vec_id, i.v, c.cid, {_ivf_d} AS d
+         FROM it i CROSS JOIN cent c),
+ranked AS (SELECT vec_id, v, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+           FROM dist),
+il AS (SELECT vec_id AS item_id, v AS iv, cid AS list_id
+       FROM ranked WHERE rn = 1),
+ql AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
+       FROM ranked WHERE rn <= 2 AND vec_id < 10),
+scored AS (
+  SELECT query_id, item_id, {_cos_sql('iv', 'qv')} AS cos_sim
+  FROM il JOIN ql USING (list_id)
+  WHERE item_id <> query_id)
 SELECT query_id, item_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, item_id) AS rank

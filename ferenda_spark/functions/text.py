@@ -129,9 +129,43 @@ def collation_key(locale_name: str = "C"):
             loc.setlocale(loc.LC_COLLATE, locale_name)
             return s.map(lambda x: loc.strxfrm(x) if x is not None else None)
         except loc.Error:
+            if locale_name.startswith("sv"):
+                return s.map(lambda x: swedish_collation_key(x)
+                             if x is not None else None)
             return s.map(lambda x: x.casefold() if x is not None else None)
 
     return pandas_udf(key, "string", PandasUDFType.SCALAR)
+
+
+# Swedish alphabet primary order: a..z then å, ä, ö (SS 63 71 91).
+# Mapped to ASCII '{' '|' '}' (0x7B-0x7D, > 'z' 0x7A) so a plain
+# byte-lexicographic sort of the key realizes the locale order — the
+# table-driven analog of strxfrm("sv_SE.UTF-8"), usable when the
+# runtime image ships no locales (this container) and, unlike
+# strxfrm, reproducible across nodes and engines. Accents that are
+# NOT distinct Swedish letters (é, ü) fold to their base letters at
+# this primary strength, matching sv collation practice.
+_SV_SRC = "åäö"
+_SV_DST = "{|}"
+_SV_FOLD = {"é": "e", "è": "e", "ü": "y", "æ": "|", "ø": "}"}
+
+
+def swedish_collation_key(s: str) -> str:
+    """Pure-Python Swedish primary-strength collation key."""
+    out = s.casefold()
+    for k, v in _SV_FOLD.items():
+        out = out.replace(k, v)
+    return out.translate(str.maketrans(_SV_SRC, _SV_DST))
+
+
+def swedish_collation_key_col(c: Column) -> Column:
+    """Column form of :func:`swedish_collation_key` — pure JVM-side
+    (lower + translate), zero-UDF, so TOC/news sorts stay inside
+    whole-stage codegen at any scale."""
+    out = F.lower(c)
+    for k, v in _SV_FOLD.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return F.translate(out, _SV_SRC, _SV_DST)
 
 
 # -- F6: citation-id normalization family -----------------------------------

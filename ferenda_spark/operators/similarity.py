@@ -180,6 +180,82 @@ def lsh_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .select("query_id", "item_id", "cos_sim", "rank"))
 
 
+def ivf_assign_udf(centroids: list[list[float]], nprobe: int = 1):
+    """Arrow-vectorized IVF coarse-quantizer assignment: pandas UDF
+    vec → array<int> of the ``nprobe`` nearest centroid ids.
+
+    Distances are exact int64 L2 on milli-unit-quantized components
+    (floor(x·1000)), so assignment is order-independent and
+    bit-identical to the SQL oracle's sequential fold.  Ties break to
+    the lower centroid id (numpy stable argsort over centroid-ordered
+    rows ≡ ORDER BY dist, cid).  The centroid matrix is closed over —
+    it is driver-collected and broadcast-sized by contract (C ≪ N)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.floor(np.asarray(centroids, dtype=np.float64) * 1000.0)
+    C = C.astype(np.int64)                                # (C, dim)
+
+    def f(vecs):
+        import pandas as pd
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray(vecs.tolist(), dtype=np.float64)
+        Q = np.floor(M * 1000.0).astype(np.int64)         # (n, dim)
+        # ||q-c||² expanded — all int64, no overflow at milli-scale
+        d = ((Q * Q).sum(axis=1)[:, None]
+             - 2 * (Q @ C.T)
+             + (C * C).sum(axis=1)[None, :])              # (n, C)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    return pandas_udf(f, "array<int>")
+
+
+def ivf_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the list-partitioned
+    ANN path complementing the banded LSH one.
+
+    Coarse quantizer: the ``n_centroids`` lowest-id vectors serve as
+    list centroids (a deterministic seed sample; a production build
+    would Lloyd-refine this driver-side sample before broadcast — the
+    assignment/probe machinery below is identical either way).  Every
+    item is assigned to its single nearest list with one Arrow matmul
+    (no shuffle — the centroid matrix is a closure broadcast); each
+    query probes its ``nprobe`` nearest lists.  Scoring touches only
+    items in probed lists: O(N/C · nprobe) per query instead of O(N),
+    and at scale the items side is hash-partitioned by ``list_id`` so
+    probes are partition-pruned joins."""
+    cents = (items.select(F.col(id_col).alias("cid"),
+                          _as_double(F.col(vec_col)).alias("cv"))
+             .orderBy("cid").limit(n_centroids).collect())
+    cent_vecs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
+    assign1 = ivf_assign_udf(cent_vecs, 1)
+    assign_p = ivf_assign_udf(cent_vecs, nprobe)
+    it = (items.select(F.col(id_col).alias("item_id"),
+                       _as_double(F.col(vec_col)).alias("ivec"))
+          .withColumn("list_id", assign1(F.col("ivec")).getItem(0)))
+    qs = (queries.select(F.col(query_id_col).alias("query_id"),
+                         _as_double(F.col(vec_col)).alias("qvec"))
+          .select("query_id", "qvec",
+                  F.explode(assign_p(F.col("qvec"))).alias("list_id")))
+    # item lists are disjoint and probe lists distinct per query, so a
+    # (query, item) pair is scored at most once — no dedup needed
+    scored = (it.join(F.broadcast(qs), "list_id")
+              .filter(F.col("item_id") != F.col("query_id"))
+              .select("query_id", "item_id",
+                      F.round(cosine(F.col("ivec"), F.col("qvec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cos_sim", "rank"))
+
+
 def label_centroids(items: DataFrame, dim: int, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

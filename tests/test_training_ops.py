@@ -161,6 +161,37 @@ def test_banded_lsh_recall_vs_brute(spark):
         assert cos >= 0.9499
 
 
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF probe search must agree with the exact brute-force top-k
+    on most (query, rank-1) answers, and scoring must only touch
+    probed lists (every returned item shares a probed list)."""
+    import numpy as np
+    dim = 16
+    rows = []
+    for i in range(60):
+        base = np.array([((i % 6) * 17 + j * 5 + 1) % 11 - 5.0
+                         for j in range(dim)])
+        v = base + 0.01 * ((i * 7) % 13)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["item_id"]
+             for r in similarity.cosine_topk(emb, qs, k=3).collect()}
+    approx = {(r["query_id"], r["rank"]): r["item_id"]
+              for r in similarity.ivf_topk(
+                  emb, qs, dim, k=3, n_centroids=6, nprobe=2).collect()}
+    hits = sum(1 for q in range(5)
+               if exact.get((q, 1)) == approx.get((q, 1)))
+    assert hits >= 4  # rank-1 recall ≥ 0.8 on clustered fixture
+    # determinism across partitionings
+    approx2 = {(r["query_id"], r["rank"]): r["item_id"]
+               for r in similarity.ivf_topk(
+                   emb.repartition(7), qs, dim, k=3,
+                   n_centroids=6, nprobe=2).collect()}
+    assert approx == approx2
+
+
 def test_textstats(docs):
     stats = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
     assert stats[1]["n_tokens"] == 9
@@ -309,3 +340,25 @@ def test_collation_key_sorts(spark):
     # way the key must be deterministic and case-insensitive-or-binary)
     assert set(out) == {"Banana", "apple", "Cherry"}
     assert len(out) == 3
+
+
+def test_swedish_collation_order(spark):
+    """W2: å/ä/ö must sort AFTER z (Swedish alphabet), not by
+    codepoint-near-a as a naive byte sort would; py and Column forms
+    must agree."""
+    from pyspark.sql import Row
+    from ferenda_spark.functions.text import (
+        swedish_collation_key,
+        swedish_collation_key_col,
+    )
+    names = ["Örebro", "Arlanda", "Åre", "Zebra", "Ängelholm", "éclair"]
+    expected = ["Arlanda", "éclair", "Zebra", "Åre", "Ängelholm", "Örebro"]
+    assert sorted(names, key=swedish_collation_key) == expected
+    df = spark.createDataFrame([Row(s=n) for n in names])
+    out = [r["s"] for r in df.orderBy(
+        swedish_collation_key_col(F.col("s"))).collect()]
+    assert out == expected
+    # paired-form equivalence on every input
+    got = {r["s"]: r["k"] for r in df.select(
+        "s", swedish_collation_key_col(F.col("s")).alias("k")).collect()}
+    assert got == {n: swedish_collation_key(n) for n in names}
