@@ -915,6 +915,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(textstats.fingerprint(_docs(spark, sf)))
     q["text_fingerprint"] = text_fingerprint
 
+    def text_repetition(spark, sf):
+        """Gopher-style repetition quality signals (row-local Arrow
+        UDF; oracle recomputes via explode+window in SQL)."""
+        return _longify(textstats.repetition_signals(_docs(spark, sf)))
+    q["text_repetition"] = text_repetition
+
+    def url_canonical_dedup(spark, sf):
+        """Canonical-URL dedup: five messy variants per page (case,
+        default port, trailing slash, param order, fragment) must
+        collapse to ONE canonical key; the oracle states the expected
+        canonical form independently."""
+        from ferenda_spark.functions.web import canonical_url_col
+        d = _docs(spark, sf)
+        k = (F.col("doc_id") % 100).cast("string")
+        m = F.floor(F.col("doc_id") / 100) % 5
+        messy = (
+            F.when(m == 0, F.concat(
+                F.lit("http://example.com/p/"), k, F.lit("?a=1&b=2")))
+            .when(m == 1, F.concat(
+                F.lit("HTTP://EXAMPLE.COM/p/"), k, F.lit("?a=1&b=2")))
+            .when(m == 2, F.concat(
+                F.lit("http://example.com:80/p/"), k, F.lit("?a=1&b=2")))
+            .when(m == 3, F.concat(
+                F.lit("http://example.com/p/"), k, F.lit("/?b=2&a=1")))
+            .otherwise(F.concat(
+                F.lit("http://example.com/p/"), k,
+                F.lit("?a=1&b=2#sec-3"))))
+        return _longify(
+            d.select(canonical_url_col(messy).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants")))
+    q["url_canonical_dedup"] = url_canonical_dedup
+
     def media_meta(spark, sf):
         media = multimodal.attach_media(_docs(spark, sf))
         return _longify(multimodal.media_metadata(media, fake=True))
@@ -1710,6 +1743,33 @@ h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
 k AS (SELECT doc_id, {keys},
              h_en, h_es, h_fr, h_de, h_zh FROM h)
 SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
+"""
+
+    o["text_repetition"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+unis AS (SELECT doc_id, max(c) AS mc, sum(c) AS n, count(*) AS nd
+         FROM uni GROUP BY 1),
+bg AS (SELECT doc_id,
+              [ws[i] || ' ' || ws[i+1]
+               for i in generate_series(1, len(ws) - 1)] AS bgs
+       FROM w),
+bgc AS (SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS b FROM bg) GROUP BY 1, 2),
+bgt AS (SELECT doc_id, max(c) AS mbc, sum(c) AS nb FROM bgc GROUP BY 1)
+SELECT u.doc_id,
+       round(u.mc / u.n, 6) AS top_unigram_frac,
+       coalesce(round(b.mbc / b.nb, 6), 0.0) AS top_bigram_frac,
+       round(u.nd / u.n, 6) AS distinct_frac
+FROM unis u LEFT JOIN bgt b USING (doc_id)
+"""
+
+    o["url_canonical_dedup"] = """
+SELECT 'http://example.com/p/' || (doc_id % 100) || '?a=1&b=2'
+           AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM documents GROUP BY 1
 """
 
     o["text_fingerprint"] = f"""

@@ -38,8 +38,10 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "patch_documents",
     "sim_topk_cosine",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "text_token_stats",
     "text_langid",
     "media_meta",

@@ -126,3 +126,46 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         rolling.alias("rolling_fp"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    fraction of tokens that are the single most frequent token, the
+    fraction of bigrams that are the most frequent bigram, and the
+    distinct-token fraction (high repetition → low-quality page).
+
+    One Arrow-batched pandas UDF per row — deliberately NOT the
+    explode→groupBy(doc, gram) formulation: that costs two shuffles
+    keyed by document at 100 TB, while the per-row mode needs no
+    cross-row data at all.  The UDF is the cheap path here because
+    the aggregation is row-local (contrast with langid/quality above,
+    which stay pure-Column because they need no per-row mode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<top_unigram_frac:double,"
+                "top_bigram_frac:double,distinct_frac:double>")
+    def sig(texts):
+        import pandas as pd
+        from collections import Counter
+
+        def one(t):
+            toks = [w for w in (t or "").split(" ") if w]
+            n = len(toks)
+            if n == 0:
+                return (0.0, 0.0, 0.0)
+            uni = Counter(toks)
+            bigs = Counter(zip(toks, toks[1:]))
+            nb = n - 1
+            return (round(max(uni.values()) / n, 6),
+                    round(max(bigs.values()) / nb, 6) if nb > 0 else 0.0,
+                    round(len(uni) / n, 6))
+
+        vals = [one(t) for t in texts]
+        return pd.DataFrame(vals, columns=[
+            "top_unigram_frac", "top_bigram_frac", "distinct_frac"])
+
+    return docs.select(
+        id_col, sig(F.col(text_col)).alias("s")
+    ).select(id_col, "s.top_unigram_frac", "s.top_bigram_frac",
+             "s.distinct_frac")

@@ -82,3 +82,49 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-split on arrival,
+    watermark-timeout close, and agreement with batch session
+    boundaries."""
+    from ferenda_spark.streaming.state import stateful_sessions
+
+    src = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1).write.mode("append").parquet(src)
+
+    t0 = 1704067200  # 2024-01-01 00:00 UTC
+    drop([(1, _ts(t0)), (1, _ts(t0 + 600)), (2, _ts(t0))], "f1")
+    # u1's 2nd session starts 2h later (closes session 1 via gap);
+    # flusher user 99 pushes the watermark forward
+    drop([(1, _ts(t0 + 7200)), (99, _ts(t0 + 50000))], "f2")
+    # final flush advances the watermark past every open session
+    drop([(99, _ts(t0 + 90000))], "f3")
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    out = stateful_sessions(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sessions_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_start"].timestamp(),
+            r["session_end"].timestamp(), r["n_events"])
+           for r in spark.sql(
+               "SELECT * FROM sessions_out WHERE user_id < 90").collect()}
+    assert (1, t0, t0 + 600, 2) in got          # u1 session 1 (gap-closed)
+    assert (2, t0, t0, 1) in got                # u2 (timeout-closed)
+    assert (1, t0 + 7200, t0 + 7200, 1) in got  # u1 session 2 (timeout)
+    assert len(got) == 3
+
+
+def _ts(epoch):
+    import datetime
+    return datetime.datetime.fromtimestamp(
+        epoch, datetime.timezone.utc).replace(tzinfo=None)

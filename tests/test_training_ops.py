@@ -161,6 +161,48 @@ def test_banded_lsh_recall_vs_brute(spark):
         assert cos >= 0.9499
 
 
+def test_canonical_url_forms_agree(spark):
+    """py and Column canonicalizers must agree, and both must
+    collapse the classic crawl variants to one key."""
+    from ferenda_spark.functions.web import canonical_url, canonical_url_col
+    urls = [
+        "http://example.com/p/7?a=1&b=2",
+        "HTTP://EXAMPLE.COM/p/7?a=1&b=2",
+        "http://example.com:80/p/7?a=1&b=2",
+        "http://example.com/p/7/?b=2&a=1",
+        "http://example.com/p/7?a=1&b=2#sec-3",
+        "https://Secure.Example.com:443/x",
+        "https://secure.example.com/x/",
+        "not a url at all",
+        "http://h.io",
+    ]
+    py = [canonical_url(u) for u in urls]
+    assert len(set(py[:5])) == 1  # five variants → one key
+    assert py[0] == "http://example.com/p/7?a=1&b=2"
+    assert py[5] == py[6] == "https://secure.example.com/x"
+    assert py[7] == "not a url at all"  # non-URLs pass through
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    col = [r["c"] for r in df.select(
+        canonical_url_col(F.col("u")).alias("c")).collect()]
+    assert col == py
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spam spam spam spam"),
+        Row(doc_id=2, text="all words here are unique tokens"),
+        Row(doc_id=3, text="one"),
+    ])
+    from ferenda_spark.operators import textstats as ts
+    out = {r["doc_id"]: r for r in ts.repetition_signals(docs).collect()}
+    assert out[1]["top_unigram_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["distinct_frac"] == 0.25
+    assert out[2]["top_unigram_frac"] == round(1 / 6, 6)
+    assert out[2]["distinct_frac"] == 1.0
+    assert out[3]["top_bigram_frac"] == 0.0  # no bigrams in 1 token
+
+
 def test_ivf_topk_recall_vs_brute(spark):
     """IVF probe search must agree with the exact brute-force top-k
     on most (query, rank-1) answers, and scoring must only touch
