@@ -915,6 +915,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(textstats.fingerprint(_docs(spark, sf)))
     q["text_fingerprint"] = text_fingerprint
 
+    def fragments_udtf(spark, sf):
+        """§2.11 UDTF surface: LATERAL word-chunk expansion."""
+        from ferenda_spark.functions import tablefns
+        tablefns.register(spark)
+        _docs(spark, sf).createOrReplaceTempView("docs_udtf_in")
+        return _longify(spark.sql(
+            "SELECT doc_id, f.frag_no, f.fragment "
+            "FROM docs_udtf_in, LATERAL chunk_words(text, 10) AS f"))
+    q["fragments_udtf"] = fragments_udtf
+
     def text_repetition(spark, sf):
         """Gopher-style repetition quality signals (row-local Arrow
         UDF; oracle recomputes via explode+window in SQL)."""
@@ -1743,6 +1753,19 @@ h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
 k AS (SELECT doc_id, {keys},
              h_en, h_es, h_fr, h_de, h_zh FROM h)
 SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
+"""
+
+    o["fragments_udtf"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id,
+             [array_to_string(ws[i*10+1 : i*10+10], ' ')
+              for i in generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1)]
+                 AS chunks
+      FROM w)
+SELECT doc_id,
+       CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS frag_no,
+       unnest(chunks) AS fragment
+FROM c
 """
 
     o["text_repetition"] = """

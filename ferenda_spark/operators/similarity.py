@@ -235,9 +235,13 @@ def ivf_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     cent_vecs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
     assign1 = ivf_assign_udf(cent_vecs, 1)
     assign_p = ivf_assign_udf(cent_vecs, nprobe)
+    # explode-of-1 rather than getItem(0): getItem on a UDF column
+    # re-evaluates the UDF per projection; the generator path runs it
+    # exactly once per row
     it = (items.select(F.col(id_col).alias("item_id"),
                        _as_double(F.col(vec_col)).alias("ivec"))
-          .withColumn("list_id", assign1(F.col("ivec")).getItem(0)))
+          .select("item_id", "ivec",
+                  F.explode(assign1(F.col("ivec"))).alias("list_id")))
     qs = (queries.select(F.col(query_id_col).alias("query_id"),
                          _as_double(F.col(vec_col)).alias("qvec"))
           .select("query_id", "qvec",

@@ -404,3 +404,23 @@ def test_swedish_collation_order(spark):
     got = {r["s"]: r["k"] for r in df.select(
         "s", swedish_collation_key_col(F.col("s")).alias("k")).collect()}
     assert got == {n: swedish_collation_key(n) for n in names}
+
+
+def test_chunk_words_udtf_matches_column(spark):
+    """§2.11: the Python UDTF and the JVM Column form of word
+    chunking must produce identical row sets."""
+    from ferenda_spark.functions import tablefns
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h i j k l m"),
+        Row(doc_id=2, text="one two three"),
+    ])
+    tablefns.register(spark)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = {tuple(r) for r in spark.sql(
+        "SELECT doc_id, f.frag_no, f.fragment "
+        "FROM udtf_docs, LATERAL chunk_words(text, 5) AS f").collect()}
+    via_col = {tuple(r) for r in
+               tablefns.chunk_words_col(docs, 5).collect()}
+    assert via_udtf == via_col
+    assert (1, 2, "k l m") in via_udtf
+    assert (2, 0, "one two three") in via_udtf
