@@ -915,6 +915,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(textstats.fingerprint(_docs(spark, sf)))
     q["text_fingerprint"] = text_fingerprint
 
+    def _boxes(spark, sf):
+        """Deterministic synthetic PDF-textbox table (the decode step
+        is a declared codec stub — operators/boxes.py docstring);
+        mirrored by _BOXES_SQL in the oracles."""
+        d = _docs(spark, sf).select("doc_id")
+        b = d.select("doc_id", F.explode(
+            F.sequence(F.lit(0), F.lit(19))).alias("i"))
+        i = F.col("i")
+        left = (F.when(i % 5 == 4, 320 + i)
+                .when(i % 7 == 0, 60 + i)
+                .otherwise(F.lit(100)))
+        top = F.when(i == 0, F.lit(10)).otherwise(80 + (i * 37) % 600)
+        size = (F.when(i % 10 == 1, 16)
+                .when((i % 10 == 2) & (F.col("doc_id") % 2 == 0), 12)
+                .when(i % 15 == 3, 5)
+                .otherwise(F.lit(10)))
+        fam = (F.when(i % 10 == 1, F.lit("Serif-Bold"))
+               .when((i % 10 == 2) & (F.col("doc_id") % 2 == 0),
+                     F.lit("Serif-Italic"))
+               .otherwise(F.lit("Serif")))
+        return b.select(
+            "doc_id", (i % 4).alias("page_no"),
+            F.lit(600).alias("page_width"),
+            F.lit(800).alias("page_height"),
+            left.alias("left"), (left + 380).alias("right"),
+            top.alias("top"), (top + 12).alias("bottom"),
+            fam.alias("font_family"), size.alias("font_size"),
+            F.when(i == 0, 2).otherwise(40 + (i * 13) % 40)
+            .alias("n_chars"))
+
+    def pdf_margin_metrics(spark, sf):
+        """A9: char-weighted margin modes + significance-threshold
+        header/footer zones over the textbox table."""
+        from ferenda_spark.operators import boxes as boxes_op
+        return _longify(boxes_op.margin_metrics(_boxes(spark, sf)))
+    q["pdf_margin_metrics"] = pdf_margin_metrics
+
+    def pdf_style_metrics(spark, sf):
+        """A8: style hierarchy (default/h1..h3/footnoteref) by
+        char-weighted font usage."""
+        from ferenda_spark.operators import boxes as boxes_op
+        return _longify(boxes_op.style_metrics(_boxes(spark, sf)))
+    q["pdf_style_metrics"] = pdf_style_metrics
+
     def fragments_udtf(spark, sf):
         """§2.11 UDTF surface: LATERAL word-chunk expansion."""
         from ferenda_spark.functions import tablefns
@@ -1753,6 +1797,99 @@ h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
 k AS (SELECT doc_id, {keys},
              h_en, h_es, h_fr, h_de, h_zh FROM h)
 SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
+"""
+
+    _BOXES_SQL = """
+b AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 5 = 4 THEN 320 + i
+              WHEN i % 7 = 0 THEN 60 + i
+              ELSE 100 END AS lft,
+         CASE WHEN i % 5 = 4 THEN 320 + i
+              WHEN i % 7 = 0 THEN 60 + i
+              ELSE 100 END + 380 AS rgt,
+         CASE WHEN i = 0 THEN 10 ELSE 80 + (i * 37) % 600 END AS tp,
+         CASE WHEN i = 0 THEN 10 ELSE 80 + (i * 37) % 600 END + 12 AS bt,
+         CASE WHEN i % 10 = 1 THEN 'Serif-Bold'
+              WHEN i % 10 = 2 AND doc_id % 2 = 0 THEN 'Serif-Italic'
+              ELSE 'Serif' END AS fam,
+         CASE WHEN i % 10 = 1 THEN 16
+              WHEN i % 10 = 2 AND doc_id % 2 = 0 THEN 12
+              WHEN i % 15 = 3 THEN 5
+              ELSE 10 END AS sz,
+         CASE WHEN i = 0 THEN 2 ELSE 40 + (i * 13) % 40 END AS nc
+  FROM (SELECT doc_id, unnest(generate_series(0, 19)) AS i
+        FROM documents))
+"""
+
+    o["pdf_margin_metrics"] = f"""
+WITH {_BOXES_SQL},
+lm AS (SELECT doc_id, lft AS leftmargin FROM (
+  SELECT doc_id, lft,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sum(nc) DESC, lft ASC) AS rn
+  FROM b WHERE lft < 300 GROUP BY doc_id, lft) WHERE rn = 1),
+rm AS (SELECT doc_id, rgt AS rightmargin FROM (
+  SELECT doc_id, rgt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sum(nc) DESC, rgt DESC) AS rn
+  FROM b WHERE rgt > 300 GROUP BY doc_id, rgt) WHERE rn = 1),
+tz AS (SELECT doc_id, min(tp) - 1 AS topmargin FROM (
+  SELECT doc_id, tp,
+         sum(sum(nc)) OVER (PARTITION BY doc_id ORDER BY tp ASC) AS cum,
+         0.002 * sum(sum(nc)) OVER (PARTITION BY doc_id) AS thr
+  FROM b GROUP BY doc_id, tp) WHERE cum > thr GROUP BY doc_id),
+bz AS (SELECT doc_id, max(bt) + 1 AS bottommargin FROM (
+  SELECT doc_id, bt,
+         sum(sum(nc)) OVER (PARTITION BY doc_id ORDER BY bt DESC) AS cum,
+         0.002 * sum(sum(nc)) OVER (PARTITION BY doc_id) AS thr
+  FROM b GROUP BY doc_id, bt) WHERE cum > thr GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(leftmargin AS BIGINT) AS leftmargin,
+       CAST(rightmargin AS BIGINT) AS rightmargin,
+       CAST(topmargin AS BIGINT) AS topmargin,
+       CAST(bottommargin AS BIGINT) AS bottommargin,
+       CAST(600 AS BIGINT) AS pagewidth,
+       CAST(800 AS BIGINT) AS pageheight
+FROM (SELECT DISTINCT doc_id FROM b) d
+LEFT JOIN lm USING (doc_id) LEFT JOIN rm USING (doc_id)
+LEFT JOIN tz USING (doc_id) LEFT JOIN bz USING (doc_id)
+"""
+
+    o["pdf_style_metrics"] = f"""
+WITH {_BOXES_SQL},
+st AS (SELECT doc_id, fam, sz, sum(nc) AS w,
+              CASE WHEN fam LIKE '%Bold%' THEN 2
+                   WHEN fam LIKE '%Italic%' THEN 1
+                   ELSE 0 END AS wt
+       FROM b GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(w) AS tot FROM st GROUP BY 1),
+dflt AS (SELECT doc_id, fam, sz, wt FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY w DESC, sz ASC, fam ASC) AS rn
+  FROM st) WHERE rn = 1),
+j AS (SELECT s.doc_id, s.fam, s.sz, s.w, s.wt,
+             d.fam AS dfam, d.sz AS dsz, d.wt AS dwt, t.tot
+      FROM st s JOIN dflt d USING (doc_id) JOIN tot t USING (doc_id)),
+heads AS (SELECT doc_id, 'h' || rn AS level, fam, sz FROM (
+  SELECT doc_id, fam, sz,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sz DESC, wt DESC, w DESC, fam ASC)
+             AS rn
+  FROM j WHERE w > 0.005 * tot
+          AND (sz > dsz OR (sz = dsz AND wt > dwt))) WHERE rn <= 3),
+fn AS (SELECT doc_id, 'footnoteref' AS level, fam, sz FROM (
+  SELECT doc_id, fam, sz,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sz ASC, wt ASC, fam ASC) AS rn
+  FROM j WHERE w > 0.005 * tot AND fam = dfam AND sz <= dsz / 2)
+  WHERE rn = 1)
+SELECT doc_id, level, font_family, CAST(font_size AS BIGINT) AS font_size
+FROM (
+  SELECT doc_id, 'default' AS level, fam AS font_family, sz AS font_size
+  FROM dflt
+  UNION ALL SELECT doc_id, level, fam, sz FROM heads
+  UNION ALL SELECT doc_id, level, fam, sz FROM fn)
 """
 
     o["fragments_udtf"] = """
