@@ -589,6 +589,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .agg(F.count(F.lit(1)).alias("n")))
     q["kg_resolved_citations"] = kg_resolved_citations
 
+    def crawl_reachable(spark, sf):
+        """S1: distributed crawl scheduler — BFS frontier over the
+        resolved citation link graph from every 25th page, depth ≤ 3;
+        oracle = recursive CTE with min-depth."""
+        from ferenda_spark.operators.crawl import crawl_frontier
+        from ferenda_spark.operators.resolve import resolve_citations
+        e = _kg_edges(spark, sf)
+        pages = _pages(spark, sf).select("url")
+        links = (resolve_citations(e, pages)
+                 .filter(F.col("target_url").isNotNull())
+                 .select(F.regexp_replace("subj", r"#.*$", "")
+                         .alias("src"),
+                         F.col("target_url").alias("dst"))
+                 .distinct())
+        seeds = pages.filter(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 25 == 0)
+        return _longify(crawl_frontier(links, seeds, max_depth=3))
+    q["crawl_reachable"] = crawl_reachable
+
     def kg_inbound_refs(spark, sf):
         from ferenda_spark.operators.resolve import inbound_references
         e = _kg_edges(spark, sf)
@@ -1326,6 +1345,24 @@ WITH {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte}
 SELECT DISTINCT t.target_url AS subj,
        'dcterms:isReferencedBy' AS pred, c.subj AS obj
 FROM c JOIN t ON c.basefile = t.basefile
+"""
+
+    o["crawl_reachable"] = f"""
+WITH RECURSIVE {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte},
+links AS (SELECT DISTINCT regexp_replace(c.subj, '#.*$', '') AS src,
+                 t.target_url AS dst
+          FROM c JOIN t ON c.basefile = t.basefile),
+seeds AS (SELECT 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
+              AS url
+          FROM documents WHERE doc_id % 25 = 0),
+r AS (
+  SELECT url, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT l.dst AS url, r.depth + 1 AS depth
+  FROM r JOIN links l ON l.src = r.url
+  WHERE r.depth < 3
+)
+SELECT url, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY url
 """
 
     o["kg_facet_statistics"] = f"""

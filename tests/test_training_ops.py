@@ -424,3 +424,18 @@ def test_chunk_words_udtf_matches_column(spark):
     assert via_udtf == via_col
     assert (1, 2, "k l m") in via_udtf
     assert (2, 0, "one two three") in via_udtf
+
+
+def test_crawl_frontier_bfs(spark):
+    """S1 scheduler: min-depth BFS with visited anti-join, cycle
+    tolerance, and early stop when a round finds nothing."""
+    from ferenda_spark.operators.crawl import crawl_frontier
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),  # diamond
+         ("d", "a"),                                      # cycle back
+         ("d", "e"), ("x", "y")],                         # y unreachable
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "url string")
+    out = {r["url"]: r["depth"]
+           for r in crawl_frontier(links, seeds, max_depth=5).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
