@@ -530,6 +530,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("feed", "event_id", "rank"))
     q["feedsets_events"] = feedsets_events
 
+    def atom_feeds_events(spark, sf):
+        """S11/A4 tail: Atom XML documents per feed (incl. 'All'),
+        entries newest-first, feed updated = newest entry."""
+        from ferenda_spark.operators import render
+        e = load_table(spark, sf, "events").select(
+            "event_id", "event_type", "ts")
+        top = (analytics.feedsets(
+            e, "event_type", "ts", feed_size=10, tiebreak_col="event_id")
+            .withColumn("title",
+                        F.concat(F.col("event_type"), F.lit(" #"),
+                                 F.col("event_id"))))
+        return render.atom_feeds(top, feed_col="feed",
+                                 id_col="event_id",
+                                 title_col="title", ts_col="ts")
+    q["atom_feeds_events"] = atom_feeds_events
+
     def grouped_agg_value_median(spark, sf):
         """§2.11 GROUPED_AGG pandas UDF surface: per-type median event
         value via an Arrow-batched grouped aggregate."""
@@ -1245,6 +1261,36 @@ ranked AS (
                             ORDER BY ts DESC, event_id) AS rank
   FROM tagged)
 SELECT feed, event_id, rank FROM ranked WHERE rank <= 25
+"""
+
+    o["atom_feeds_events"] = """
+WITH tagged AS (
+  SELECT event_id, event_type, ts, feed
+  FROM events, unnest([event_type, 'All']) AS t(feed)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY feed
+                               ORDER BY ts DESC, event_id) AS rank
+  FROM tagged),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+ent AS (SELECT feed, event_id, ts,
+        '<entry><id>urn:entry:' || event_id || '</id><title>'
+        || replace(replace(replace(event_type || ' #' || event_id,
+                                   '&', '&amp;'), '<', '&lt;'),
+                   '>', '&gt;')
+        || '</title><updated>'
+        || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+        || '</updated></entry>' AS xml
+        FROM top)
+SELECT feed,
+  '<?xml version="1.0" encoding="utf-8"?>'
+  || '<feed xmlns="http://www.w3.org/2005/Atom"><title>'
+  || replace(replace(replace(feed, '&', '&amp;'), '<', '&lt;'),
+             '>', '&gt;')
+  || '</title><updated>' || strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ')
+  || '</updated>'
+  || string_agg(xml, '' ORDER BY ts DESC, event_id)
+  || '</feed>' AS atom_xml
+FROM ent GROUP BY feed
 """
 
     o["grouped_agg_value_median"] = """

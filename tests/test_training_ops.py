@@ -439,3 +439,25 @@ def test_crawl_frontier_bfs(spark):
     out = {r["url"]: r["depth"]
            for r in crawl_frontier(links, seeds, max_depth=5).collect()}
     assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_atom_feeds_render(spark):
+    """S11: entries newest-first, XML-escaped titles, feed updated =
+    newest entry."""
+    import datetime
+    from ferenda_spark.operators import render
+    t = lambda s: datetime.datetime(2024, 1, 1, 12, 0, s)
+    entries = spark.createDataFrame(
+        [Row(feed="f", entry_id=1, title="a & <b>", ts=t(30)),
+         Row(feed="f", entry_id=2, title="plain", ts=t(50)),
+         Row(feed="g", entry_id=3, title="x", ts=t(10))])
+    out = {r["feed"]: r["atom_xml"]
+           for r in render.atom_feeds(entries).collect()}
+    f = out["f"]
+    assert f.startswith('<?xml version="1.0" encoding="utf-8"?><feed')
+    assert "a &amp; &lt;b&gt;" in f and "&" not in f.replace(
+        "&amp;", "").replace("&lt;", "").replace("&gt;", "")
+    assert "<updated>2024-01-01T12:00:50Z</updated>" in f.split(
+        "<entry>")[0]                       # feed updated = newest
+    assert f.index("urn:entry:2") < f.index("urn:entry:1")  # newest first
+    assert out["g"].count("<entry>") == 1
