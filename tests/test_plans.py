@@ -76,3 +76,48 @@ def test_salted_resolve_equals_plain(spark):
         t[2] for t in plain if t[2] is not None}
     pages.unpersist()
     edges.unpersist()
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Row-local Arrow UDF must not introduce an exchange."""
+    from ferenda_spark.operators import textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_canonical_url_dedup_single_exchange(spark):
+    """Canonical key computed in the scan stage; the groupBy is the
+    only shuffle, with map-side partial aggregation."""
+    from ferenda_spark.functions.web import canonical_url_col
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = (docs.select(canonical_url_col(
+        F.concat(F.lit("http://h/x/"), F.col("doc_id"))).alias("c"))
+        .groupBy("c").count())
+    plan = _plan(q)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_patch_store_broadcasts(spark):
+    """The patch dimension must broadcast — never shuffle the corpus
+    to meet its patches."""
+    from ferenda_spark.operators.patch import apply_patches
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    patches = spark.createDataFrame(
+        [Row(doc_id=1, patch="@@ -1,1 +1,1 @@\n-x\n+y")])
+    plan = _plan(apply_patches(docs, patches))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_queries_broadcast(spark):
+    """IVF probe side broadcasts; items are never shuffled."""
+    from ferenda_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(ivf_topk(emb, qs, dim=64, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
