@@ -121,3 +121,30 @@ def test_ivf_queries_broadcast(spark):
     plan = _plan(ivf_topk(emb, qs, dim=64, k=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key makes the join
+    exchange-free — the co-located-join technique for repeated joins
+    on the same key at scale (bucket count stands in for the
+    partitioning a production warehouse declares once)."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    for name in ("bkt_a", "bkt_b"):
+        (df.write.mode("overwrite")
+         .option("path", str(tmp_path / name))
+         .bucketBy(8, "k").sortBy("k").saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the fixture tables are tiny enough to auto-broadcast, which
+        # would sidestep the technique under test — force the big-big
+        # join shape bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("bkt_a"), spark.table("bkt_b")
+        plan = _plan(a.join(b, "k"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan      # buckets align — no shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
