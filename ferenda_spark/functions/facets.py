@@ -84,21 +84,26 @@ def faceted_data(edges: DataFrame, facets: list[Facet],
     per-facet ``rdftype`` guards null out values on other types.
     Both guards ride the same single aggregation pass.
     """
-    raw_aggs = [F.max(F.when(F.col("pred") == "rdf:type", F.col("obj")))
-                .alias("_rdftype")]
+    # the type guard keeps the SET of types — RDF subjects are
+    # routinely multi-typed, and max() would test guards against one
+    # arbitrary type (facet_query FILTERs against any matching type)
+    raw_aggs = [F.collect_set(F.when(F.col("pred") == "rdf:type",
+                                     F.col("obj"))).alias("_rdftypes")]
     for f in facets:
         raw_aggs.append(
             F.max(F.when(F.col("pred") == f.pred, F.col("obj")))
             .alias(f"_raw_{f.colname}"))
     wide = edges.groupBy(F.col("subj").alias("uri")).agg(*raw_aggs)
     if types:
-        wide = wide.filter(F.col("_rdftype").isin(*types))
+        wide = wide.filter(F.arrays_overlap(
+            F.col("_rdftypes"), F.array(*[F.lit(t) for t in types])))
     outcols = [F.col("uri")]
     for f in facets:
         sel = SELECTORS[f.selector]
         val = sel(F.col(f"_raw_{f.colname}"))
         if f.rdftype:
-            val = F.when(F.col("_rdftype") == f.rdftype, val)
+            val = F.when(F.array_contains(F.col("_rdftypes"),
+                                          f.rdftype), val)
         outcols.append(val.alias(f.colname))
     return wide.select(*outcols)
 

@@ -44,9 +44,14 @@ def chunk_words_col(docs: DataFrame, size: int,
     use): slice/transform/posexplode, no Python."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     n_chunks = F.ceil(F.size(words) / F.lit(size)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+    # guard n_chunks=0: F.sequence(0, -1) DESCENDS to [0, -1] (the
+    # dedup.shingles trap) — word-less text must yield zero rows,
+    # matching the UDTF
+    chunks = F.when(
+        F.size(words) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
         lambda i: F.array_join(
-            F.slice(words, i * size + 1, size), " "))
+            F.slice(words, i * size + 1, size), " ")))
     return (docs.select(id_col, F.posexplode(chunks)
                         .alias("frag_no", "fragment")))

@@ -253,12 +253,29 @@ THATDOC = Seq(Lit("Section "), Cap("sec", DOTTED),
 
 
 def alias_map(text: Column) -> Column:
-    """Per-document alias → target-number map (one pass)."""
-    return F.map_from_arrays(
-        F.regexp_extract_all(text, F.lit(ALIAS_DEF.pattern),
-                             ALIAS_DEF.group_index("name")),
-        F.regexp_extract_all(text, F.lit(ALIAS_DEF.pattern),
-                             ALIAS_DEF.group_index("num")))
+    """Per-document alias → target-number map (one pass).
+
+    A document may define the same alias several times (boilerplate
+    duplicated by a crawl, or a genuine redefinition); the reference
+    mutates a dict so the LAST definition wins (legalref.py:603-608).
+    ``map_from_arrays`` would instead throw DUPLICATED_MAP_KEY and
+    kill the stage, so duplicates are dropped keeping the last
+    occurrence before the map is built."""
+    names = F.regexp_extract_all(text, F.lit(ALIAS_DEF.pattern),
+                                 ALIAS_DEF.group_index("name"))
+    nums = F.regexp_extract_all(text, F.lit(ALIAS_DEF.pattern),
+                                ALIAS_DEF.group_index("num"))
+    n = F.size(names)
+    idx = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1))
+    entries = F.transform(idx, lambda i: F.struct(
+        i.alias("i"),
+        F.element_at(names, i + 1).alias("k"),
+        F.element_at(nums, i + 1).alias("v")))
+    last = F.filter(entries, lambda e: ~F.exists(
+        entries, lambda o: (o["k"] == e["k"]) & (o["i"] > e["i"])))
+    return F.map_from_entries(F.transform(
+        last, lambda e: F.struct(e["k"], e["v"])))
 
 
 def cite_objs(text: Column, aliases: Column) -> Column:

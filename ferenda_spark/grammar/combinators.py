@@ -160,8 +160,7 @@ class Cap(Production):
         self.part = _lift(part)
 
     def _emit(self, groups):
-        groups.append(self.name)
-        slot = len(groups)  # capture indices are assigned in order
+        groups.append(self.name)  # capture index = position in groups
         inner = self._emit_inner(groups)
         return "(" + inner + ")"
 

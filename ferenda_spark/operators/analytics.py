@@ -76,16 +76,30 @@ def paginate(df: DataFrame, partition_col: str, order_col: str,
 
 def feedsets(entries: DataFrame, facet_col: str, ts_col: str,
              feed_size: int = 25,
-             tiebreak_col: str | None = None) -> DataFrame:
-    """Newest-first entry feeds per facet value PLUS the union "All"
-    feed — the reference's news_feedsets shape (every feedset carries
-    its per-value feeds and one feed over all entries,
+             tiebreak_col: str | None = None,
+             union_feed: str = "All") -> DataFrame:
+    """Newest-first entry feeds per facet value PLUS the union feed —
+    the reference's news_feedsets shape (every feedset carries its
+    per-value feeds and one feed over all entries,
     documentrepository.py:3398-3437 news_select_for_feeds).
 
-    One explode (each entry lands in its facet feed and in "All"),
-    one window per feed — no driver loop over facets."""
-    tagged = entries.withColumn(
-        "feed", F.explode(F.array(F.col(facet_col), F.lit("All"))))
+    One explode (each entry lands in its facet feed and in the union
+    feed), one window per feed — no driver loop over facets.
+
+    Null facet values land only in the union feed (no spurious null
+    feed); a facet value colliding with ``union_feed`` raises, since
+    its per-value feed would silently merge with the union — pick a
+    different ``union_feed`` label in that corpus."""
+    collision = entries.filter(
+        F.col(facet_col) == union_feed).limit(1).count()
+    if collision:
+        raise ValueError(
+            f"feedsets: facet value {union_feed!r} collides with the "
+            f"union feed label; pass union_feed=<other label>")
+    tagged = (entries.withColumn(
+        "feed", F.explode(F.when(
+            F.col(facet_col).isNull(), F.array(F.lit(union_feed))
+        ).otherwise(F.array(F.col(facet_col), F.lit(union_feed))))))
     order = [F.desc(ts_col)]
     if tiebreak_col:
         order.append(F.asc(tiebreak_col))
@@ -186,7 +200,6 @@ def transitive_closure(edges: DataFrame, max_depth: int = 4,
             .persist(StorageLevel.MEMORY_AND_DISK))
     parts = [base]
     frontier = base
-    held = []
     for d in range(2, max_depth + 1):
         nxt = (frontier.alias("f")
                .join(base.alias("b"),
@@ -200,7 +213,6 @@ def transitive_closure(edges: DataFrame, max_depth: int = 4,
             nxt.unpersist()
             break
         parts.append(nxt)
-        held.append(nxt)
         frontier = nxt
     out = parts[0]
     for p in parts[1:]:

@@ -72,8 +72,15 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
 
     Score = Σ over matched (term, field) of tf·boost·idf_milli —
     BIGINT end-to-end. The term filter is an IN-list pushed to the
-    index scan; the idf table is broadcast."""
-    hits = index.filter(F.col("term").isin(*query_terms))
+    index scan; the idf table is broadcast.
+
+    Query terms run through the SAME analyzer as indexing (the
+    reference analyzes queries with the index analyzer,
+    fulltextindex.py query path) — a raw 'Table' must match indexed
+    'table', and a multi-word query string is split like a field."""
+    analyzed = sorted({t for q in query_terms
+                       for t in q.lower().split() if t})
+    hits = index.filter(F.col("term").isin(*analyzed))
     scored = (hits.join(F.broadcast(idf), "term")
               .groupBy("id")
               .agg(F.sum(F.col("tf") * F.col("boost")

@@ -106,7 +106,10 @@ def apply_patch_text(original: str, patch_text: str):
     out = []
     pos = 0  # 0-based cursor into src
     for src_start, src_len, _dst_start, _dst_len, body in hunks:
-        start = src_start - 1
+        # '@@ -N,0 ...' (diff -U0 insertion) means "insert AFTER line
+        # N": the source range is empty and N is the line before the
+        # insertion point, so the 0-based splice index is N, not N-1
+        start = src_start if src_len == 0 else src_start - 1
         if start < pos or start + src_len > len(src):
             return original, "conflict", desc
         out.extend(src[pos:start])

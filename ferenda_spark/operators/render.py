@@ -31,7 +31,22 @@ def escape_xml(c: Column) -> Column:
 
 
 def rfc3339(ts: Column) -> Column:
+    """Format a UTC wall-clock timestamp as RFC3339. The input must
+    already BE UTC wall-clock (TIMESTAMP_NTZ carrying UTC, or an
+    instant pre-converted via ``_as_utc``) — date_format on an
+    unconverted instant would print session-local time labeled 'Z'."""
     return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def _as_utc(entries: DataFrame, ts_col: str) -> Column:
+    """UTC wall-clock column for ``ts_col`` regardless of session
+    timezone: instants (TIMESTAMP) are converted session→UTC;
+    TIMESTAMP_NTZ is UTC wall-clock by the lakehouse convention used
+    throughout (warc_ts, event ts) and passes through."""
+    if dict(entries.dtypes).get(ts_col) == "timestamp":
+        return F.convert_timezone(None, F.lit("UTC"),
+                                  F.col(ts_col).cast("timestamp_ntz"))
+    return F.col(ts_col)
 
 
 def atom_feeds(entries: DataFrame, feed_col: str = "feed",
@@ -40,9 +55,10 @@ def atom_feeds(entries: DataFrame, feed_col: str = "feed",
     """(feed, atom_xml): one Atom document per feed, entries
     newest-first (ties: lower id first), feed ``updated`` = newest
     entry timestamp. Caller bounds entries-per-feed beforehand."""
+    tsu = _as_utc(entries, ts_col)
     # cast covers TIMESTAMP_NTZ inputs (unix_micros wants TIMESTAMP)
     key = F.struct(
-        (-F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("negus"),
+        (-F.unix_micros(tsu.cast("timestamp"))).alias("negus"),
         F.col(id_col).alias("id"))
     item = F.struct(key.alias("k"),
                     F.concat(
@@ -51,11 +67,11 @@ def atom_feeds(entries: DataFrame, feed_col: str = "feed",
                         F.lit("</id><title>"),
                         escape_xml(F.col(title_col)),
                         F.lit("</title><updated>"),
-                        rfc3339(F.col(ts_col)),
+                        rfc3339(tsu),
                         F.lit("</updated></entry>")).alias("xml"))
     agg = entries.groupBy(feed_col).agg(
         F.array_sort(F.collect_list(item)).alias("items"),
-        F.max(F.col(ts_col)).alias("_newest"))
+        F.max(tsu).alias("_newest"))
     body = F.array_join(F.transform(F.col("items"), lambda s: s["xml"]),
                         "")
     xml = F.concat(

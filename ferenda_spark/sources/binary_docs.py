@@ -26,13 +26,16 @@ from pyspark.sql import functions as F
 #: magic-byte prefixes → media type (checked in order; OLE2 covers
 #: legacy .doc, ZIP covers OOXML .docx — refined by extension only as
 #: a ZIP-subtype tiebreak, since OOXML vs plain ZIP needs the inner
-#: [Content_Types].xml at decode time)
+#: [Content_Types].xml at decode time). ``ci`` marks text magics
+#: matched case-insensitively — '<!doctype html>' (the HTML5 form)
+#: and '<HTML>' are as common as the uppercase variants; binary
+#: magics stay byte-exact.
 _MAGIC = [
-    ("%PDF", "application/pdf"),
-    ("\xd0\xcf\x11\xe0", "application/msword"),
-    ("PK\x03\x04", "application/zip"),
-    ("<!DO", "text/html"),
-    ("<htm", "text/html"),
+    ("%PDF", "application/pdf", False),
+    ("\xd0\xcf\x11\xe0", "application/msword", False),
+    ("PK\x03\x04", "application/zip", False),
+    ("<!DO", "text/html", True),
+    ("<htm", "text/html", True),
 ]
 
 
@@ -57,8 +60,12 @@ def sniff_media_type(content, path) -> F.Column:
     (binary column), with extension tiebreak for ZIP containers."""
     head = F.decode(F.substring(content, 1, 4), "ISO-8859-1")
     out = F.lit("application/octet-stream")
-    for prefix, mtype in reversed(_MAGIC):
-        hit = F.substring(head, 1, len(prefix)) == F.lit(prefix)
+    for prefix, mtype, ci in reversed(_MAGIC):
+        probe = F.substring(head, 1, len(prefix))
+        if ci:
+            hit = F.upper(probe) == F.lit(prefix.upper())
+        else:
+            hit = probe == F.lit(prefix)
         if mtype == "application/zip":
             mt = (F.when(F.lower(path).endswith(".docx"),
                          F.lit("application/vnd.openxmlformats-"

@@ -18,6 +18,8 @@ def bin_dir(tmp_path_factory):
     (d / "c.docx").write_bytes(b"PK\x03\x04 zip body")
     (d / "archive.zip").write_bytes(b"PK\x03\x04 zip body")
     (d / "page.html").write_bytes(b"<html><body>x</body></html>")
+    (d / "modern.html").write_bytes(b"<!doctype html><title>t</title>")
+    (d / "shouty.html").write_bytes(b"<HTML><BODY>x</BODY></HTML>")
     (d / "lies.pdf").write_bytes(b"<html>not actually a pdf</html>")
     (d / "mystery.bin").write_bytes(b"\x00\x01\x02\x03")
     return str(d)
@@ -32,6 +34,8 @@ def test_sniff_and_route(spark, bin_dir):
     assert by_name["c.docx"].endswith("wordprocessingml.document")
     assert by_name["archive.zip"] == "application/zip"
     assert by_name["page.html"] == "text/html"
+    assert by_name["modern.html"] == "text/html"   # lowercase doctype
+    assert by_name["shouty.html"] == "text/html"
     assert by_name["lies.pdf"] == "text/html"   # magic beats extension
     assert by_name["mystery.bin"] == "application/octet-stream"
 
@@ -40,10 +44,11 @@ def test_sniff_and_route(spark, bin_dir):
              for k, v in routed.items()}
     assert names["pdf"] == {"a.pdf"}
     assert names["word"] == {"b.doc", "c.docx"}
-    assert names["html"] == {"page.html", "lies.pdf"}
+    assert names["html"] == {"page.html", "lies.pdf", "modern.html",
+                             "shouty.html"}
     assert names["other"] == {"archive.zip", "mystery.bin"}
     # routing is a partition: nothing lost, nothing duplicated
-    assert sum(len(v) for v in names.values()) == 7
+    assert sum(len(v) for v in names.values()) == 9
 
 
 def test_glob_filter(spark, bin_dir):

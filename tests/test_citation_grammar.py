@@ -206,3 +206,18 @@ def test_segment_tree_recursive():
         == [f"{BASE}res/ecj/C-7-2004"]
     # structure preserved: original tree untouched (pure function)
     assert isinstance(tree["children"][0], str)
+
+
+def test_alias_redefinition_last_wins(spark):
+    """Duplicate alias definitions must not kill the stage
+    (map_from_arrays would raise DUPLICATED_MAP_KEY); the last
+    definition wins, mirroring the reference's mutable state dict."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from ferenda_spark.grammar.citations import alias_map
+    df = spark.createDataFrame([Row(
+        t="[TCP] refers to [RFC 1]. [TCP] refers to [RFC 2]. "
+          "[UDP] refers to [RFC 7].")])
+    m = dict(df.select(alias_map(F.col("t")).alias("m"))
+             .collect()[0]["m"])
+    assert m == {"TCP": "2", "UDP": "7"}

@@ -63,14 +63,15 @@ _doc_lines = st.lists(_line, min_size=1, max_size=12)
 
 
 @settings(max_examples=200, deadline=None)
-@given(_doc_lines, _doc_lines)
-def test_patch_roundtrip_difflib(src_lines, dst_lines):
-    """Any unified diff difflib can produce, the applier must replay:
-    apply(src, diff(src, dst)) == dst with status 'applied'."""
+@given(_doc_lines, _doc_lines, st.sampled_from([0, 1, 2]))
+def test_patch_roundtrip_difflib(src_lines, dst_lines, context):
+    """Any unified diff difflib can produce — including zero-context
+    diff -U0 style with pure-insertion '@@ -N,0' hunks — the applier
+    must replay: apply(src, diff(src, dst)) == dst, status 'applied'."""
     src = "\n".join(src_lines)
     dst = "\n".join(dst_lines)
     diff = "\n".join(difflib.unified_diff(
-        src_lines, dst_lines, lineterm="", n=2))
+        src_lines, dst_lines, lineterm="", n=context))
     if not diff:                      # identical inputs → no patch
         return
     patched, status, _ = apply_patch_text(src, diff)

@@ -413,6 +413,8 @@ def test_chunk_words_udtf_matches_column(spark):
     docs = spark.createDataFrame([
         Row(doc_id=1, text="a b c d e f g h i j k l m"),
         Row(doc_id=2, text="one two three"),
+        Row(doc_id=3, text=""),      # word-less → zero rows, both forms
+        Row(doc_id=4, text="   "),
     ])
     tablefns.register(spark)
     docs.createOrReplaceTempView("udtf_docs")
@@ -461,3 +463,23 @@ def test_atom_feeds_render(spark):
         "<entry>")[0]                       # feed updated = newest
     assert f.index("urn:entry:2") < f.index("urn:entry:1")  # newest first
     assert out["g"].count("<entry>") == 1
+
+
+def test_facet_multitype_subject_guard(spark):
+    """A subject with several rdf:types must satisfy a type guard via
+    ANY of them (facet_query FILTER semantics) — not via one
+    arbitrarily-chosen type."""
+    from ferenda_spark.functions.facets import Facet, faceted_data
+    edges = spark.createDataFrame(
+        [("s1", "rdf:type", "bibo:Report"),
+         ("s1", "rdf:type", "bibo:Standard"),   # multi-typed
+         ("s1", "dcterms:title", "alpha"),
+         ("s2", "rdf:type", "bibo:Report"),
+         ("s2", "dcterms:title", "beta"),
+         ("s3", "rdf:type", "bibo:Webpage"),
+         ("s3", "dcterms:title", "gamma")],
+        "subj string, pred string, obj string")
+    out = {r["uri"]: r["title"] for r in faceted_data(
+        edges, [Facet("dcterms:title", rdftype="bibo:Standard")],
+        types=["bibo:Report", "bibo:Standard"]).collect()}
+    assert out == {"s1": "alpha", "s2": None}   # s3 filtered, s2 nulled
