@@ -490,7 +490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (source field boosted 4x over body text)."""
         from ferenda_spark.operators import fulltext as ft
         d = _docs(spark, sf).select("doc_id", "text", "source")
-        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
+        # the index feeds both idf and the search — persist so the
+        # tokenize/explode lineage runs once (the at-scale shape is a
+        # materialized index table bucketed by term)
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1}
+                                ).persist()
         idf = ft.idf_milli(idx, d.count())
         return _longify(ft.fulltext_search(
             idx, idf, ["table", "window", "spark"], k=20))

@@ -117,48 +117,56 @@ def style_metrics(boxes: DataFrame,
     fontsize_key strictly above default's and ≥ ``significance`` of
     the doc's chars, by descending (size, weight); footnoteref =
     significant same-family style at ≤ half the default size
-    (smallest such)."""
-    styles = (boxes.groupBy("doc_id", "font_family", "font_size")
-              .agg(F.sum("n_chars").alias("w"))
-              .withColumn("_wt", _weight(F.col("font_family")))
-              .withColumn("_tot", F.sum("w").over(
-                  Window.partitionBy("doc_id"))))
-    d_win = Window.partitionBy("doc_id").orderBy(
-        F.desc("w"), F.asc("font_size"), F.asc("font_family"))
-    default = (styles.withColumn("_rn", F.row_number().over(d_win))
-               .filter(F.col("_rn") == 1)
-               .select("doc_id",
-                       F.col("font_family").alias("_dfam"),
-                       F.col("font_size").alias("_dsize"),
-                       F.col("_wt").alias("_dwt")))
-    joined = styles.join(default, "doc_id")
+    (smallest such).
+
+    Single-pass plan: everything is window functions over ONE styles
+    frame partitioned by doc — default attrs via ``first`` over the
+    full frame, head/footnote ranks via eligibility-first orderings
+    (eligible rows sort before ineligible, so row_number among
+    eligible = global row_number), levels emitted by one explode.
+    The union-of-three-self-joins formulation costs 3× the scans and
+    ~12 exchanges; this is 2 exchanges (the groupBy, then one doc
+    repartition shared by every window)."""
+    doc = Window.partitionBy("doc_id")
+    d_win = doc.orderBy(F.desc("w"), F.asc("font_size"),
+                        F.asc("font_family"))
+    full = d_win.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    s = (boxes.groupBy("doc_id", "font_family", "font_size")
+         .agg(F.sum("n_chars").alias("w"))
+         .withColumn("_wt", _weight(F.col("font_family")))
+         .withColumn("_tot", F.sum("w").over(doc))
+         .withColumn("_dfam", F.first("font_family").over(full))
+         .withColumn("_dsize", F.first("font_size").over(full))
+         .withColumn("_dwt", F.first("_wt").over(full)))
     sig = F.col("w") > significance * F.col("_tot")
     above = (F.col("font_size") > F.col("_dsize")) | (
         (F.col("font_size") == F.col("_dsize"))
         & (F.col("_wt") > F.col("_dwt")))
-    h_win = Window.partitionBy("doc_id").orderBy(
-        F.desc("font_size"), F.desc("_wt"), F.desc("w"),
+    s = (s.withColumn("_head_ok", sig & above)
+         .withColumn("_fn_ok",
+                     sig & (F.col("font_family") == F.col("_dfam"))
+                     & (F.col("font_size") <= F.col("_dsize") / 2)))
+    head_win = doc.orderBy(
+        F.desc("_head_ok"), F.desc("font_size"), F.desc("_wt"),
+        F.desc("w"), F.asc("font_family"))
+    fn_win = doc.orderBy(
+        F.desc("_fn_ok"), F.asc("font_size"), F.asc("_wt"),
         F.asc("font_family"))
-    heads = (joined.filter(sig & above)
-             .withColumn("_rn", F.row_number().over(h_win))
-             .filter(F.col("_rn") <= 3)
-             .select("doc_id",
-                     F.concat(F.lit("h"), F.col("_rn")).alias("level"),
-                     "font_family", "font_size"))
-    fn_win = Window.partitionBy("doc_id").orderBy(
-        F.asc("font_size"), F.asc("_wt"), F.asc("font_family"))
-    footnote = (joined.filter(
-        sig & (F.col("font_family") == F.col("_dfam"))
-        & (F.col("font_size") <= F.col("_dsize") / 2))
-        .withColumn("_rn", F.row_number().over(fn_win))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", F.lit("footnoteref").alias("level"),
-                "font_family", "font_size"))
-    default_rows = default.select(
-        "doc_id", F.lit("default").alias("level"),
-        F.col("_dfam").alias("font_family"),
-        F.col("_dsize").alias("font_size"))
-    return default_rows.unionByName(heads).unionByName(footnote)
+    s = (s.withColumn("_drn", F.row_number().over(d_win))
+         .withColumn("_hrn", F.row_number().over(head_win))
+         .withColumn("_frn", F.row_number().over(fn_win)))
+    empty = F.array().cast("array<string>")
+    levels = F.concat(
+        F.when(F.col("_drn") == 1,
+               F.array(F.lit("default"))).otherwise(empty),
+        F.when(F.col("_head_ok") & (F.col("_hrn") <= 3),
+               F.array(F.concat(F.lit("h"), F.col("_hrn"))))
+        .otherwise(empty),
+        F.when(F.col("_fn_ok") & (F.col("_frn") == 1),
+               F.array(F.lit("footnoteref"))).otherwise(empty))
+    return s.select("doc_id", F.explode(levels).alias("level"),
+                    "font_family", "font_size")
 
 
 def decode_pdf_boxes(pdfs: DataFrame):
