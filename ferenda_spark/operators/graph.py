@@ -94,6 +94,28 @@ class GraphStore:
         snaps = self._read_manifest(table)
         self._commit(table, snaps[: max(0, len(snaps) - n)])
 
+    def compact(self, table: str, target_partitions: int = 8) -> str:
+        """Iceberg: ``rewrite_data_files`` — rewrite all live
+        snapshots into ONE snapshot of ``target_partitions`` files.
+
+        Incremental runs append one snapshot per micro-batch/stage
+        run; after thousands of runs the table is thousands of small
+        files and every read pays per-file open cost (the classic
+        small-files problem). Compaction reads the current table,
+        rewrites it coalesced, and commits a manifest containing just
+        the new snapshot — readers before the commit see the old
+        manifest (snapshot isolation via the atomic rename), readers
+        after see one snapshot with identical rows.  Resume state is
+        unaffected: pending_pages reads the table contents, not the
+        snapshot layout."""
+        current = self.read(table).coalesce(target_partitions)
+        snap_id = f"compact-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.root, table, snap_id)
+        current.write.mode("overwrite").parquet(path)
+        self._commit(table, [{"id": snap_id, "path": path,
+                              "ts": time.time(), "compacted": True}])
+        return snap_id
+
     def truncate(self, table: str) -> None:
         self._commit(table, [])
 

@@ -63,3 +63,30 @@ def test_resume_after_partial_commit(spark, tmp_path):
     stats = run_pipeline(spark, pages, ents, part_store)
     assert stats["pages"] == N - n_half
     assert _edge_set(part_store) == want
+
+
+def test_compaction_preserves_contents_and_resume(spark, tmp_path):
+    """compact() rewrites N append snapshots into one; table contents
+    are row-identical, the manifest holds a single snapshot, and a
+    rerun after compaction is still a no-op (resume state lives in
+    the rows, not the file layout)."""
+    import glob as _glob
+    ents = entities_df(spark)
+    pages = pages_df(spark, N, partitions=2)
+    store = GraphStore(spark, str(tmp_path / "g"))
+    half = pages.filter(F.md5("url").rlike("^[0-7]"))
+    run_pipeline(spark, half, ents, store)
+    run_pipeline(spark, pages, ents, store)      # 2 append snapshots
+    assert len(store.snapshots("edge")) == 2
+    before = _edge_set(store)
+
+    store.compact("edge", target_partitions=2)
+    snaps = store.snapshots("edge")
+    assert len(snaps) == 1 and snaps[0]["compacted"]
+    assert _edge_set(store) == before
+    files = _glob.glob(str(tmp_path / "g" / "edge" / snaps[0]["id"]
+                           ) + "/*.parquet")
+    assert len(files) <= 2
+
+    stats = run_pipeline(spark, pages, ents, store)
+    assert stats["skipped"] is True              # resume unaffected
