@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "patch_documents",
+    "pdf_style_metrics",
+    "text_repetition",
+    "url_canonical_dedup",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_ivf_topk",
