@@ -492,7 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf).select("doc_id", "text", "source")
         # the index feeds both idf and the search — persist so the
         # tokenize/explode lineage runs once (the at-scale shape is a
-        # materialized index table bucketed by term)
+        # materialized index table bucketed by term). Lifetime: once
+        # the returned plan is unreferenced, ContextCleaner unpersists
+        # the cache on driver GC — no session-long pin.
         idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1}
                                 ).persist()
         idf = ft.idf_milli(idx, d.count())

@@ -69,13 +69,21 @@ class GraphStore:
 
     # -- table ops (each maps to one Iceberg call) --------------------------
 
+    def _write_snapshot(self, df: DataFrame, table: str,
+                        snap_id: str, **extra) -> dict:
+        """Write one snapshot directory and build its manifest entry
+        (shared by append and compact so the on-disk layout cannot
+        fork between them)."""
+        path = os.path.join(self.root, table, snap_id)
+        df.write.mode("overwrite").parquet(path)
+        return {"id": snap_id, "path": path, "ts": time.time(), **extra}
+
     def append(self, df: DataFrame, table: str) -> str:
         """Iceberg: ``df.writeTo(table).append()``."""
         snap_id = f"snap-{len(self._read_manifest(table)):06d}-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(self.root, table, snap_id)
-        df.write.mode("overwrite").parquet(path)
+        entry = self._write_snapshot(df, table, snap_id)
         snaps = self._read_manifest(table)
-        snaps.append({"id": snap_id, "path": path, "ts": time.time()})
+        snaps.append(entry)
         self._commit(table, snaps)
         return snap_id
 
@@ -95,26 +103,60 @@ class GraphStore:
         self._commit(table, snaps[: max(0, len(snaps) - n)])
 
     def compact(self, table: str, target_partitions: int = 8) -> str:
-        """Iceberg: ``rewrite_data_files`` — rewrite all live
-        snapshots into ONE snapshot of ``target_partitions`` files.
+        """Iceberg: ``rewrite_data_files`` — rewrite the snapshots
+        live at start-of-compaction into ONE snapshot of
+        ``target_partitions`` files.
 
         Incremental runs append one snapshot per micro-batch/stage
         run; after thousands of runs the table is thousands of small
         files and every read pays per-file open cost (the classic
-        small-files problem). Compaction reads the current table,
-        rewrites it coalesced, and commits a manifest containing just
-        the new snapshot — readers before the commit see the old
-        manifest (snapshot isolation via the atomic rename), readers
-        after see one snapshot with identical rows.  Resume state is
-        unaffected: pending_pages reads the table contents, not the
-        snapshot layout."""
-        current = self.read(table).coalesce(target_partitions)
+        small-files problem).  The rewrite uses ``repartition`` (a
+        shuffle of data being fully rewritten anyway, like Iceberg's
+        bin-packing rewrite) so the many-small-file read stays fully
+        parallel — ``coalesce`` would fold it into
+        ``target_partitions`` sequential file-opening tasks.
+
+        Concurrency: the rewrite window is long, so the commit
+        validates-and-merges like Iceberg — snapshots appended to the
+        manifest while the rewrite ran are carried over untouched
+        after the compacted entry; only the snapshots that were
+        actually rewritten are dereferenced.  Old snapshot
+        directories stay on disk until :meth:`vacuum` (the
+        expire_snapshots analog) — the manifest swap must not race
+        in-flight readers of the old file set.
+
+        Resume state is unaffected: pending_pages reads table
+        contents, not snapshot layout."""
+        before = self._read_manifest(table)
+        if not before:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        current = (self.spark.read
+                   .parquet(*[s["path"] for s in before])
+                   .repartition(target_partitions))
         snap_id = f"compact-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(self.root, table, snap_id)
-        current.write.mode("overwrite").parquet(path)
-        self._commit(table, [{"id": snap_id, "path": path,
-                              "ts": time.time(), "compacted": True}])
+        entry = self._write_snapshot(current, table, snap_id,
+                                     compacted=True)
+        rewritten = {s["id"] for s in before}
+        now = self._read_manifest(table)
+        concurrent_tail = [s for s in now if s["id"] not in rewritten]
+        self._commit(table, [entry] + concurrent_tail)
         return snap_id
+
+    def vacuum(self, table: str) -> list[str]:
+        """Iceberg: ``expire_snapshots`` — delete snapshot
+        directories no longer referenced by the manifest (after
+        compaction or rollback).  Separate from compact() so callers
+        control the grace period for in-flight readers."""
+        import shutil
+        live = {s["id"] for s in self._read_manifest(table)}
+        tdir = os.path.join(self.root, table)
+        removed = []
+        for name in sorted(os.listdir(tdir)):
+            full = os.path.join(tdir, name)
+            if os.path.isdir(full) and name not in live:
+                shutil.rmtree(full)
+                removed.append(name)
+        return removed
 
     def truncate(self, table: str) -> None:
         self._commit(table, [])

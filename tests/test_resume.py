@@ -88,5 +88,49 @@ def test_compaction_preserves_contents_and_resume(spark, tmp_path):
                            ) + "/*.parquet")
     assert len(files) <= 2
 
+    # old snapshot dirs survive until vacuum (reader grace period),
+    # then are reclaimed without changing table contents
+    edge_dir = tmp_path / "g" / "edge"
+    n_dirs_before = len([p for p in edge_dir.iterdir() if p.is_dir()])
+    assert n_dirs_before == 3                    # 2 old + 1 compacted
+    removed = store.vacuum("edge")
+    assert len(removed) == 2
+    assert _edge_set(store) == before
+
     stats = run_pipeline(spark, pages, ents, store)
     assert stats["skipped"] is True              # resume unaffected
+
+
+def test_compaction_merges_concurrent_append(spark, tmp_path):
+    """A snapshot appended while the rewrite runs must survive the
+    compaction commit (validate-and-merge, not blind replacement)."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    late = spark.createDataFrame([(3, "c")], "k long, v string")
+    store.append(df1, "t")
+    store.append(df2, "t")
+
+    # simulate an append landing mid-rewrite: hook the manifest read
+    # compact() does at start so the 'concurrent' append commits
+    # after compact captured its rewrite set
+    orig = store._read_manifest
+    fired = {"done": False}
+
+    def read_with_concurrent_append(table):
+        snaps = orig(table)
+        if not fired["done"]:
+            fired["done"] = True
+            store.append(late, "t")   # concurrent writer
+        return snaps
+
+    store._read_manifest = read_with_concurrent_append
+    try:
+        store.compact("t", target_partitions=1)
+    finally:
+        store._read_manifest = orig
+
+    snaps = store.snapshots("t")
+    assert snaps[0].get("compacted") and len(snaps) == 2
+    rows = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}  # nothing lost
