@@ -836,6 +836,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, k=8, bands=4, threshold=0.8))
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def curation_survivors(spark, sf):
+        """End-to-end curation chain — the composed workflow a
+        training-data user actually runs: MinHash-LSH near-dup
+        removal (drop the higher id of each ≥0.8 pair) → quality
+        floor → language filter. Every stage is an existing
+        operator; the oracle recomposes the same chain in SQL."""
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 150)
+        pairs = dedup.minhash_dedup_pairs(
+            corpus, k=8, bands=4, threshold=0.8)
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        kept = corpus.join(drop, "doc_id", "left_anti")
+        qual = textstats.quality_score(kept).select("doc_id", "quality")
+        lang = textstats.langid(kept).select("doc_id", "pred_lang")
+        return _longify(
+            kept.join(qual, "doc_id").join(lang, "doc_id")
+            .filter((F.col("quality") >= 0.5)
+                    & (F.col("pred_lang") == "en"))
+            .select("doc_id", "quality", "pred_lang"))
+    q["curation_survivors"] = curation_survivors
+
     def dedup_simhash(spark, sf):
         return _longify(dedup.simhash_signatures(_docs(spark, sf)))
     q["dedup_simhash"] = dedup_simhash
@@ -1886,6 +1907,56 @@ h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
 k AS (SELECT doc_id, {keys},
              h_en, h_es, h_fr, h_de, h_zh FROM h)
 SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
+"""
+
+    o["curation_survivors"] = f"""
+WITH {_near_corpus},
+t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+hv AS (SELECT id, sh, {hs_expr} AS hv FROM t WHERE len(sh) > 0),
+sigs AS (SELECT id, {sig_expr} AS sig FROM hv),
+bands AS (
+  SELECT id, g.b AS band,
+         CAST(sig[2 * g.b + 1] AS VARCHAR) || '|' ||
+         CAST(sig[2 * g.b + 2] AS VARCHAR) AS band_key
+  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+e AS (SELECT id, unnest(sh) AS shingle FROM t),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN e ea ON ea.id = c.id_a
+  JOIN e eb ON eb.id = c.id_b AND ea.shingle = eb.shingle
+  GROUP BY 1, 2),
+dropped AS (
+  SELECT DISTINCT inter.id_b AS doc_id
+  FROM inter JOIN sz sa ON sa.id = inter.id_a
+             JOIN sz sb ON sb.id = inter.id_b
+  WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8),
+kept AS (SELECT doc_id, text FROM corpus
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+qm AS (SELECT doc_id, len({words_c}) AS n,
+              len(list_filter({words_c},
+                  x -> list_contains({stop_list}, x))) AS n_stop,
+              len(list_distinct({words_c})) AS n_dist
+       FROM kept),
+qual AS (SELECT doc_id,
+       round(CAST(0.4 AS DOUBLE) * least(n / CAST(50.0 AS DOUBLE), 1.0)
+             + CAST(0.3 AS DOUBLE)
+               * least(n_stop / greatest(n, 1) * 5, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_dist / greatest(n, 1)), 4)
+           AS quality
+       FROM qm),
+lw AS (SELECT doc_id, {_WORDS.format(c='lower(text)')} AS w FROM kept),
+lh AS (SELECT doc_id, {', '.join(lang_hits)} FROM lw),
+lk AS (SELECT doc_id, {keys} FROM lh),
+lang AS (SELECT doc_id, {pred_case} AS pred_lang FROM lk)
+SELECT k.doc_id, q.quality, l.pred_lang
+FROM kept k JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
 """
 
     _BOXES_SQL = """
