@@ -847,7 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dedup.minhash_dedup_pairs(
             corpus, k=8, bands=4, threshold=0.8)
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        kept = corpus.join(drop, "doc_id", "left_anti")
+        # kept feeds three branches (rows, quality, langid) — persist
+        # so the LSH anti-join lineage runs once; ContextCleaner
+        # reclaims the cache when the returned plan is GC'd
+        kept = corpus.join(drop, "doc_id", "left_anti").persist()
         qual = textstats.quality_score(kept).select("doc_id", "quality")
         lang = textstats.langid(kept).select("doc_id", "pred_lang")
         return _longify(
@@ -1661,9 +1664,10 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
         "[list_min([(((2654435761 * (i + 1)) % {p}) * h "
         "+ (40503 * (i + 1) + 17) % {p}) % {p} for h in hv]) "
         "for i in generate_series(0, 7)]").format(p=_p)
-    o["dedup_minhash_lsh"] = f"""
-WITH {_near_corpus},
-t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+    # shared CTE block: corpus → banded-MinHash candidate pairs with
+    # verified intersections (used by dedup_minhash_lsh AND the
+    # composed curation_survivors oracle — one copy of the math)
+    _MINHASH_CTES = f"""t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
 hv AS (SELECT id, sh, {hs_expr} AS hv FROM t WHERE len(sh) > 0),
 sigs AS (SELECT id, {sig_expr} AS sig FROM hv),
 bands AS (
@@ -1682,7 +1686,11 @@ inter AS (
   FROM cand c
   JOIN e ea ON ea.id = c.id_a
   JOIN e eb ON eb.id = c.id_b AND ea.shingle = eb.shingle
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+    o["dedup_minhash_lsh"] = f"""
+WITH {_near_corpus},
+{_MINHASH_CTES}
 SELECT id_a, id_b,
        round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
 FROM inter
@@ -1870,19 +1878,26 @@ FROM t
 """
 
     stop_list = _sql_list(textstats.STOPWORDS)
-    o["text_quality"] = f"""
-WITH t AS (SELECT doc_id, {words_c} AS w FROM documents),
+    def _quality_ctes(src: str) -> str:
+        """(doc_id, text) src → qm CTE with n/n_stop/n_dist — shared
+        by text_quality and curation_survivors."""
+        return f"""qw AS (SELECT doc_id, {words_c} AS w FROM {src}),
 m AS (SELECT doc_id, len(w) AS n,
              len(list_filter(w, x -> list_contains({stop_list}, x))) AS n_stop,
              len(list_distinct(w)) AS n_dist
-      FROM t)
+      FROM qw)"""
+
+    _QUALITY_EXPR = """round(CAST(0.4 AS DOUBLE) * least(n / CAST(50.0 AS DOUBLE), 1.0)
+             + CAST(0.3 AS DOUBLE)
+               * least(n_stop / greatest(n, 1) * 5, 1.0)
+             + CAST(0.3 AS DOUBLE) * (n_dist / greatest(n, 1)), 4)"""
+
+    o["text_quality"] = f"""
+WITH {_quality_ctes('documents')}
 SELECT doc_id,
        round(n_stop / greatest(n, 1), 4) AS stopword_ratio,
        round(n_dist / greatest(n, 1), 4) AS lexical_diversity,
-       round(CAST(0.4 AS DOUBLE) * least(n / CAST(50.0 AS DOUBLE), 1.0)
-             + CAST(0.3 AS DOUBLE)
-               * least(n_stop / greatest(n, 1) * 5, 1.0)
-             + CAST(0.3 AS DOUBLE) * (n_dist / greatest(n, 1)), 4) AS quality
+       {_QUALITY_EXPR} AS quality
 FROM m
 """
 
@@ -1901,36 +1916,22 @@ FROM m
     hits_case = "CASE " + " ".join(
         f"WHEN k_{l} = {maxk} THEN h_{l}"
         for l in textstats.LANG_ORDER) + " END"
-    o["text_langid"] = f"""
-WITH t AS (SELECT doc_id, {_WORDS.format(c='lower(text)')} AS w FROM documents),
-h AS (SELECT doc_id, {', '.join(lang_hits)} FROM t),
+    def _langid_ctes(src: str) -> str:
+        """(doc_id, text) src → k CTE with per-language keys — shared
+        by text_langid and curation_survivors."""
+        return f"""lw AS (SELECT doc_id, {_WORDS.format(c='lower(text)')} AS w FROM {src}),
+lh AS (SELECT doc_id, {', '.join(lang_hits)} FROM lw),
 k AS (SELECT doc_id, {keys},
-             h_en, h_es, h_fr, h_de, h_zh FROM h)
+             h_en, h_es, h_fr, h_de, h_zh FROM lh)"""
+
+    o["text_langid"] = f"""
+WITH {_langid_ctes('documents')}
 SELECT doc_id, {pred_case} AS pred_lang, {hits_case} AS marker_hits FROM k
 """
 
     o["curation_survivors"] = f"""
 WITH {_near_corpus},
-t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
-hv AS (SELECT id, sh, {hs_expr} AS hv FROM t WHERE len(sh) > 0),
-sigs AS (SELECT id, {sig_expr} AS sig FROM hv),
-bands AS (
-  SELECT id, g.b AS band,
-         CAST(sig[2 * g.b + 1] AS VARCHAR) || '|' ||
-         CAST(sig[2 * g.b + 2] AS VARCHAR) AS band_key
-  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-e AS (SELECT id, unnest(sh) AS shingle FROM t),
-sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_inter
-  FROM cand c
-  JOIN e ea ON ea.id = c.id_a
-  JOIN e eb ON eb.id = c.id_b AND ea.shingle = eb.shingle
-  GROUP BY 1, 2),
+{_MINHASH_CTES},
 dropped AS (
   SELECT DISTINCT inter.id_b AS doc_id
   FROM inter JOIN sz sa ON sa.id = inter.id_a
@@ -1938,27 +1939,14 @@ dropped AS (
   WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8),
 kept AS (SELECT doc_id, text FROM corpus
          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
-qm AS (SELECT doc_id, len({words_c}) AS n,
-              len(list_filter({words_c},
-                  x -> list_contains({stop_list}, x))) AS n_stop,
-              len(list_distinct({words_c})) AS n_dist
-       FROM kept),
-qual AS (SELECT doc_id,
-       round(CAST(0.4 AS DOUBLE) * least(n / CAST(50.0 AS DOUBLE), 1.0)
-             + CAST(0.3 AS DOUBLE)
-               * least(n_stop / greatest(n, 1) * 5, 1.0)
-             + CAST(0.3 AS DOUBLE) * (n_dist / greatest(n, 1)), 4)
-           AS quality
-       FROM qm),
-lw AS (SELECT doc_id, {_WORDS.format(c='lower(text)')} AS w FROM kept),
-lh AS (SELECT doc_id, {', '.join(lang_hits)} FROM lw),
-lk AS (SELECT doc_id, {keys} FROM lh),
-lang AS (SELECT doc_id, {pred_case} AS pred_lang FROM lk)
-SELECT k.doc_id, q.quality, l.pred_lang
-FROM kept k JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+{_quality_ctes('kept')},
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+{_langid_ctes('kept')},
+lang AS (SELECT doc_id, {pred_case} AS pred_lang FROM k)
+SELECT kept.doc_id, q.quality, l.pred_lang
+FROM kept JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
 WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
 """
-
     _BOXES_SQL = """
 b AS (
   SELECT doc_id, i,

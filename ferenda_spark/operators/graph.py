@@ -27,6 +27,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+class ConcurrentCommitError(RuntimeError):
+    """A competing writer changed the manifest in a way that makes
+    this commit unsafe (rewrite set no longer live). The Iceberg
+    analog is a CommitFailedException after CAS validation."""
+
+
 PROVENANCE_SCHEMA = (
     "url string, stage string, attempt_ts timestamp, success boolean, "
     "duration_s double, rows_out long, warnings string, error string, "
@@ -64,6 +70,38 @@ class GraphStore:
             json.dump(snapshots, f, indent=1)
         os.replace(tmp, p)
 
+    def _commit_lock(self, table: str, timeout_s: float = 60.0):
+        """Mutual exclusion for read-merge-commit sequences — the
+        stand-in for the Iceberg catalog's CAS commit. O_EXCL lock
+        file on the table directory; valid on a POSIX fs (object
+        stores need a real catalog service, which is the point of
+        Iceberg's metastore)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def lock():
+            tdir = os.path.join(self.root, table)
+            os.makedirs(tdir, exist_ok=True)
+            path = os.path.join(tdir, "_commit.lock")
+            deadline = time.time() + timeout_s
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise ConcurrentCommitError(
+                            f"commit lock on {table} held past "
+                            f"{timeout_s}s")
+                    time.sleep(0.05)
+            try:
+                os.close(fd)
+                yield
+            finally:
+                os.unlink(path)
+
+        return lock()
+
     def snapshots(self, table: str) -> list[dict]:
         return self._read_manifest(table)
 
@@ -79,12 +117,15 @@ class GraphStore:
         return {"id": snap_id, "path": path, "ts": time.time(), **extra}
 
     def append(self, df: DataFrame, table: str) -> str:
-        """Iceberg: ``df.writeTo(table).append()``."""
+        """Iceberg: ``df.writeTo(table).append()``. The data write
+        happens outside the commit lock (long); only the
+        read-modify-write of the manifest is serialized."""
         snap_id = f"snap-{len(self._read_manifest(table)):06d}-{uuid.uuid4().hex[:8]}"
         entry = self._write_snapshot(df, table, snap_id)
-        snaps = self._read_manifest(table)
-        snaps.append(entry)
-        self._commit(table, snaps)
+        with self._commit_lock(table):
+            snaps = self._read_manifest(table)
+            snaps.append(entry)
+            self._commit(table, snaps)
         return snap_id
 
     def read(self, table: str) -> DataFrame:
@@ -99,8 +140,9 @@ class GraphStore:
 
     def rollback(self, table: str, n: int = 1) -> None:
         """Iceberg: rollback_to_snapshot — drop the last n snapshots."""
-        snaps = self._read_manifest(table)
-        self._commit(table, snaps[: max(0, len(snaps) - n)])
+        with self._commit_lock(table):
+            snaps = self._read_manifest(table)
+            self._commit(table, snaps[: max(0, len(snaps) - n)])
 
     def compact(self, table: str, target_partitions: int = 8) -> str:
         """Iceberg: ``rewrite_data_files`` — rewrite the snapshots
@@ -117,16 +159,21 @@ class GraphStore:
         ``target_partitions`` sequential file-opening tasks.
 
         Concurrency: the rewrite window is long, so the commit
-        validates-and-merges like Iceberg — snapshots appended to the
-        manifest while the rewrite ran are carried over untouched
-        after the compacted entry; only the snapshots that were
-        actually rewritten are dereferenced.  Old snapshot
-        directories stay on disk until :meth:`vacuum` (the
-        expire_snapshots analog) — the manifest swap must not race
-        in-flight readers of the old file set.
+        validates-and-merges like Iceberg under the commit lock —
+        snapshots appended while the rewrite ran are carried over
+        untouched after the compacted entry.  If any snapshot of the
+        rewrite set is NO LONGER live at commit time (a concurrent
+        compact, rollback, or truncate removed it), the commit
+        ABORTS with :class:`ConcurrentCommitError` and removes its
+        own orphan directory — carrying on would duplicate rows
+        (double-compaction) or resurrect deliberately-dropped ones.
+        Old snapshot directories stay on disk until :meth:`vacuum`
+        (the expire_snapshots analog) — the manifest swap must not
+        race in-flight readers of the old file set.
 
         Resume state is unaffected: pending_pages reads table
         contents, not snapshot layout."""
+        import shutil
         before = self._read_manifest(table)
         if not before:
             raise FileNotFoundError(f"table {table} has no snapshots")
@@ -137,29 +184,47 @@ class GraphStore:
         entry = self._write_snapshot(current, table, snap_id,
                                      compacted=True)
         rewritten = {s["id"] for s in before}
-        now = self._read_manifest(table)
-        concurrent_tail = [s for s in now if s["id"] not in rewritten]
-        self._commit(table, [entry] + concurrent_tail)
+        with self._commit_lock(table):
+            now = self._read_manifest(table)
+            live = {s["id"] for s in now}
+            if not rewritten <= live:
+                shutil.rmtree(entry["path"], ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"compact {table}: rewrite set changed underneath "
+                    f"(missing {sorted(rewritten - live)}); retry")
+            tail = [s for s in now if s["id"] not in rewritten]
+            self._commit(table, [entry] + tail)
         return snap_id
 
-    def vacuum(self, table: str) -> list[str]:
-        """Iceberg: ``expire_snapshots`` — delete snapshot
-        directories no longer referenced by the manifest (after
-        compaction or rollback).  Separate from compact() so callers
-        control the grace period for in-flight readers."""
+    def vacuum(self, table: str, orphan_grace_s: float = 3600.0
+               ) -> list[str]:
+        """Iceberg: ``expire_snapshots`` + orphan-file cleanup —
+        delete snapshot directories no longer referenced by the
+        manifest (after compaction or rollback).
+
+        Runs under the commit lock so the live set cannot change
+        mid-sweep.  Directories younger than ``orphan_grace_s`` are
+        skipped: a concurrent writer materializes its parquet BEFORE
+        committing the manifest entry, so a just-written uncommitted
+        snapshot must not be swept (the standard orphan-retention
+        rule; pass 0 only when no writers can be active)."""
         import shutil
-        live = {s["id"] for s in self._read_manifest(table)}
         tdir = os.path.join(self.root, table)
         removed = []
-        for name in sorted(os.listdir(tdir)):
-            full = os.path.join(tdir, name)
-            if os.path.isdir(full) and name not in live:
-                shutil.rmtree(full)
-                removed.append(name)
+        with self._commit_lock(table):
+            live = {s["id"] for s in self._read_manifest(table)}
+            cutoff = time.time() - orphan_grace_s
+            for name in sorted(os.listdir(tdir)):
+                full = os.path.join(tdir, name)
+                if (os.path.isdir(full) and name not in live
+                        and os.path.getmtime(full) < cutoff):
+                    shutil.rmtree(full)
+                    removed.append(name)
         return removed
 
     def truncate(self, table: str) -> None:
-        self._commit(table, [])
+        with self._commit_lock(table):
+            self._commit(table, [])
 
 
 # -- resume / incremental recompute ----------------------------------------

@@ -93,7 +93,9 @@ def test_compaction_preserves_contents_and_resume(spark, tmp_path):
     edge_dir = tmp_path / "g" / "edge"
     n_dirs_before = len([p for p in edge_dir.iterdir() if p.is_dir()])
     assert n_dirs_before == 3                    # 2 old + 1 compacted
-    removed = store.vacuum("edge")
+    # with the default orphan grace, freshly-written dirs are kept
+    assert store.vacuum("edge") == []
+    removed = store.vacuum("edge", orphan_grace_s=0)
     assert len(removed) == 2
     assert _edge_set(store) == before
 
@@ -134,3 +136,41 @@ def test_compaction_merges_concurrent_append(spark, tmp_path):
     assert snaps[0].get("compacted") and len(snaps) == 2
     rows = {(r["k"], r["v"]) for r in store.read("t").collect()}
     assert rows == {(1, "a"), (2, "b"), (3, "c")}  # nothing lost
+
+
+def test_compaction_aborts_when_rewrite_set_changes(spark, tmp_path):
+    """If the snapshots being rewritten are no longer live at commit
+    time (concurrent compact/rollback), the compaction must abort and
+    clean up its orphan rather than duplicate or resurrect rows."""
+    import pytest as _pytest
+    from ferenda_spark.operators.graph import ConcurrentCommitError
+    store = GraphStore(spark, str(tmp_path / "g"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    store.append(df1, "t")
+    store.append(df2, "t")
+
+    orig = store._read_manifest
+    fired = {"done": False}
+
+    def read_with_concurrent_rollback(table):
+        snaps = orig(table)
+        if not fired["done"]:
+            fired["done"] = True
+            store.rollback("t")       # competing writer drops snap 2
+        return snaps
+
+    store._read_manifest = read_with_concurrent_rollback
+    try:
+        with _pytest.raises(ConcurrentCommitError):
+            store.compact("t", target_partitions=1)
+    finally:
+        store._read_manifest = orig
+
+    # table reflects the rollback, untouched by the aborted compact
+    rows = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {(1, "a")}
+    # the aborted compact's directory was removed
+    names = {p.name for p in (tmp_path / "g" / "t").iterdir()
+             if p.is_dir()}
+    assert not any(n.startswith("compact-") for n in names)
