@@ -147,12 +147,19 @@ def collation_key(locale_name: str = "C"):
 # this primary strength, matching sv collation practice.
 _SV_SRC = "åäö"
 _SV_DST = "{|}"
-_SV_FOLD = {"é": "e", "è": "e", "ü": "y", "æ": "|", "ø": "}"}
+# ß included so the py (which would otherwise casefold ß→ss) and the
+# Column (JVM lower keeps ß) forms agree: both lower() then fold
+_SV_FOLD = {"é": "e", "è": "e", "ü": "y", "æ": "|", "ø": "}",
+            "ß": "ss"}
 
 
 def swedish_collation_key(s: str) -> str:
-    """Pure-Python Swedish primary-strength collation key."""
-    out = s.casefold()
+    """Pure-Python Swedish primary-strength collation key.
+
+    Uses ``lower`` (not ``casefold``) to stay bit-identical with the
+    JVM ``F.lower`` in the Column twin; casefold-only mappings that
+    matter for collation (ß→ss) are in the explicit fold table."""
+    out = s.lower()
     for k, v in _SV_FOLD.items():
         out = out.replace(k, v)
     return out.translate(str.maketrans(_SV_SRC, _SV_DST))

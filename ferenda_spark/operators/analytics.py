@@ -87,19 +87,22 @@ def feedsets(entries: DataFrame, facet_col: str, ts_col: str,
     feed), one window per feed — no driver loop over facets.
 
     Null facet values land only in the union feed (no spurious null
-    feed); a facet value colliding with ``union_feed`` raises, since
-    its per-value feed would silently merge with the union — pick a
-    different ``union_feed`` label in that corpus."""
-    collision = entries.filter(
-        F.col(facet_col) == union_feed).limit(1).count()
-    if collision:
-        raise ValueError(
+    feed); a facet value colliding with ``union_feed`` fails the job
+    at execution (in-plan ``raise_error`` — no eager driver scan, so
+    the operator stays lazy and streaming-safe), since its per-value
+    feed would silently merge with the union — pick a different
+    ``union_feed`` label in that corpus."""
+    checked = (F.when(
+        F.col(facet_col) == union_feed,
+        F.raise_error(F.lit(
             f"feedsets: facet value {union_feed!r} collides with the "
-            f"union feed label; pass union_feed=<other label>")
+            f"union feed label; pass union_feed=<other label>"))
+        .cast("string"))
+        .otherwise(F.col(facet_col)))
     tagged = (entries.withColumn(
         "feed", F.explode(F.when(
             F.col(facet_col).isNull(), F.array(F.lit(union_feed))
-        ).otherwise(F.array(F.col(facet_col), F.lit(union_feed))))))
+        ).otherwise(F.array(checked, F.lit(union_feed))))))
     order = [F.desc(ts_col)]
     if tiebreak_col:
         order.append(F.asc(tiebreak_col))

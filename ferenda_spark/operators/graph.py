@@ -70,12 +70,20 @@ class GraphStore:
             json.dump(snapshots, f, indent=1)
         os.replace(tmp, p)
 
-    def _commit_lock(self, table: str, timeout_s: float = 60.0):
+    def _commit_lock(self, table: str, timeout_s: float = 60.0,
+                     stale_after_s: float = 300.0):
         """Mutual exclusion for read-merge-commit sequences — the
         stand-in for the Iceberg catalog's CAS commit. O_EXCL lock
         file on the table directory; valid on a POSIX fs (object
         stores need a real catalog service, which is the point of
-        Iceberg's metastore)."""
+        Iceberg's metastore).
+
+        Stale-lock recovery: manifest commits are sub-second, so a
+        lock file older than ``stale_after_s`` belongs to a writer
+        that died mid-commit (SIGKILL/OOM before the finally-unlink);
+        it is broken and acquisition retried rather than wedging the
+        table forever.  The lock file records pid+timestamp for
+        operator forensics."""
         import contextlib
 
         @contextlib.contextmanager
@@ -89,16 +97,27 @@ class GraphStore:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
+                    try:
+                        if (time.time() - os.path.getmtime(path)
+                                > stale_after_s):
+                            os.unlink(path)  # break the dead lock
+                            continue
+                    except FileNotFoundError:
+                        continue  # holder just released; retry
                     if time.time() > deadline:
                         raise ConcurrentCommitError(
                             f"commit lock on {table} held past "
                             f"{timeout_s}s")
                     time.sleep(0.05)
             try:
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 os.close(fd)
                 yield
             finally:
-                os.unlink(path)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass  # broken as stale by a peer
 
         return lock()
 

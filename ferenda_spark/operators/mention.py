@@ -8,12 +8,13 @@ sources/tech/rfc.py:430-452 ``section N.N of [RFC X]`` grammar;
 /root/reference/ferenda/sources/legal/se/legalref.py:603-608
 ``currentlynamedlaws`` within-document alias state).
 
-Everything here is JVM-side Column work: ``regexp_extract_all`` finds
-candidates, ``explode`` turns them into rows, and URI formatting
-(reference uriformats.py:14-58) is a concat/when cascade. The
-within-document alias state never crosses documents, so it is a
-``map_from_arrays`` computed per row *before* the section explode —
-no shuffle, no Python.
+Everything here is JVM-side Column work: the grammar registry
+(grammar/citations.py) supplies every class's compiled pattern and
+Column URI formatter; ``regexp_extract_all`` finds candidates and
+``explode`` turns them into rows. The within-document alias state
+never crosses documents, so it is a per-row map (the grammar's
+``alias_map``, last-definition-wins) built *before* the section
+explode — no shuffle, no Python.
 """
 
 from __future__ import annotations
@@ -27,12 +28,6 @@ from pyspark.sql import functions as F
 
 from ferenda_spark.fixtures.pages import BASE
 
-# "section 4.2 of [RFC 123]" (section group optional) — one combined
-# pattern so a sectioned citation is not double-counted as a bare one.
-RFC_CITE_RE = r"(?:section (\d+(?:\.\d+)*) of )?\[RFC (\d+)\]"
-ALIAS_DEF_RE = r"\[([A-Z]{3,8})\] refers to \[RFC (\d+)\]"
-ALIAS_MENTION_RE = r"\[([A-Z]{3,8})\]"
-URL_CITE_RE = r'https?://[^\s<>" ]+'
 TRAILING_PUNCT_RE = r"[.,;:!?)\]]+$"
 
 

@@ -53,7 +53,8 @@ def parse_unified_diff(patch_text: str):
     i = 0
     while i < len(lines):
         line = lines[i]
-        if line.startswith("--- ") or line.startswith("+++ ") or line == "":
+        if (line.startswith("--- ") or line.startswith("+++ ")
+                or line.startswith("\\") or line == ""):
             i += 1
             continue
         m = _HUNK_RE.match(line)
@@ -70,6 +71,12 @@ def parse_unified_diff(patch_text: str):
         n_src = n_dst = 0
         while i < len(lines) and (n_src < src_len or n_dst < dst_len):
             raw = lines[i]
+            if raw.startswith("\\"):
+                # "\ No newline at end of file" — standard diff -u
+                # marker; our line-array model has no trailing-newline
+                # distinction, so it is metadata to skip, not content
+                i += 1
+                continue
             tag, content = (raw[0], raw[1:]) if raw else (" ", "")
             if tag not in " -+":
                 raise PatchSyntaxError(f"bad hunk line {raw!r}")
@@ -98,6 +105,10 @@ def apply_patch_text(original: str, patch_text: str):
     status ``'conflict'`` and the original text is returned
     unchanged.  Malformed patches return status ``'syntax_error'``.
     """
+    if original is None:
+        # a patch against a document with no text cannot match any
+        # context — per-row conflict, never a stage-killing crash
+        return original, "conflict", None
     try:
         hunks, desc = parse_unified_diff(patch_text)
     except PatchSyntaxError:

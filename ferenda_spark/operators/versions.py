@@ -23,12 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ferenda_spark.functions.text import natural_sort_key_col
+
 
 def latest_versions(versions: DataFrame, key: str = "url",
                     ts: str = "valid_from") -> DataFrame:
     """One row per document: its current version (max valid_from,
-    version ordinal as tiebreak), plus the version count."""
-    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc("version"))
+    version ordinal as tiebreak — NATURAL order, so 'v10' outranks
+    'v9'), plus the version count."""
+    w = Window.partitionBy(key).orderBy(
+        F.desc(ts), F.desc(natural_sort_key_col(F.col("version"))))
     counts = Window.partitionBy(key)
     return (versions
             .withColumn("n_versions", F.count(F.lit(1)).over(counts))
@@ -40,7 +44,8 @@ def latest_versions(versions: DataFrame, key: str = "url",
 def versions_asof(versions: DataFrame, at, key: str = "url",
                   ts: str = "valid_from") -> DataFrame:
     """The version of each document in effect at date ``at``."""
-    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc("version"))
+    w = Window.partitionBy(key).orderBy(
+        F.desc(ts), F.desc(natural_sort_key_col(F.col("version"))))
     return (versions
             .filter(F.col(ts) <= F.lit(at))
             .withColumn("_rn", F.row_number().over(w))

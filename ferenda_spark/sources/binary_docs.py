@@ -45,6 +45,7 @@ def read_binary_docs(spark: SparkSession, path: str,
     mod_ts, media_type). One distributed scan; no driver listing."""
     df = (spark.read.format("binaryFile")
           .option("pathGlobFilter", glob)
+          .option("recursiveFileLookup", "true")
           .load(path))
     return df.select(
         F.col("path").alias("url"),

@@ -67,6 +67,11 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30,
                 yield row(cur_s, cur_e, cur_n)
                 cur_s, cur_e, cur_n = t, t, 1
             else:
+                # a later micro-batch may deliver an in-watermark
+                # event EARLIER than the open session (watermarks
+                # bound lateness, not cross-batch ordering) — the
+                # session must extend backwards too
+                cur_s = min(cur_s, t)
                 cur_e = max(cur_e, t)
                 cur_n += 1
         state.update((cur_s, cur_e, cur_n))

@@ -105,3 +105,30 @@ def test_apply_patches_dataframe(spark):
     # original columns preserved
     assert set(out[1].asDict()) == {
         "doc_id", "text", "patched_text", "patch_status", "patch_desc"}
+
+
+def test_null_text_is_per_row_conflict():
+    patched, status, _ = apply_patch_text(None, PATCH)
+    assert status == "conflict" and patched is None
+
+
+def test_no_newline_marker_tolerated():
+    patch = ("@@ -4,1 +4,1 @@\n"
+             "-eta theta\n"
+             "\\ No newline at end of file\n"
+             "+ETA THETA\n"
+             "\\ No newline at end of file")
+    patched, status, _ = apply_patch_text(DOC, patch)
+    assert status == "applied"
+    assert patched.endswith("ETA THETA")
+
+
+def test_apply_patches_null_text_row(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=DOC)])
+    patches = spark.createDataFrame([Row(doc_id=1, patch=PATCH),
+                                     Row(doc_id=2, patch=PATCH)])
+    out = {r["doc_id"]: r for r in apply_patches(docs, patches).collect()}
+    assert out[1]["patch_status"] == "conflict"   # not a stage crash
+    assert out[1]["patched_text"] is None
+    assert out[2]["patch_status"] == "applied"

@@ -483,3 +483,18 @@ def test_facet_multitype_subject_guard(spark):
         edges, [Facet("dcterms:title", rdftype="bibo:Standard")],
         types=["bibo:Report", "bibo:Standard"]).collect()}
     assert out == {"s1": "alpha", "s2": None}   # s3 filtered, s2 nulled
+
+
+def test_version_tiebreak_is_natural_order(spark):
+    """'v10' must outrank 'v9' under equal valid_from (string sort
+    would pick v9)."""
+    import datetime
+    from ferenda_spark.operators import versions as V
+    d = datetime.date(2024, 1, 1)
+    vs = spark.createDataFrame(
+        [("u", f"v{i}", d, f"a/v{i}") for i in range(11)],
+        "url string, version string, valid_from date, archive_uri string")
+    cur = V.latest_versions(vs).collect()
+    assert len(cur) == 1 and cur[0]["version"] == "v10"
+    asof = V.versions_asof(vs, d).collect()
+    assert asof[0]["version"] == "v10"
