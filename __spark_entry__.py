@@ -703,9 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .agg(F.round(F.sum(F.col("l_extendedprice")
                                   * (1 - F.col("l_discount"))), 2)
                     .alias("revenue")))
-        w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        return _longify(rev.withColumn("rank", F.row_number().over(w))
-                        .filter(F.col("rank") <= 10))
+        # TakeOrdered top-10, not a global ranking window
+        return _longify(analytics.ranked_topk(
+            rev, [("revenue", True), ("l_orderkey", False)], 10))
     q["q3_shipping"] = q3_shipping
 
     def q5_local_supplier(spark, sf):
@@ -803,9 +803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.lit(" rev "), (F.col("p_partkey") % 10)
                        .cast("string"))
         df = p.select("p_partkey", lab.alias("label"))
-        w = Window.orderBy(natural_sort_key_col(F.col("label")),
-                           F.asc("p_partkey"))
-        return _longify(df.withColumn("rank", F.row_number().over(w)))
+        # full global rank via two-phase ranking (range-repartition +
+        # partition-offset row_number) — never one partition
+        return _longify(analytics.global_rank(
+            df, [natural_sort_key_col(F.col("label")),
+                 F.asc("p_partkey")]))
     q["natural_sort_parts"] = natural_sort_parts
 
     # ---- training-data ops ----------------------------------------------
@@ -1354,7 +1356,8 @@ WITH {_versions_cte},
 eligible AS (
   SELECT url, version, CAST(valid_from AS DATE) AS valid_from,
          row_number() OVER (PARTITION BY url
-                            ORDER BY valid_from DESC, version DESC) AS rn
+                            ORDER BY valid_from DESC,
+                            CAST(ltrim(version, 'v') AS BIGINT) DESC) AS rn
   FROM v WHERE valid_from <= DATE '2020-06-15')
 SELECT url, version, valid_from FROM eligible WHERE rn = 1
 """
@@ -1375,7 +1378,8 @@ idf AS (SELECT term, CAST(floor(1000 * ln(
             / count(DISTINCT id))) AS BIGINT) AS idf_milli
         FROM tf GROUP BY term),
 hits AS (
-  SELECT tf.id, sum(tf.tf * tf.boost * idf.idf_milli) AS score
+  SELECT tf.id, CAST(sum(tf.tf * tf.boost * idf.idf_milli) AS BIGINT)
+             AS score
   FROM tf JOIN idf USING (term)
   WHERE term IN ('table', 'window', 'spark') GROUP BY tf.id)
 SELECT id, score, rank FROM (

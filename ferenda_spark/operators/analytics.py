@@ -63,6 +63,85 @@ def topk_per_group(df: DataFrame, group_cols: list[str],
             .filter(F.col("rank") <= k))
 
 
+def _before(specs: list[tuple[str, bool]], a: str, b: str) -> Column:
+    """Strict lexicographic "row a sorts before row b" predicate over
+    aliased sides ``a``/``b`` for (col, descending) sort specs."""
+    cond = F.lit(False)
+    for i in reversed(range(len(specs))):
+        col, desc = specs[i]
+        ac, bc = F.col(f"{a}.{col}"), F.col(f"{b}.{col}")
+        strict = (ac > bc) if desc else (ac < bc)
+        cond = strict | ((ac == bc) & cond)
+    return cond
+
+
+def ranked_topk(df: DataFrame, specs: list[tuple[str, bool]],
+                k: int) -> DataFrame:
+    """Global top-k WITHOUT a global ranking window.
+
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject — each
+    partition keeps its local top-k and only k·n_partitions rows
+    reach the merge, so no single-partition shuffle of the full input
+    ever happens (``row_number() OVER (ORDER BY ...)`` would move
+    every qualifying row through ONE partition first).  The rank is
+    then derived on the ≤k-row result by counting strict sort-order
+    predecessors via a self-join — O(k²) comparisons on a bounded
+    input, zero WindowExec, no single-partition exchange anywhere.
+
+    ``specs`` is [(column, descending)] and must be a total order
+    over NON-NULL columns (include a unique tiebreak) so every rank
+    is deterministic and distinct.
+    """
+    order = [F.desc(c) if d else F.asc(c) for c, d in specs]
+    top = df.orderBy(*order).limit(k)
+    a, b = top.alias("a"), top.alias("b")
+    first = specs[0][0]
+    joined = a.join(b, _before(specs, "b", "a"), "left")
+    return (joined.groupBy(*[F.col(f"a.{c}") for c in top.columns])
+            .agg((F.count(F.col(f"b.{first}")) + 1)
+                 .cast("int").alias("rank")))
+
+
+def global_rank(df: DataFrame, order: list[Column],
+                rank_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """Full global rank via two-phase ranking — the scale-safe
+    replacement for ``row_number() OVER (ORDER BY ...)`` (which moves
+    the entire input through ONE partition).
+
+    Phase 1: range-repartition on the sort keys, rank locally within
+    each (sorted) partition.  Phase 2: offset each partition's local
+    ranks by the total count of all earlier partitions.  The
+    per-partition counts are ≤ num_partitions scalars — a scheduling
+    decision, collected driver-side exactly like the per-round crawl
+    frontier counts — and rejoin as a broadcast.
+
+    ``order`` must be a total order (unique tiebreak) so ranks are
+    deterministic; range partitioning on the same keys guarantees
+    partition p's rows all sort before partition p+1's.
+    """
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *order)
+    else:
+        part = df.repartitionByRange(*order)
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid").orderBy(*order)
+    local = with_pid.withColumn("_lrank", F.row_number().over(lw))
+    counts = sorted(
+        (r["_pid"], r["_n"]) for r in
+        with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        .collect())
+    spark = df.sparkSession
+    offs, acc = [], 0
+    for pid, n in counts:
+        offs.append((pid, acc))
+        acc += n
+    offsets = spark.createDataFrame(offs, "_pid int, _off long")
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn(rank_col, F.col("_lrank") + F.col("_off"))
+            .drop("_pid", "_lrank", "_off"))
+
+
 def paginate(df: DataFrame, partition_col: str, order_col: str,
              page_size: int = 100) -> DataFrame:
     """Archive pagination (news_write_atom archivesize, W3/W5): page id

@@ -36,6 +36,7 @@ def crawl_frontier(links: DataFrame, seeds: DataFrame,
     visited = (seeds.select(F.col(url_col).alias("url")).distinct()
                .withColumn("depth", F.lit(0)).persist())
     frontier = visited.select("url")
+    prev_frontier = None  # the persisted nxt backing `frontier`
     for depth in range(1, max_depth + 1):
         nxt = (frontier.join(links, frontier["url"] == links["src"])
                .select(F.col("dst").alias("url")).distinct()
@@ -49,7 +50,14 @@ def crawl_frontier(links: DataFrame, seeds: DataFrame,
         new_visited = visited.unionByName(nxt).persist()
         new_visited.count()  # materialize before dropping the parent
         visited.unpersist()
+        # the previous round's frontier is fully contained in the new
+        # visited set (just materialized) — safe to drop its cache now
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
         visited = new_visited
+        prev_frontier = nxt
         frontier = nxt.select("url")
     links.unpersist()
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
     return visited

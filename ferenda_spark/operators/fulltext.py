@@ -25,7 +25,7 @@ Spark-first design — the index is a DataFrame, not a server:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,7 +67,9 @@ def idf_milli(index: DataFrame, n_docs: int) -> DataFrame:
 
 
 def fulltext_search(index: DataFrame, idf: DataFrame,
-                    query_terms: list[str], k: int = 20) -> DataFrame:
+                    query_terms: list[str], k: int = 20,
+                    fields: list[str] | None = None,
+                    eligible: DataFrame | None = None) -> DataFrame:
     """Boost-ranked fielded search: (id, score, rank), top-k.
 
     Score = Σ over matched (term, field) of tf·boost·idf_milli —
@@ -77,14 +79,54 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
     Query terms run through the SAME analyzer as indexing (the
     reference analyzes queries with the index analyzer,
     fulltextindex.py query path) — a raw 'Table' must match indexed
-    'table', and a multi-word query string is split like a field."""
-    analyzed = sorted({t for q in query_terms
-                       for t in q.lower().split() if t})
-    hits = index.filter(F.col("term").isin(*analyzed))
+    'table', and a multi-word query string is split like a field.
+
+    Composable restrictions (the reference's parse_parameters
+    surface, wsgiapp.py:483-600 + fulltextindex.py:307-333
+    More/Less/Between and wildcard terms):
+
+    * a term ending in ``*`` is a prefix query — it matches (and
+      scores) every index term with that prefix, via a LIKE
+      predicate pushed to the index scan;
+    * ``fields`` restricts matching to the named index fields
+      (fielded search, e.g. title-only);
+    * ``eligible`` is an (id)-keyed DataFrame of documents passing
+      caller-side metadata predicates (range/date/repo filters) —
+      semi-joined into the hits BEFORE scoring, so at scale the
+      filter prunes index postings instead of re-ranking rejects.
+
+    Top-k is TakeOrdered (orderBy+limit), never a global ranking
+    window over every matching doc — a common query term matches a
+    large fraction of the corpus, which a single-partition window
+    would serialize (see analytics.ranked_topk).
+    """
+    exact = sorted({t for q in query_terms
+                    for t in q.lower().split()
+                    if t and not t.endswith("*")})
+    prefixes = sorted({t[:-1] for q in query_terms
+                       for t in q.lower().split()
+                       if t.endswith("*") and t != "*"})
+    conds = []
+    if exact:
+        conds.append(F.col("term").isin(*exact))
+    for p in prefixes:
+        conds.append(F.col("term").startswith(p))
+    if not conds:
+        # empty / whitespace-only query: empty result, stable schema
+        return (index.filter(F.lit(False))
+                .select("id", F.lit(0).cast("long").alias("score"),
+                        F.lit(0).cast("int").alias("rank")))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    hits = index.filter(cond)
+    if fields is not None:
+        hits = hits.filter(F.col("field").isin(*fields))
+    if eligible is not None:
+        hits = hits.join(eligible.select("id"), "id", "left_semi")
     scored = (hits.join(F.broadcast(idf), "term")
               .groupBy("id")
               .agg(F.sum(F.col("tf") * F.col("boost")
                          * F.col("idf_milli")).alias("score")))
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    from ferenda_spark.operators.analytics import ranked_topk
+    return ranked_topk(scored, [("score", True), ("id", False)], k)

@@ -91,6 +91,7 @@ class GraphStore:
             tdir = os.path.join(self.root, table)
             os.makedirs(tdir, exist_ok=True)
             path = os.path.join(tdir, "_commit.lock")
+            token = f"{os.getpid()}:{uuid.uuid4().hex}"
             deadline = time.time() + timeout_s
             while True:
                 try:
@@ -100,22 +101,39 @@ class GraphStore:
                     try:
                         if (time.time() - os.path.getmtime(path)
                                 > stale_after_s):
-                            os.unlink(path)  # break the dead lock
+                            # Atomic stale-break: rename to a unique
+                            # name first — exactly ONE of any number
+                            # of concurrent breakers wins the rename
+                            # (losers get FileNotFoundError), so no
+                            # breaker can ever unlink a lock a peer
+                            # just re-created (the TOCTOU double-
+                            # break race).
+                            stale = path + f".stale-{uuid.uuid4().hex}"
+                            os.rename(path, stale)
+                            os.unlink(stale)
                             continue
                     except FileNotFoundError:
-                        continue  # holder just released; retry
+                        continue  # holder released / peer broke it
                     if time.time() > deadline:
                         raise ConcurrentCommitError(
                             f"commit lock on {table} held past "
                             f"{timeout_s}s")
                     time.sleep(0.05)
             try:
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 yield
             finally:
+                # Release only OUR lock: if the lock was broken as
+                # stale mid-commit and a peer now holds a fresh one,
+                # the token differs and we must not unlink it.
+                # (A commit that overruns stale_after_s has already
+                # lost mutual exclusion; commits are sub-second.)
                 try:
-                    os.unlink(path)
+                    with open(path) as lf:
+                        owner = lf.read()
+                    if owner == token:
+                        os.unlink(path)
                 except FileNotFoundError:
                     pass  # broken as stale by a peer
 
