@@ -8,15 +8,29 @@ with ``difflib.get_close_matches(cutoff=0.8)`` top-1 for the misses.
 Phase 1 is a **broadcast** equi-join (the entity dimension is
 broadcast-sized — it mirrors ferenda's commondata extra/*.ttl files).
 Phase 2 confines the expensive fuzzy matching to exact-miss *distinct
-labels only* (typically a tiny set), computed in one Arrow-batched
-pandas UDF against the broadcast label list — never a crossJoin of
-full data. At 100 TB this keeps the fuzzy path O(distinct misses),
-not O(rows).
+labels only*, computed in one Arrow-batched pandas UDF — never a
+crossJoin of full data.  Two guards keep that phase bounded on
+open-domain text, where distinct miss labels grow with the corpus:
+
+* **Length-band blocking** — difflib's ratio is 2M/(|a|+|b|) with
+  M ≤ min(|a|,|b|), so a candidate within ``cutoff`` c of a miss of
+  length L must have length in [L·c/(2-c), L·(2-c)/c]; comparing
+  only entities inside that band is *provably lossless* (the pruned
+  pool is a superset of every candidate that can reach the cutoff,
+  and get_close_matches' (ratio, label) tie-break is order-free), so
+  links are byte-identical to the unblocked pass while the per-miss
+  cost drops from O(entities) to O(band).
+* **Miss cap** — at most ``max_fuzzy_misses`` distinct miss labels
+  (deterministically the lexicographically smallest) go through the
+  fuzzy pass; the overflow count is logged, never silent. Capped-out
+  labels stay unlinked (entity_uri null), the same result as a miss.
 """
 
 from __future__ import annotations
 
 import difflib
+import math
+import sys
 from typing import Iterator
 
 import pandas as pd
@@ -32,7 +46,8 @@ _MAX_ENTITY_DIM = 1_000_000
 
 def link_labels(mentions: DataFrame, entities: DataFrame,
                 label_col: str = "label",
-                cutoff: float = 0.8) -> DataFrame:
+                cutoff: float = 0.8,
+                max_fuzzy_misses: int = 100_000) -> DataFrame:
     """mentions(..., label) → mentions + ``entity_uri`` (null if unlinkable).
 
     ``entities`` must have (uri, label). Any extra mention columns pass
@@ -61,14 +76,36 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
             f"the entity set or use a join-based linker instead")
     labels = sorted({r["_elabel"] for r in ent_rows})
     uri_by_label = {r["_elabel"]: r["entity_uri"] for r in ent_rows}
+    # blocking index: label length → sorted labels of that length
+    by_len: dict[int, list[str]] = {}
+    for lab in labels:
+        by_len.setdefault(len(lab), []).append(lab)
+    lo_f = cutoff / (2.0 - cutoff)
+    hi_f = (2.0 - cutoff) / cutoff
 
     distinct_miss = misses.select("_mlabel").distinct()
+    n_miss = distinct_miss.count()  # one scalar; gates the cap
+    if n_miss > max_fuzzy_misses:
+        print(f"link_labels: fuzzy phase capped at {max_fuzzy_misses} "
+              f"of {n_miss} distinct miss labels "
+              f"({n_miss - max_fuzzy_misses} left unlinked)",
+              file=sys.stderr)
+        distinct_miss = (distinct_miss.orderBy("_mlabel")
+                         .limit(max_fuzzy_misses))
 
     def fuzzy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for lab in pdf["_mlabel"]:
-                best = difflib.get_close_matches(lab, labels, n=1,
+                # floor/ceil widen the band by <1 either side so
+                # float rounding can never exclude an exact-boundary
+                # candidate (the superset property is what makes the
+                # blocking lossless)
+                lo = max(0, math.floor(len(lab) * lo_f))
+                hi = math.ceil(len(lab) * hi_f)
+                cands = [c for ln in range(lo, hi + 1)
+                         for c in by_len.get(ln, ())]
+                best = difflib.get_close_matches(lab, cands, n=1,
                                                  cutoff=cutoff)
                 out.append({"_mlabel": lab,
                             "entity_uri": uri_by_label[best[0]]
@@ -78,7 +115,9 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
     fuzzy_map = distinct_miss.mapInPandas(
         fuzzy, schema="_mlabel string, entity_uri string")
 
-    fuzzy_hits = (misses.join(F.broadcast(fuzzy_map), "_mlabel", "left")
+    # no broadcast hint: fuzzy_map is bounded by max_fuzzy_misses but
+    # AQE sees the real size and picks the join strategy
+    fuzzy_hits = (misses.join(fuzzy_map, "_mlabel", "left")
                   .drop("_mlabel"))
     return hits.unionByName(fuzzy_hits)
 

@@ -27,6 +27,55 @@ def test_link_exact_fuzzy_and_miss(spark):
     assert got[4] == "https://example.org/res/org/network-working-group"
 
 
+def test_length_band_blocking_identical_to_unblocked(spark):
+    """The length-band blocking must be lossless: for every PUBLISHERS
+    fixture variant (close, far, and canonical), the blocked fuzzy
+    pass links exactly what an unblocked difflib pass over the full
+    label list links."""
+    import difflib
+
+    from ferenda_spark.fixtures.pages import PUBLISHERS
+    from ferenda_spark.functions.text import normalize_space
+
+    ents = entities_df(spark).filter(F.col("kind") == "publisher")
+    ent_rows = ents.collect()
+    labels = sorted({normalize_space(r["label"]) for r in ent_rows})
+    uri_by = {normalize_space(r["label"]): r["uri"] for r in ent_rows}
+
+    variants = []
+    for canonical, close, far in PUBLISHERS:
+        variants += [canonical] + close + far
+    mentions = spark.createDataFrame([(v,) for v in variants],
+                                     "label string")
+    got = {r["label"]: r["entity_uri"]
+           for r in link_labels(mentions, ents).collect()}
+    for v in variants:
+        best = difflib.get_close_matches(
+            normalize_space(v), labels, n=1, cutoff=0.8)
+        want = uri_by[best[0]] if best else None
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_fuzzy_miss_cap_logged_and_unlinked(spark, capsys):
+    """Misses past max_fuzzy_misses stay unlinked (null), kept ones
+    (lexicographically smallest) still fuzzy-link; the drop count is
+    printed, never silent."""
+    ents = entities_df(spark).filter(F.col("kind") == "publisher")
+    mentions = spark.createDataFrame(
+        [("Aetwork Working Group",),   # sorts first → kept, fuzzy hit
+         ("zz-no-such-entity-1",),
+         ("zz-no-such-entity-2",)],
+        "label string")
+    got = {r["label"]: r["entity_uri"]
+           for r in link_labels(mentions, ents,
+                                max_fuzzy_misses=1).collect()}
+    assert got["Aetwork Working Group"] == \
+        "https://example.org/res/org/network-working-group"
+    assert got["zz-no-such-entity-1"] is None
+    assert got["zz-no-such-entity-2"] is None
+    assert "capped at 1 of 3" in capsys.readouterr().err
+
+
 def test_link_passthrough_columns(spark):
     ents = entities_df(spark).filter(F.col("kind") == "publisher")
     mentions = spark.createDataFrame(pd.DataFrame({
