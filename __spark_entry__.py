@@ -176,6 +176,10 @@ f AS (
     CASE WHEN doc_id % 12 = 6 THEN CAST(doc_id % 90 + 201 AS VARCHAR) END AS list_c_n,
     CASE WHEN doc_id % 13 = 7 THEN CAST(doc_id % 6 + 1 AS VARCHAR) || '.'
          || CAST(doc_id % 2 + 1 AS VARCHAR) END AS that_sec,
+    CASE WHEN doc_id % 15 = 9 THEN CAST(doc_id % 9 + 1 AS VARCHAR) END AS art_a1,
+    CASE WHEN doc_id % 15 = 9 THEN CAST(doc_id % 9 + 2 + doc_id % 3 AS VARCHAR) END AS art_a2,
+    CASE WHEN doc_id % 15 = 9 THEN CAST(1984 + doc_id % 40 AS VARCHAR) END AS art_year4,
+    CASE WHEN doc_id % 15 = 9 THEN CAST(doc_id % 120 + 1 AS VARCHAR) END AS art_num,
     CASE WHEN doc_id % 3 = 2 THEN 'https://www.example.com/spec/'
          || CAST(doc_id AS VARCHAR) END AS ext_url,
     -- expected resolution of the stateful short-form: the most recent
@@ -208,6 +212,7 @@ _SEC2 = """('Normative and informative references.'
   || CASE WHEN eu_num IS NOT NULL THEN ' Processing is governed by Directive ' || eu_year2 || '/' || eu_num || '/EC.' ELSE '' END
   || CASE WHEN case_num IS NOT NULL THEN ' Interpreted in Case C-' || case_num || '/' || case_year2 || '.' ELSE '' END
   || CASE WHEN list_a IS NOT NULL THEN ' It consolidates RFCs ' || list_a || ', ' || list_b || ' and ' || list_c || '.' ELSE '' END
+  || CASE WHEN art_num IS NOT NULL THEN ' Compliance follows Articles ' || art_a1 || ' and ' || art_a2 || ' of Directive ' || art_year4 || '/' || art_num || '/EC.' ELSE '' END
   || CASE WHEN ext_url IS NOT NULL THEN ' The registry lives at ' || ext_url || '.' ELSE '' END
   || CASE WHEN that_sec IS NOT NULL THEN ' Section ' || that_sec || ' of that document applies.' ELSE '' END)"""
 
@@ -300,6 +305,14 @@ golden AS (
            FALSE, NULL, NULL FROM f WHERE list_b IS NOT NULL
     UNION ALL SELECT url || '#S2', 'dcterms:references', {_RFC} || list_c_n,
            FALSE, NULL, NULL FROM f WHERE list_c IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/eu/dir/' || art_year4 || '/' || art_num
+           || '#A' || art_a1, FALSE, NULL, NULL
+           FROM f WHERE art_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           'https://example.org/res/eu/dir/' || art_year4 || '/' || art_num
+           || '#A' || art_a2, FALSE, NULL, NULL
+           FROM f WHERE art_num IS NOT NULL
     UNION ALL SELECT url || '#S2', 'dcterms:references',
            {_RFC} || that_target || '#S' || that_sec, FALSE, NULL, NULL
            FROM f WHERE that_sec IS NOT NULL
@@ -443,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .when(F.col("obj").startswith(BASE + "res/draft/"), "draft")
                .when(F.col("obj").startswith("https://doi.org/"), "doi")
                .when(F.col("obj").startswith(BASE + "res/iso/"), "iso")
+               .when(F.col("obj").startswith(BASE + "res/eu/dir/")
+                     & F.col("obj").contains("#A"), "eu_article")
                .when(F.col("obj").startswith(BASE + "res/eu/dir/"),
                      "eu_directive")
                .when(F.col("obj").startswith(BASE + "res/ecj/"), "ecj_case")
@@ -502,29 +517,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, idf, ["table", "window", "spark"], k=20))
     q["fulltext_search_docs"] = fulltext_search_docs
 
-    def doc_versions_latest(spark, sf):
-        """J8 archive half: current-version view over the version
-        archive (one window, one shuffle on url)."""
+    def doc_versions_views(spark, sf):
+        """J8 both halves in one gate: per document, the CURRENT
+        version (archive latest view) and the version IN EFFECT on
+        2020-06-15 under two-sided TemporalElement validity
+        (elements.py:417-447 entryintoforce ≤ d < expires) — null
+        asof_version for documents not yet published OR already
+        repealed by that date."""
         from ferenda_spark.operators import versions as V
         from ferenda_spark.sources.testdata import (
             doc_versions_from_documents,
         )
         vs = doc_versions_from_documents(_docs(spark, sf))
-        return _longify(V.latest_versions(vs).select(
-            "url", "version", "valid_from", "archive_uri", "n_versions"))
-    q["doc_versions_latest"] = doc_versions_latest
-
-    def doc_versions_asof(spark, sf):
-        """J8: the version of each document in effect on 2020-06-15
-        (TemporalElement / consolidated-statute semantics)."""
-        from ferenda_spark.operators import versions as V
-        from ferenda_spark.sources.testdata import (
-            doc_versions_from_documents,
-        )
-        vs = doc_versions_from_documents(_docs(spark, sf))
-        return _longify(V.versions_asof(vs, "2020-06-15").select(
-            "url", "version", "valid_from"))
-    q["doc_versions_asof"] = doc_versions_asof
+        latest = V.latest_versions(vs).select(
+            "url", F.col("version").alias("latest_version"),
+            "archive_uri", "n_versions")
+        asof = V.versions_asof(vs, "2020-06-15", end="valid_to").select(
+            "url", F.col("version").alias("asof_version"),
+            F.col("valid_from").alias("asof_valid_from"))
+        return _longify(latest.join(asof, "url", "left"))
+    q["doc_versions_views"] = doc_versions_views
 
     def feedsets_events(spark, sf):
         """A4: per-type feeds plus the union 'All' feed, newest-first,
@@ -1187,6 +1199,8 @@ SELECT CASE
     WHEN obj LIKE 'https://example.org/res/draft/%' THEN 'draft'
     WHEN obj LIKE 'https://doi.org/%' THEN 'doi'
     WHEN obj LIKE 'https://example.org/res/iso/%' THEN 'iso'
+    WHEN obj LIKE 'https://example.org/res/eu/dir/%' AND obj LIKE '%#A%'
+        THEN 'eu_article'
     WHEN obj LIKE 'https://example.org/res/eu/dir/%' THEN 'eu_directive'
     WHEN obj LIKE 'https://example.org/res/ecj/%' THEN 'ecj_case'
     WHEN obj LIKE 'https://example.org/res/rfc/%' AND obj LIKE '%#S%'
@@ -1336,6 +1350,13 @@ FROM events GROUP BY event_type
          'v' || CAST(g.i AS VARCHAR) AS version,
          DATE '2020-01-01' + INTERVAL (CAST(doc_id % 200 AS INT)
              + CAST(g.i AS INT) * 37) DAY AS valid_from,
+         CASE WHEN g.i < doc_id % 3
+              THEN DATE '2020-01-01' + INTERVAL (CAST(doc_id % 200 AS INT)
+                   + CAST(g.i AS INT) * 37 + 37) DAY
+              WHEN doc_id % 6 = 5
+              THEN DATE '2020-01-01' + INTERVAL (CAST(doc_id % 200 AS INT)
+                   + CAST(g.i AS INT) * 37 + 30) DAY
+         END AS valid_to,
          CASE WHEN g.i = doc_id % 3
               THEN 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
               ELSE 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR)
@@ -1344,22 +1365,22 @@ FROM events GROUP BY event_type
   FROM documents, (SELECT unnest(generate_series(0, 2)) AS i) g
   WHERE g.i <= doc_id % 3)"""
 
-    o["doc_versions_latest"] = f"""
-WITH {_versions_cte}
-SELECT url, version, CAST(valid_from AS DATE) AS valid_from,
-       archive_uri, n_versions
-FROM v WHERE version = 'v' || CAST(n_versions - 1 AS VARCHAR)
-"""
-
-    o["doc_versions_asof"] = f"""
+    o["doc_versions_views"] = f"""
 WITH {_versions_cte},
+latest AS (
+  SELECT url, version AS latest_version, archive_uri, n_versions
+  FROM v WHERE version = 'v' || CAST(n_versions - 1 AS VARCHAR)),
 eligible AS (
   SELECT url, version, CAST(valid_from AS DATE) AS valid_from,
          row_number() OVER (PARTITION BY url
                             ORDER BY valid_from DESC,
                             CAST(ltrim(version, 'v') AS BIGINT) DESC) AS rn
-  FROM v WHERE valid_from <= DATE '2020-06-15')
-SELECT url, version, valid_from FROM eligible WHERE rn = 1
+  FROM v WHERE valid_from <= DATE '2020-06-15'
+    AND (valid_to IS NULL OR DATE '2020-06-15' < valid_to))
+SELECT l.url, l.latest_version, l.archive_uri, l.n_versions,
+       e.version AS asof_version, e.valid_from AS asof_valid_from
+FROM latest l LEFT JOIN (SELECT * FROM eligible WHERE rn = 1) e
+  ON l.url = e.url
 """
 
     _ft_toks = ("list_filter(string_split_regex(lower(trim({c})), "

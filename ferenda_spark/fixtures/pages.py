@@ -253,6 +253,21 @@ def gen_doc(n: int, n_docs: int, seed: int = 42) -> dict:
                         pieces.append(ext + trail)
                         golden.append((frag, DCT_REFERENCES, ext,
                                        False, None, None))
+                    elif kind < 0.93:
+                        # distributed article list (eu_article class):
+                        # one match, two links sharing the directive
+                        a1 = rng.randint(1, 20)
+                        a2 = a1 + rng.randint(1, 5)
+                        dy = 1984 + rng.randint(0, 40)
+                        dn = rng.randint(1, 200)
+                        pieces.append(
+                            f"Articles {a1} and {a2} of Directive "
+                            f"{dy}/{dn}/EC")
+                        for a in (a1, a2):
+                            golden.append((
+                                frag, DCT_REFERENCES,
+                                f"{BASE}res/eu/dir/{dy}/{dn}#A{a}",
+                                False, None, None))
                     elif alias is not None:
                         pieces.append(f"[{alias[0]}]")
                         golden.append((frag, DCT_REFERENCES,

@@ -81,6 +81,11 @@ class CitationClass:
     # (segmentation / golden str-Link trees); equivalence against the
     # Column formatter is pytest-gated
     py_formatter: Callable[[object], list] | None = None
+    #: literal substring every match necessarily contains — evaluated
+    #: as a cheap ``contains`` BEFORE the class regex so fragments
+    #: with no candidate marker skip the scan entirely (regex
+    #: alternations are the per-row hot path at 10^12 docs)
+    guard: str | None = None
 
     @property
     def pattern(self) -> str:
@@ -202,6 +207,28 @@ def build_classes() -> list[CitationClass]:
         expand_year2_col(cls.g(m, "year")))))(c)
     classes.append(c)
 
+    # 11. context-distributing list: "Articles 5 and 6 of Directive
+    # 1995/46/EC" — ONE match, SEVERAL links, each combining a list
+    # item with the shared outer context (the reference's nested
+    # sfsrefs/lagrum.ebnf distributed lists: "2 kap. 3 och 4 §§"
+    # yields two links sharing the chapter+law context,
+    # legalref.py:170-180 dynamic root production + find_attributes
+    # list semantics).  The directive context deliberately uses a
+    # 4-digit year so the flat eu_directive class (YEAR2) cannot also
+    # match inside the list production — the outer production owns
+    # the whole span, like the reference's recursive parse.
+    art = Seq(Lit("Articles "),
+              Cap("arts", Rep(NUM, Rx(r"(?:, | and )"))),
+              Lit(" of Directive "), Cap("year", YEAR4), Lit("/"),
+              Cap("num", NUM), Lit("/EC")).compile()
+    c = CitationClass("eu_article", art, None)
+    c.formatter = (lambda cls: lambda m: F.transform(
+        F.regexp_extract_all(cls.g(m, "arts"), F.lit(r"\d+"), 0),
+        lambda a: F.concat(
+            F.lit(BASE + "res/eu/dir/"), cls.g(m, "year"), F.lit("/"),
+            cls.g(m, "num"), F.lit("#A"), a)))(c)
+    classes.append(c)
+
     # Python twins of the Column formatters (markup/segmentation path)
     by = {cc.name: cc for cc in classes}
     by["rfc"].py_formatter = lambda m, cls=by["rfc"]: [
@@ -226,6 +253,18 @@ def build_classes() -> list[CitationClass]:
     by["ecj_case"].py_formatter = lambda m, cls=by["ecj_case"]: [
         BASE + "res/ecj/C-" + pg(cls, m, "num") + "-"
         + expand_year2(pg(cls, m, "year"))]
+    by["eu_article"].py_formatter = lambda m, cls=by["eu_article"]: [
+        BASE + "res/eu/dir/" + pg(cls, m, "year") + "/"
+        + pg(cls, m, "num") + "#A" + a
+        for a in _re.findall(r"\d+", pg(cls, m, "arts"))]
+
+    # cheap contains-prefilter per class (see CitationClass.guard)
+    guards = {"rfc": "[RFC", "rfc_list": "RFCs ", "bcp": "BCP ",
+              "std": "STD ", "draft": "draft-", "doi": "doi:",
+              "iso": "ISO ", "eu_directive": "Directive ",
+              "ecj_case": "Case C-", "eu_article": "Articles "}
+    for cc in classes:
+        cc.guard = guards[cc.name]
 
     return classes
 
@@ -282,24 +321,33 @@ def cite_objs(text: Column, aliases: Column) -> Column:
     """Distinct citation-target URIs in one text — EVERY class in one
     projection: per-class regexp_extract_all → formatter → flatten.
     Map-only; the single consumer for both the modular and the fused
-    execution paths (one grammar, two plans)."""
+    execution paths (one grammar, two plans).
+
+    Each class regex runs behind its ``guard`` substring prefilter —
+    ``contains`` is a plain scan, the regex alternation is not, and on
+    open-domain text most fragments carry no candidate marker at all.
+    """
+    _empty = F.array().cast("array<string>")
     per_class = [
-        F.flatten(F.transform(
-            F.regexp_extract_all(text, F.lit(cls.pattern), 0),
-            cls.formatter))
+        F.when(
+            text.contains(cls.guard),
+            F.flatten(F.transform(
+                F.regexp_extract_all(text, F.lit(cls.pattern), 0),
+                cls.formatter))).otherwise(_empty)
         for cls in CLASSES
     ]
-    alias_objs = F.transform(
+    alias_objs = F.when(text.contains("["), F.transform(
         F.filter(
             F.transform(
                 F.regexp_extract_all(text, F.lit(ALIAS_MENTION.pattern),
                                      ALIAS_MENTION.group_index("name")),
                 lambda n: aliases[n]),
             lambda num: num.isNotNull()),
-        _rfc_uri)
-    url_objs = F.transform(
+        _rfc_uri)).otherwise(_empty)
+    url_objs = F.when(text.contains("http"), F.transform(
         F.regexp_extract_all(text, F.lit(URL.pattern), 0),
         lambda m: F.regexp_replace(m, TRAILING_PUNCT_RE, ""))
+    ).otherwise(_empty)
     return F.array_distinct(
         F.concat(*per_class, alias_objs, url_objs))
 
@@ -350,9 +398,18 @@ def stateful_reference_structs(doc_uri: Column, preamble: Column,
     currentlaw is None (legalref.py:888-905 falls back to no link).
     """
     def toks_of(subj: Column, text: Column) -> Column:
-        return F.transform(
+        # contains-prefilter mirroring the per-class guards: a text
+        # with none of the state-relevant markers skips the (large)
+        # STATE_SCAN_RE alternation entirely
+        guard = F.lit(False)
+        for lit in sorted({c.guard for c in _STATE_CLASSES}
+                          | {"[", "that document"}):
+            guard = guard | text.contains(lit)
+        return F.when(guard, F.transform(
             F.regexp_extract_all(text, F.lit(STATE_SCAN_RE), 0),
             lambda m: F.struct(subj.alias("frag"), m.alias("m")))
+        ).otherwise(
+            F.array().cast("array<struct<frag:string,m:string>>"))
 
     pre = toks_of(doc_uri, preamble)
     secs = F.flatten(F.transform(

@@ -121,18 +121,25 @@ def _token_segments(tok: str, aliases: dict) -> list[dict] | None:
         if fm is None:
             continue
         uris = cls.py_formatter(fm)
-        if cls.name == "rfc_list":
-            # plural production: each number is its own Link, the
-            # separators stay str (format_tokentree multi-link case)
+        list_group = {"rfc_list": "list", "eu_article": "arts"}.get(cls.name)
+        if list_group is not None:
+            # plural/distributed production: each list item is its
+            # own Link (sharing any bound outer context through the
+            # class formatter), separators and the context tail stay
+            # str (format_tokentree multi-link case; the reference's
+            # distributed-list markup, legalref.py find_attributes)
+            gi = cls.compiled.group_index(list_group)
+            span_s, span_e = fm.span(gi)
             segs, pos, i = [], 0, 0
-            for nm in _NUM_RE.finditer(tok):
-                if nm.start() > pos:
-                    segs.append({"kind": "str", "text": tok[pos:nm.start()],
+            for nm in _NUM_RE.finditer(tok[span_s:span_e]):
+                s, e = nm.start() + span_s, nm.end() + span_s
+                if s > pos:
+                    segs.append({"kind": "str", "text": tok[pos:s],
                                  "uri": None})
                 segs.append({"kind": "link", "text": nm.group(0),
                              "uri": uris[i]})
                 i += 1
-                pos = nm.end()
+                pos = e
             if pos < len(tok):
                 segs.append({"kind": "str", "text": tok[pos:], "uri": None})
             return segs

@@ -7,14 +7,19 @@ new one lands; sources/legal/se/sfs.py:425-472 consolidated statutes
 carry in-effect dates and readers ask for "the version in effect at
 date D" — TemporalElement semantics).
 
-Relational form: a ``versions`` table (url, version, valid_from,
-archive_uri) where exactly one row per url is current.  Both views
-are one window over one shuffle on url:
+Relational form: a ``versions`` table (url, version, valid_from
+[, valid_to], archive_uri) where exactly one row per url is current.
+Both views are one window over one shuffle on url:
 
 * ``latest_versions`` — the current snapshot per document.
-* ``versions_asof`` — the version in effect at a given date
-  (valid_from ≤ D, latest such).  Documents with no version yet in
-  effect at D drop out (the reference raises/skips for
+* ``versions_asof`` — the version in effect at a given date.
+  Validity is the reference's TWO-SIDED ``TemporalElement.in_effect``
+  test (/root/reference/ferenda/elements/elements.py:417-447:
+  ``entryintoforce ≤ d < expires``): pass ``end`` to enforce the
+  expiry bound, so a repealed document (current version with a
+  ``valid_to`` in the past) drops out of the as-of view entirely —
+  not just superseded versions.  Documents with no version yet in
+  effect at D also drop (the reference raises/skips for
   not-yet-published basefiles).
 """
 
@@ -41,13 +46,29 @@ def latest_versions(versions: DataFrame, key: str = "url",
             .drop("_rn"))
 
 
+def in_effect(at, ts: str = "valid_from",
+              end: str = "valid_to") -> "F.Column":
+    """TemporalElement.in_effect(d) as a Column predicate:
+    ``valid_from ≤ d < valid_to``, a null ``valid_to`` meaning
+    still in force (elements.py:445-447)."""
+    return (F.col(ts) <= F.lit(at)) & (
+        F.col(end).isNull() | (F.lit(at) < F.col(end)))
+
+
 def versions_asof(versions: DataFrame, at, key: str = "url",
-                  ts: str = "valid_from") -> DataFrame:
-    """The version of each document in effect at date ``at``."""
+                  ts: str = "valid_from",
+                  end: str | None = None) -> DataFrame:
+    """The version of each document in effect at date ``at``.
+
+    With ``end`` set (the expiry column), validity is two-sided: a
+    repealed document — one whose latest version's expiry is ≤ at —
+    has NO row in the result."""
     w = Window.partitionBy(key).orderBy(
         F.desc(ts), F.desc(natural_sort_key_col(F.col("version"))))
-    return (versions
-            .filter(F.col(ts) <= F.lit(at))
+    eligible = (versions.filter(in_effect(at, ts, end))
+                if end is not None
+                else versions.filter(F.col(ts) <= F.lit(at)))
+    return (eligible
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))

@@ -117,6 +117,15 @@ def doc_features(documents: DataFrame) -> DataFrame:
         F.when(d % 13 == 7, F.concat(
             (d % 6 + 1).cast("string"), F.lit("."),
             (d % 2 + 1).cast("string"))).alias("that_sec"),
+        # distributed-list class (eu_article): two article ordinals
+        # sharing one directive context; 4-digit year by construction
+        # so the flat eu_directive class cannot co-match
+        F.when(d % 15 == 9, (d % 9 + 1).cast("string")).alias("art_a1"),
+        F.when(d % 15 == 9,
+               (d % 9 + 2 + d % 3).cast("string")).alias("art_a2"),
+        F.when(d % 15 == 9,
+               (1984 + d % 40).cast("string")).alias("art_year4"),
+        F.when(d % 15 == 9, (d % 120 + 1).cast("string")).alias("art_num"),
         # bare external URL (trailing-punctuation exclusion class)
         F.when(d % 3 == 2, F.concat(
             F.lit("https://www.example.com/spec/"),
@@ -181,6 +190,10 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         opt("list_a", F.lit(" It consolidates RFCs "), F.col("list_a"),
             F.lit(", "), F.col("list_b"), F.lit(" and "), F.col("list_c"),
             F.lit(".")),
+        opt("art_num", F.lit(" Compliance follows Articles "),
+            F.col("art_a1"), F.lit(" and "), F.col("art_a2"),
+            F.lit(" of Directive "), F.col("art_year4"), F.lit("/"),
+            F.col("art_num"), F.lit("/EC.")),
         opt("ext_url", F.lit(" The registry lives at "), F.col("ext_url"),
             F.lit(".")),
         opt("that_sec", F.lit(" Section "), F.col("that_sec"),
@@ -296,25 +309,47 @@ def statute_pages_from_documents(documents: DataFrame) -> DataFrame:
 
 def doc_versions_from_documents(documents: DataFrame) -> DataFrame:
     """documents → version-archive rows (url, version, valid_from,
-    archive_uri), pure columns: doc d has d%3+1 versions v0..v(d%3),
-    effective every 37 days from a per-doc epoch; non-current versions
-    live under the reference-style ``/arkiv/`` path
-    (documentstore.py:781-820)."""
+    valid_to, archive_uri), pure columns: doc d has d%3+1 versions
+    v0..v(d%3), effective every 37 days from a per-doc epoch;
+    non-current versions live under the reference-style ``/arkiv/``
+    path (documentstore.py:781-820).
+
+    Two-sided validity (TemporalElement.in_effect, elements.py:
+    417-447): a superseded version expires when its successor enters
+    into force (valid_to = valid_from + 37); the CURRENT version is
+    open-ended (valid_to null) except for repealed documents
+    (d % 6 == 5), whose final version expires 30 days after entry —
+    so some fixture docs are repealed before, some after, any given
+    as-of date."""
     d = F.col("doc_id").cast("long")
     url = F.concat(F.lit(BASE + "res/doc/"), d.cast("string"))
     n_extra = d % 3
     return documents.select(d.alias("doc_id"), url.alias("url"),
-                            n_extra.alias("_n")).select(
+                            n_extra.alias("_n"),
+                            (d % 6 == 5).alias("_repealed")).select(
         "url",
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n")))
         .alias("_v"),
-        F.col("_n")).select(
+        F.col("_n"), F.col("_repealed")).select(
         "url",
         F.concat(F.lit("v"), F.col("_v").cast("string")).alias("version"),
         F.date_add(
             F.lit("2020-01-01").cast("date"),
             (F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 200
              + F.col("_v").cast("int") * 37)).alias("valid_from"),
+        F.when(
+            F.col("_v") < F.col("_n"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"),
+                (F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 200
+                 + F.col("_v").cast("int") * 37 + 37)))
+        .when(
+            F.col("_repealed"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"),
+                (F.regexp_extract("url", r"(\d+)$", 1).cast("int") % 200
+                 + F.col("_v").cast("int") * 37 + 30)))
+        .alias("valid_to"),
         F.when(F.col("_v") == F.col("_n"), F.col("url"))
         .otherwise(F.concat(F.col("url"), F.lit("/arkiv/v"),
                             F.col("_v").cast("string")))

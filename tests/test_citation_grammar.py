@@ -63,6 +63,14 @@ GOLDEN = [
     ("Directive 95/46/EC", {f"{BASE}res/eu/dir/1995/46"}),
     ("Directive 45/9/EC", {f"{BASE}res/eu/dir/2045/9"}),  # pivot < 50
     ("Case C-101/01", {f"{BASE}res/ecj/C-101-2001"}),
+    # context-distributing list: several links share the bound
+    # directive context from ONE match; the 4-digit year keeps the
+    # flat eu_directive class from co-matching
+    ("Articles 5 and 6 of Directive 1995/46/EC",
+     {f"{BASE}res/eu/dir/1995/46#A5", f"{BASE}res/eu/dir/1995/46#A6"}),
+    ("Articles 2, 7 and 13 of Directive 2006/24/EC apply",
+     {f"{BASE}res/eu/dir/2006/24#A2", f"{BASE}res/eu/dir/2006/24#A7",
+      f"{BASE}res/eu/dir/2006/24#A13"}),
     ("see https://x.example/a,b.", {"https://x.example/a,b"}),
     ("no citations here", set()),
 ]
@@ -149,7 +157,9 @@ def test_stateful_alias_mention_updates_state(spark):
 def test_every_registry_class_has_formatter_and_pattern():
     names = {c.name for c in CLASSES}
     assert names == {"rfc", "rfc_list", "bcp", "std", "draft", "doi",
-                     "iso", "eu_directive", "ecj_case"}
+                     "iso", "eu_directive", "ecj_case", "eu_article"}
+    for c in CLASSES:
+        assert c.guard, c.name  # every class carries a scan prefilter
     for c in CLASSES:
         assert c.pattern and callable(c.formatter)
 
@@ -179,6 +189,25 @@ def test_segment_text_multiclass_roundtrip():
         ("0212", f"{BASE}res/rfc/212"),
         ("Directive 95/46/EC", f"{BASE}res/eu/dir/1995/46"),
     ]
+
+
+def test_segment_distributed_list_shares_context():
+    """Golden segments for the distributed-list production: each
+    article ordinal is its own Link minting a URI that combines the
+    item with the SHARED directive context; separators and the
+    context tail stay str; segments reassemble exactly."""
+    from ferenda_spark.operators.mention import segment_text
+    text = "Per Articles 5 and 6 of Directive 1995/46/EC, consent."
+    segs = segment_text(text, {})
+    assert "".join(s["text"] for s in segs) == text
+    links = [(s["text"], s["uri"]) for s in segs if s["kind"] == "link"]
+    assert links == [
+        ("5", f"{BASE}res/eu/dir/1995/46#A5"),
+        ("6", f"{BASE}res/eu/dir/1995/46#A6"),
+    ]
+    # the shared context stays str (no Link swallows it)
+    assert " of Directive 1995/46/EC" in "".join(
+        s["text"] for s in segs if s["kind"] == "str")
 
 
 def test_segment_tree_recursive():

@@ -498,3 +498,39 @@ def test_version_tiebreak_is_natural_order(spark):
     assert len(cur) == 1 and cur[0]["version"] == "v10"
     asof = V.versions_asof(vs, d).collect()
     assert asof[0]["version"] == "v10"
+
+
+def test_two_sided_validity_drops_repealed(spark):
+    """TemporalElement.in_effect semantics (elements.py:417-447):
+    valid_from ≤ d < valid_to.  A repealed document (its last
+    version's valid_to in the past) has NO version in effect; an
+    expiry exactly ON the as-of date is already out (strict <); a
+    superseded version stays selectable only inside its interval."""
+    import datetime
+    from ferenda_spark.operators import versions as V
+    D = datetime.date
+    vs = spark.createDataFrame(
+        [
+            # doc "a": v0 superseded by v1 (open-ended) — v1 in effect
+            ("a", "v0", D(2020, 1, 1), D(2020, 2, 1), "a/arkiv/v0"),
+            ("a", "v1", D(2020, 2, 1), None, "a"),
+            # doc "b": repealed 2020-03-01 — gone at any later date
+            ("b", "v0", D(2020, 1, 1), D(2020, 3, 1), "b"),
+            # doc "c": expires exactly on the as-of date → out
+            ("c", "v0", D(2020, 1, 1), D(2020, 6, 1), "c"),
+        ],
+        "url string, version string, valid_from date, valid_to date, "
+        "archive_uri string")
+    got = {r["url"]: r["version"]
+           for r in V.versions_asof(vs, D(2020, 6, 1),
+                                    end="valid_to").collect()}
+    assert got == {"a": "v1"}
+    # inside v0's interval the superseded version is the one in effect
+    got_jan = {r["url"]: r["version"]
+               for r in V.versions_asof(vs, D(2020, 1, 15),
+                                        end="valid_to").collect()}
+    assert got_jan == {"a": "v0", "b": "v0", "c": "v0"}
+    # without `end`, the one-sided legacy semantics keeps repealed docs
+    got_legacy = {r["url"]: r["version"]
+                  for r in V.versions_asof(vs, D(2020, 6, 1)).collect()}
+    assert got_legacy == {"a": "v1", "b": "v0", "c": "v0"}
