@@ -40,13 +40,12 @@ HEADLINE = [
     "dedup_simhash",
     "patch_documents",
     "pdf_style_metrics",
-    "text_repetition",
     "url_canonical_dedup",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_ivf_topk",
-    "text_token_stats",
-    "text_langid",
+    "text_metrics",
+    "fulltext_fielded",
     "media_meta",
     "sessionize_events",
     "asof_purchase_click",
@@ -73,7 +72,7 @@ def run_default() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     import __spark_entry__ as entry_mod
     spark = _spark(cpus)
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
     timings: dict[str, float] = {}
     kg_triples = 0
     # 2 reps per query, keep the min: the sandbox VM shows random

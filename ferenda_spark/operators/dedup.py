@@ -91,15 +91,20 @@ def df_cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
                   threshold: float = 0.8,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = 1000) -> DataFrame:
     """All id pairs (a < b) with shingle-Jaccard ≥ threshold.
 
     |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|. The join key
-    is the shingle itself — frequent shingles are the skew point, so
-    on open-domain text pass ``max_df`` to pre-drop ultra-common
-    shingles (sizes are recomputed post-cap, so the jaccard stays a
-    true set similarity over the capped universe); see
-    lsh_candidate_pairs for the banded variant.
+    is the shingle itself — frequent shingles are the skew point: a
+    boilerplate shingle shared by m documents contributes m² join
+    rows, so the document-frequency cap is ON BY DEFAULT
+    (``max_df=1000`` bounds any shingle's contribution at 10⁶ rows;
+    sizes are recomputed post-cap, so the jaccard stays a true set
+    similarity over the capped universe).  Pass ``max_df=None`` to
+    opt out explicitly — exact all-shingle semantics, quadratic in
+    the hottest shingle's document frequency.  See
+    lsh_candidate_pairs for the banded variant that avoids the
+    equi-join entirely.
     """
     sh = shingle_rows(docs, text_col, id_col, n)
     if max_df is not None:

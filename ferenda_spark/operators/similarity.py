@@ -20,6 +20,7 @@ first-class training-data extension per the build brief.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -212,17 +213,56 @@ def ivf_assign_udf(centroids: list[list[float]], nprobe: int = 1):
     return pandas_udf(f, "array<int>")
 
 
+def lloyd_refine(items: DataFrame, seeds: list[list[float]],
+                 iters: int = 2, sample_n: int = 2048,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[float]]:
+    """Driver-side Lloyd (k-means) refinement of IVF seed centroids
+    over a deterministic sample — the ``sample_n`` lowest-id vectors
+    (bounded collect, like the seed pick itself).
+
+    Assignment uses the SAME milli-quantized integer metric as
+    ``ivf_assign_udf`` (floor(x·1000), exact int64 arithmetic, stable
+    argmin), and the recomputed means are floored back to integer
+    milli-units before the next round — every step is
+    order-independent integer math, so refinement is deterministic
+    across partitionings and engines.  An emptied cluster keeps its
+    previous centroid.  Returns centroids as float lists ready for
+    ``ivf_topk``'s assignment UDFs."""
+    rows = (items.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+            .orderBy("id").limit(sample_n).collect())
+    S = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    Q = np.floor(S * 1000.0).astype(np.int64)            # (n, dim)
+    C = np.floor(np.asarray(seeds, dtype=np.float64) * 1000.0
+                 ).astype(np.int64)                      # (k, dim)
+    for _ in range(iters):
+        d = ((Q * Q).sum(axis=1)[:, None]
+             - 2 * (Q @ C.T)
+             + (C * C).sum(axis=1)[None, :])             # (n, k)
+        assign = d.argmin(axis=1)                        # stable: first min
+        new_C = C.copy()
+        for j in range(C.shape[0]):
+            members = Q[assign == j]
+            if len(members):
+                new_C[j] = members.sum(axis=0) // len(members)
+        C = new_C
+    return (C.astype(np.float64) / 1000.0).tolist()
+
+
 def ivf_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_centroids: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             refine_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the list-partitioned
     ANN path complementing the banded LSH one.
 
     Coarse quantizer: the ``n_centroids`` lowest-id vectors serve as
-    list centroids (a deterministic seed sample; a production build
-    would Lloyd-refine this driver-side sample before broadcast — the
-    assignment/probe machinery below is identical either way).  Every
+    list centroids (a deterministic seed sample); pass
+    ``refine_iters > 0`` to Lloyd-refine them driver-side over a
+    deterministic sample before broadcast (``lloyd_refine``) — the
+    assignment/probe machinery below is identical either way.  Every
     item is assigned to its single nearest list with one Arrow matmul
     (no shuffle — the centroid matrix is a closure broadcast); each
     query probes its ``nprobe`` nearest lists.  Scoring touches only
@@ -233,6 +273,14 @@ def ivf_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                           _as_double(F.col(vec_col)).alias("cv"))
              .orderBy("cid").limit(n_centroids).collect())
     cent_vecs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
+    if refine_iters > 0:
+        # Lloyd-refine the seed sample so list centroids track the
+        # data's real clusters (recall, not scale: probe machinery is
+        # identical either way). The gate query keeps refine_iters=0
+        # so the DuckDB oracle can mirror the seed assignment; the
+        # recall win is pytest-gated on a clustered fixture.
+        cent_vecs = lloyd_refine(items, cent_vecs, iters=refine_iters,
+                                 id_col=id_col, vec_col=vec_col)
     assign1 = ivf_assign_udf(cent_vecs, 1)
     assign_p = ivf_assign_udf(cent_vecs, nprobe)
     # explode-of-1 rather than getItem(0): getItem on a UDF column

@@ -50,11 +50,9 @@ def bpe_ish_tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(pieces), r"\s+"), lambda t: t != "")
 
 
-def token_stats(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+def _token_stat_cols(text_col: str) -> list[Column]:
     toks = tokens(F.col(text_col))
-    return docs.select(
-        id_col,
+    return [
         F.size(toks).alias("n_tokens"),
         F.size(bpe_ish_tokens(F.col(text_col))).alias("n_subtokens"),
         F.length(text_col).alias("n_chars_measured"),
@@ -63,13 +61,15 @@ def token_stats(docs: DataFrame, text_col: str = "text",
             F.aggregate(toks, F.lit(0).cast("long"),
                         lambda acc, t: acc + F.length(t))
             / F.greatest(F.size(toks), F.lit(1)), 4).alias("mean_token_len"),
-    )
+    ]
 
 
-def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: length band + stopword ratio
-    + lexical diversity. The formula is fixed and SQL-reproducible."""
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    return docs.select(id_col, *_token_stat_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list[Column]:
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -80,12 +80,18 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     score = F.round(
         0.4 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.3 * diversity, 4)
-    return docs.select(
-        id_col,
+    return [
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(diversity, 4).alias("lexical_diversity"),
         score.alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword ratio
+    + lexical diversity. The formula is fixed and SQL-reproducible."""
+    return docs.select(id_col, *_quality_cols(text_col))
 
 
 def langid(docs: DataFrame, text_col: str = "text",
@@ -93,6 +99,10 @@ def langid(docs: DataFrame, text_col: str = "text",
     """Predicted language = argmax of per-language marker-word hits
     (ties broken by LANG_ORDER). Pure columns; the scores live in a
     struct array so greatest-by is one array_max."""
+    return docs.select(id_col, *_langid_cols(text_col))
+
+
+def _langid_cols(text_col: str) -> list[Column]:
     toks = tokens(F.lower(F.col(text_col)))
     scored = []
     for rank, lang in enumerate(LANG_ORDER):
@@ -103,11 +113,10 @@ def langid(docs: DataFrame, text_col: str = "text",
             (hits * 100 - rank).alias("key"), F.lit(lang).alias("lang"),
             hits.alias("hits")))
     best = F.array_max(F.array(*scored))
-    return docs.select(
-        id_col,
+    return [
         best["lang"].alias("pred_lang"),
         best["hits"].alias("marker_hits"),
-    )
+    ]
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
@@ -116,16 +125,19 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     md5 of the full text. The rolling hash is order-sensitive (two
     docs with the same words in different order differ), md5 is the
     exact-dup key. acc' = (acc*31 + ascii(first char)*100 + len) % p."""
+    return docs.select(id_col, *_fingerprint_cols(text_col))
+
+
+def _fingerprint_cols(text_col: str) -> list[Column]:
     toks = tokens(F.col(text_col))
     rolling = F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: (acc * FP_BASE + F.ascii(F.substring(t, 1, 1)) * 100
                         + F.length(t)) % FP_MOD)
-    return docs.select(
-        id_col,
+    return [
         rolling.alias("rolling_fp"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
-    )
+    ]
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text",
@@ -141,6 +153,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     cross-row data at all.  The UDF is the cheap path here because
     the aggregation is row-local (contrast with langid/quality above,
     which stay pure-Column because they need no per-row mode)."""
+    return docs.select(
+        id_col, _repetition_struct(text_col).alias("s")
+    ).select(id_col, "s.top_unigram_frac", "s.top_bigram_frac",
+             "s.distinct_frac")
+
+
+def _repetition_struct(text_col: str) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<top_unigram_frac:double,"
@@ -165,7 +184,30 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         return pd.DataFrame(vals, columns=[
             "top_unigram_frac", "top_bigram_frac", "distinct_frac"])
 
+    return sig(F.col(text_col))
+
+
+def text_metrics(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """EVERY row-local text-analysis signal in ONE projection: token
+    stats, quality score, language ID, fingerprints, and repetition
+    signals — the curation feature vector a training-data pipeline
+    computes per document.
+
+    All signals are row-local, so fusing them costs nothing extra at
+    100 TB (one scan, zero shuffles, one Arrow batch round-trip for
+    the repetition mode) while running them as five separate jobs
+    would scan the corpus five times."""
     return docs.select(
-        id_col, sig(F.col(text_col)).alias("s")
-    ).select(id_col, "s.top_unigram_frac", "s.top_bigram_frac",
-             "s.distinct_frac")
+        id_col,
+        *_token_stat_cols(text_col),
+        *_quality_cols(text_col),
+        *_langid_cols(text_col),
+        *_fingerprint_cols(text_col),
+        _repetition_struct(text_col).alias("_s"),
+    ).select(
+        id_col, "n_tokens", "n_subtokens", "n_chars_measured",
+        "n_distinct_tokens", "mean_token_len", "stopword_ratio",
+        "lexical_diversity", "quality", "pred_lang", "marker_hits",
+        "rolling_fp", "text_md5",
+        "_s.top_unigram_frac", "_s.top_bigram_frac", "_s.distinct_frac")

@@ -49,6 +49,31 @@ def test_shingles_and_jaccard(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_jaccard_cap_default_and_explicit_optout(spark, docs):
+    """The df-cap is ON by default (hot-shingle skew guard); the
+    default cap (1000) never binds on small corpora, so results equal
+    the explicit ``max_df=None`` opt-out there — while a binding cap
+    provably changes the universe (boilerplate shingles dropped)."""
+    default_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                     for r in dedup.jaccard_pairs(
+                         docs, threshold=0.5).collect()}
+    optout_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in dedup.jaccard_pairs(
+                        docs, threshold=0.5, max_df=None).collect()}
+    assert default_pairs == optout_pairs
+    # a binding cap: boilerplate prefix shared by all 4 docs is
+    # dropped at max_df=2, leaving no shared shingles → no pairs
+    boiler = spark.createDataFrame(
+        [(i, "shared boilerplate header sentence here "
+             f"unique{i} tail{i} words{i} end{i}") for i in range(4)],
+        "doc_id long, text string")
+    # uncapped jaccard = 3 shared trigrams / 11 union = 0.2727
+    capped = dedup.jaccard_pairs(boiler, threshold=0.25, max_df=2).collect()
+    uncapped = dedup.jaccard_pairs(boiler, threshold=0.25,
+                                   max_df=None).collect()
+    assert len(uncapped) > 0 and len(capped) == 0
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in dedup.minhash_dedup_pairs(
@@ -232,6 +257,50 @@ def test_ivf_topk_recall_vs_brute(spark):
                    emb.repartition(7), qs, dim, k=3,
                    n_centroids=6, nprobe=2).collect()}
     assert approx == approx2
+
+
+def test_ivf_lloyd_refine_beats_seed_recall(spark):
+    """Seed centroids are the n_centroids LOWEST-ID vectors; on a
+    corpus where low ids all sit in one cluster that seeding is
+    pathological (other clusters get split arbitrarily across
+    lists).  Lloyd refinement over the deterministic sample must
+    recover cluster-tracking centroids and strictly improve rank-1
+    recall vs brute force — and stay deterministic across
+    partitionings."""
+    dim = 8
+    rows = []
+    # ids 0..59: cluster = id // 20 (so seeds 0..3 all in cluster 0);
+    # cluster centers are far apart, members jitter slightly
+    for i in range(60):
+        c = i // 20
+        v = [10.0 if j == c else 0.0 for j in range(dim)]
+        v[(i % 5) + 3] += 0.05 * ((i * 7) % 11)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    qs = emb.filter(F.col("vec_id").isin([25, 30, 45, 50, 55])).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["item_id"]
+             for r in similarity.cosine_topk(emb, qs, k=3).collect()}
+
+    def recall(refine_iters):
+        got = {(r["query_id"], r["rank"]): r["item_id"]
+               for r in similarity.ivf_topk(
+                   emb, qs, dim, k=3, n_centroids=4, nprobe=1,
+                   refine_iters=refine_iters).collect()}
+        qids = [25, 30, 45, 50, 55]
+        return sum(1 for q in qids
+                   if exact.get((q, 1)) == got.get((q, 1))) / len(qids)
+
+    r_seed, r_lloyd = recall(0), recall(2)
+    assert r_lloyd >= r_seed
+    assert r_lloyd >= 0.8
+    # refined centroids are pure integer math over a deterministic
+    # sample: identical across partitionings
+    c1 = similarity.lloyd_refine(
+        emb, [[0.0] * dim] * 4, iters=2)
+    c2 = similarity.lloyd_refine(
+        emb.repartition(7), [[0.0] * dim] * 4, iters=2)
+    assert c1 == c2
 
 
 def test_textstats(docs):

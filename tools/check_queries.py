@@ -54,8 +54,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # the driver only sees queries()/oracle_sql() (the 50 gates);
+    # locally we verify the extra_* entries too
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    oracles = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
