@@ -180,6 +180,11 @@ f AS (
     CASE WHEN doc_id % 15 = 9 THEN CAST(doc_id % 9 + 2 + doc_id % 3 AS VARCHAR) END AS art_a2,
     CASE WHEN doc_id % 15 = 9 THEN CAST(1984 + doc_id % 40 AS VARCHAR) END AS art_year4,
     CASE WHEN doc_id % 15 = 9 THEN CAST(doc_id % 120 + 1 AS VARCHAR) END AS art_num,
+    CASE WHEN doc_id % 14 = 10 THEN CAST(doc_id % 5 + 1 AS VARCHAR) END AS ns_i1,
+    CASE WHEN doc_id % 14 = 10 THEN CAST(doc_id % 5 + 2 + doc_id % 2 AS VARCHAR) END AS ns_i2,
+    CASE WHEN doc_id % 14 = 10 THEN CAST(doc_id % 8 + 1 AS VARCHAR) END AS ns_sec,
+    CASE WHEN doc_id % 14 = 10 THEN CAST(doc_id % 4 + 1 AS VARCHAR) END AS ns_chap,
+    CASE WHEN doc_id % 14 = 10 THEN CAST(doc_id % 300 + 1 AS VARCHAR) END AS ns_doc,
     CASE WHEN doc_id % 3 = 2 THEN 'https://www.example.com/spec/'
          || CAST(doc_id AS VARCHAR) END AS ext_url,
     -- expected resolution of the stateful short-form: the most recent
@@ -213,6 +218,7 @@ _SEC2 = """('Normative and informative references.'
   || CASE WHEN case_num IS NOT NULL THEN ' Interpreted in Case C-' || case_num || '/' || case_year2 || '.' ELSE '' END
   || CASE WHEN list_a IS NOT NULL THEN ' It consolidates RFCs ' || list_a || ', ' || list_b || ' and ' || list_c || '.' ELSE '' END
   || CASE WHEN art_num IS NOT NULL THEN ' Compliance follows Articles ' || art_a1 || ' and ' || art_a2 || ' of Directive ' || art_year4 || '/' || art_num || '/EC.' ELSE '' END
+  || CASE WHEN ns_doc IS NOT NULL THEN ' Implementations follow Items ' || ns_i1 || ' and ' || ns_i2 || ' of Section ' || ns_sec || ' of Chapter ' || ns_chap || ' of RFC ' || ns_doc || '.' ELSE '' END
   || CASE WHEN ext_url IS NOT NULL THEN ' The registry lives at ' || ext_url || '.' ELSE '' END
   || CASE WHEN that_sec IS NOT NULL THEN ' Section ' || that_sec || ' of that document applies.' ELSE '' END)"""
 
@@ -313,6 +319,14 @@ golden AS (
            'https://example.org/res/eu/dir/' || art_year4 || '/' || art_num
            || '#A' || art_a2, FALSE, NULL, NULL
            FROM f WHERE art_num IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           {_RFC} || ns_doc || '#C' || ns_chap || '.S' || ns_sec
+           || '.I' || ns_i1, FALSE, NULL, NULL
+           FROM f WHERE ns_doc IS NOT NULL
+    UNION ALL SELECT url || '#S2', 'dcterms:references',
+           {_RFC} || ns_doc || '#C' || ns_chap || '.S' || ns_sec
+           || '.I' || ns_i2, FALSE, NULL, NULL
+           FROM f WHERE ns_doc IS NOT NULL
     UNION ALL SELECT url || '#S2', 'dcterms:references',
            {_RFC} || that_target || '#S' || that_sec, FALSE, NULL, NULL
            FROM f WHERE that_sec IS NOT NULL
@@ -510,6 +524,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      "eu_directive")
                .when(F.col("obj").startswith(BASE + "res/ecj/"), "ecj_case")
                .when(F.col("obj").startswith(BASE + "res/rfc/")
+                     & F.col("obj").contains("#C"), "nested_struct")
+               .when(F.col("obj").startswith(BASE + "res/rfc/")
                      & F.col("obj").contains("#S"), "rfc_section")
                .when(F.col("obj").startswith(BASE + "res/rfc/"), "rfc")
                .otherwise("url"))
@@ -566,22 +582,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fulltext_search_docs"] = fulltext_search_docs
 
     def fulltext_fielded(spark, sf):
-        """Q1 composed with P8/P9: a term query plus a prefix
-        wildcard ('win*'), restricted to the text field, with a
-        metadata range predicate (doc_id BETWEEN 100 AND 399)
-        semi-joined into the postings BEFORE scoring — the
-        reference's parse_parameters More/Less/Between + wildcard
-        surface (wsgiapp.py:483-600, fulltextindex.py:307-333)."""
+        """Q1 composed with P8/P9 and phrase search: a term query,
+        a prefix wildcard ('win*'), and an exact-adjacency phrase
+        ("table window" via the positional index), restricted to the
+        text field, with a metadata range predicate (doc_id BETWEEN
+        100 AND 399) semi-joined into the postings BEFORE scoring —
+        the reference's parse_parameters More/Less/Between +
+        wildcard + quoted-phrase surface (wsgiapp.py:483-600,
+        fulltextindex.py:307-333)."""
         from ferenda_spark.operators import fulltext as ft
         d = _docs(spark, sf).select("doc_id", "text", "source")
         idx = ft.fulltext_index(d, "doc_id",
                                 {"source": 4, "text": 1}).persist()
         idf = ft.idf_milli(idx, d.count())
+        pidx = ft.positional_index(d, "doc_id", {"source": 4, "text": 1})
         eligible = d.filter(F.col("doc_id").between(100, 399)).select(
             F.col("doc_id").alias("id"))
         return _longify(ft.fulltext_search(
             idx, idf, ["table", "win*"], k=15,
-            fields=["text"], eligible=eligible))
+            fields=["text"], eligible=eligible,
+            phrases=["table window"], pindex=pidx))
     q["fulltext_fielded"] = fulltext_fielded
 
     def doc_versions_views(spark, sf):
@@ -1284,6 +1304,8 @@ SELECT CASE
         THEN 'eu_article'
     WHEN obj LIKE 'https://example.org/res/eu/dir/%' THEN 'eu_directive'
     WHEN obj LIKE 'https://example.org/res/ecj/%' THEN 'ecj_case'
+    WHEN obj LIKE 'https://example.org/res/rfc/%' AND obj LIKE '%#C%'
+        THEN 'nested_struct'
     WHEN obj LIKE 'https://example.org/res/rfc/%' AND obj LIKE '%#S%'
         THEN 'rfc_section'
     WHEN obj LIKE 'https://example.org/res/rfc/%' THEN 'rfc'
@@ -1493,14 +1515,26 @@ SELECT id, score, rank FROM (
 
     o["fulltext_fielded"] = f"""
 WITH {_ft_ctes},
-hits AS (
-  SELECT tf.id, CAST(sum(tf.tf * tf.boost * idf.idf_milli) AS BIGINT)
-             AS score
+pidx AS (SELECT doc_id AS id, unnest(toks) AS term,
+                generate_subscripts(toks, 1) AS pos
+         FROM (SELECT doc_id, {_ft_toks.format(c='text')} AS toks
+               FROM documents)),
+ph AS (SELECT p0.id, count(*) AS hits
+       FROM (SELECT id, pos FROM pidx WHERE term = 'table') p0
+       JOIN pidx p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+                    AND p1.term = 'window'
+       GROUP BY p0.id),
+pidf AS (SELECT CAST(sum(idf_milli) AS BIGINT) AS p_idf FROM idf
+         WHERE term IN ('table', 'window')),
+contrib AS (
+  SELECT tf.id, tf.tf * tf.boost * idf.idf_milli AS part
   FROM tf JOIN idf USING (term)
-  WHERE (term IN ('table') OR term LIKE 'win%')
-    AND field = 'text'
-    AND tf.id BETWEEN 100 AND 399
-  GROUP BY tf.id)
+  WHERE (term IN ('table') OR term LIKE 'win%') AND field = 'text'
+  UNION ALL
+  SELECT ph.id, ph.hits * 1 * pidf.p_idf AS part FROM ph, pidf),
+hits AS (
+  SELECT id, CAST(sum(part) AS BIGINT) AS score
+  FROM contrib WHERE id BETWEEN 100 AND 399 GROUP BY id)
 SELECT id, score, rank FROM (
   SELECT id, score,
          row_number() OVER (ORDER BY score DESC, id) AS rank

@@ -52,10 +52,12 @@ from ferenda_spark.functions.text import (
     strip_leading_zeros_col,
 )
 from ferenda_spark.grammar.combinators import (
-    Alt, Cap, Lit, Opt, Rep, Rx, Seq,
+    Alt, Cap, Grammar, Lit, Opt, Ref, Rep, Rx, Seq,
 )
 
 NUM = Rx(r"\d+")
+# the leading distributed-item list of a nested_struct chain
+NESTED_ITEMS_RE = r"Items ((?:\d+)(?:(?:, | and )\d+)*)"
 DOTTED = Rx(r"\d+(?:\.\d+)*")
 YEAR2 = Rx(r"\d{2}")
 YEAR4 = Rx(r"\d{4}")
@@ -229,6 +231,64 @@ def build_classes() -> list[CitationClass]:
             cls.g(m, "num"), F.lit("#A"), a)))(c)
     classes.append(c)
 
+    # 12. RECURSIVE structure chain (Grammar/Ref): "Items 5 and 6 of
+    # Section 4 of Chapter 2 of RFC 1234" — the reference's nested
+    # sfsrefs→sfsref chapter/section/piece/item chains with
+    # distributed lists (res/ebnf/lagrum.ebnf, legalref.py:170-180
+    # dynamic root + find_attributes list semantics).  ``locref`` is
+    # right-recursive (unit " of " locref); Grammar.compile unrolls
+    # it to max_depth=3 — the regular approximation, exact for the
+    # 3-level structural reality.  One match distributes the leading
+    # item list over the SHARED outer chapter/section context:
+    # #C2.S4.I5 and #C2.S4.I6 from one token.
+    unit = Alt(Seq(Lit("Items "), Rep(NUM, Rx(r"(?:, | and )"))),
+               Seq(Lit("Item "), NUM),
+               Seq(Lit("Section "), NUM),
+               Seq(Lit("Chapter "), NUM))
+    nested = Grammar(
+        {"unit": unit,
+         "locref": Alt(Seq(Ref("unit"), Lit(" of "), Ref("locref")),
+                       Ref("unit"))},
+        Seq(Cap("loc", Ref("locref")), Lit(" of RFC "),
+            Cap("num", NUM)),
+        max_depth=3).compile()
+
+    _ITEMS_RE = NESTED_ITEMS_RE
+
+    def fmt_nested(cls):
+        def fmt(m):
+            loc = cls.g(m, "loc")
+            doc = _rfc_uri(cls.g(m, "num"))
+            chap = F.regexp_extract(loc, r"Chapter (\d+)", 1)
+            sec = F.regexp_extract(loc, r"Section (\d+)", 1)
+            one = F.regexp_extract(loc, r"Item (\d+)", 1)
+            many = F.regexp_extract(loc, _ITEMS_RE, 1)
+            # outer context: C before S (URI order is outermost-first,
+            # the text reads innermost-first); when() without
+            # otherwise yields null, which concat_ws skips
+            ctx = F.concat_ws(
+                ".",
+                F.when(chap != "", F.concat(F.lit("C"), chap)),
+                F.when(sec != "", F.concat(F.lit("S"), sec)))
+            items = F.when(
+                many != "",
+                F.regexp_extract_all(many, F.lit(r"\d+"), 0)).when(
+                one != "", F.array(one)).otherwise(
+                F.array().cast("array<string>"))
+            return F.when(
+                F.size(items) > 0,
+                F.transform(items, lambda i: F.concat(
+                    doc, F.lit("#"),
+                    F.when(ctx != "", F.concat(ctx, F.lit(".")))
+                    .otherwise(F.lit("")),
+                    F.lit("I"), i))
+            ).otherwise(F.array(F.concat(doc, F.lit("#"), ctx)))
+        return fmt
+
+    c = CitationClass("nested_struct", nested, None)
+    c.formatter = fmt_nested(c)
+    classes.append(c)
+
     # Python twins of the Column formatters (markup/segmentation path)
     by = {cc.name: cc for cc in classes}
     by["rfc"].py_formatter = lambda m, cls=by["rfc"]: [
@@ -258,11 +318,36 @@ def build_classes() -> list[CitationClass]:
         + pg(cls, m, "num") + "#A" + a
         for a in _re.findall(r"\d+", pg(cls, m, "arts"))]
 
+    def _py_nested(m, cls=by["nested_struct"]):
+        loc = pg(cls, m, "loc")
+        doc = (BASE + "res/rfc/"
+               + strip_leading_zeros(pg(cls, m, "num")))
+        chap = _re.search(r"Chapter (\d+)", loc)
+        sec = _re.search(r"Section (\d+)", loc)
+        many = _re.search(_ITEMS_RE, loc)
+        one = _re.search(r"Item (\d+)", loc)
+        ctx = ".".join(
+            p for p in (("C" + chap.group(1)) if chap else None,
+                        ("S" + sec.group(1)) if sec else None) if p)
+        if many:
+            items = _re.findall(r"\d+", many.group(1))
+        elif one:
+            items = [one.group(1)]
+        else:
+            items = []
+        if items:
+            pre = ctx + "." if ctx else ""
+            return [f"{doc}#{pre}I{i}" for i in items]
+        return [f"{doc}#{ctx}"]
+
+    by["nested_struct"].py_formatter = _py_nested
+
     # cheap contains-prefilter per class (see CitationClass.guard)
     guards = {"rfc": "[RFC", "rfc_list": "RFCs ", "bcp": "BCP ",
               "std": "STD ", "draft": "draft-", "doi": "doi:",
               "iso": "ISO ", "eu_directive": "Directive ",
-              "ecj_case": "Case C-", "eu_article": "Articles "}
+              "ecj_case": "Case C-", "eu_article": "Articles ",
+              "nested_struct": " of RFC "}
     for cc in classes:
         cc.guard = guards[cc.name]
 

@@ -173,6 +173,95 @@ def _lift(p):
 
 
 @dataclass
+class Ref(Production):
+    """Reference to a named production of a :class:`Grammar` — the
+    recursion point.  Only compiles through ``Grammar.compile``,
+    which expands references structurally first."""
+    name: str
+
+    def _emit(self, groups):
+        raise ValueError(
+            f"Ref({self.name!r}) can only compile via Grammar.compile")
+
+
+class _DepthLimit(Exception):
+    """Internal: expansion of this branch exceeded max_depth."""
+
+
+@dataclass
+class Grammar:
+    """Named-production grammar with recursion, compiled to a regex
+    by bounded-depth expansion — the regular approximation of a
+    recursive EBNF ruleset.
+
+    The reference's citation grammars ARE recursive where structure
+    references nest (res/ebnf/lagrum.ebnf ``sfsrefs`` → ``sfsref`` →
+    kapitel/paragraf/stycke/punkt chains, loaded with a dynamic root
+    production at legalref.py:108-141,170-180).  A chart parser
+    handles that per string; at 10^12 documents matching must stay
+    inside whole-stage codegen, so ``compile`` unrolls each ``Ref``
+    up to ``max_depth`` occurrences per rule on a branch:
+
+    * an :class:`Alt` drops alternatives whose expansion exceeds the
+      limit (keeping the non-recursive base cases — exactly how a
+      regular approximation truncates a CFG);
+    * an :class:`Opt` whose body exceeds the limit becomes empty;
+    * if NO alternative survives anywhere, compilation fails loudly
+      rather than silently matching nothing.
+
+    Real-world citation chains bottom out at 3-4 structural levels
+    (chapter/section/piece/item), so a small ``max_depth`` is exact
+    in practice while keeping the pattern RE2-safe for the DuckDB
+    oracle.  ``Cap`` inside a rule expanded more than once raises
+    the duplicate-capture error from ``Production.compile`` —
+    capture the whole span and re-scan, as :class:`Rep` does."""
+    rules: dict
+    root: Production
+    max_depth: int = 3
+
+    def expand(self) -> Production:
+        try:
+            return self._x(_lift(self.root), [])
+        except _DepthLimit as e:
+            raise ValueError(
+                "grammar is recursive with no non-recursive "
+                f"alternative within max_depth={self.max_depth}: {e}")
+
+    def compile(self) -> "Compiled":
+        return self.expand().compile()
+
+    def _x(self, p: Production, stack: list) -> Production:
+        if isinstance(p, Ref):
+            if p.name not in self.rules:
+                raise ValueError(f"unknown production {p.name!r}")
+            if stack.count(p.name) >= self.max_depth:
+                raise _DepthLimit(p.name)
+            return self._x(_lift(self.rules[p.name]), stack + [p.name])
+        if isinstance(p, Seq):
+            return Seq(*[self._x(x, stack) for x in p.parts])
+        if isinstance(p, Alt):
+            kept = []
+            for x in p.parts:
+                try:
+                    kept.append(self._x(x, stack))
+                except _DepthLimit:
+                    continue
+            if not kept:
+                raise _DepthLimit(" | ".join(map(repr, p.parts)))
+            return Alt(*kept)
+        if isinstance(p, Opt):
+            try:
+                return Opt(self._x(p.part, stack))
+            except _DepthLimit:
+                return Lit("")
+        if isinstance(p, Rep):
+            return Rep(self._x(p.part, stack), self._x(p.sep, stack))
+        if isinstance(p, Cap):
+            return Cap(p.name, self._x(p.part, stack))
+        return p  # Lit / Rx terminals
+
+
+@dataclass
 class Compiled:
     """A compiled production: the pattern and name → group index."""
     pattern: str

@@ -56,6 +56,61 @@ def fulltext_index(docs: DataFrame, id_col: str,
             .agg(F.count(F.lit(1)).alias("tf")))
 
 
+def positional_index(docs: DataFrame, id_col: str,
+                     fields: dict[str, int]) -> DataFrame:
+    """(id, field, boost, term, pos) rows — the positional index
+    backing phrase queries (the reference's fulltext engine gets
+    phrase support from its backends' positional postings;
+    fulltextindex.py query strings pass phrases through quoted).
+
+    Map-side only (tokenize → posexplode), NO shuffle: phrase
+    matching joins it on (id, field, pos), so at 100 TB the table is
+    written bucketed by id to co-locate a document's postings."""
+    parts = []
+    for fld, boost in fields.items():
+        parts.append(
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(_field_tokens(F.col(fld)))
+                .alias("pos", "term"))
+            .withColumn("field", F.lit(fld))
+            .withColumn("boost", F.lit(boost).cast("long")))
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    return rows
+
+
+def phrase_hits(pindex: DataFrame, phrase: str,
+                fields: list[str] | None = None) -> DataFrame:
+    """(id, field, boost, hits) — exact-adjacency phrase occurrence
+    counts from the positional index.
+
+    Start-anchored chained equi-join: postings of term i must sit at
+    start_pos + i within the same (id, field).  Each join key is
+    (id, field, pos) — fine-grained and well-distributed, so no
+    skew even for phrases of common words; the per-term IN-filter is
+    pushed to the index scan first."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return (pindex.filter(F.lit(False))
+                .select("id", "field", "boost",
+                        F.lit(0).cast("long").alias("hits")))
+    base = pindex
+    if fields is not None:
+        base = base.filter(F.col("field").isin(*fields))
+    starts = (base.filter(F.col("term") == terms[0])
+              .select("id", "field", "boost",
+                      F.col("pos").alias("start")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (base.filter(F.col("term") == t)
+               .select("id", "field",
+                       (F.col("pos") - i).alias("start")))
+        starts = starts.join(nxt, ["id", "field", "start"], "left_semi")
+    return (starts.groupBy("id", "field", "boost")
+            .agg(F.count(F.lit(1)).alias("hits")))
+
+
 def idf_milli(index: DataFrame, n_docs: int) -> DataFrame:
     """Per-term integer idf: floor(1000·ln(N/df)), df = docs containing
     the term in ANY field. Broadcast-sized (vocabulary table)."""
@@ -69,7 +124,9 @@ def idf_milli(index: DataFrame, n_docs: int) -> DataFrame:
 def fulltext_search(index: DataFrame, idf: DataFrame,
                     query_terms: list[str], k: int = 20,
                     fields: list[str] | None = None,
-                    eligible: DataFrame | None = None) -> DataFrame:
+                    eligible: DataFrame | None = None,
+                    phrases: list[str] | None = None,
+                    pindex: DataFrame | None = None) -> DataFrame:
     """Boost-ranked fielded search: (id, score, rank), top-k.
 
     Score = Σ over matched (term, field) of tf·boost·idf_milli —
@@ -93,7 +150,11 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
     * ``eligible`` is an (id)-keyed DataFrame of documents passing
       caller-side metadata predicates (range/date/repo filters) —
       semi-joined into the hits BEFORE scoring, so at scale the
-      filter prunes index postings instead of re-ranking rejects.
+      filter prunes index postings instead of re-ranking rejects;
+    * ``phrases`` (with ``pindex`` from ``positional_index``) are
+      exact-adjacency phrase queries; a phrase contributes
+      hits·boost·Σ(idf_milli of its terms) — integer arithmetic
+      like the term path, so scores stay engine-deterministic.
 
     Top-k is TakeOrdered (orderBy+limit), never a global ranking
     window over every matching doc — a common query term matches a
@@ -111,22 +172,42 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
         conds.append(F.col("term").isin(*exact))
     for p in prefixes:
         conds.append(F.col("term").startswith(p))
-    if not conds:
+    phrases = [p for p in (phrases or []) if p.strip()]
+    if not conds and not phrases:
         # empty / whitespace-only query: empty result, stable schema
         return (index.filter(F.lit(False))
                 .select("id", F.lit(0).cast("long").alias("score"),
                         F.lit(0).cast("int").alias("rank")))
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond | c
-    hits = index.filter(cond)
-    if fields is not None:
-        hits = hits.filter(F.col("field").isin(*fields))
+    contribs = []
+    if conds:
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        hits = index.filter(cond)
+        if fields is not None:
+            hits = hits.filter(F.col("field").isin(*fields))
+        contribs.append(
+            hits.join(F.broadcast(idf), "term")
+            .select("id", (F.col("tf") * F.col("boost")
+                           * F.col("idf_milli")).alias("part")))
+    if phrases:
+        if pindex is None:
+            raise ValueError("phrase queries need pindex="
+                             "positional_index(...)")
+        for p in phrases:
+            ph = phrase_hits(pindex, p, fields=fields)
+            p_terms = sorted({t for t in p.lower().split() if t})
+            p_idf = (idf.filter(F.col("term").isin(*p_terms))
+                     .agg(F.sum("idf_milli").alias("p_idf")))
+            contribs.append(
+                ph.crossJoin(F.broadcast(p_idf))
+                .select("id", (F.col("hits") * F.col("boost")
+                               * F.col("p_idf")).alias("part")))
+    parts = contribs[0]
+    for c in contribs[1:]:
+        parts = parts.unionByName(c)
     if eligible is not None:
-        hits = hits.join(eligible.select("id"), "id", "left_semi")
-    scored = (hits.join(F.broadcast(idf), "term")
-              .groupBy("id")
-              .agg(F.sum(F.col("tf") * F.col("boost")
-                         * F.col("idf_milli")).alias("score")))
+        parts = parts.join(eligible.select("id"), "id", "left_semi")
+    scored = parts.groupBy("id").agg(F.sum("part").alias("score"))
     from ferenda_spark.operators.analytics import ranked_topk
     return ranked_topk(scored, [("score", True), ("id", False)], k)

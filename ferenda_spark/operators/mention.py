@@ -121,6 +121,30 @@ def _token_segments(tok: str, aliases: dict) -> list[dict] | None:
         if fm is None:
             continue
         uris = cls.py_formatter(fm)
+        if cls.name == "nested_struct":
+            from ferenda_spark.grammar.citations import NESTED_ITEMS_RE
+            items = re.search(NESTED_ITEMS_RE, tok)
+            if items is not None:
+                # distributed list: each item number is its own Link
+                # with the SHARED chapter/section context; the chain
+                # tail stays str (the reference's nested
+                # sfsrefs markup, legalref.py find_attributes)
+                span_s, span_e = items.span(1)
+                segs, pos, i = [], 0, 0
+                for nm in _NUM_RE.finditer(tok[span_s:span_e]):
+                    s, e = nm.start() + span_s, nm.end() + span_s
+                    if s > pos:
+                        segs.append({"kind": "str", "text": tok[pos:s],
+                                     "uri": None})
+                    segs.append({"kind": "link", "text": nm.group(0),
+                                 "uri": uris[i]})
+                    i += 1
+                    pos = e
+                if pos < len(tok):
+                    segs.append({"kind": "str", "text": tok[pos:],
+                                 "uri": None})
+                return segs
+            return [{"kind": "link", "text": tok, "uri": uris[0]}]
         list_group = {"rfc_list": "list", "eu_article": "arts"}.get(cls.name)
         if list_group is not None:
             # plural/distributed production: each list item is its

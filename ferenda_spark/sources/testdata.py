@@ -126,6 +126,14 @@ def doc_features(documents: DataFrame) -> DataFrame:
         F.when(d % 15 == 9,
                (1984 + d % 40).cast("string")).alias("art_year4"),
         F.when(d % 15 == 9, (d % 120 + 1).cast("string")).alias("art_num"),
+        # recursive structure chain (nested_struct class): item list
+        # distributed over a section+chapter context of a target doc
+        F.when(d % 14 == 10, (d % 5 + 1).cast("string")).alias("ns_i1"),
+        F.when(d % 14 == 10,
+               (d % 5 + 2 + d % 2).cast("string")).alias("ns_i2"),
+        F.when(d % 14 == 10, (d % 8 + 1).cast("string")).alias("ns_sec"),
+        F.when(d % 14 == 10, (d % 4 + 1).cast("string")).alias("ns_chap"),
+        F.when(d % 14 == 10, (d % 300 + 1).cast("string")).alias("ns_doc"),
         # bare external URL (trailing-punctuation exclusion class)
         F.when(d % 3 == 2, F.concat(
             F.lit("https://www.example.com/spec/"),
@@ -194,6 +202,11 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
             F.col("art_a1"), F.lit(" and "), F.col("art_a2"),
             F.lit(" of Directive "), F.col("art_year4"), F.lit("/"),
             F.col("art_num"), F.lit("/EC.")),
+        opt("ns_doc", F.lit(" Implementations follow Items "),
+            F.col("ns_i1"), F.lit(" and "), F.col("ns_i2"),
+            F.lit(" of Section "), F.col("ns_sec"),
+            F.lit(" of Chapter "), F.col("ns_chap"),
+            F.lit(" of RFC "), F.col("ns_doc"), F.lit(".")),
         opt("ext_url", F.lit(" The registry lives at "), F.col("ext_url"),
             F.lit(".")),
         opt("that_sec", F.lit(" Section "), F.col("that_sec"),

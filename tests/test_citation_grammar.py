@@ -71,6 +71,17 @@ GOLDEN = [
     ("Articles 2, 7 and 13 of Directive 2006/24/EC apply",
      {f"{BASE}res/eu/dir/2006/24#A2", f"{BASE}res/eu/dir/2006/24#A7",
       f"{BASE}res/eu/dir/2006/24#A13"}),
+    # RECURSIVE chain (Grammar/Ref, depth-3 expansion): distributed
+    # item list sharing nested section+chapter context from ONE match
+    ("Items 5 and 6 of Section 4 of Chapter 2 of RFC 1234 apply",
+     {f"{BASE}res/rfc/1234#C2.S4.I5", f"{BASE}res/rfc/1234#C2.S4.I6"}),
+    ("per Section 4 of Chapter 2 of RFC 99", {f"{BASE}res/rfc/99#C2.S4"}),
+    ("Item 3 of RFC 7 holds", {f"{BASE}res/rfc/7#I3"}),
+    ("Items 1, 2 and 9 of RFC 20.",
+     {f"{BASE}res/rfc/20#I1", f"{BASE}res/rfc/20#I2",
+      f"{BASE}res/rfc/20#I9"}),
+    # a non-structural word breaks the chain: no match at all
+    ("Items 5 and 6 of Paragraph 4 of RFC 7", set()),
     ("see https://x.example/a,b.", {"https://x.example/a,b"}),
     ("no citations here", set()),
 ]
@@ -157,7 +168,8 @@ def test_stateful_alias_mention_updates_state(spark):
 def test_every_registry_class_has_formatter_and_pattern():
     names = {c.name for c in CLASSES}
     assert names == {"rfc", "rfc_list", "bcp", "std", "draft", "doi",
-                     "iso", "eu_directive", "ecj_case", "eu_article"}
+                     "iso", "eu_directive", "ecj_case", "eu_article",
+                     "nested_struct"}
     for c in CLASSES:
         assert c.guard, c.name  # every class carries a scan prefilter
     for c in CLASSES:
@@ -250,3 +262,77 @@ def test_alias_redefinition_last_wins(spark):
     m = dict(df.select(alias_map(F.col("t")).alias("m"))
              .collect()[0]["m"])
     assert m == {"TCP": "2", "UDP": "7"}
+
+
+def test_segment_nested_chain_distributes_items():
+    """Golden segments for the recursive chain: each item of the
+    leading list is its own Link carrying the full nested context;
+    the chain tail stays str; segments reassemble exactly."""
+    from ferenda_spark.operators.mention import segment_text
+    text = "See Items 5 and 6 of Section 4 of Chapter 2 of RFC 1234."
+    segs = segment_text(text, {})
+    assert "".join(s["text"] for s in segs) == text
+    links = [(s["text"], s["uri"]) for s in segs if s["kind"] == "link"]
+    assert links == [
+        ("5", f"{BASE}res/rfc/1234#C2.S4.I5"),
+        ("6", f"{BASE}res/rfc/1234#C2.S4.I6"),
+    ]
+    assert " of Section 4 of Chapter 2 of RFC 1234" in "".join(
+        s["text"] for s in segs if s["kind"] == "str")
+    # single-target chain: the WHOLE chain is one Link
+    segs1 = segment_text("Per Section 4 of Chapter 2 of RFC 99;", {})
+    links1 = [(s["text"], s["uri"]) for s in segs1 if s["kind"] == "link"]
+    assert links1 == [("Section 4 of Chapter 2 of RFC 99",
+                       f"{BASE}res/rfc/99#C2.S4")]
+
+
+# -- recursive Grammar/Ref --------------------------------------------------
+
+def test_grammar_unrolls_recursion_to_max_depth():
+    """Right-recursive rule: 'a of a of a' matches at max_depth=3,
+    a 4-deep chain only matches its 3-deep prefix."""
+    import re
+    from ferenda_spark.grammar.combinators import Grammar, Ref
+    g = Grammar(
+        {"chain": Alt(Seq(Lit("a"), Lit(" of "), Ref("chain")),
+                      Lit("a"))},
+        Cap("c", Ref("chain")), max_depth=3).compile()
+    pat = re.compile(g.pattern)
+    assert pat.fullmatch("a")
+    assert pat.fullmatch("a of a")
+    assert pat.fullmatch("a of a of a")
+    assert not pat.fullmatch("a of a of a of a")
+    m = pat.match("a of a of a of a")
+    assert m.group(g.groups["c"]) == "a of a of a"
+
+
+def test_grammar_without_base_case_raises():
+    from ferenda_spark.grammar.combinators import Grammar, Ref
+    with pytest.raises(ValueError, match="recursive"):
+        Grammar({"x": Seq(Lit("a"), Ref("x"))}, Ref("x")).expand()
+
+
+def test_grammar_unknown_ref_raises():
+    from ferenda_spark.grammar.combinators import Grammar, Ref
+    with pytest.raises(ValueError, match="unknown production"):
+        Grammar({}, Ref("nope")).expand()
+
+
+def test_ref_only_compiles_via_grammar():
+    from ferenda_spark.grammar.combinators import Ref
+    with pytest.raises(ValueError, match="Grammar.compile"):
+        Seq(Ref("x")).compile()
+
+
+def test_grammar_opt_recursion_truncates_to_empty():
+    """Opt wrapping a too-deep recursion degrades to empty instead of
+    killing the whole branch."""
+    import re
+    from ferenda_spark.grammar.combinators import Grammar, Ref
+    g = Grammar(
+        {"t": Seq(Lit("x"), Opt(Seq(Lit("-"), Ref("t"))))},
+        Ref("t"), max_depth=2).compile()
+    pat = re.compile(g.pattern)
+    assert pat.fullmatch("x")
+    assert pat.fullmatch("x-x")
+    assert not pat.fullmatch("x-x-x")

@@ -1,0 +1,103 @@
+"""Fulltext index + boosted/fielded/wildcard/phrase search.
+
+Mirrors the reference's fulltext query surface
+(/root/reference/ferenda/fulltextindex.py:685-745 boosted query,
+:307-333 More/Less/Between, wsgiapp.py:483-600 wildcard), restated as
+DataFrame ops — see ferenda_spark/operators/fulltext.py.
+"""
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import fulltext as ft
+
+
+def _corpus(spark):
+    rows = [
+        (1, "alpha beta gamma", "alpha title"),
+        (2, "beta gamma beta gamma", "other"),
+        (3, "gamma alpha beta gamma alpha", "beta title"),
+        (4, "delta only here", "unrelated"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, title string")
+
+
+def test_index_tf_and_idf(spark):
+    d = _corpus(spark)
+    idx = ft.fulltext_index(d, "doc_id", {"title": 4, "text": 1})
+    tf = {(r["term"], r["field"], r["id"]): r["tf"]
+          for r in idx.collect()}
+    assert tf[("beta", "text", 2)] == 2
+    assert tf[("beta", "title", 3)] == 1
+    idf = {r["term"]: r["idf_milli"]
+           for r in ft.idf_milli(idx, 4).collect()}
+    # 'delta' in 1 of 4 docs: floor(1000*ln(4)) ; 'beta' in 3 of 4
+    assert idf["delta"] == 1386
+    assert idf["beta"] == 287
+    assert idf["gamma"] < idf["alpha"] < idf["delta"]
+
+
+def test_search_boosts_fields_wildcard_eligible(spark):
+    d = _corpus(spark)
+    idx = ft.fulltext_index(d, "doc_id", {"title": 4, "text": 1})
+    idf = ft.idf_milli(idx, 4)
+    # boost: doc 1 has 'alpha' in title (boost 4) AND text
+    out = {r["id"]: r["score"]
+           for r in ft.fulltext_search(idx, idf, ["alpha"]).collect()}
+    a = 287  # idf_milli('alpha'), df=2... recompute: ln(4/2)*1000=693
+    assert set(out) == {1, 3}
+    assert out[1] == 693 * 1 + 693 * 4      # text tf1 + title tf1·4
+    assert out[3] == 693 * 2                # text tf2
+    # fielded restriction: title only
+    out_t = {r["id"]: r["score"] for r in ft.fulltext_search(
+        idx, idf, ["alpha"], fields=["title"]).collect()}
+    assert out_t == {1: 693 * 4}
+    # wildcard prefix matches beta AND (nothing else with be*)
+    out_w = {r["id"] for r in ft.fulltext_search(
+        idx, idf, ["be*"]).collect()}
+    assert out_w == {1, 2, 3}
+    # eligible range predicate prunes doc 3
+    elig = d.filter(F.col("doc_id") <= 2).select(
+        F.col("doc_id").alias("id"))
+    out_e = {r["id"] for r in ft.fulltext_search(
+        idx, idf, ["alpha"], eligible=elig).collect()}
+    assert out_e == {1}
+    # empty query: empty result, stable schema
+    empty = ft.fulltext_search(idx, idf, ["", "   "])
+    assert empty.columns == ["id", "score", "rank"]
+    assert empty.count() == 0
+
+
+def test_phrase_hits_adjacency_and_counts(spark):
+    d = _corpus(spark)
+    pidx = ft.positional_index(d, "doc_id", {"title": 4, "text": 1})
+    ph = {(r["id"], r["field"]): r["hits"]
+          for r in ft.phrase_hits(pidx, "beta gamma").collect()}
+    # doc1: one 'beta gamma'; doc2: twice; doc3: once (positions 2-3)
+    assert ph == {(1, "text"): 1, (2, "text"): 2, (3, "text"): 1}
+    # order matters: 'gamma beta' only in doc 2 (middle of
+    # 'beta gamma beta gamma'), once — not in docs 1/3
+    rev = {(r["id"], r["field"]): r["hits"]
+           for r in ft.phrase_hits(pidx, "gamma beta").collect()}
+    assert rev == {(2, "text"): 1}
+    # phrases never match across fields or docs
+    assert ft.phrase_hits(pidx, "gamma alpha title").count() == 0
+    # 3-term phrase
+    p3 = {r["id"]: r["hits"]
+          for r in ft.phrase_hits(pidx, "gamma alpha beta").collect()}
+    assert p3 == {3: 1}
+
+
+def test_phrase_scoring_composes_with_terms(spark):
+    d = _corpus(spark)
+    idx = ft.fulltext_index(d, "doc_id", {"title": 4, "text": 1})
+    idf_df = ft.idf_milli(idx, 4)
+    pidx = ft.positional_index(d, "doc_id", {"title": 4, "text": 1})
+    idf = {r["term"]: r["idf_milli"] for r in idf_df.collect()}
+    out = {r["id"]: r["score"] for r in ft.fulltext_search(
+        idx, idf_df, ["delta"], phrases=["beta gamma"],
+        pindex=pidx).collect()}
+    p = idf["beta"] + idf["gamma"]
+    assert out[2] == 2 * p            # two phrase hits, boost 1
+    assert out[4] == idf["delta"]     # term-only hit
+    assert out[1] == p and out[3] == p
