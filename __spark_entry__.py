@@ -569,16 +569,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (source field boosted 4x over body text)."""
         from ferenda_spark.operators import fulltext as ft
         d = _docs(spark, sf).select("doc_id", "text", "source")
-        # the index feeds both idf and the search — persist so the
-        # tokenize/explode lineage runs once (the at-scale shape is a
-        # materialized index table bucketed by term). Lifetime: once
-        # the returned plan is unreferenced, ContextCleaner unpersists
-        # the cache on driver GC — no session-long pin.
-        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1}
-                                ).persist()
-        idf = ft.idf_milli(idx, d.count())
+        # idf=None + n_docs: idf is computed from the index pruned to
+        # the query vocabulary (per-term df is filter-invariant), so
+        # the one-shot query never materializes the full index — the
+        # term IN-filter pushes below the tf groupBy into the scan.
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
         return _longify(ft.fulltext_search(
-            idx, idf, ["table", "window", "spark"], k=20))
+            idx, None, ["table", "window", "spark"], k=20,
+            n_docs=d.count()))
     q["fulltext_search_docs"] = fulltext_search_docs
 
     def fulltext_fielded(spark, sf):
@@ -592,16 +590,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fulltextindex.py:307-333)."""
         from ferenda_spark.operators import fulltext as ft
         d = _docs(spark, sf).select("doc_id", "text", "source")
-        idx = ft.fulltext_index(d, "doc_id",
-                                {"source": 4, "text": 1}).persist()
-        idf = ft.idf_milli(idx, d.count())
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
         pidx = ft.positional_index(d, "doc_id", {"source": 4, "text": 1})
         eligible = d.filter(F.col("doc_id").between(100, 399)).select(
             F.col("doc_id").alias("id"))
         return _longify(ft.fulltext_search(
-            idx, idf, ["table", "win*"], k=15,
+            idx, None, ["table", "win*"], k=15,
             fields=["text"], eligible=eligible,
-            phrases=["table window"], pindex=pidx))
+            phrases=["table window"], pindex=pidx,
+            n_docs=d.count()))
     q["fulltext_fielded"] = fulltext_fielded
 
     def doc_versions_views(spark, sf):

@@ -121,12 +121,13 @@ def idf_milli(index: DataFrame, n_docs: int) -> DataFrame:
             ).cast("long").alias("idf_milli")))
 
 
-def fulltext_search(index: DataFrame, idf: DataFrame,
+def fulltext_search(index: DataFrame, idf: DataFrame | None,
                     query_terms: list[str], k: int = 20,
                     fields: list[str] | None = None,
                     eligible: DataFrame | None = None,
                     phrases: list[str] | None = None,
-                    pindex: DataFrame | None = None) -> DataFrame:
+                    pindex: DataFrame | None = None,
+                    n_docs: int | None = None) -> DataFrame:
     """Boost-ranked fielded search: (id, score, rank), top-k.
 
     Score = Σ over matched (term, field) of tf·boost·idf_milli —
@@ -155,6 +156,15 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
       exact-adjacency phrase queries; a phrase contributes
       hits·boost·Σ(idf_milli of its terms) — integer arithmetic
       like the term path, so scores stay engine-deterministic.
+      The positional postings are pruned to the phrase vocabulary
+      and cached once, so an N-term phrase costs one postings scan,
+      not N (ContextCleaner drops the cache on driver GC);
+    * pass ``idf=None`` with ``n_docs`` to have idf computed from
+      the index PRUNED to the query vocabulary — per-term df is
+      invariant under a term filter, so values are identical to a
+      full-vocabulary idf table but the plan never materializes the
+      whole index (the one-shot-query shape; a serving deployment
+      keeps a prebuilt idf table instead).
 
     Top-k is TakeOrdered (orderBy+limit), never a global ranking
     window over every matching doc — a common query term matches a
@@ -178,6 +188,23 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
         return (index.filter(F.lit(False))
                 .select("id", F.lit(0).cast("long").alias("score"),
                         F.lit(0).cast("int").alias("rank")))
+    ph_terms = sorted({t for p in phrases for t in p.lower().split()
+                       if t})
+    if idf is None:
+        if n_docs is None:
+            raise ValueError("idf=None needs n_docs to compute the "
+                             "pruned idf table")
+        icond = list(conds)
+        if ph_terms:
+            icond.append(F.col("term").isin(*ph_terms))
+        ic = icond[0]
+        for c in icond[1:]:
+            ic = ic | c
+        # prune FIRST, then cache: one tokenize pass feeds both the
+        # idf and the hits scan, and the cached set is only the query
+        # vocabulary's postings (ContextCleaner drops it on GC)
+        index = index.filter(ic).persist()
+        idf = idf_milli(index, n_docs)
     contribs = []
     if conds:
         cond = conds[0]
@@ -194,8 +221,16 @@ def fulltext_search(index: DataFrame, idf: DataFrame,
         if pindex is None:
             raise ValueError("phrase queries need pindex="
                              "positional_index(...)")
+        # prune postings to the phrase vocabulary ONCE and cache:
+        # each phrase term's join branch then reads the (tiny)
+        # cached set instead of re-deriving the full positional
+        # explode per branch
+        pp = pindex.filter(F.col("term").isin(*ph_terms))
+        if fields is not None:
+            pp = pp.filter(F.col("field").isin(*fields))
+        pp = pp.persist()
         for p in phrases:
-            ph = phrase_hits(pindex, p, fields=fields)
+            ph = phrase_hits(pp, p, fields=None)
             p_terms = sorted({t for t in p.lower().split() if t})
             p_idf = (idf.filter(F.col("term").isin(*p_terms))
                      .agg(F.sum("idf_milli").alias("p_idf")))
