@@ -442,15 +442,16 @@ GATE_ORDER = [
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     "dedup_simhash_pairs", "sim_label_centroids", "curation_survivors",
+    "visit_structure_docs", "keyword_termset_docs",
     # stable KG pipeline gates
     "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
     "kg_closure", "kg_structure_closure", "atom_feeds_events",
     "grouped_agg_value_median", "kg_facet_multitype",
     "kg_keyword_inversion", "kg_dependency_edges", "kg_resolved_citations",
     "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
-    "kg_sql_citations", "kg_publisher_stats",
+    "kg_sql_citations",
     # relational / window / temporal
-    "q3_shipping", "q5_local_supplier", "events_pagination",
+    "q3_shipping", "events_pagination",
     "asof_purchase_click", "sessionize_events", "range_filters",
     "setops_users", "natural_sort_parts",
     # training-data ops
@@ -546,6 +547,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         acts = statute_pages_from_documents(_docs(spark, sf))
         return _longify(statute_structure(acts))
     q["kg_structure_tree"] = kg_structure_tree
+
+    def visit_structure_docs(spark, sf):
+        """G9: the visitor surface (visitor_functions/visit_node,
+        swedishlegalsource.py:911-921,1071-1095) — three stock
+        visitors walk each parsed statute tree depth-first:
+        construct_uri (the construct_id analog), path (top-down state
+        threading), chapter context (state decides the annotation).
+        Oracle re-derives uri/path/chapter from the arithmetic node
+        table via parent-chain joins."""
+        from ferenda_spark.operators import visitor as vz
+        from ferenda_spark.operators.structure import statute_structure
+        from ferenda_spark.sources.testdata import (
+            statute_pages_from_documents,
+        )
+        acts = statute_pages_from_documents(_docs(spark, sf))
+        nodes = statute_structure(acts)
+        out = vz.visit_nodes(nodes, [vz.construct_uri_visitor(),
+                                     vz.path_visitor(),
+                                     vz.chapter_context_visitor()])
+        return out.select(
+            "url", "node_id",
+            F.col("anno")["uri"].alias("uri"),
+            F.col("anno")["path"].alias("path"),
+            F.col("anno")["chapter"].alias("chapter"))
+    q["visit_structure_docs"] = visit_structure_docs
 
     def kg_structure_closure(spark, sf):
         """Transitive ancestor closure over the statute tree — the
@@ -690,6 +716,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", F.array_join("members", ",").alias("members_csv"),
             "n_members"))
     q["kg_keyword_inversion"] = kg_keyword_inversion
+
+    def keyword_termset_docs(spark, sf):
+        """P7: term sanitization as a dedicated op (keyword.py:169-177
+        sanitize_term + the termset collection loop :107-160, rules at
+        :64-67): raw whitespace tokens are candidate keyword terms;
+        sanitize_term_col normalizes space and rejects too-short/long
+        terms and invalid ./: starts and .,-ends (sentence punctuation
+        in running text exercises the reject paths), then term →
+        document-frequency 'termsets' for terms shared by >= 40 docs.
+        Pure-codegen sanitize runs in the scan; ONE shuffle (groupBy
+        term)."""
+        from ferenda_spark.functions.text import sanitize_term_col
+        d = _docs(spark, sf)
+        tok = d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        t = (tok.select("doc_id",
+                        sanitize_term_col(F.col("tok")).alias("term"))
+             .filter(F.col("term").isNotNull()))
+        return _longify(
+            t.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= 40))
+    q["keyword_termset_docs"] = keyword_termset_docs
 
     def kg_dependency_edges(spark, sf):
         return analytics.dependency_edges(_kg_edges(spark, sf))
@@ -1359,6 +1409,21 @@ WHERE s % 2 = 1 AND has_letters
 """
     o["kg_structure_tree"] = f"WITH {_struct_ctes} {_struct_select}"
 
+    o["visit_structure_docs"] = f"""
+WITH {_struct_ctes},
+nodes AS ({_struct_select})
+SELECT n.url, n.node_id,
+       n.url || '#' || n.node_id AS uri,
+       concat_ws('/', p4.node_id, p3.node_id, p2.node_id,
+                 p1.node_id, n.node_id) AS path,
+       regexp_extract(n.node_id, '^K([0-9]+)', 1) AS chapter
+FROM nodes n
+LEFT JOIN nodes p1 ON p1.url = n.url AND p1.node_id = n.parent_id
+LEFT JOIN nodes p2 ON p2.url = n.url AND p2.node_id = p1.parent_id
+LEFT JOIN nodes p3 ON p3.url = n.url AND p3.node_id = p2.parent_id
+LEFT JOIN nodes p4 ON p4.url = n.url AND p4.node_id = p3.parent_id
+"""
+
     o["kg_structure_closure"] = f"""
 WITH RECURSIVE {_struct_ctes},
 nodes AS ({_struct_select}),
@@ -1536,6 +1601,24 @@ SELECT id, score, rank FROM (
   SELECT id, score,
          row_number() OVER (ORDER BY score DESC, id) AS rank
   FROM hits) WHERE rank <= 15
+"""
+
+    o["keyword_termset_docs"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents),
+san AS (
+  SELECT doc_id,
+         trim(regexp_replace(replace(tok, chr(160), ' '),
+                             '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
+  FROM tok),
+terms AS (
+  SELECT doc_id, t AS term FROM san
+  WHERE len(t) BETWEEN 2 AND 100
+    AND substr(t, 1, 1) NOT IN ('.', '/', ':')
+    AND substr(t, len(t), 1) NOT IN ('.', ','))
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM terms GROUP BY term HAVING count(DISTINCT doc_id) >= 40
 """
 
     o["kg_keyword_inversion"] = f"""

@@ -211,3 +211,30 @@ def strip_draft_version(slug: str) -> str:
 
 def strip_draft_version_col(c: Column) -> Column:
     return F.regexp_replace(c, r"-\d{2}$", "")
+
+
+def sanitize_term(term: str, min_len: int = 2, max_len: int = 100,
+                  invalid_start: str = "./:",
+                  invalid_end: str = ".,") -> str | None:
+    """P7: keyword-term sanitization (keyword.py:169-177
+    ``sanitize_term`` with the class-attribute rules at :64-67):
+    normalize whitespace, then accept only terms of min_len..max_len
+    chars not starting with ``./:`` nor ending with ``.``/``,``.
+    Returns None for rejects (the reference returns falsy)."""
+    t = normalize_space(term or "")
+    if (min_len <= len(t) <= max_len
+            and t[0] not in invalid_start and t[-1] not in invalid_end):
+        return t
+    return None
+
+
+def sanitize_term_col(c: Column, min_len: int = 2, max_len: int = 100,
+                      invalid_start: str = "./:",
+                      invalid_end: str = ".,") -> Column:
+    """Column twin of :func:`sanitize_term` — pure codegen, runs in
+    the scan; NULL for rejects so a downstream dropna prunes them."""
+    t = normalize_space_col(c)
+    ok = (F.length(t).between(min_len, max_len)
+          & ~F.substring(t, 1, 1).isin(*list(invalid_start))
+          & ~t.substr(F.length(t), F.lit(1)).isin(*list(invalid_end)))
+    return F.when(ok, t)

@@ -54,3 +54,25 @@ def test_natural_sort_key_orders_numerically(spark):
     assert got == want
     assert want.index("2 §") < want.index("10 §")
     assert want.index("1.2.2") < want.index("1.2.10")
+
+
+def test_sanitize_term_pair(spark):
+    """P7 sanitize_term (keyword.py:169-177): py/Column twins agree
+    on accepts, rejects (short/long/bad start/bad end), and the
+    whitespace-normalizing accept path."""
+    from ferenda_spark.functions.text import (
+        sanitize_term, sanitize_term_col)
+    cases = [
+        "  hello   world ", "ok.term", "x", "", ".dot", "/slash",
+        ":colon", "end.", "end,", "a" * 100, "a" * 101, "ab",
+        "term\xa0nbsp", "  .lead-after-trim", "keep-this,not.",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"s": cases}))
+    got = [r["o"] for r in
+           df.select(sanitize_term_col(F.col("s")).alias("o")).collect()]
+    want = [sanitize_term(s) for s in cases]
+    assert got == want
+    assert sanitize_term("  hello   world ") == "hello world"
+    assert sanitize_term("a" * 101) is None
+    assert sanitize_term(".dot") is None
+    assert sanitize_term("end,") is None

@@ -89,3 +89,71 @@ def test_spark_integration(spark):
     assert len(rows) == 13
     depths = {r["depth"] for r in rows}
     assert depths == {1, 2, 3, 4, 5}
+
+
+# -- G9: visitor surface ----------------------------------------------------
+
+def _visit_df(spark, visitors):
+    import pandas as pd
+    from ferenda_spark.operators.visitor import visit_nodes
+    raw = StatuteParser().parse(paragraphs(ACT))
+    rows = [{"url": "u1", **n} for n in raw]
+    rows += [{"url": "u2", **n} for n in raw]
+    nodes = spark.createDataFrame(pd.DataFrame(rows)[
+        ["url", "node_id", "kind", "ordinal", "parent_id", "depth",
+         "text"]])
+    return visit_nodes(nodes, visitors).collect()
+
+
+def test_visitor_prune_skips_subtree(spark):
+    """Returning None prunes: nothing under Chapter 2 is visited
+    (visit_node contract, swedishlegalsource.py:1077-1078)."""
+    from ferenda_spark.operators.visitor import prune_visitor
+    got = _visit_df(spark, [prune_visitor(
+        lambda n: n["kind"] == "chapter" and n["ordinal"] == "2")])
+    marked = {r["node_id"] for r in got
+              if r["url"] == "u1" and r["anno"].get("visited")}
+    assert "K1" in marked and "K1P1S1N2Ba" in marked
+    assert "K2" not in marked          # the pruned node itself
+    assert "K2P3" not in marked        # nor its subtree
+    assert "K2P3S1" not in marked
+
+
+def test_visitor_path_and_chapter_state(spark):
+    """Top-down state: path accumulates ancestor ids; chapter context
+    flows to every descendant and switches at chapter boundaries."""
+    from ferenda_spark.operators.visitor import (
+        chapter_context_visitor, path_visitor)
+    got = {r["node_id"]: r["anno"] for r in _visit_df(
+        spark, [path_visitor(), chapter_context_visitor()])
+        if r["url"] == "u1"}
+    assert got["K1P1S1N2Ba"]["path"] == "K1/K1P1/K1P1S1/K1P1S1N2/K1P1S1N2Ba"
+    assert got["K1P1S1N2Ba"]["chapter"] == "1"
+    assert got["K2P3S1"]["chapter"] == "2"
+    assert got["K2P3S1"]["path"] == "K2/K2P3/K2P3S1"
+
+
+def test_visitor_fresh_state_per_document(spark):
+    """A mutable initial state is copied per document — an
+    accumulating visitor never sees another document's nodes."""
+    from ferenda_spark.operators.visitor import visit_nodes
+    import pandas as pd
+
+    def counting(node, seen):
+        seen.append(node["node_id"])
+        node["anno"]["nth"] = str(len(seen))
+        return seen
+
+    raw = StatuteParser().parse(paragraphs(ACT))
+    rows = [{"url": "u1", **n} for n in raw]
+    rows += [{"url": "u2", **n} for n in raw]
+    nodes = spark.createDataFrame(pd.DataFrame(rows)[
+        ["url", "node_id", "kind", "ordinal", "parent_id", "depth",
+         "text"]])
+    got = visit_nodes(nodes, [(counting, [])]).collect()
+    per_url = {}
+    for r in got:
+        per_url.setdefault(r["url"], []).append(int(r["anno"]["nth"]))
+    # both documents start counting at 1 (no cross-document leak)
+    for url, nths in per_url.items():
+        assert sorted(nths) == list(range(1, len(nths) + 1)), url
