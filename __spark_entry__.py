@@ -442,7 +442,7 @@ GATE_ORDER = [
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     "dedup_simhash_pairs", "sim_label_centroids", "curation_survivors",
-    "visit_structure_docs", "keyword_termset_docs",
+    "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # stable KG pipeline gates
     "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
     "kg_closure", "kg_structure_closure", "atom_feeds_events",
@@ -452,7 +452,7 @@ GATE_ORDER = [
     "kg_sql_citations",
     # relational / window / temporal
     "q3_shipping", "events_pagination",
-    "asof_purchase_click", "sessionize_events", "range_filters",
+    "asof_purchase_click", "sessionize_events",
     "setops_users", "natural_sort_parts",
     # training-data ops
     "dedup_exact_docs", "dedup_minhash_lsh", "toc_documents",
@@ -572,6 +572,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("anno")["path"].alias("path"),
             F.col("anno")["chapter"].alias("chapter"))
     q["visit_structure_docs"] = visit_structure_docs
+
+    def render_xhtml_docs(spark, sf):
+        """S11: XHTML+RDFa page render (render_xhtml,
+        documentrepository.py:1456-1680) — each act document becomes
+        one byte-stable XHTML string: RDFa head from the doc's meta
+        triples (sorted (pred, obj); title/link/meta element choice),
+        used-prefix-only xmlns declarations, nested-div body from the
+        5-level statute tree via the leaf-to-root fold.  The oracle
+        rebuilds the identical string in ANSI SQL from the same
+        doc_id arithmetic."""
+        from ferenda_spark.operators.render import render_xhtml_pages
+        from ferenda_spark.operators.structure import statute_structure
+        from ferenda_spark.sources.testdata import (
+            statute_pages_from_documents,
+        )
+        d = _docs(spark, sf)
+        url = F.concat(F.lit("https://example.org/res/act/"),
+                       F.col("doc_id").cast("string"))
+
+        def t(pred, obj):
+            return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
+
+        meta = d.select(
+            url.alias("subj"),
+            F.explode(F.array(
+                t("dcterms:title",
+                  F.concat(F.lit("Act "), F.col("doc_id").cast("string"))),
+                t("rdf:type",
+                  F.lit("https://example.org/ontology/rfc#Act")),
+                t("dcterms:publisher",
+                  F.concat(F.lit("https://example.org/org/"),
+                           F.col("source"))),
+                t("dcterms:language", F.col("lang")),
+                t("dcterms:extent", F.col("n_chars").cast("string")),
+            )).alias("t")).select("subj", "t.pred", "t.obj")
+        langs = d.select(url.alias("url"), "lang")
+        nodes = statute_structure(statute_pages_from_documents(d))
+        return render_xhtml_pages(meta, nodes, langs=langs)
+    q["render_xhtml_docs"] = render_xhtml_docs
 
     def kg_structure_closure(spark, sf):
         """Transitive ancestor closure over the statute tree — the
@@ -1422,6 +1461,78 @@ LEFT JOIN nodes p1 ON p1.url = n.url AND p1.node_id = n.parent_id
 LEFT JOIN nodes p2 ON p2.url = n.url AND p2.node_id = p1.parent_id
 LEFT JOIN nodes p3 ON p3.url = n.url AND p3.node_id = p2.parent_id
 LEFT JOIN nodes p4 ON p4.url = n.url AND p4.node_id = p3.parent_id
+"""
+
+    _esc = ("replace(replace(replace({c}, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;')")
+    _lvl = ("SELECT k.url, k.parent_id AS node_id, "
+            "string_agg('<div about=\"' || k.url || '#' || k.node_id "
+            "|| '\" typeof=\"' || k.kind || '\"><p>' || "
+            + _esc.format(c="k.text") + " || '</p>' || {ch} || "
+            "'</div>', '' ORDER BY k.skey) AS ch "
+            "FROM k {join} WHERE k.depth = {d} GROUP BY 1, 2")
+    o["render_xhtml_docs"] = f"""
+WITH {_struct_ctes},
+nodes AS ({_struct_select}),
+k AS (SELECT *, lpad(ordinal, 8, '0') AS skey FROM nodes),
+l5 AS ({_lvl.format(ch="''", join="", d=5)}),
+l4 AS ({_lvl.format(ch="coalesce(c5.ch, '')",
+                    join="LEFT JOIN l5 c5 ON c5.url = k.url "
+                         "AND c5.node_id = k.node_id", d=4)}),
+l3 AS ({_lvl.format(ch="coalesce(c4.ch, '')",
+                    join="LEFT JOIN l4 c4 ON c4.url = k.url "
+                         "AND c4.node_id = k.node_id", d=3)}),
+l2 AS ({_lvl.format(ch="coalesce(c3.ch, '')",
+                    join="LEFT JOIN l3 c3 ON c3.url = k.url "
+                         "AND c3.node_id = k.node_id", d=2)}),
+body AS (
+  SELECT k.url, '<body about="' || k.url || '">' ||
+         string_agg('<div about="' || k.url || '#' || k.node_id ||
+                    '" typeof="' || k.kind || '"><p>' ||
+                    {_esc.format(c="k.text")} || '</p>' ||
+                    coalesce(c2.ch, '') || '</div>',
+                    '' ORDER BY k.skey) || '</body>' AS body_xml
+  FROM k LEFT JOIN l2 c2 ON c2.url = k.url AND c2.node_id = k.node_id
+  WHERE k.depth = 1 GROUP BY 1),
+meta AS (
+  SELECT 'https://example.org/res/act/' || CAST(doc_id AS VARCHAR)
+           AS url, lang, t.pred, t.obj
+  FROM documents, LATERAL (SELECT * FROM (VALUES
+    ('dcterms:title', 'Act ' || CAST(doc_id AS VARCHAR)),
+    ('rdf:type', 'https://example.org/ontology/rfc#Act'),
+    ('dcterms:publisher', 'https://example.org/org/' || source),
+    ('dcterms:language', lang),
+    ('dcterms:extent', CAST(n_chars AS VARCHAR))) v(pred, obj)) t),
+heads AS (
+  SELECT url, any_value(lang) AS lang,
+    '<head about="' || url || '">' || string_agg(
+      CASE
+        WHEN pred = 'dcterms:title'
+             AND NOT regexp_matches(obj, '^https?://')
+          THEN '<title property="dcterms:title">' ||
+               {_esc.format(c="obj")} || '</title>'
+        WHEN regexp_matches(obj, '^https?://')
+          THEN '<link rel="' || pred || '" href="' ||
+               {_esc.format(c="obj")} || '"/>'
+        ELSE '<meta property="' || pred || '" content="' ||
+             {_esc.format(c="obj")} || '"/>'
+      END, '' ORDER BY pred, obj) || '</head>' AS head_xml,
+    array_to_string(list_transform(
+      list_sort(list_distinct(list(split_part(pred, ':', 1)))),
+      p -> ' xmlns:' || p || '="' || CASE p
+        WHEN 'dcterms' THEN 'http://purl.org/dc/terms/'
+        WHEN 'rdf' THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#'
+        WHEN 'rdfs' THEN 'http://www.w3.org/2000/01/rdf-schema#'
+        WHEN 'rfc' THEN 'https://example.org/ontology/rfc#'
+        WHEN 'prov' THEN 'http://www.w3.org/ns/prov#'
+      END || '"'), '') AS decls
+  FROM meta GROUP BY url)
+SELECT h.url,
+  '<?xml version="1.0" encoding="utf-8"?>' ||
+  '<html xmlns="http://www.w3.org/1999/xhtml"' || h.decls ||
+  ' version="XHTML+RDFa 1.1" xml:lang="' || h.lang || '">' ||
+  h.head_xml || b.body_xml || '</html>' AS xhtml
+FROM heads h JOIN body b ON b.url = h.url
 """
 
     o["kg_structure_closure"] = f"""

@@ -534,6 +534,44 @@ def test_atom_feeds_render(spark):
     assert out["g"].count("<entry>") == 1
 
 
+def test_render_xhtml_pages(spark):
+    """S11: XHTML+RDFa page render — head triples sorted (pred, obj)
+    with title/link/meta element choice, used-prefix-only xmlns
+    declarations, nested-div body in natural sibling order, XML
+    escaping, xml:lang from the langs table."""
+    from ferenda_spark.operators.render import render_xhtml_pages
+    trip = spark.createDataFrame(
+        [("u1", "dcterms:title", "A & B"),
+         ("u1", "rdf:type", "https://example.org/ontology/rfc#Act"),
+         ("u1", "dcterms:extent", "12")],
+        "subj string, pred string, obj string")
+    nodes = spark.createDataFrame(
+        [("u1", "K2", "chapter", "2", None, 1, "later <chap>"),
+         ("u1", "K10", "chapter", "10", None, 1, "tenth"),
+         ("u1", "K2P1", "section", "1", "K2", 2, "sec")],
+        "url string, node_id string, kind string, ordinal string, "
+        "parent_id string, depth int, text string")
+    langs = spark.createDataFrame([("u1", "sv")], "url string, lang string")
+    x = render_xhtml_pages(trip, nodes, langs=langs,
+                           max_depth=2).collect()[0]["xhtml"]
+    # head: sorted by pred → extent, title, rdf:type; element choice
+    assert x.index('<meta property="dcterms:extent" content="12"/>') \
+        < x.index('<title property="dcterms:title">A &amp; B</title>') \
+        < x.index('<link rel="rdf:type" '
+                  'href="https://example.org/ontology/rfc#Act"/>')
+    # only used prefixes declared, sorted
+    assert 'xmlns:dcterms="http://purl.org/dc/terms/"' in x
+    assert "xmlns:rdfs" not in x and "xmlns:prov" not in x
+    assert x.index("xmlns:dcterms") < x.index("xmlns:rdf=")
+    # body: natural order K2 before K10; section nested inside K2
+    k2, k10 = x.index('about="u1#K2"'), x.index('about="u1#K10"')
+    assert k2 < k10
+    assert k2 < x.index('about="u1#K2P1"') < k10
+    assert "later &lt;chap&gt;" in x
+    assert ' xml:lang="sv">' in x
+    assert x.startswith('<?xml version="1.0" encoding="utf-8"?><html ')
+
+
 def test_facet_multitype_subject_guard(spark):
     """A subject with several rdf:types must satisfy a type guard via
     ANY of them (facet_query FILTER semantics) — not via one
