@@ -67,6 +67,28 @@ def _force(df) -> int:
     return -1
 
 
+def _canary_work(_):
+    import hashlib
+    h = b"x" * 4096
+    for _i in range(40000):
+        h = hashlib.md5(h).digest()[:16] * 256
+    return 0
+
+
+def _mp_canary(procs: int = 16) -> float:
+    """Fixed multi-process CPU workload (~0.5 s on a healthy box) —
+    recorded per pass so a reader can tell 'engine got slower' from
+    'the sandbox VM was stalling during this pass' (the host shows
+    episodic multi-minute windows where multi-threaded work runs
+    5-10x slower while single-thread speed stays flat)."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("fork").Pool(procs) as pool:
+        pool.map(_canary_work, range(procs))
+    return round(time.time() - t0, 3)
+
+
 def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,13 +97,17 @@ def run_default() -> None:
     qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
     timings: dict[str, float] = {}
     kg_triples = 0
-    # 2 reps per query, keep the min: the sandbox VM shows random
-    # multi-second external stalls (see BENCH.md protocol notes) and
-    # a stall landing in a single-shot timing misreports the engine
-    for name in HEADLINE:
-        fn = qs[name]
-        best = None
-        for _rep in range(2):
+    canaries = []
+    # TWO FULL PASSES over the query list, per-query min across
+    # passes: the sandbox VM shows episodic external stall windows
+    # (multi-second to multi-minute; see BENCH.md protocol notes).
+    # Back-to-back reps land in the SAME window and both misreport;
+    # spreading the reps a full pass apart decorrelates them, so one
+    # clean pass rescues the measurement.
+    for _pass in range(2):
+        canaries.append(_mp_canary())
+        for name in HEADLINE:
+            fn = qs[name]
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -90,8 +116,8 @@ def run_default() -> None:
             else:
                 _force(df)
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            timings[name] = round(min(elapsed, timings.get(name, elapsed)),
+                                  3)
     total = round(sum(timings.values()), 3)
     kg_tps = round(kg_triples / timings["kg_edges"], 1) if kg_triples else 0
     print(json.dumps({
@@ -103,6 +129,7 @@ def run_default() -> None:
         "cpus": cpus,
         "kg_triples": kg_triples,
         "kg_triples_per_sec": kg_tps,
+        "host_canary_s_per_pass": canaries,
     }))
 
 

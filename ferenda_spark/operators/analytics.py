@@ -124,7 +124,12 @@ def global_rank(df: DataFrame, order: list[Column],
         part = df.repartitionByRange(num_partitions, *order)
     else:
         part = df.repartitionByRange(*order)
-    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    # persist the pid-stamped frame: the counts pass and the ranking
+    # pass must see the SAME range bounds (repartitionByRange samples
+    # its bounds — deterministic for identical lineage, but pinning
+    # the result makes that an invariant instead of an assumption,
+    # and saves recomputing the input twice)
+    with_pid = part.withColumn("_pid", F.spark_partition_id()).persist()
     lw = Window.partitionBy("_pid").orderBy(*order)
     local = with_pid.withColumn("_lrank", F.row_number().over(lw))
     counts = sorted(
