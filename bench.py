@@ -197,6 +197,10 @@ def run_scaling(n_docs: int = 40000, n_small: int = 8,
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             reps[cpus].append(json.loads(line))
+            # stream each worker's result as it lands: a run killed
+            # by an outer timeout mid-pass still leaves every
+            # completed level's data on stderr
+            print(f"worker done: {line}", file=sys.stderr, flush=True)
 
     def best_run(rs: list[dict]) -> dict:
         return sorted(rs, key=lambda r: -r["triples_per_sec"])[0]
