@@ -441,7 +441,8 @@ GATE_ORDER = [
     # new or changed this round
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
-    "dedup_simhash_pairs", "sim_label_centroids", "curation_survivors",
+    "dedup_simhash_pairs", "dedup_components", "sim_label_centroids",
+    "curation_survivors",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # stable KG pipeline gates
     "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
@@ -453,7 +454,11 @@ GATE_ORDER = [
     # relational / window / temporal
     "q3_shipping", "events_pagination",
     "asof_purchase_click", "sessionize_events",
-    "setops_users", "natural_sort_parts",
+    # setops_users (SO2/SO4, driver-green r1+r2) moved to
+    # extra_queries to keep the 50-slot gate at one row per family —
+    # dedup_components (cluster-correct near-dup grouping) takes the
+    # slot.
+    "natural_sort_parts",
     # training-data ops
     "dedup_exact_docs", "dedup_minhash_lsh", "toc_documents",
     "mint_documents", "patch_documents",
@@ -1057,6 +1062,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(dedup.simhash_near_pairs(
             corpus, bits=32, max_hamming=6, bands=4))
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    def dedup_components(spark, sf):
+        """Cluster-correct near-dup grouping: SimHash pairs →
+        distributed connected components (min-label propagation with
+        pointer doubling) → (id, comp, csize). comp == id marks the
+        keeper; the oracle recomputes the closure with a recursive
+        CTE over the identical pair list."""
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") % 10000) < 100)
+        pairs = dedup.simhash_near_pairs(
+            corpus, bits=32, max_hamming=6, bands=4)
+        return _longify(dedup.component_clusters(pairs))
+    q["dedup_components"] = dedup_components
 
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
@@ -2089,6 +2107,33 @@ pairs AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.block = b.block AND a.id < b.id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_near_corpus_100},
+t AS (SELECT doc_id AS id, {th_expr} AS th FROM corpus),
+sigs AS (SELECT id, CAST({sh_bit_terms} AS BIGINT) AS simhash FROM t),
+banded AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * 8)) & 255 AS block
+  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.block = b.block AND a.id < b.id
+  WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 6),
+edges AS (SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+comp AS (SELECT id, CAST(min(r) AS BIGINT) AS comp
+         FROM reach GROUP BY id),
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+          FROM comp GROUP BY comp)
+SELECT CAST(c.id AS BIGINT) AS id, c.comp, s.csize
+FROM comp c JOIN sizes s USING (comp)
 """
 
     o["toc_documents"] = """

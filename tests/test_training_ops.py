@@ -641,3 +641,38 @@ def test_two_sided_validity_drops_repealed(spark):
     got_legacy = {r["url"]: r["version"]
                   for r in V.versions_asof(vs, D(2020, 6, 1)).collect()}
     assert got_legacy == {"a": "v1", "b": "v0", "c": "v0"}
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one cluster), island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in dedup.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_components_beats_pairwise_keeper(spark):
+    # 1~3 and 2~3 but the 1~2 pair was never emitted (e.g. missed an
+    # LSH band): pairwise drop-id_b keeps BOTH 1 and 2 even though
+    # they are transitive near-dups through 3; components keeps only 1.
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    clusters = dedup.component_clusters(pairs)
+    rows = clusters.collect()
+    keepers = sorted(r["id"] for r in rows if r["id"] == r["comp"])
+    assert keepers == [1]
+    assert all(r["csize"] == 3 for r in rows)
+    pairwise_kept = {1, 2, 3} - {r["id_b"] for r in pairs.collect()}
+    assert pairwise_kept == {1, 2}  # the under-merge this fixes
+
+
+def test_components_long_chain_converges_logarithmically(spark):
+    # 64-node path: plain min-propagation needs ~63 rounds; pointer
+    # doubling must finish well within max_iters=10.
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    lab = dedup.components(pairs, max_iters=10)
+    got = {r["id"]: r["comp"] for r in lab.collect()}
+    assert got == {i: 0 for i in range(n)}
