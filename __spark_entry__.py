@@ -1483,8 +1483,12 @@ LEFT JOIN nodes p4 ON p4.url = n.url AND p4.node_id = p3.parent_id
 
     _esc = ("replace(replace(replace({c}, '&', '&amp;'), "
             "'<', '&lt;'), '>', '&gt;')")
+    # attribute-value escape: text escape + '"' -> &quot; (mirrors
+    # render.escape_attr)
+    _esca = ("replace(" + _esc + ", '\"', '&quot;')")
     _lvl = ("SELECT k.url, k.parent_id AS node_id, "
-            "string_agg('<div about=\"' || k.url || '#' || k.node_id "
+            "string_agg('<div about=\"' || "
+            + _esca.format(c="k.url") + " || '#' || k.node_id "
             "|| '\" typeof=\"' || k.kind || '\"><p>' || "
             + _esc.format(c="k.text") + " || '</p>' || {ch} || "
             "'</div>', '' ORDER BY k.skey) AS ch "
@@ -1504,8 +1508,9 @@ l2 AS ({_lvl.format(ch="coalesce(c3.ch, '')",
                     join="LEFT JOIN l3 c3 ON c3.url = k.url "
                          "AND c3.node_id = k.node_id", d=2)}),
 body AS (
-  SELECT k.url, '<body about="' || k.url || '">' ||
-         string_agg('<div about="' || k.url || '#' || k.node_id ||
+  SELECT k.url, '<body about="' || {_esca.format(c="k.url")} || '">' ||
+         string_agg('<div about="' || {_esca.format(c="k.url")} ||
+                    '#' || k.node_id ||
                     '" typeof="' || k.kind || '"><p>' ||
                     {_esc.format(c="k.text")} || '</p>' ||
                     coalesce(c2.ch, '') || '</div>',
@@ -1523,7 +1528,7 @@ meta AS (
     ('dcterms:extent', CAST(n_chars AS VARCHAR))) v(pred, obj)) t),
 heads AS (
   SELECT url, any_value(lang) AS lang,
-    '<head about="' || url || '">' || string_agg(
+    '<head about="' || {_esca.format(c="url")} || '">' || string_agg(
       CASE
         WHEN pred = 'dcterms:title'
              AND NOT regexp_matches(obj, '^https?://')
@@ -1531,9 +1536,9 @@ heads AS (
                {_esc.format(c="obj")} || '</title>'
         WHEN regexp_matches(obj, '^https?://')
           THEN '<link rel="' || pred || '" href="' ||
-               {_esc.format(c="obj")} || '"/>'
+               {_esca.format(c="obj")} || '"/>'
         ELSE '<meta property="' || pred || '" content="' ||
-             {_esc.format(c="obj")} || '"/>'
+             {_esca.format(c="obj")} || '"/>'
       END, '' ORDER BY pred, obj) || '</head>' AS head_xml,
     array_to_string(list_transform(
       list_sort(list_distinct(list(split_part(pred, ':', 1)))),

@@ -222,7 +222,10 @@ def sanitize_term(term: str, min_len: int = 2, max_len: int = 100,
     chars not starting with ``./:`` nor ending with ``.``/``,``.
     Returns None for rejects (the reference returns falsy)."""
     t = normalize_space(term or "")
-    if (min_len <= len(t) <= max_len
+    # explicit non-empty test: an empty term has no start/end char to
+    # check and is always a reject, even under min_len=0 (keeps the
+    # Column twin's semantics, which would otherwise diverge there)
+    if (t and min_len <= len(t) <= max_len
             and t[0] not in invalid_start and t[-1] not in invalid_end):
         return t
     return None
@@ -234,7 +237,8 @@ def sanitize_term_col(c: Column, min_len: int = 2, max_len: int = 100,
     """Column twin of :func:`sanitize_term` — pure codegen, runs in
     the scan; NULL for rejects so a downstream dropna prunes them."""
     t = normalize_space_col(c)
-    ok = (F.length(t).between(min_len, max_len)
+    ok = ((F.length(t) > 0)
+          & F.length(t).between(min_len, max_len)
           & ~F.substring(t, 1, 1).isin(*list(invalid_start))
           & ~t.substr(F.length(t), F.lit(1)).isin(*list(invalid_end)))
     return F.when(ok, t)

@@ -235,20 +235,30 @@ def build_classes() -> list[CitationClass]:
     # Section 4 of Chapter 2 of RFC 1234" — the reference's nested
     # sfsrefs→sfsref chapter/section/piece/item chains with
     # distributed lists (res/ebnf/lagrum.ebnf, legalref.py:170-180
-    # dynamic root + find_attributes list semantics).  ``locref`` is
-    # right-recursive (unit " of " locref); Grammar.compile unrolls
-    # it to max_depth=3 — the regular approximation, exact for the
-    # 3-level structural reality.  One match distributes the leading
-    # item list over the SHARED outer chapter/section context:
-    # #C2.S4.I5 and #C2.S4.I6 from one token.
-    unit = Alt(Seq(Lit("Items "), Rep(NUM, Rx(r"(?:, | and )"))),
-               Seq(Lit("Item "), NUM),
-               Seq(Lit("Section "), NUM),
-               Seq(Lit("Chapter "), NUM))
+    # dynamic root + find_attributes list semantics).  The
+    # productions encode the CANONICAL level hierarchy
+    # (item(s) ⊂ section ⊂ chapter, innermost-first, each level at
+    # most once) exactly as lagrum.ebnf's kapitel/paragraf/stycke/
+    # punkt rules do — an earlier unit-chain form (any unit " of "
+    # any unit, self-recursive) also matched non-canonical chains
+    # like "Section 4 of Section 5 of RFC 1" whose context the
+    # single-occurrence formatter extraction silently dropped,
+    # minting wrong URIs on open-domain text.  Grammar.compile
+    # expands the Ref chain structurally (max_depth bounds any
+    # self-recursive rule; these are exact, not approximated).  One
+    # match distributes the leading item list over the SHARED outer
+    # chapter/section context: #C2.S4.I5 and #C2.S4.I6 from one
+    # token.
+    itemu = Alt(Seq(Lit("Items "), Rep(NUM, Rx(r"(?:, | and )"))),
+                Seq(Lit("Item "), NUM))
     nested = Grammar(
-        {"unit": unit,
-         "locref": Alt(Seq(Ref("unit"), Lit(" of "), Ref("locref")),
-                       Ref("unit"))},
+        {"chap": Seq(Lit("Chapter "), NUM),
+         "sec": Alt(Seq(Lit("Section "), NUM, Lit(" of "), Ref("chap")),
+                    Seq(Lit("Section "), NUM),
+                    Ref("chap")),
+         "locref": Alt(Seq(itemu, Lit(" of "), Ref("sec")),
+                       itemu,
+                       Ref("sec"))},
         Seq(Cap("loc", Ref("locref")), Lit(" of RFC "),
             Cap("num", NUM)),
         max_depth=3).compile()

@@ -87,13 +87,16 @@ def ranked_topk(df: DataFrame, specs: list[tuple[str, bool]],
     then derived on the ≤k-row result by counting strict sort-order
     predecessors via a self-join — O(k²) comparisons on a bounded
     input, zero WindowExec, no single-partition exchange anywhere.
+    The ≤k rows are localCheckpoint-ed first: TakeOrdered is not an
+    Exchange, so without it the self-join would re-run the whole
+    upstream plan (scan + aggregation + top-k merge) once per side.
 
     ``specs`` is [(column, descending)] and must be a total order
     over NON-NULL columns (include a unique tiebreak) so every rank
     is deterministic and distinct.
     """
     order = [F.desc(c) if d else F.asc(c) for c, d in specs]
-    top = df.orderBy(*order).limit(k)
+    top = df.orderBy(*order).limit(k).localCheckpoint(eager=True)
     a, b = top.alias("a"), top.alias("b")
     first = specs[0][0]
     joined = a.join(b, _before(specs, "b", "a"), "left")

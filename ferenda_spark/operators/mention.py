@@ -111,6 +111,27 @@ def _grammar():
     return _G
 
 
+def _list_segments(tok: str, span: tuple[int, int],
+                   uris: list[str]) -> list[dict]:
+    """Distributed-list markup: each number inside ``span`` becomes
+    its own Link (sharing any bound outer context through the class
+    formatter, in ``uris`` order), separators and the context tail
+    stay str (format_tokentree multi-link case; the reference's
+    distributed-list markup, legalref.py find_attributes)."""
+    span_s, span_e = span
+    segs, pos, i = [], 0, 0
+    for nm in _NUM_RE.finditer(tok[span_s:span_e]):
+        s, e = nm.start() + span_s, nm.end() + span_s
+        if s > pos:
+            segs.append({"kind": "str", "text": tok[pos:s], "uri": None})
+        segs.append({"kind": "link", "text": nm.group(0), "uri": uris[i]})
+        i += 1
+        pos = e
+    if pos < len(tok):
+        segs.append({"kind": "str", "text": tok[pos:], "uri": None})
+    return segs
+
+
 def _token_segments(tok: str, aliases: dict) -> list[dict] | None:
     """One master-regex token → its link segment(s); None = leave as
     plain text (unresolvable alias)."""
@@ -125,48 +146,14 @@ def _token_segments(tok: str, aliases: dict) -> list[dict] | None:
             from ferenda_spark.grammar.citations import NESTED_ITEMS_RE
             items = re.search(NESTED_ITEMS_RE, tok)
             if items is not None:
-                # distributed list: each item number is its own Link
-                # with the SHARED chapter/section context; the chain
-                # tail stays str (the reference's nested
-                # sfsrefs markup, legalref.py find_attributes)
-                span_s, span_e = items.span(1)
-                segs, pos, i = [], 0, 0
-                for nm in _NUM_RE.finditer(tok[span_s:span_e]):
-                    s, e = nm.start() + span_s, nm.end() + span_s
-                    if s > pos:
-                        segs.append({"kind": "str", "text": tok[pos:s],
-                                     "uri": None})
-                    segs.append({"kind": "link", "text": nm.group(0),
-                                 "uri": uris[i]})
-                    i += 1
-                    pos = e
-                if pos < len(tok):
-                    segs.append({"kind": "str", "text": tok[pos:],
-                                 "uri": None})
-                return segs
+                # the leading item list distributes over the SHARED
+                # chapter/section context (nested sfsrefs markup)
+                return _list_segments(tok, items.span(1), uris)
             return [{"kind": "link", "text": tok, "uri": uris[0]}]
         list_group = {"rfc_list": "list", "eu_article": "arts"}.get(cls.name)
         if list_group is not None:
-            # plural/distributed production: each list item is its
-            # own Link (sharing any bound outer context through the
-            # class formatter), separators and the context tail stay
-            # str (format_tokentree multi-link case; the reference's
-            # distributed-list markup, legalref.py find_attributes)
             gi = cls.compiled.group_index(list_group)
-            span_s, span_e = fm.span(gi)
-            segs, pos, i = [], 0, 0
-            for nm in _NUM_RE.finditer(tok[span_s:span_e]):
-                s, e = nm.start() + span_s, nm.end() + span_s
-                if s > pos:
-                    segs.append({"kind": "str", "text": tok[pos:s],
-                                 "uri": None})
-                segs.append({"kind": "link", "text": nm.group(0),
-                             "uri": uris[i]})
-                i += 1
-                pos = e
-            if pos < len(tok):
-                segs.append({"kind": "str", "text": tok[pos:], "uri": None})
-            return segs
+            return _list_segments(tok, fm.span(gi), uris)
         return [{"kind": "link", "text": tok, "uri": uris[0]}]
     am = _ALIAS_ONLY_RE.fullmatch(tok)
     if am:

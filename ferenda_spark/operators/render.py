@@ -30,6 +30,13 @@ def escape_xml(c: Column) -> Column:
     return F.replace(out, F.lit(">"), F.lit("&gt;"))
 
 
+def escape_attr(c: Column) -> Column:
+    """XML escape for double-quoted ATTRIBUTE values: text escape
+    plus ``"`` → ``&quot;`` — a quote inside href=/content=/about=
+    would otherwise terminate the attribute and break the document."""
+    return F.replace(escape_xml(c), F.lit('"'), F.lit("&quot;"))
+
+
 def rfc3339(ts: Column) -> Column:
     """Format a UTC wall-clock timestamp as RFC3339. The input must
     already BE UTC wall-clock (TIMESTAMP_NTZ carrying UTC, or an
@@ -130,17 +137,17 @@ def rdfa_head(triples: DataFrame, subj_col: str = "subj",
                         escape_xml(ob), F.lit("</title>")))
         .when(is_uri,
               F.concat(F.lit('<link rel="'), p, F.lit('" href="'),
-                       escape_xml(ob), F.lit('"/>')))
+                       escape_attr(ob), F.lit('"/>')))
         .otherwise(
             F.concat(F.lit('<meta property="'), p, F.lit('" content="'),
-                     escape_xml(ob), F.lit('"/>'))))
+                     escape_attr(ob), F.lit('"/>'))))
     item = F.struct(F.struct(p.alias("p"), ob.alias("o")).alias("k"),
                     item_xml.alias("xml"),
                     F.split(p, ":").getItem(0).alias("prefix"))
     agg = triples.groupBy(F.col(subj_col).alias("url")).agg(
         F.array_sort(F.collect_list(item)).alias("items"))
     head = F.concat(
-        F.lit('<head about="'), F.col("url"), F.lit('">'),
+        F.lit('<head about="'), escape_attr(F.col("url")), F.lit('">'),
         F.array_join(F.transform(F.col("items"), lambda s: s["xml"]), ""),
         F.lit("</head>"))
     prefixes = F.array_sort(F.array_distinct(
@@ -166,7 +173,7 @@ def xhtml_body(nodes: DataFrame, max_depth: int = 5) -> DataFrame:
     recursion, no per-row Python, skew bounded by sibling fan-out."""
     def div(text_col: Column, children: Column) -> Column:
         return F.concat(
-            F.lit('<div about="'), F.col("url"), F.lit("#"),
+            F.lit('<div about="'), escape_attr(F.col("url")), F.lit("#"),
             F.col("node_id"), F.lit('" typeof="'), F.col("kind"),
             F.lit('"><p>'), escape_xml(text_col), F.lit("</p>"),
             children, F.lit("</div>"))
@@ -195,7 +202,8 @@ def xhtml_body(nodes: DataFrame, max_depth: int = 5) -> DataFrame:
     roots = child_agg.filter(F.col("node_id") == "")
     return roots.select(
         "url",
-        F.concat(F.lit('<body about="'), F.col("url"), F.lit('">'),
+        F.concat(F.lit('<body about="'), escape_attr(F.col("url")),
+                 F.lit('">'),
                  F.col("children_xml"), F.lit("</body>"))
         .alias("body_xml"))
 

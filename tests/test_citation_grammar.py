@@ -82,6 +82,14 @@ GOLDEN = [
       f"{BASE}res/rfc/20#I9"}),
     # a non-structural word breaks the chain: no match at all
     ("Items 5 and 6 of Paragraph 4 of RFC 7", set()),
+    # NON-canonical chains (repeated or outermost-first units) do not
+    # parse as a whole; only the canonical suffix — which IS a true
+    # reference — mints. The old unit-chain grammar accepted these
+    # and silently dropped the outer context (wrong URIs).
+    ("Section 4 of Section 5 of RFC 1", {f"{BASE}res/rfc/1#S5"}),
+    ("Items 5 and 6 of Items 7 and 8 of RFC 2",
+     {f"{BASE}res/rfc/2#I7", f"{BASE}res/rfc/2#I8"}),
+    ("Chapter 2 of Section 4 of RFC 31", {f"{BASE}res/rfc/31#S4"}),
     ("see https://x.example/a,b.", {"https://x.example/a,b"}),
     ("no citations here", set()),
 ]

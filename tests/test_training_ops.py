@@ -572,6 +572,29 @@ def test_render_xhtml_pages(spark):
     assert x.startswith('<?xml version="1.0" encoding="utf-8"?><html ')
 
 
+def test_render_xhtml_escapes_attribute_quotes(spark):
+    """A double quote or ampersand inside an attribute value (meta
+    content, link href, about URL) must not break the document —
+    the whole page has to stay parseable XML."""
+    import xml.etree.ElementTree as ET
+    from ferenda_spark.operators.render import render_xhtml_pages
+    trip = spark.createDataFrame(
+        [('u"x&y', "dcterms:title", 'The "GDPR" directive'),
+         ('u"x&y', "dcterms:publisher", 'Pub "quoted" & Co'),
+         ('u"x&y', "rdf:type", "https://example.org/t?a=1&b=2")],
+        "subj string, pred string, obj string")
+    nodes = spark.createDataFrame(
+        [('u"x&y', "K1", "chapter", "1", None, 1, 'body "text"')],
+        "url string, node_id string, kind string, ordinal string, "
+        "parent_id string, depth int, text string")
+    x = render_xhtml_pages(trip, nodes, max_depth=1).collect()[0]["xhtml"]
+    assert 'content="Pub &quot;quoted&quot; &amp; Co"' in x
+    assert 'href="https://example.org/t?a=1&amp;b=2"' in x
+    assert '<head about="u&quot;x&amp;y">' in x
+    root = ET.fromstring(x)  # must parse as well-formed XML
+    assert root.tag.endswith("html")
+
+
 def test_facet_multitype_subject_guard(spark):
     """A subject with several rdf:types must satisfy a type guard via
     ANY of them (facet_query FILTER semantics) — not via one
