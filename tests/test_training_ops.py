@@ -699,3 +699,34 @@ def test_components_long_chain_converges_logarithmically(spark):
     lab = dedup.components(pairs, max_iters=10)
     got = {r["id"]: r["comp"] for r in lab.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """Seeded random pair graphs: the distributed result must equal a
+    driver-side union-find (min id per component) exactly."""
+    import random
+
+    def union_find_comps(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in parent}
+
+    for seed, n, m in [(1, 40, 30), (2, 60, 90), (3, 25, 12)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(u, v) for u, v in edges if u != v]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["comp"]
+               for r in dedup.components(pairs).collect()}
+        assert got == union_find_comps(edges), f"seed={seed}"
