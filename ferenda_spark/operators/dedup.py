@@ -335,11 +335,15 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     resets the plan to a leaf, keeping per-round planning O(1); on a
     real cluster with flaky executors use a reliable
     ``sparkContext.setCheckpointDir`` checkpoint instead (same
-    shape, storage-backed). Termination reads a changed-row count off
-    the already-materialized generation — the same frontier
-    discipline as ``transitive_closure``. Nodes that appear in no
-    pair are absent from the output (they are their own keeper);
-    union them back at the call site if needed.
+    shape, storage-backed). Termination: labels are monotonically
+    non-increasing (every update is a min over a set containing the
+    current label), so the fixpoint is reached exactly when
+    ``sum(comp)`` stops decreasing — one scalar aggregate over the
+    already-materialized generation, no compare-join. The sum is
+    taken in DECIMAL(38,0) so it stays exact (no int64 wrap) at any
+    id range. Nodes that appear in no pair are absent from the
+    output (they are their own keeper); union them back at the call
+    site if needed.
     """
     e = pairs.select(F.col(id_a).cast("long").alias("u"),
                      F.col(id_b).cast("long").alias("v"))
@@ -351,6 +355,11 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
+
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges["v"] == labels["id"])
                .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
@@ -367,11 +376,11 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         nxt = (relab.join(hop, relab["comp"] == hop["_pid"], "left")
                .select("id", F.coalesce("_pcomp", "comp").alias("comp"))
                .localCheckpoint(eager=True))
-        changed = (nxt.join(labels.withColumnRenamed("comp", "_old"), "id")
-                   .filter(F.col("comp") != F.col("_old")).count())
+        new_sum = _label_sum(nxt)
         labels = nxt
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
