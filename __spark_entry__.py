@@ -1076,6 +1076,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(dedup.component_clusters(pairs))
     q["dedup_components"] = dedup_components
 
+    def decontaminate_docs(spark, sf):
+        """Train/eval decontamination: every doc sharing any word
+        13-gram with the benchmark slice (doc_id % 50 == 0) is
+        flagged; docs shorter than 13 tokens are trivially clean."""
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+        return _longify(dedup.decontaminate(d, bench, n=13))
+    q["decontaminate_docs"] = decontaminate_docs
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2139,6 +2148,19 @@ sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
           FROM comp GROUP BY comp)
 SELECT CAST(c.id AS BIGINT) AS id, c.comp, s.csize
 FROM comp c JOIN sizes s USING (comp)
+"""
+
+    _words13 = _WORDS.format(c="text")
+    o["decontaminate_docs"] = f"""
+WITH t AS (SELECT doc_id AS id, {_sh_expr(_words13, 13)} AS sh
+           FROM documents),
+b AS (SELECT DISTINCT unnest(sh) AS shingle FROM t WHERE id % 50 = 0),
+e AS (SELECT id, unnest(sh) AS shingle FROM t),
+h AS (SELECT e.id, CAST(count(DISTINCT e.shingle) AS BIGINT) AS n_hits
+      FROM e JOIN b USING (shingle) GROUP BY e.id)
+SELECT t.id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN h ON h.id = t.id
 """
 
     o["toc_documents"] = """

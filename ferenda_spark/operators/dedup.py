@@ -384,6 +384,44 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels
 
 
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 13,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Train/eval decontamination: flag every training document that
+    shares ANY word n-gram with the benchmark corpus — the n-gram
+    collision rule used to scrub eval leakage from pretraining sets
+    (n=13 is the conventional window). Returns one row per input doc:
+    ``(id, n_hits, contaminated)`` with n_hits = distinct colliding
+    shingles.
+
+    Scale: the benchmark side is the SMALL side by construction (eval
+    suites are thousands of documents, the corpus is billions), so
+    its distinct shingles broadcast and the corpus shingles stream
+    map-side through the hash join — ZERO shuffle of the corpus
+    except the one per-doc count keyed by id. Pass
+    ``broadcast_bench=False`` to drop the hint and let AQE pick the
+    join when the bench side grows. Documents shorter than n tokens
+    have no shingles and are trivially clean (the same empty-shingle
+    guard as ``shingles``)."""
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    bench_sh = bench.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("shingle")
+    ).distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (doc_sh.join(bench_sh, "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").alias("n_hits")))
+    base = docs.select(F.col(id_col).alias("id"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (base.join(hits, "id", "left")
+            .select("id", n_hits.alias("n_hits"),
+                    (n_hits > 0).alias("contaminated")))
+
+
 def component_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b") -> DataFrame:
     """``(id, comp, csize)`` — every paired document with its cluster

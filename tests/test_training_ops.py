@@ -730,3 +730,29 @@ def test_components_random_graphs_match_union_find(spark):
         got = {r["id"]: r["comp"]
                for r in dedup.components(pairs).collect()}
         assert got == union_find_comps(edges), f"seed={seed}"
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A verbatim 13-gram from the benchmark flags the doc; disjoint
+    text and sub-13-token docs stay clean; map-side plan broadcasts
+    the bench shingles."""
+    gram = "one two three four five six seven eight nine ten eleven " \
+           "twelve thirteen"
+    docs = spark.createDataFrame(
+        [(1, "prefix words here " + gram + " and a tail"),
+         (2, "totally disjoint content with enough words to form "
+             "many shingles of thirteen tokens padded padded padded "
+             "padded padded padded"),
+         (3, "short doc under thirteen tokens total here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the eval question is " + gram + " answer follows",)],
+        "text string")
+    out = dedup.decontaminate(docs, bench, n=13)
+    got = {r["id"]: (r["n_hits"], r["contaminated"])
+           for r in out.collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
