@@ -104,13 +104,19 @@ def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
     return triples
 
 
+_COPY_OFFSET = 10_000_000
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str, cutoff: int = 100,
                 mutate: bool = False) -> DataFrame:
-    """documents ∪ copies (doc_id+10000) — exact copies, or
-    near-copies with a 3-word prefix when ``mutate``."""
+    """documents ∪ copies (doc_id + _COPY_OFFSET) — exact copies, or
+    near-copies with a 3-word prefix when ``mutate``.  The offset is
+    far above any real doc_id at any scale factor, so copy ids can
+    never collide with original ids (a latent divergence when the
+    offset was 10000 and a gate filtered on doc_id % 10000)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") < cutoff).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         (F.concat(F.lit("near duplicate copy "), F.col("text"))
          if mutate else F.col("text")).alias("text"))
     return docs.unionByName(copies)
@@ -1012,7 +1018,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hot-shingle cap (max_df=20, sizes recomputed over the capped
         universe) — the skew guard a 100 TB run relies on."""
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
-            (F.col("doc_id") % 10000) < 150)
+            (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
         return _longify(
             dedup.jaccard_pairs(corpus, threshold=0.8)
             .withColumn("variant", F.lit("default"))
@@ -1023,7 +1029,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash_lsh(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
-            (F.col("doc_id") % 10000) < 150)
+            (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
         return _longify(dedup.minhash_dedup_pairs(
             corpus, k=8, bands=4, threshold=0.8))
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
@@ -1035,7 +1041,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         floor → language filter. Every stage is an existing
         operator; the oracle recomposes the same chain in SQL."""
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
-            (F.col("doc_id") % 10000) < 150)
+            (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
         pairs = dedup.minhash_dedup_pairs(
             corpus, k=8, bands=4, threshold=0.8)
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -1058,7 +1064,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_simhash_pairs(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
-            (F.col("doc_id") % 10000) < 100)
+            (F.col("doc_id") < 100) | (F.col("doc_id") >= _COPY_OFFSET))
         return _longify(dedup.simhash_near_pairs(
             corpus, bits=32, max_hamming=6, bands=4))
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
@@ -1070,7 +1076,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keeper; the oracle recomputes the closure with a recursive
         CTE over the identical pair list."""
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
-            (F.col("doc_id") % 10000) < 100)
+            (F.col("doc_id") < 100) | (F.col("doc_id") >= _COPY_OFFSET))
         pairs = dedup.simhash_near_pairs(
             corpus, bits=32, max_hamming=6, bands=4)
         return _longify(dedup.component_clusters(pairs))
@@ -1986,7 +1992,7 @@ FROM part
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 100
 )"""
     o["dedup_exact_docs"] = f"""
 WITH {_corpus}
@@ -1999,7 +2005,7 @@ FROM corpus GROUP BY 1
 corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 150
   UNION ALL
-  SELECT doc_id + 10000, 'near duplicate copy ' || text
+  SELECT doc_id + 10000000, 'near duplicate copy ' || text
   FROM documents WHERE doc_id < 100
 )"""
     words_c = _WORDS.format(c="text")
@@ -2099,7 +2105,7 @@ SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
 corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 100
   UNION ALL
-  SELECT doc_id + 10000, 'near duplicate copy ' || text
+  SELECT doc_id + 10000000, 'near duplicate copy ' || text
   FROM documents WHERE doc_id < 100
 )"""
     sh_bit_terms = " + ".join(

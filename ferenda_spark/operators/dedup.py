@@ -367,7 +367,13 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                  .select(labels["id"],
                          F.least(labels["comp"],
                                  F.coalesce(F.col("nbr_comp"),
-                                            labels["comp"])).alias("comp")))
+                                            labels["comp"])).alias("comp"))
+                 # materialize BEFORE the doubling self-join: relab
+                 # feeds both sides and Spark plans no ReusedExchange
+                 # across them, so an un-pinned relab would run the
+                 # expensive edges-join + min-aggregation twice per
+                 # round
+                 .localCheckpoint(eager=True))
         # pointer doubling: comp ← comp(comp). comp is always some
         # node's id (labels start as ids and only ever copy ids), so
         # the lookup side always hits.
@@ -379,9 +385,13 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         new_sum = _label_sum(nxt)
         labels = nxt
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    raise RuntimeError(
+        f"components() did not converge within max_iters={max_iters} "
+        "doubling rounds; the result would be under-merged (one real "
+        "cluster carrying several comp labels). Raise max_iters — "
+        "rounds needed grow with log2 of the pair-graph diameter.")
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame,
@@ -404,9 +414,7 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     join when the bench side grows. Documents shorter than n tokens
     have no shingles and are trivially clean (the same empty-shingle
     guard as ``shingles``)."""
-    doc_sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    doc_sh = shingle_rows(docs, text_col, id_col, n)
     bench_sh = bench.select(
         F.explode(shingles(F.col(bench_text_col), n)).alias("shingle")
     ).distinct()
