@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
+    "decontaminate_docs",
     "patch_documents",
     "pdf_style_metrics",
     "url_canonical_dedup",
