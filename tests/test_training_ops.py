@@ -756,3 +756,31 @@ def test_decontaminate_ngram_overlap(spark):
     assert got[3] == (0, False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_rates_and_reproducibility(spark):
+    """Empirical keep-rates track the per-stratum targets, the same
+    salt reproduces the identical row set, a different salt draws a
+    different one, and the plan is a pure scan-side filter (no
+    Exchange)."""
+    from ferenda_spark.operators import sampling
+    rows = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"))
+    out = sampling.stratified_sample(
+        rows, {"en": 0.5}, default_rate=0.1, salt="s1")
+    kept = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert abs(by["en"] / 10000 - 0.5) < 0.03
+    assert abs(by.get("xx", 0) / 10000 - 0.1) < 0.03
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids1_again = {r["doc_id"] for r in sampling.stratified_sample(
+        rows, {"en": 0.5}, default_rate=0.1, salt="s1").collect()}
+    assert ids1 == ids1_again
+    ids2 = {r["doc_id"] for r in sampling.stratified_sample(
+        rows, {"en": 0.5}, default_rate=0.1, salt="s2").collect()}
+    assert ids1 != ids2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        sampling.rate_threshold(1.5)
