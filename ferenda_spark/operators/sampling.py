@@ -59,8 +59,15 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     One codegen filter, zero shuffle, zero driver state beyond the
     rate literals — the scan-side mixing step a 100 TB data-mixture
     job wants. Unknown strata fall back to ``default_rate``.
+
+    Rows with a NULL ``key_col`` are DROPPED (even at rate 1.0): a
+    null key has no stable identity, so no deterministic draw exists
+    for it. The drop is explicit below rather than a silent artifact
+    of NULL comparison semantics; assign keys upstream if null-key
+    rows must participate.
     """
     u = sample_uniform(F.col(key_col), salt)
+    docs = docs.filter(F.col(key_col).isNotNull())
     cascade = None
     for stratum, rate in sorted(rates.items()):
         t = F.lit(rate_threshold(rate))

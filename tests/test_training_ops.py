@@ -784,3 +784,14 @@ def test_stratified_sample_rates_and_reproducibility(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         sampling.rate_threshold(1.5)
+
+
+def test_stratified_sample_null_keys_dropped_explicitly(spark):
+    """NULL keys have no deterministic draw: dropped even at rate
+    1.0 (documented contract, not a NULL-comparison artifact)."""
+    from ferenda_spark.operators import sampling
+    rows = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (2, "en")],
+        "doc_id long, lang string")
+    out = sampling.stratified_sample(rows, {"en": 1.0}, default_rate=1.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
