@@ -1101,6 +1101,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, {"en": 0.5, "zh": 0.2}, default_rate=0.05))
     q["sample_mixture_docs"] = sample_mixture_docs
 
+    def redact_pii_docs(spark, sf):
+        """PII scrub over a corpus with deterministically injected
+        identifiers (emails on doc_id%7, IPv4 on %11, 9-digit runs on
+        %13): per-type counts + the redacted text, both engines
+        running the identical RE2-safe patterns."""
+        d = _docs(spark, sf).select("doc_id", "text")
+        did = F.col("doc_id").cast("string")
+        injected = d.select("doc_id", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"), did,
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" from 10.0.0."),
+                            (F.col("doc_id") % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" ref 9"),
+                            F.lpad(did, 8, "0"))).otherwise(F.lit("")),
+        ).alias("text"))
+        return _longify(textstats.redact_pii(injected))
+    q["redact_pii_docs"] = redact_pii_docs
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2174,6 +2197,30 @@ WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
   < CASE lang WHEN 'en' THEN {rate_threshold(0.5)}
               WHEN 'zh' THEN {rate_threshold(0.2)}
               ELSE {rate_threshold(0.05)} END
+"""
+
+    from ferenda_spark.operators.textstats import PII_PATTERNS
+    _pp = dict(PII_PATTERNS)
+    _pii_e, _pii_i, _pii_n = _pp["email"], _pp["ipv4"], _pp["longnum"]
+    o["redact_pii_docs"] = f"""
+WITH inj AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' ref 9' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_pii_e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_pii_i}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_pii_n}')) AS BIGINT) AS n_longnum,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_pii_e}', '<EMAIL>', 'g'),
+      '{_pii_i}', '<IPV4>', 'g'),
+      '{_pii_n}', '<LONGNUM>', 'g') AS clean_text
+FROM inj
 """
 
     _words13 = _WORDS.format(c="text")

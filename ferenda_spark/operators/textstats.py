@@ -211,3 +211,39 @@ def text_metrics(docs: DataFrame, text_col: str = "text",
         "lexical_diversity", "quality", "pred_lang", "marker_hits",
         "rolling_fp", "text_md5",
         "_s.top_unigram_frac", "_s.top_bigram_frac", "_s.distinct_frac")
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: (name, RE2-safe pattern) — evaluated in this order; counts are
+#: measured on the ORIGINAL text, replacements applied sequentially.
+#: Patterns avoid lookaround so the identical regex runs in the
+#: DuckDB oracle (RE2) and in Spark (Java regex).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("longnum", r"\b\d{9,}\b"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Scrub direct identifiers from a text corpus: emails, IPv4
+    addresses, and 9+-digit runs (phone/account shaped) each become a
+    ``<NAME>`` token, with per-type match counts kept as curation
+    signals. Pure Column expressions — the whole redaction runs
+    inside the scan with zero shuffle, like every other row-local
+    curation signal in this module. Counts are taken on the original
+    text; replacements are applied in PII_PATTERNS order (email
+    first, so an address is never half-eaten by the digit rules).
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        .cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = text
+    for name, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *counts, clean.alias("clean_text"))

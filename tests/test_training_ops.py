@@ -795,3 +795,22 @@ def test_stratified_sample_null_keys_dropped_explicitly(spark):
         "doc_id long, lang string")
     out = sampling.stratified_sample(rows, {"en": 1.0}, default_rate=1.0)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    """Counts reflect the ORIGINAL text; every pattern type is
+    replaced by its token; clean text passes through untouched."""
+    rows = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org from 192.168.0.1 ref 123456789"),
+         (2, "no identifiers here at all"),
+         (3, "ip 10.0.0.7 twice 10.0.0.8")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.redact_pii(rows).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_longnum"]) \
+        == (2, 1, 1)
+    assert got[1]["clean_text"] == \
+        "mail <EMAIL> and <EMAIL> from <IPV4> ref <LONGNUM>"
+    assert got[2]["clean_text"] == "no identifiers here at all"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_longnum"]) \
+        == (0, 0, 0)
+    assert got[3]["n_ipv4"] == 2 and got[3]["clean_text"].count("<IPV4>") == 2
