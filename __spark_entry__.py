@@ -1124,6 +1124,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(textstats.redact_pii(injected))
     q["redact_pii_docs"] = redact_pii_docs
 
+    def strip_boilerplate_docs(spark, sf):
+        """Line-level boilerplate removal over a corpus with
+        deterministically injected repeated sentences: units seen in
+        >10 distinct docs (the two injected banners) are dropped,
+        per-doc unique trailing notes and the body survive."""
+        d = _docs(spark, sf).select("doc_id", "text")
+        did = F.col("doc_id")
+        inj = d.select("doc_id", F.concat(
+            F.col("text"),
+            F.when(did % 2 == 0,
+                   F.lit(". Subscribe to our newsletter today")
+                   ).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.lit(". All rights reserved worldwide")
+                   ).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(". unique trailing note "),
+                            did.cast("string"))).otherwise(F.lit("")),
+        ).alias("text"))
+        return _longify(dedup.strip_boilerplate(inj, max_df=10))
+    q["strip_boilerplate_docs"] = strip_boilerplate_docs
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2221,6 +2243,32 @@ SELECT doc_id,
       '{_pii_i}', '<IPV4>', 'g'),
       '{_pii_n}', '<LONGNUM>', 'g') AS clean_text
 FROM inj
+"""
+
+    o["strip_boilerplate_docs"] = """
+WITH inj AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '. Subscribe to our newsletter today' ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0
+         THEN '. All rights reserved worldwide' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '. unique trailing note ' ||
+         CAST(doc_id AS VARCHAR) ELSE '' END AS text
+  FROM documents),
+u AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             unnest(parts) AS unit
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM inj)),
+hot AS (SELECT lower(trim(unit)) AS nunit FROM u GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 10),
+kept AS (SELECT * FROM u
+         WHERE lower(trim(unit)) NOT IN (SELECT nunit FROM hot)),
+agg AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
+SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(t.n_units AS BIGINT) AS n_units,
+       CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
 
     _words13 = _WORDS.format(c="text")

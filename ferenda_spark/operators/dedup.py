@@ -439,3 +439,54 @@ def component_clusters(pairs: DataFrame, id_a: str = "id_a",
     comp = components(pairs, id_a, id_b)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("csize"))
     return comp.join(sizes, "comp").select("id", "comp", "csize")
+
+
+def strip_boilerplate(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_df: int = 10,
+                      sep: str = ". ") -> DataFrame:
+    """Corpus-level boilerplate removal: split each document into
+    units on ``sep``, drop every unit whose normalized form
+    (lower+trim) appears in more than ``max_df`` DISTINCT documents
+    (cookie banners, nav text, subscribe prompts), and reassemble
+    the survivors in original order — the line-level dedup pass of
+    CCNet/RefinedWeb-style curation pipelines, at sentence
+    granularity here.
+
+    Output per input doc: ``(id, clean_text, n_units, n_dropped)``
+    (docs whose every unit was boilerplate keep a row with empty
+    clean_text — silent row loss would read as data corruption).
+
+    Scale: one groupBy on the normalized unit to find hot units
+    (their count is bounded by total_units / max_df, NOT by a small
+    constant, so the anti-join is left to AQE rather than
+    broadcast-hinted), one anti-join back, and one per-doc
+    reassembly keyed by id (array_sort on (pos, unit) structs, no
+    window). The unit split regex-escapes ``sep`` so Spark's
+    regex-based split matches the oracle's literal split.
+    """
+    import re as _re
+    units = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "unit"))
+    norm = F.lower(F.trim(F.col("unit")))
+    hot = (units.select(norm.alias("nunit"), "id").distinct()
+           .groupBy("nunit").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df)
+           .select("nunit"))
+    kept = (units.withColumn("nunit", norm)
+            .join(hot, "nunit", "left_anti"))
+    re_doc = (kept.groupBy("id")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("pos"), F.col("unit")))),
+                      lambda s: s["unit"]), sep).alias("clean_text"),
+                  F.count(F.lit(1)).alias("n_kept")))
+    totals = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
+    return (totals.join(re_doc, "id", "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_units"),
+                    (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dropped")))

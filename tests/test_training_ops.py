@@ -814,3 +814,24 @@ def test_redact_pii_counts_and_replacement(spark):
     assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_longnum"]) \
         == (0, 0, 0)
     assert got[3]["n_ipv4"] == 2 and got[3]["clean_text"].count("<IPV4>") == 2
+
+
+def test_strip_boilerplate_units(spark):
+    """Units over the df threshold vanish corpus-wide, unique units
+    survive in original order, all-boilerplate docs keep an empty
+    row, and repeated units within ONE doc don't count as df > 1."""
+    banner = "Subscribe now"
+    rows = [(i, f"body {i} text. {banner}") for i in range(1, 5)]
+    rows.append((5, banner))                      # all boilerplate
+    rows.append((6, f"intro six. {banner}. middle six. {banner}"))
+    rows.append((7, "solo seven. repeated. repeated. repeated"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.strip_boilerplate(
+        docs, max_df=3).collect()}
+    assert out[1]["clean_text"] == "body 1 text" and out[1]["n_dropped"] == 1
+    assert out[5]["clean_text"] == "" and out[5]["n_dropped"] == 1
+    assert out[6]["clean_text"] == "intro six. middle six"
+    assert out[6]["n_units"] == 4 and out[6]["n_dropped"] == 2
+    # 'repeated' occurs 3x but only in ONE document: df=1, kept
+    assert out[7]["clean_text"] == "solo seven. repeated. repeated. repeated"
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
