@@ -1146,6 +1146,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(dedup.strip_boilerplate(inj, max_df=10))
     q["strip_boilerplate_docs"] = strip_boilerplate_docs
 
+    def curation_pipeline_docs(spark, sf):
+        """The round-3 curation toolkit composed end-to-end, the way
+        a mixing job actually runs it: strip corpus-frequency
+        boilerplate → redact PII → drop exact duplicates of the
+        cleaned text (min-id keeper) → deterministic per-language
+        mixture sample. Every stage is an existing gated operator;
+        the oracle recomposes the identical chain in SQL."""
+        from ferenda_spark.operators import sampling
+        d = _docs(spark, sf).select("doc_id", "lang", "text")
+        did = F.col("doc_id")
+        inj = d.select("doc_id", "lang", F.concat(
+            F.col("text"),
+            F.when(did % 2 == 0,
+                   F.lit(". Subscribe to our newsletter today")
+                   ).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(". contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+        ).alias("text"))
+        stripped = dedup.strip_boilerplate(inj, max_df=10).select(
+            F.col("id").alias("doc_id"), F.col("clean_text"))
+        redacted = textstats.redact_pii(
+            stripped, text_col="clean_text").select(
+            "doc_id", F.col("clean_text").alias("final_text"))
+        keepers = dedup.exact_dedup(
+            redacted, text_col="final_text", id_col="doc_id").select(
+            F.col("keeper_id").alias("doc_id"), "text_md5")
+        sampled = sampling.stratified_sample(
+            keepers.join(d.select("doc_id", "lang"), "doc_id"),
+            {"en": 0.8}, default_rate=0.5)
+        return _longify(sampled.select("doc_id", "lang", "text_md5"))
+    q["curation_pipeline_docs"] = curation_pipeline_docs
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2269,6 +2302,43 @@ SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
        CAST(t.n_units AS BIGINT) AS n_units,
        CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+    o["curation_pipeline_docs"] = f"""
+WITH inj AS (
+  SELECT doc_id, lang, text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '. Subscribe to our newsletter today' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN '. contact user' ||
+         CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END AS text
+  FROM documents),
+u AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             unnest(parts) AS unit
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM inj)),
+hot AS (SELECT lower(trim(unit)) AS nunit FROM u GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 10),
+kept AS (SELECT * FROM u
+         WHERE lower(trim(unit)) NOT IN (SELECT nunit FROM hot)),
+agg AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+cleaned AS (
+  SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text
+  FROM (SELECT DISTINCT doc_id FROM u) t
+  LEFT JOIN agg a ON a.doc_id = t.doc_id),
+red AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(clean_text,
+      '{_pii_e}', '<EMAIL>', 'g'),
+      '{_pii_i}', '<IPV4>', 'g'),
+      '{_pii_n}', '<LONGNUM>', 'g') AS final_text
+  FROM cleaned),
+keepers AS (SELECT md5(final_text) AS text_md5, min(doc_id) AS doc_id
+            FROM red GROUP BY 1)
+SELECT k.doc_id, d.lang, k.text_md5
+FROM keepers k JOIN documents d ON d.doc_id = k.doc_id
+WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
+        CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  < CASE d.lang WHEN 'en' THEN {rate_threshold(0.8)}
+                ELSE {rate_threshold(0.5)} END
 """
 
     _words13 = _WORDS.format(c="text")
