@@ -458,16 +458,20 @@ GATE_ORDER = [
     "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
     "kg_sql_citations",
     # relational / window / temporal
-    "q3_shipping", "events_pagination",
-    "asof_purchase_click", "sessionize_events",
-    # setops_users (SO2/SO4, driver-green r1+r2) moved to
-    # extra_queries to keep the 50-slot gate at one row per family —
-    # dedup_components (cluster-correct near-dup grouping) takes the
-    # slot.
-    "natural_sort_parts",
-    # training-data ops
-    "dedup_exact_docs", "dedup_minhash_lsh", "toc_documents",
-    "mint_documents", "patch_documents",
+    "q3_shipping", "sessionize_events", "natural_sort_parts",
+    # training-data ops. The 50-slot gate holds one row per family:
+    # setops_users (SO2/SO4), events_pagination (W3/W5),
+    # asof_purchase_click (J8, double-covered by doc_versions_views),
+    # toc_documents (A2/A3) and dedup_exact_docs (P5/F10, also the
+    # keeper stage inside curation_pipeline_docs) — each driver-green
+    # in BOTH r1 and r2 — moved to extra_queries (still locally
+    # oracle-checked) so the round-3 curation families below get
+    # their first driver row.
+    "dedup_minhash_lsh", "mint_documents", "patch_documents",
+    "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
+    # curation_pipeline_docs (the composed v2 chain) stays in
+    # extra_queries: every one of its stages has its own driver row.
+    "strip_boilerplate_docs",
 ]
 
 
