@@ -40,6 +40,56 @@ PROVENANCE_SCHEMA = (
 )
 
 
+def _try_break_stale(path: str, stale_after_s: float) -> None:
+    """Break ``path`` if it is a stale commit lock.
+
+    Breakers serialize on an O_EXCL intent file, and the winner
+    re-reads the lock's (token, mtime) INSIDE that critical section,
+    unlinking only a lock that is STILL stale and carries the token
+    it originally judged stale. A fresh lock created between the
+    outer staleness check and the unlink has a different token (and a
+    young mtime) and survives — the TOCTOU the previous
+    rename-then-unlink scheme still had: two breakers could both pass
+    the mtime check, the first would break+let a new holder acquire,
+    and the second's pending rename would then steal the new holder's
+    live lock. A breaker that crashes inside the critical section
+    leaves its intent file; peers clear it once it too is stale.
+    """
+    try:
+        if time.time() - os.path.getmtime(path) <= stale_after_s:
+            return
+        with open(path) as lf:
+            stale_token = lf.read()
+    except (FileNotFoundError, OSError):
+        return  # holder released / peer broke it — retry acquisition
+    intent = path + ".break"
+    try:
+        ifd = os.open(intent, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:  # clear only a CRASHED breaker's stale intent
+            if time.time() - os.path.getmtime(intent) > stale_after_s:
+                os.unlink(intent)
+        except FileNotFoundError:
+            pass
+        return
+    try:
+        os.close(ifd)
+        try:
+            with open(path) as lf:
+                cur = lf.read()
+            if (cur == stale_token
+                    and time.time() - os.path.getmtime(path)
+                    > stale_after_s):
+                os.unlink(path)
+        except FileNotFoundError:
+            pass
+    finally:
+        try:
+            os.unlink(intent)
+        except FileNotFoundError:
+            pass
+
+
 class GraphStore:
     """Snapshot-committed table store (Iceberg-contract emulation)."""
 
@@ -98,22 +148,7 @@ class GraphStore:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
-                    try:
-                        if (time.time() - os.path.getmtime(path)
-                                > stale_after_s):
-                            # Atomic stale-break: rename to a unique
-                            # name first — exactly ONE of any number
-                            # of concurrent breakers wins the rename
-                            # (losers get FileNotFoundError), so no
-                            # breaker can ever unlink a lock a peer
-                            # just re-created (the TOCTOU double-
-                            # break race).
-                            stale = path + f".stale-{uuid.uuid4().hex}"
-                            os.rename(path, stale)
-                            os.unlink(stale)
-                            continue
-                    except FileNotFoundError:
-                        continue  # holder released / peer broke it
+                    _try_break_stale(path, stale_after_s)
                     if time.time() > deadline:
                         raise ConcurrentCommitError(
                             f"commit lock on {table} held past "
@@ -166,11 +201,58 @@ class GraphStore:
         return snap_id
 
     def read(self, table: str) -> DataFrame:
-        """Iceberg: ``spark.read.table(table)`` (current snapshot)."""
+        """Iceberg: ``spark.read.table(table)`` (current snapshot).
+        Raw union of every committed append — includes superseded
+        page versions and any orphaned partial appends; query-facing
+        consumers want :meth:`read_current`."""
         snaps = self._read_manifest(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no snapshots")
         return self.spark.read.parquet(*[s["path"] for s in snaps])
+
+    def read_current(self, table: str,
+                     stage: str = "materialize") -> DataFrame:
+        """Exactly-once, latest-version view of a lineage-tagged
+        table (edge/node rows carrying ``src_url``/``src_hash``).
+
+        The provenance success row is the COMMIT RECORD for a
+        (url, input_hash) unit of work, written last by
+        ``run_pipeline``. Three consequences, each closing a gap the
+        raw union has:
+
+        * rows whose (src_url, src_hash) have no success record are
+          INVISIBLE — a writer that died between the edge append and
+          the provenance append leaves an orphan snapshot that never
+          surfaces (the at-least-once window of the non-atomic
+          three-table commit);
+        * rows whose hash is not their url's LATEST committed hash
+          are RETIRED — a changed page supersedes its old version's
+          whole subgraph instead of accumulating stale triples (the
+          Iceberg analog of this view is ``MERGE INTO`` on
+          (url, input_hash));
+        * a replay of the same (url, input_hash) is a deterministic
+          recompute emitting identical rows, so the final full-row
+          ``dropDuplicates`` restores exactly-once observation.
+
+        At 100 TB the semi-join is an AQE-planned join keyed by url
+        and the distinct is one shuffle of the CURRENT graph —
+        run it once in compaction/export, not per ad-hoc query, or
+        let ``compact()`` materialize it.
+
+        Tables without lineage columns (provenance itself, legacy
+        appends) pass through as ``read``.
+        """
+        df = self.read(table)
+        if "src_url" not in df.columns or not self.exists("provenance"):
+            return df
+        prov = (self.read("provenance")
+                .filter((F.col("stage") == stage) & F.col("success")))
+        latest = (prov.groupBy("url")
+                  .agg(F.max(F.struct("attempt_ts", "input_hash"))
+                       .getField("input_hash").alias("src_hash"))
+                  .select(F.col("url").alias("src_url"), "src_hash"))
+        return (df.join(latest, ["src_url", "src_hash"], "left_semi")
+                .dropDuplicates())
 
     def exists(self, table: str) -> bool:
         return bool(self._read_manifest(table))
@@ -268,8 +350,15 @@ class GraphStore:
 
 def with_input_hash(pages: DataFrame) -> DataFrame:
     """Content hash for change detection (reference: md5 content hashes,
-    documententry.py:248-253; download_is_different:1096-1101)."""
-    return pages.withColumn("input_hash", F.md5(F.col("html")))
+    documententry.py:248-253; download_is_different:1096-1101).
+
+    NULL html hashes as empty content rather than NULL: a NULL
+    input_hash never matches itself in the resume anti-join's
+    equality keys, so such a page would re-process on EVERY run
+    (unbounded provenance growth, never-skipped replays)."""
+    return pages.withColumn(
+        "input_hash",
+        F.md5(F.coalesce(F.col("html").cast("binary"), F.lit(b""))))
 
 
 def pending_pages(pages: DataFrame, store: GraphStore,
@@ -322,17 +411,29 @@ def nodes_from_triples(triples: DataFrame) -> DataFrame:
     the triple table (reference facet_query SELECT shape,
     documentrepository.py:2290-2380)."""
     t = triples
+    # props: first (minimum) literal obj per pred. map_from_entries
+    # THROWS on duplicate keys under Spark's default
+    # mapKeyDedupPolicy=EXCEPTION, and a subject CAN carry two
+    # literals for one predicate (e.g. an in-batch redelivery of an
+    # updated page) — so entries are sorted and folded to one
+    # deterministic value per pred before the map is built.
+    lit_entries = F.array_sort(F.filter(
+        F.collect_list(F.when(F.col("obj_is_literal"),
+                              F.struct("pred", "obj"))),
+        lambda e: e["obj"].isNotNull()))
+    empty = F.array().cast("array<struct<pred:string,obj:string>>")
+    first_per_pred = F.aggregate(
+        lit_entries, empty,
+        lambda acc, e: F.when(F.size(acc) == 0, F.array(e))
+        .when(F.element_at(acc, F.size(acc))["pred"] == e["pred"], acc)
+        .otherwise(F.concat(acc, F.array(e))))
     return (t.groupBy(F.col("subj").alias("uri"))
             .agg(
-                F.first(F.when(F.col("pred") == "rdf:type", F.col("obj")),
-                        ignorenulls=True).alias("rdf_type"),
-                F.first(F.when(F.col("pred") == "dcterms:title",
-                               F.col("obj")), ignorenulls=True).alias("label"),
-                F.map_filter(
-                    F.map_from_entries(F.collect_list(
-                        F.when(F.col("obj_is_literal"),
-                               F.struct("pred", "obj")))),
-                    lambda k, v: v.isNotNull()).alias("props")))
+                F.min(F.when(F.col("pred") == "rdf:type", F.col("obj")))
+                .alias("rdf_type"),
+                F.min(F.when(F.col("pred") == "dcterms:title",
+                             F.col("obj"))).alias("label"),
+                F.map_from_entries(first_per_pred).alias("props")))
 
 
 # -- graph diff / P-R harness ------------------------------------------------
@@ -355,11 +456,21 @@ def graph_diff(got: DataFrame, want: DataFrame,
 
 def precision_recall(got: DataFrame, want: DataFrame,
                      key: list[str] | None = None) -> dict:
-    """Triple P/R vs a golden set (the BASELINE ≥0.95 gate)."""
-    both, only_got, only_want = graph_diff(got, want, key)
-    tp = both.count()
-    fp = only_got.count()
-    fn = only_want.count()
+    """Triple P/R vs a golden set (the BASELINE ≥0.95 gate).
+
+    The three set-op counts share both distinct inputs, so each side
+    is persisted for the three actions (otherwise intersect+subtract
+    ×2 re-scan and re-shuffle each input up to three times)."""
+    key = key or TRIPLE_KEY
+    g = got.select(*key).distinct().persist()
+    w = want.select(*key).distinct().persist()
+    try:
+        tp = g.intersect(w).count()
+        fp = g.subtract(w).count()
+        fn = w.subtract(g).count()
+    finally:
+        g.unpersist()
+        w.unpersist()
     return {
         "tp": tp, "fp": fp, "fn": fn,
         "precision": tp / (tp + fp) if tp + fp else 1.0,
@@ -369,9 +480,9 @@ def precision_recall(got: DataFrame, want: DataFrame,
 
 def ntriples_lines(edges: DataFrame) -> DataFrame:
     """Edge rows → N-Triples lines (the reference's dump.nt sink,
-    relate_all_teardown documentrepository.py:1860-1871), sorted by
-    (subj, pred, obj) like render_head's deterministic serialization
-    (:1523-1524) so dumps diff cleanly run-to-run."""
+    relate_all_teardown documentrepository.py:1860-1871). Unsorted:
+    export_ntriples applies the deterministic (render_head-style,
+    :1523-1524) ordering once, per output layout."""
     esc = F.col("obj")
     # N-Triples string-escape chain (backslash first, then the rest)
     # (replacement strings are Java-regex replacements: `\\\\` emits
@@ -389,12 +500,13 @@ def ntriples_lines(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit("")))
     obj_term = F.when(F.col("obj_is_literal"), literal).otherwise(
         F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
-    return (edges
-            .orderBy("subj", "pred", "obj")
-            .select(F.concat(
-                F.lit("<"), F.col("subj"), F.lit("> <"),
-                F.col("pred"), F.lit("> "), obj_term,
-                F.lit(" .")).alias("value")))
+    # no sort here: export_ntriples orders per output layout (a sort
+    # baked in here would be immediately destroyed — one dead full
+    # shuffle — by the partitions>1 range-repartition path)
+    return edges.select(F.concat(
+        F.lit("<"), F.col("subj"), F.lit("> <"),
+        F.col("pred"), F.lit("> "), obj_term,
+        F.lit(" .")).alias("value"))
 
 
 def export_ntriples(edges: DataFrame, path: str, partitions: int = 1) -> None:

@@ -86,6 +86,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
     Returns run stats. Rerunning on the same input is a no-op (the
     resume contract: second run processes only uncommitted urls and
     the final edge table equals the single-run result).
+
+    Commit protocol: edge and node rows are tagged with their page's
+    (src_url, src_hash) lineage, and the provenance SUCCESS row —
+    appended LAST — is the commit record that makes them visible
+    through ``GraphStore.read_current``. The three appends are not
+    atomic; a crash between them leaves orphan edge/node snapshots
+    that ``read_current`` never surfaces and a later replay
+    recomputes deterministically. A changed page (new input_hash)
+    reprocesses AND retires its previous version's subgraph in the
+    same view.
     """
     import time as _time
 
@@ -97,17 +107,28 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
         return {"pages": 0, "triples": 0, "skipped": True}
 
     triples = build_triples(todo.drop("input_hash"), entities)
-    edges = edges_from_triples(triples).persist()
+    # every triple's subject derives from its page url (doc uri or
+    # #fragment of it), so src_url is a pure column and src_hash is
+    # one batch-local equi-join on url
+    src = todo.select(F.col("url").alias("src_url"),
+                      F.col("input_hash").alias("src_hash"))
+    edges = (edges_from_triples(triples)
+             .withColumn("src_url", F.regexp_replace("subj", r"#.*$", ""))
+             .join(src, "src_url")
+             .persist())
     n_triples = edges.count()
 
     store.append(edges, "edge")
-    store.append(nodes_from_triples(edges), "node")
+    nodes = (nodes_from_triples(edges)
+             .withColumn("src_url", F.regexp_replace("uri", r"#.*$", ""))
+             .join(src, "src_url"))
+    store.append(nodes, "node")
 
     # per-document metrics: triples emitted per url (fragment subjects
     # roll up to their page), so the lineage row carries the real
     # per-doc output size — documententry.py's per-doc status analog
     per_url = (edges
-               .select(F.regexp_replace("subj", r"#.*$", "").alias("url"))
+               .select(F.col("src_url").alias("url"))
                .groupBy("url")
                .agg(F.count(F.lit(1)).alias("_rows_out")))
     duration = _time.time() - t0

@@ -40,8 +40,15 @@ def stream_pipeline(spark: SparkSession, pages_stream: DataFrame,
                     entities: DataFrame, store: GraphStore,
                     checkpoint_dir: str):
     """Incremental KG construction: each micro-batch runs the batch
-    pipeline; the store's (url, input_hash) anti-join makes redelivery
-    a no-op, so exactly-once output on at-least-once input."""
+    pipeline. Delivery semantics, precisely: the store's
+    (url, input_hash) anti-join makes a COMPLETED batch's redelivery
+    a no-op, and the three table appends inside a batch are NOT
+    atomic — a crash between the edge append and the provenance
+    append leaves an orphan edge snapshot that a replay recomputes.
+    Appends are therefore at-least-once; ``GraphStore.read_current``
+    (provenance-gated latest-version view) is what restores an
+    exactly-once OBSERVED graph, which is the contract consumers
+    get."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         run_pipeline(spark, batch_df, entities, store)

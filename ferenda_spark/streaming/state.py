@@ -3,17 +3,26 @@
 
 The batch engine sessionizes with a lag-window scan
 (operators/analytics.py::sessionize); a stream cannot window over
-"all events so far", so the streaming form keeps one tiny state row
-per user (session start/end/count, epoch millis) and closes a session
-either when a later event arrives past the gap or when the event-time
-watermark passes ``last_event + gap`` (state timeout).  This is the
+"all events so far", so the streaming form keeps per-user state and
+emits a session once it is SEALED — no event still admissible under
+the watermark could extend or split it.  This is the
 ``applyInPandasWithState`` extension-point exercise from SURVEY §2.10
 — the same Arrow batching as mapInPandas, plus per-key state and
 timeouts.
 
-Ordering contract: events for a key arrive in event-time order across
-micro-batches (late rows beyond the watermark are dropped by the
-watermark itself); within a batch the operator sorts.
+Batch parity under reordering: watermarks bound lateness, not
+cross-batch ordering, so an in-watermark event may arrive EARLIER
+than everything seen so far — and an earlier open-session scheme that
+merged any such event into its single (start, end, count) session
+would bridge silences longer than the gap (two batch sessions, one
+streamed session: a parity break).  The state is therefore the raw
+pending event-time list; each invocation re-splits it exactly the
+way the batch scan would, emits the sessions that are sealed
+(``end + gap < watermark`` — every future event has ts ≥ watermark,
+so nothing can reach back), and keeps only the unsealed suffix.
+State per key is bounded by the watermark horizon (events older than
+``watermark - gap`` always seal out), the same bound every
+watermarked stateful operator carries.
 """
 
 from __future__ import annotations
@@ -23,9 +32,26 @@ from pyspark.sql import DataFrame
 
 OUT_SCHEMA = ("user_id long, session_start timestamp, "
               "session_end timestamp, n_events long")
-STATE_SCHEMA = "start long, end long, n long"
+STATE_SCHEMA = "pending array<long>"
 
 _MS = 1_000_000  # pandas datetime64[ns] → ms divisor is 1e6
+
+
+def _split_sessions(ms_sorted: list, gap_ms: int) -> list:
+    """Sorted epoch-ms list → [(start, end, n)] split on gaps — the
+    exact rule the batch sessionizer applies to the full event set."""
+    out = []
+    s = e = ms_sorted[0]
+    n = 1
+    for t in ms_sorted[1:]:
+        if t - e > gap_ms:
+            out.append((s, e, n))
+            s, e, n = t, t, 1
+        else:
+            e = t
+            n += 1
+    out.append((s, e, n))
+    return out
 
 
 def stateful_sessions(events: DataFrame, gap_minutes: int = 30,
@@ -40,42 +66,47 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30,
     def fn(key, pdfs, state):
         user = key[0]
 
-        def row(s, e, n):
+        def rows(sess):
             return pd.DataFrame([{
                 "user_id": user,
                 "session_start": pd.Timestamp(s, unit="ms"),
                 "session_end": pd.Timestamp(e, unit="ms"),
                 "n_events": n,
-            }])
+            } for s, e, n in sess])
 
         if state.hasTimedOut:
-            s, e, n = state.get
+            (pending,) = state.get
             state.remove()
-            yield row(s, e, n)
+            if pending is not None and len(pending):
+                # watermark passed last_end + gap: every pending
+                # session is sealed
+                yield rows(_split_sessions(sorted(pending), gap_ms))
             return
 
         ts = pd.concat([pd.to_datetime(pdf[ts_col]) for pdf in pdfs])
-        ts = ts.sort_values()
         ms = (ts.astype("int64") // _MS).tolist()
         if state.exists:
-            cur_s, cur_e, cur_n = state.get
-        else:
-            cur_s, cur_e, cur_n = ms[0], ms[0], 0
-            ms = ms  # first event counted in the loop below
-        for t in ms:
-            if t - cur_e > gap_ms:
-                yield row(cur_s, cur_e, cur_n)
-                cur_s, cur_e, cur_n = t, t, 1
-            else:
-                # a later micro-batch may deliver an in-watermark
-                # event EARLIER than the open session (watermarks
-                # bound lateness, not cross-batch ordering) — the
-                # session must extend backwards too
-                cur_s = min(cur_s, t)
-                cur_e = max(cur_e, t)
-                cur_n += 1
-        state.update((cur_s, cur_e, cur_n))
-        state.setTimeoutTimestamp(cur_e + gap_ms)
+            (pending,) = state.get
+            ms = list(pending) + ms
+        ms.sort()
+        wm = state.getCurrentWatermarkMs()
+        sess = _split_sessions(ms, gap_ms)
+        # session ends are strictly increasing across the split, so
+        # the sealed set is a prefix
+        sealed = [x for x in sess if x[1] + gap_ms < wm]
+        unsealed = sess[len(sealed):]
+        if sealed:
+            yield rows(sealed)
+        if unsealed:
+            cut = unsealed[0][0]
+            state.update(([t for t in ms if t >= cut],))
+            # must not be earlier than the watermark: an exactly-at-
+            # boundary session (end + gap == wm) stays open for a
+            # potential ts == wm extension
+            state.setTimeoutTimestamp(
+                max(unsealed[-1][1] + gap_ms, wm + 1))
+        elif state.exists:
+            state.remove()
 
     return (events.groupBy(user_col).applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append",

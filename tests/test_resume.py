@@ -174,3 +174,70 @@ def test_compaction_aborts_when_rewrite_set_changes(spark, tmp_path):
     names = {p.name for p in (tmp_path / "g" / "t").iterdir()
              if p.is_dir()}
     assert not any(n.startswith("compact-") for n in names)
+
+
+def _current_edge_set(store):
+    return {tuple(r) for r in
+            store.read_current("edge").select("subj", "pred",
+                                              "obj").collect()}
+
+
+def test_read_current_retires_superseded_versions(spark, tmp_path):
+    """A changed page's OLD subgraph must drop out of the
+    current-view: the raw union keeps both versions (snapshot
+    retention), read_current keeps only the latest committed hash."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+    run_pipeline(spark, pages, ents, store)
+    v1_current = _current_edge_set(store)
+
+    # a DOC page (index/listing pages emit no triples)
+    url0 = (pages.filter(F.col("url").contains("/res/rfc/"))
+            .orderBy("url").first()["url"])
+    changed = pages.withColumn(
+        "html",
+        F.when(F.col("url") == url0,
+               F.concat(F.col("html"), F.lit(b" "))
+               ).otherwise(F.col("html")))
+    stats = run_pipeline(spark, changed, ents, store)
+    assert stats["pages"] == 1
+
+    # raw union retains BOTH versions' subgraphs (snapshot retention)
+    raw_hashes = (store.read("edge").filter(F.col("src_url") == url0)
+                  .select("src_hash").distinct().count())
+    assert raw_hashes == 2
+    # current view keeps exactly the LATEST committed hash for url0
+    cur_hashes = [r["src_hash"] for r in
+                  store.read_current("edge")
+                  .filter(F.col("src_url") == url0)
+                  .select("src_hash").distinct().collect()]
+    new_hash = (store.read("provenance")
+                .filter((F.col("url") == url0) & F.col("success"))
+                .orderBy(F.desc("attempt_ts")).first()["input_hash"])
+    assert cur_hashes == [new_hash]
+    # every other url's current edges are untouched
+    cur = _current_edge_set(store)
+    assert {t for t in cur if not t[0].startswith(url0)} == \
+        {t for t in v1_current if not t[0].startswith(url0)}
+
+
+def test_read_current_hides_orphan_partial_appends(spark, tmp_path):
+    """Edges appended WITHOUT their provenance commit record (a
+    writer died mid-batch) are invisible in read_current, and a
+    replay converges to the clean single-run result."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+    run_pipeline(spark, pages, ents, store)
+    clean = _current_edge_set(store)
+
+    # simulate the crash window: recompute a page's edges and append
+    # them WITHOUT a provenance row (same content, so a duplicate),
+    # plus a fabricated uncommitted hash (partial new version)
+    some = store.read("edge").limit(5)
+    store.append(some, "edge")                          # replay dup
+    store.append(some.withColumn("src_hash", F.lit("deadbeef")),
+                 "edge")                                # orphan vers.
+    assert store.read("edge").count() > len(clean)
+    assert _current_edge_set(store) == clean

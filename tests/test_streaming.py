@@ -124,6 +124,42 @@ def test_stateful_sessions(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_stateful_sessions_out_of_order_gap_split(spark, tmp_path):
+    """An in-watermark event that arrives LATER but is timestamped
+    more than a gap BEFORE the open session must form its own
+    session — the single-open-session scheme used to merge it,
+    bridging a silence longer than the gap (a batch-parity break)."""
+    from ferenda_spark.streaming.state import stateful_sessions
+
+    src = str(tmp_path / "ooo_in")
+    ckpt = str(tmp_path / "ooo_ckpt")
+
+    def drop(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1).write.mode("append").parquet(src)
+
+    t0 = 1704067200
+    drop([(1, _ts(t0 + 3600))])            # batch 1: later event first
+    drop([(1, _ts(t0))])                   # batch 2: one hour EARLIER
+    drop([(99, _ts(t0 + 90000))])          # flusher: seals everything
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "2 hours"))
+    out = stateful_sessions(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("ooo_sessions")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["session_start"].timestamp(), r["session_end"].timestamp(),
+            r["n_events"])
+           for r in spark.sql(
+               "SELECT * FROM ooo_sessions WHERE user_id = 1").collect()}
+    # batch semantics: two sessions separated by the 1h silence
+    assert got == {(t0, t0, 1), (t0 + 3600, t0 + 3600, 1)}
+
+
 def _ts(epoch):
     import datetime
     return datetime.datetime.fromtimestamp(
