@@ -263,7 +263,8 @@ class GraphStore:
             snaps = self._read_manifest(table)
             self._commit(table, snaps[: max(0, len(snaps) - n)])
 
-    def compact(self, table: str, target_partitions: int = 8) -> str:
+    def compact(self, table: str, target_partitions: int = 8,
+                current_only: bool = False) -> str:
         """Iceberg: ``rewrite_data_files`` — rewrite the snapshots
         live at start-of-compaction into ONE snapshot of
         ``target_partitions`` files.
@@ -291,17 +292,27 @@ class GraphStore:
         race in-flight readers of the old file set.
 
         Resume state is unaffected: pending_pages reads table
-        contents, not snapshot layout."""
+        contents, not snapshot layout (provenance, not edge/node).
+
+        ``current_only=True`` rewrites the :meth:`read_current` view
+        instead of the raw union: superseded page versions, orphan
+        partial appends, and replay duplicates are dropped in the
+        same pass (the expire-old-versions / MERGE materialization
+        analog), so subsequent plain ``read`` calls see the
+        exactly-once latest graph without paying the per-query
+        semi-join + distinct."""
         import shutil
         before = self._read_manifest(table)
         if not before:
             raise FileNotFoundError(f"table {table} has no snapshots")
-        current = (self.spark.read
+        current = (self.read_current(table) if current_only
+                   else self.spark.read
                    .parquet(*[s["path"] for s in before])
-                   .repartition(target_partitions))
+                   ).repartition(target_partitions)
         snap_id = f"compact-{uuid.uuid4().hex[:8]}"
         entry = self._write_snapshot(current, table, snap_id,
-                                     compacted=True)
+                                     compacted=True,
+                                     current_only=current_only)
         rewritten = {s["id"] for s in before}
         with self._commit_lock(table):
             now = self._read_manifest(table)

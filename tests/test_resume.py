@@ -241,3 +241,33 @@ def test_read_current_hides_orphan_partial_appends(spark, tmp_path):
                  "edge")                                # orphan vers.
     assert store.read("edge").count() > len(clean)
     assert _current_edge_set(store) == clean
+
+
+def test_compact_current_only_materializes_latest_view(spark, tmp_path):
+    """compact(current_only=True) rewrites read_current: superseded
+    versions and orphan appends are gone from plain read(), resume
+    state (provenance) untouched."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+    run_pipeline(spark, pages, ents, store)
+    url0 = (pages.filter(F.col("url").contains("/res/rfc/"))
+            .orderBy("url").first()["url"])
+    changed = pages.withColumn(
+        "html", F.when(F.col("url") == url0,
+                       F.concat(F.col("html"), F.lit(b" "))
+                       ).otherwise(F.col("html")))
+    run_pipeline(spark, changed, ents, store)
+    store.append(store.read("edge").limit(3)
+                 .withColumn("src_hash", F.lit("deadbeef")), "edge")
+
+    want = _current_edge_set(store)
+    store.compact("edge", target_partitions=2, current_only=True)
+    store.vacuum("edge", orphan_grace_s=0)
+    got_raw = {tuple(r) for r in store.read("edge")
+               .select("subj", "pred", "obj").collect()}
+    assert got_raw == want
+    assert (store.read("edge").filter(F.col("src_url") == url0)
+            .select("src_hash").distinct().count()) == 1
+    # resume still a no-op after the rewrite
+    assert run_pipeline(spark, changed, ents, store)["skipped"] is True
