@@ -62,84 +62,105 @@ class _PageParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.in_body = False
+        # body content is implicit per the HTML spec (the <body> tag
+        # is optional and missing from plenty of truncated real-web
+        # pages) — collect everywhere EXCEPT inside <head>
+        self.in_head = False
+        self.in_body = True
         self.skip_depth = 0
-        self.block_buf: list[str] | None = None
-        self.div_stack: list[str | None] = []  # section ordinal or None
+        # stack of open block-element text buffers (blocks nest:
+        # li > p); a single buffer dropped the outer block's text
+        self.block_stack: list[list[str]] = []
+        # div kinds: ("sec", ordinal) | ("hdr", None) | ("plain", None)
+        self.div_stack: list[tuple[str, str | None]] = []
         self.current_section: str | None = None
         self.in_header_div = False
         self.chunks: list[tuple[str | None, bool, str]] = []
         # (section_ordinal, is_header, normalized_chunk)
 
+    def _collecting(self) -> bool:
+        return self.in_body and not self.in_head and not self.skip_depth
+
+    def _emit(self, raw: str) -> None:
+        chunk = normalize_space(clean_xml_chars(strip_backspace(raw)))
+        if chunk:
+            self.chunks.append(
+                (self.current_section, self.in_header_div, chunk))
+
     def handle_starttag(self, tag, attrs):
+        if tag == "head":
+            self.in_head = True
+            return
         if tag == "body":
+            self.in_head = False
             self.in_body = True
             return
         if tag in DROP_TAGS:
             self.skip_depth += 1
             return
-        if not self.in_body or self.skip_depth:
+        if not self._collecting():
             return
         if tag == "div":
             a = dict(attrs)
             about = a.get("about", "")
             if about.startswith("#S"):
-                self.div_stack.append(about[2:])
+                self.div_stack.append(("sec", about[2:]))
                 self.current_section = about[2:]
             else:
-                self.div_stack.append(None)
-                if a.get("class") == "header":
+                kind = "hdr" if a.get("class") == "header" else "plain"
+                self.div_stack.append((kind, None))
+                if kind == "hdr":
                     self.in_header_div = True
             return
         if tag in BLOCK_TAGS:
-            self.block_buf = []
+            if self.block_stack and self.block_stack[-1]:
+                # a block opening inside a block: flush the outer
+                # prefix as its own chunk FIRST so chunks keep
+                # reading order ("intro" before the nested "body",
+                # the reference's as_plaintext order)
+                self._emit("".join(self.block_stack[-1]))
+                self.block_stack[-1] = []
+            self.block_stack.append([])
 
     def handle_endtag(self, tag):
+        if tag == "head":
+            self.in_head = False
+            return
         if tag == "body":
             self.in_body = False
             return
         if tag in DROP_TAGS:
             self.skip_depth = max(0, self.skip_depth - 1)
             return
-        if not self.in_body:
+        # end tags INSIDE a dropped subtree must not touch any stack
+        # (HTMLParser only CDATA-modes script/style, so children of
+        # font/map/center still stream through here)
+        if not self.in_body or self.in_head or self.skip_depth:
             return
         if tag == "div" and self.div_stack:
-            popped = self.div_stack.pop()
-            if popped is not None:
+            kind, _ = self.div_stack.pop()
+            if kind == "sec":
                 self.current_section = next(
-                    (s for s in reversed(self.div_stack) if s is not None),
+                    (v for k, v in reversed(self.div_stack) if k == "sec"),
                     None)
-            else:
+            elif kind == "hdr":
+                # header-ness ends only when no header div remains
+                # open (a nested plain div must NOT clear it)
                 self.in_header_div = any(
-                    s is None for s in self.div_stack) and self.in_header_div
-                if not self.div_stack:
-                    self.in_header_div = False
-                else:
-                    # only the outermost header div matters in practice
-                    self.in_header_div = False
+                    k == "hdr" for k, _ in self.div_stack)
             return
-        if tag in BLOCK_TAGS and self.block_buf is not None:
-            raw = "".join(self.block_buf)
-            chunk = normalize_space(clean_xml_chars(strip_backspace(raw)))
-            if chunk:
-                self.chunks.append(
-                    (self.current_section, self.in_header_div, chunk))
-            self.block_buf = None
+        if tag in BLOCK_TAGS and self.block_stack:
+            self._emit("".join(self.block_stack.pop()))
 
     def handle_data(self, data):
-        if self.in_body and not self.skip_depth and self.block_buf is not None:
-            self.block_buf.append(data)
+        if self._collecting() and self.block_stack:
+            self.block_stack[-1].append(data)
 
     def flush(self) -> None:
-        """Finalize an unterminated block at EOF (truncated/invalid
+        """Finalize unterminated blocks at EOF (truncated/invalid
         real-web HTML must still yield its text)."""
-        if self.block_buf is not None:
-            raw = "".join(self.block_buf)
-            chunk = normalize_space(clean_xml_chars(strip_backspace(raw)))
-            if chunk:
-                self.chunks.append(
-                    (self.current_section, self.in_header_div, chunk))
-            self.block_buf = None
+        while self.block_stack:
+            self._emit("".join(self.block_stack.pop()))
 
 
 def parse_page(html_bytes: bytes) -> dict:
@@ -190,14 +211,45 @@ def parse_page(html_bytes: bytes) -> dict:
 DOC_URL_RE = r"^https://example\.org/res/rfc/\d+$"
 
 
-def _make_publisher_resolver(entity_labels):
+def _make_publisher_resolver(entity_labels, cutoff: float = 0.8):
     """(label → uri) resolver with the linker's exact→fuzzy semantics
     (lookup_resource, documentrepository.py:500-547): exact match on
-    the normalized label, else difflib.get_close_matches cutoff 0.8
-    top-1. Memoized per task — labels repeat heavily."""
+    the normalized label, else difflib.get_close_matches top-1 inside
+    the linker's lossless length band (see linker.py — comparing only
+    entities whose length can reach the cutoff is a provable superset
+    of every viable candidate, so results are byte-identical to the
+    unblocked pass at O(band) instead of O(entities) per miss).
+    Duplicate normalized labels resolve to the MINIMUM uri, matching
+    the modular linker's deterministic tie-break. Memoized per task
+    with a bounded table — labels repeat heavily.
+
+    Parity note vs the modular linker: this per-row streaming
+    resolver has no global view of distinct misses, so it carries no
+    ``max_fuzzy_misses`` cap; on corpora whose distinct miss labels
+    exceed that cap the modular path deterministically leaves the
+    overflow unlinked while this path links it. Within the cap the
+    two paths emit identical publisher edges."""
     import difflib
-    exact = {normalize_space(lb): uri for lb, uri in entity_labels}
-    keys = sorted(exact)
+    import math
+
+    from ferenda_spark.operators.linker import _MAX_ENTITY_DIM
+    if len(entity_labels) > _MAX_ENTITY_DIM:
+        raise ValueError(
+            f"publisher resolver: entity dimension "
+            f"({len(entity_labels)}) exceeds the broadcast contract "
+            f"({_MAX_ENTITY_DIM}); use the join-based linker")
+    exact: dict[str, str] = {}
+    for lb, uri in entity_labels:
+        if lb is None or uri is None:
+            continue
+        norm = normalize_space(lb)
+        if norm and (norm not in exact or uri < exact[norm]):
+            exact[norm] = uri
+    by_len: dict[int, list[str]] = {}
+    for k in sorted(exact):
+        by_len.setdefault(len(k), []).append(k)
+    lo_f = cutoff / (2.0 - cutoff)
+    hi_f = (2.0 - cutoff) / cutoff
     memo: dict = {}
 
     def resolve(label):
@@ -208,9 +260,15 @@ def _make_publisher_resolver(entity_labels):
             return memo[norm]
         uri = exact.get(norm)
         if uri is None:
-            best = difflib.get_close_matches(norm, keys, n=1, cutoff=0.8)
+            lo = max(0, math.floor(len(norm) * lo_f))
+            hi = math.ceil(len(norm) * hi_f)
+            cands = [c for ln in range(lo, hi + 1)
+                     for c in by_len.get(ln, ())]
+            best = difflib.get_close_matches(norm, cands, n=1,
+                                             cutoff=cutoff)
             uri = exact[best[0]] if best else None
-        memo[norm] = uri
+        if len(memo) < 1_000_000:  # flat task memory on open-domain text
+            memo[norm] = uri
         return uri
 
     return resolve

@@ -53,11 +53,28 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
     ``entities`` must have (uri, label). Any extra mention columns pass
     through untouched.
     """
-    ent = entities.select(F.col("uri").alias("entity_uri"),
-                          normalize_space_col(F.col("label")).alias("_elabel"))
+    # ONE deterministic uri per normalized label: duplicate labels in
+    # the dim would fan out exact-join rows (duplicate triples) and
+    # make the fuzzy dict's winner collection-order-dependent
+    ent = (entities.select(F.col("uri").alias("entity_uri"),
+                           normalize_space_col(F.col("label"))
+                           .alias("_elabel"))
+           .filter(F.col("_elabel").isNotNull())
+           .groupBy("_elabel")
+           .agg(F.min("entity_uri").alias("entity_uri")))
 
     m = mentions.withColumn("_mlabel", normalize_space_col(F.col(label_col)))
-    exact = m.join(F.broadcast(ent), m["_mlabel"] == ent["_elabel"], "left")
+    # null labels have no join key and would reach the fuzzy UDF as
+    # None (len(None) crash): route them straight to unlinked output
+    null_m = (m.filter(F.col("_mlabel").isNull()).drop("_mlabel")
+              .withColumn("entity_uri", F.lit(None).cast("string")))
+    m = m.filter(F.col("_mlabel").isNotNull())
+    # hits, misses, and the miss count all branch off this join —
+    # persist it so the upstream mention plan runs once, not thrice
+    from pyspark import StorageLevel
+    exact = (m.join(F.broadcast(ent), m["_mlabel"] == ent["_elabel"],
+                    "left")
+             .persist(StorageLevel.MEMORY_AND_DISK))
 
     hits = (exact.filter(F.col("entity_uri").isNotNull())
             .drop("_elabel", "_mlabel"))
@@ -68,7 +85,7 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
     # contract-bound to broadcast size (ferenda's commondata files are
     # a few thousand resources); enforce it so a misuse with a huge
     # dim fails loudly instead of OOMing the driver.
-    ent_rows = ent.distinct().limit(_MAX_ENTITY_DIM + 1).collect()
+    ent_rows = ent.limit(_MAX_ENTITY_DIM + 1).collect()
     if len(ent_rows) > _MAX_ENTITY_DIM:
         raise ValueError(
             f"link_labels: entity dimension exceeds the broadcast "
@@ -119,7 +136,7 @@ def link_labels(mentions: DataFrame, entities: DataFrame,
     # AQE sees the real size and picks the join strategy
     fuzzy_hits = (misses.join(fuzzy_map, "_mlabel", "left")
                   .drop("_mlabel"))
-    return hits.unionByName(fuzzy_hits)
+    return hits.unionByName(fuzzy_hits).unionByName(null_m)
 
 
 def publisher_triples(extracted: DataFrame, entities: DataFrame) -> DataFrame:

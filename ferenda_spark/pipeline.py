@@ -42,7 +42,11 @@ def build_triples(pages: DataFrame, entities: DataFrame,
     linking folded in, one wide Column expression, one explode — no
     persist barrier, no joins, no shuffles. ``fused=False`` runs the
     modular operator DAG (the specification path); both emit the
-    identical triple set (verified against the same oracles).
+    identical triple set (verified against the same oracles) up to
+    one documented boundary: the modular linker caps distinct fuzzy
+    misses at ``max_fuzzy_misses`` while the fused per-row resolver
+    cannot (no global miss view) — see
+    extract._make_publisher_resolver's parity note.
 
     ``dedup=False`` skips a global dropDuplicates: every branch is
     duplicate-free by construction (citation_triples dedups within

@@ -54,3 +54,35 @@ def test_generator_partition_invariance(spark):
     a = pages_df(spark, 50, partitions=1).select("url", F.md5("html").alias("h"))
     b = pages_df(spark, 50, partitions=7).select("url", F.md5("html").alias("h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_parser_malformed_realweb_shapes():
+    """Parser robustness on shapes the synthetic fixture never emits
+    but the open web does — each was a real bug:"""
+    # 1. an end tag inside a DROP_TAGS subtree must not pop the
+    #    section stack (HTMLParser streams children of center/font)
+    p = parse_page(
+        b'<html><body><div about="#S1"><p>1. Sec</p>'
+        b'<center><div><p>ad</p></div></center>'
+        b'<p>More text.</p></div></body></html>')
+    assert p["sections"][0]["text"].endswith("More text.")
+    assert "ad" not in p["text"]
+    # 2. a nested plain div inside the header div must not clear
+    #    header classification for the following lines
+    p = parse_page(
+        b'<html><body><div class="header"><div><p>Pub X</p></div>'
+        b'<p>Obsoletes: 99</p></div><p>T</p></body></html>')
+    assert p["header"].get("Obsoletes") == "99"
+    assert p["title"] == "T"
+    # 3. nested blocks (li > p) keep every chunk, in reading order
+    p = parse_page(b"<html><body><ul><li>intro text <p>body</p>"
+                   b" trailing</li></ul></body></html>")
+    assert p["text"] == "intro text body trailing"
+    # 4. the <body> tag is optional: content still extracts
+    p = parse_page(b"<html><p>Request for Comments: 9</p>"
+                   b"<p>visible</p></html>")
+    assert "visible" in p["text"]
+    # 5. <head> content (title tag etc.) never leaks into text
+    p = parse_page(b"<html><head><title>head noise</title></head>"
+                   b"<body><p>real</p></body></html>")
+    assert p["text"] == "real"

@@ -82,3 +82,32 @@ def test_link_passthrough_columns(spark):
         "extra": ["keepme"], "label": ["Network Working Group"]}))
     row = link_labels(mentions, ents).collect()[0]
     assert row["extra"] == "keepme" and row["entity_uri"] is not None
+
+
+def test_null_labels_pass_through_unlinked(spark):
+    ents = entities_df(spark).filter(F.col("kind") == "publisher")
+    mentions = spark.createDataFrame(
+        [(1, "Network Working Group"), (2, None), (3, None)],
+        "id long, label string")
+    got = {r["id"]: r["entity_uri"]
+           for r in link_labels(mentions, ents).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
+    assert len(got) == 3  # null rows survive, unlinked
+
+
+def test_duplicate_entity_labels_link_deterministically(spark):
+    """Two dim rows with the same normalized label must not fan out
+    mention rows; the winner is the minimum uri on both the exact
+    and the fuzzy path."""
+    ents = spark.createDataFrame(
+        [("https://x.test/b", "Same Label"),
+         ("https://x.test/a", "Same  Label")],   # normalizes equal
+        "uri string, label string")
+    mentions = spark.createDataFrame(
+        [(1, "Same Label"), (2, "Same Lable")],  # exact + fuzzy
+        "id long, label string")
+    rows = link_labels(mentions, ents).collect()
+    assert len(rows) == 2                        # no fan-out
+    got = {r["id"]: r["entity_uri"] for r in rows}
+    assert got[1] == "https://x.test/a"          # min uri wins
+    assert got[2] == "https://x.test/a"
