@@ -445,6 +445,7 @@ GATE_ORDER = [
     "sim_embedding_neardup", "media_meta", "streaming_hourly_events",
     "salted_join_suppliers", "first_success_events",
     # new or changed this round
+    "kg_sparql_annotations", "kg_pagerank",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     "dedup_simhash_pairs", "dedup_components", "sim_label_centroids",
@@ -453,12 +454,17 @@ GATE_ORDER = [
     # stable KG pipeline gates
     "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
     "kg_closure", "kg_structure_closure", "atom_feeds_events",
-    "grouped_agg_value_median", "kg_facet_multitype",
+    "kg_facet_multitype",
     "kg_keyword_inversion", "kg_dependency_edges", "kg_resolved_citations",
     "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
     "kg_sql_citations",
-    # relational / window / temporal
-    "q3_shipping", "sessionize_events", "natural_sort_parts",
+    # relational / window / temporal. grouped_agg_value_median
+    # (§2.11, double-covered by the fragments_udtf gate) and
+    # natural_sort_parts (W1, double-covered by doc_versions_views'
+    # natural-key tiebreak) — both driver-green in r1 AND r2 — moved
+    # to extra_queries to free the two slots the round-3 SPARQL and
+    # PageRank gates take.
+    "q3_shipping", "sessionize_events",
     # training-data ops. The 50-slot gate holds one row per family:
     # setops_users (SO2/SO4), events_pagination (W3/W5),
     # asof_purchase_click (J8, double-covered by doc_versions_views),
@@ -863,6 +869,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             WHERE pred = 'dcterms:references' AND obj LIKE '%#S%'
             GROUP BY obj""")
     q["kg_sql_citations"] = kg_sql_citations
+
+    def kg_sparql_annotations(spark, sf):
+        """The SPARQL query surface (SURVEY Q3): the reference's
+        rfc-annotations.rq CONSTRUCT (sources/tech/res/sparql/
+        rfc-annotations.rq) compiled to a DataFrame plan over the KG
+        edge table, for the deterministic hub document (the smallest
+        rfc:updates target — a heavily-cited head entity)."""
+        from ferenda_spark.operators.sparql import (
+            RFC_ANNOTATIONS_RQ,
+            sparql_query,
+        )
+        edges = _kg_edges(spark, sf).persist()
+        uri = edges.filter(F.col("pred") == "rfc:updates") \
+                   .agg(F.min("obj")).collect()[0][0]
+        return sparql_query(edges, RFC_ANNOTATIONS_RQ, {"uri": uri})
+    q["kg_sparql_annotations"] = kg_sparql_annotations
+
+    def kg_sparql_describe(spark, sf):
+        """The reference's default annotations.rq (res/sparql/
+        annotations.rq): describe-with-parts CONSTRUCT — isPartOf*
+        closure + isReferencedBy back-links — for document 0."""
+        from ferenda_spark.operators.sparql import construct_annotations
+        return construct_annotations(
+            _kg_edges(spark, sf), BASE + "res/doc/0")
+    q["kg_sparql_describe"] = kg_sparql_describe
+
+    def kg_pagerank(spark, sf):
+        """Head-entity importance over the citation graph: fixed-
+        iteration integer PageRank (training-data curation's standard
+        graph-quality signal; deterministic BIGINT arithmetic so the
+        oracle compares exactly)."""
+        from ferenda_spark.operators.rank import pagerank
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        pr = pagerank(cites, iters=3)
+        return analytics.ranked_topk(
+            pr, [("rank_micro", True), ("node", False)], 20)
+    q["kg_pagerank"] = kg_pagerank
 
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
@@ -1955,6 +2001,108 @@ WITH {_F_CTE}, {_TRIPLES_CTE}
 SELECT obj AS target, count(*) AS n FROM golden
 WHERE pred = 'dcterms:references' AND obj LIKE '%#S%'
 GROUP BY obj
+"""
+
+    # rfc-annotations.rq semantics over golden: literal self-metadata,
+    # transitive referencer metadata (minus unrelated references),
+    # updater/obsoleter metadata, inverse isUpdatedBy/isObsoletedBy/
+    # isReferencedBy links — target = the smallest rfc:updates obj
+    o["kg_sparql_annotations"] = f"""
+WITH RECURSIVE {_F_CTE}, {_TRIPLES_CTE},
+tgt AS (SELECT min(obj) AS uri FROM golden WHERE pred = 'rfc:updates'),
+refs AS (
+  SELECT g.subj FROM golden g, tgt
+  WHERE g.pred = 'dcterms:references' AND g.obj = tgt.uri
+  UNION
+  SELECT g.subj FROM golden g JOIN refs r ON g.obj = r.subj
+  WHERE g.pred = 'dcterms:references'
+),
+upd AS (
+  SELECT g.subj, g.pred AS via FROM golden g, tgt
+  WHERE g.obj = tgt.uri AND g.pred IN ('rfc:updates', 'rfc:obsoletes')
+)
+SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang
+FROM (
+  SELECT g.* FROM golden g, tgt WHERE g.subj = tgt.uri AND g.obj_is_literal
+  UNION ALL
+  SELECT g.* FROM golden g JOIN refs r ON g.subj = r.subj, tgt
+  WHERE g.pred != 'dcterms:references' OR g.obj LIKE tgt.uri || '%'
+  UNION ALL
+  SELECT tgt.uri, 'dcterms:isReferencedBy', r.subj, FALSE,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM refs r, tgt
+  UNION ALL
+  SELECT g.* FROM golden g JOIN upd u ON g.subj = u.subj
+  WHERE g.pred != 'dcterms:references'
+  UNION ALL
+  SELECT tgt.uri,
+         CASE WHEN u.via = 'rfc:obsoletes' THEN 'rfc:isObsoletedBy'
+              ELSE 'rfc:isUpdatedBy' END,
+         u.subj, FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM upd u, tgt
+)
+"""
+
+    # annotations.rq semantics for doc 0: triples of the doc and its
+    # isPartOf* descendants, plus isReferencedBy onto cited parts
+    o["kg_sparql_describe"] = f"""
+WITH RECURSIVE {_F_CTE}, {_TRIPLES_CTE},
+parts AS (
+  SELECT 'https://example.org/res/doc/0' AS p
+  UNION
+  SELECT g.subj FROM golden g JOIN parts pp ON g.obj = pp.p
+  WHERE g.pred = 'dcterms:isPartOf'
+)
+SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang
+FROM (
+  SELECT g.* FROM golden g JOIN parts p ON g.subj = p.p
+  UNION ALL
+  SELECT g.* FROM golden g
+  WHERE g.subj IN (SELECT c.subj FROM golden c JOIN parts p ON c.obj = p.p
+                   WHERE c.pred = 'dcterms:references')
+  UNION ALL
+  SELECT c.obj, 'dcterms:isReferencedBy', c.subj, FALSE,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM golden c JOIN parts p ON c.obj = p.p
+  WHERE c.pred = 'dcterms:references'
+)
+"""
+
+    # integer PageRank, 3 iterations unrolled; every term is BIGINT
+    # floor division so the engines agree bit-for-bit
+    _pr_iter = """
+it{i} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+  FROM prnodes n LEFT JOIN (
+    SELECT c.dst AS node, CAST(sum(r.r // o.outdeg) AS BIGINT) AS inc
+    FROM cites c JOIN it{prev} r ON c.src = r.node
+                 JOIN outd o ON c.src = o.src
+    GROUP BY c.dst) s ON s.node = n.node
+)"""
+    o["kg_pagerank"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cites AS (
+  SELECT subj AS src, obj AS dst FROM golden
+  WHERE pred = 'dcterms:references'
+),
+prnodes AS (
+  SELECT src AS node FROM cites UNION SELECT dst FROM cites
+),
+nn AS (SELECT count(*) AS n FROM prnodes),
+outd AS (SELECT src, count(*) AS outdeg FROM cites GROUP BY src),
+it0 AS (SELECT node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT)
+               AS r FROM prnodes),
+{_pr_iter.format(i=1, prev=0,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')},
+{_pr_iter.format(i=2, prev=1,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')},
+{_pr_iter.format(i=3, prev=2,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')}
+SELECT node, rank_micro, CAST(rn AS INT) AS rank FROM (
+  SELECT node, CAST(r // 1000000 AS BIGINT) AS rank_micro,
+         row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
+  FROM it3)
+WHERE rn <= 20
 """
 
     o["first_success_events"] = """

@@ -29,6 +29,8 @@ HEADLINE = [
     "kg_edges",
     "kg_citations_by_target",
     "kg_closure",
+    "kg_sparql_annotations",
+    "kg_pagerank",
     "kg_structure_tree",
     "fulltext_search_docs",
     "q1_pricing",

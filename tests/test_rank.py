@@ -1,0 +1,58 @@
+"""Integer PageRank (operators/rank.py): determinism + agreement with
+the textbook float iteration."""
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.rank import SCALE, pagerank
+
+
+def _pr_float(edges, iters, d=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            inc[b] += r[a] / outdeg[a]
+        r = {v: (1 - d) / n + d * inc[v] for v in nodes}
+    return r
+
+
+EDGES = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C")]
+
+
+def test_pagerank_matches_float_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()}
+    want = _pr_float(EDGES, iters=3)
+    assert set(got) == set(want)
+    for v, micro in got.items():
+        # integer floor-division truncation loses < 1e-4 over 3 iters
+        assert abs(micro / 1e6 - want[v]) < 1e-4, (v, micro, want[v])
+    # C has the most in-links; D (never cited) sits at the base rank
+    assert got["C"] == max(got.values())
+    assert got["D"] == min(got.values())
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    df1 = spark.createDataFrame(EDGES, "src string, dst string").repartition(1)
+    df7 = spark.createDataFrame(EDGES, "src string, dst string").repartition(7)
+    r1 = sorted(map(tuple, pagerank(df1, iters=4).collect()))
+    r7 = sorted(map(tuple, pagerank(df7, iters=4).collect()))
+    assert r1 == r7
+
+
+def test_pagerank_symmetric_cycle(spark):
+    df = spark.createDataFrame([("X", "Y"), ("Y", "X")],
+                               "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=5).collect()}
+    # a symmetric 2-cycle keeps the uniform rank exactly: 1/2 each
+    assert got["X"] == got["Y"] == SCALE // 2 // 10**6
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iters=2).count() == 0

@@ -1,0 +1,196 @@
+"""Mini-SPARQL compiler (operators/sparql.py) — the reference's
+annotation-query subset (res/sparql/annotations.rq,
+sources/tech/res/sparql/rfc-annotations.rq, interpolation at
+documentrepository.py:1829-1891) compiled to DataFrame plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.sparql import (
+    ANNOTATIONS_RQ,
+    RFC_ANNOTATIONS_RQ,
+    construct_annotations,
+    parse_sparql,
+    sparql_query,
+)
+
+SCHEMA = ("subj string, pred string, obj string, obj_is_literal boolean, "
+          "obj_datatype string, obj_lang string")
+
+
+def _edges(spark):
+    rows = [
+        ("A", "dcterms:title", "Doc A", True, None, "en"),
+        ("A", "rdf:type", "bibo:Document", False, None, None),
+        ("A#S1", "dcterms:isPartOf", "A", False, None, None),
+        ("A#S1.1", "dcterms:isPartOf", "A#S1", False, None, None),
+        ("B", "dcterms:references", "A#S1", False, None, None),
+        ("B", "dcterms:title", "Doc B", True, None, None),
+        ("C", "rfc:obsoletes", "A", False, None, None),
+        ("C", "dcterms:title", "Doc C", True, None, None),
+        ("C", "dcterms:references", "Z", False, None, None),
+        ("D", "rfc:updates", "A", False, None, None),
+        ("E", "dcterms:references", "B", False, None, None),
+        ("E", "dcterms:issued", "2001-01", True, "xsd:gYearMonth", None),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _triples(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_annotations_construct(spark):
+    """annotations.rq semantics: triples of the doc + its isPartOf*
+    parts, plus isReferencedBy back-links onto the cited parts."""
+    got = _triples(construct_annotations(_edges(spark), "A"))
+    assert got == {
+        ("A", "dcterms:title", "Doc A", True, None, "en"),
+        ("A", "rdf:type", "bibo:Document", False, None, None),
+        ("A#S1", "dcterms:isPartOf", "A", False, None, None),
+        ("A#S1.1", "dcterms:isPartOf", "A#S1", False, None, None),
+        # B cites A#S1: B's own triples + the back-link
+        ("B", "dcterms:references", "A#S1", False, None, None),
+        ("B", "dcterms:title", "Doc B", True, None, None),
+        ("A#S1", "dcterms:isReferencedBy", "B", False, None, None),
+    }
+
+
+def test_rfc_annotations_construct(spark):
+    """rfc-annotations.rq: literal self-metadata, referencer metadata
+    (minus unrelated references), updater/obsoleter metadata, and the
+    inverse isObsoletedBy/isUpdatedBy/isReferencedBy links."""
+    got = _triples(sparql_query(_edges(spark), RFC_ANNOTATIONS_RQ,
+                                {"uri": "A"}))
+    assert got == {
+        # arm 1: non-IRI metadata of A itself
+        ("A", "dcterms:title", "Doc A", True, None, "en"),
+        # arm 3: C obsoletes A, D updates A → their metadata minus
+        # dcterms:references (C references Z is excluded by FILTER)
+        ("C", "dcterms:title", "Doc C", True, None, None),
+        ("C", "rfc:obsoletes", "A", False, None, None),
+        ("D", "rfc:updates", "A", False, None, None),
+        # arms 4/5 → inverse links in the template
+        ("A", "rfc:isObsoletedBy", "C", False, None, None),
+        ("A", "rfc:isUpdatedBy", "D", False, None, None),
+    }
+
+
+def test_transitive_references_select(spark):
+    """references+ is transitive: E → B → A#S1."""
+    got = sparql_query(
+        _edges(spark),
+        "SELECT DISTINCT ?s WHERE { ?s dcterms:references+ <A#S1> . }")
+    assert {r["s"] for r in got.collect()} == {"B", "E"}
+    # and * includes the zero-length path (the target itself)
+    got0 = sparql_query(
+        _edges(spark),
+        "SELECT DISTINCT ?s WHERE { ?s dcterms:references* <A#S1> . }")
+    assert {r["s"] for r in got0.collect()} == {"A#S1", "B", "E"}
+
+
+def test_select_join_and_filters(spark):
+    q = """
+    SELECT ?doc ?title WHERE {
+      ?doc dcterms:title ?title .
+      ?doc dcterms:references ?t .
+      FILTER(strstarts(str(?t), "A"))
+    }
+    """
+    got = sparql_query(_edges(spark), q)
+    assert {(r["doc"], r["title"]) for r in got.collect()} == {
+        ("B", "Doc B")}
+
+
+def test_filter_in_and_isuri(spark):
+    q = """
+    SELECT DISTINCT ?s WHERE {
+      ?s ?p ?o .
+      FILTER(?p in (rfc:updates, rfc:obsoletes) && !isUri(?o))
+    }
+    """
+    assert sparql_query(_edges(spark), q).count() == 0
+    q2 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s ?p ?o . FILTER(?p = dcterms:issued && !isUri(?o))
+    }
+    """
+    assert {r["s"] for r in sparql_query(_edges(spark), q2).collect()} \
+        == {"E"}
+
+
+def test_predicate_object_list_and_bind(spark):
+    q = """
+    SELECT ?r ?p ?o WHERE {
+      ?s dcterms:references <A#S1> ;
+         ?p ?o .
+      BIND(?s as ?r)
+    }
+    """
+    got = sparql_query(_edges(spark), q)
+    assert {(r["r"], r["p"], r["o"]) for r in got.collect()} == {
+        ("B", "dcterms:references", "A#S1"),
+        ("B", "dcterms:title", "Doc B"),
+    }
+
+
+def test_union_unbound_vars_dropped_in_construct(spark):
+    """Template rows with an unbound slot are dropped (SPARQL spec)."""
+    q = """
+    CONSTRUCT { <X> ex:u ?u . <X> ex:v ?v . }
+    WHERE {
+      { ?u rfc:updates <A> . } UNION { ?v rfc:obsoletes <A> . }
+    }
+    """
+    got = _triples(sparql_query(_edges(spark), q))
+    assert got == {
+        ("X", "ex:u", "D", False, None, None),
+        ("X", "ex:v", "C", False, None, None),
+    }
+
+
+def test_parse_prefix_and_distinct():
+    q = parse_sparql("""
+    PREFIX dcterms: <http://purl.org/dc/terms/>
+    SELECT DISTINCT ?a ?b WHERE { ?a dcterms:x ?b . }
+    """)
+    assert q.form == "select" and q.distinct
+    assert q.select_vars == ["a", "b"]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="unsupported query form"):
+        parse_sparql("ASK WHERE { ?s ?p ?o . }")
+    with pytest.raises(ValueError, match="unterminated group"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o .")
+
+
+def test_select_unbound_var_raises(spark):
+    with pytest.raises(ValueError, match="unbound vars"):
+        sparql_query(_edges(spark),
+                     "SELECT ?s ?zz WHERE { ?s ?p ?o . }").collect()
+    # unbound var inside FILTER is a compile-time error too
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_query(_edges(spark),
+                     "SELECT ?s WHERE { ?s ?p ?o . FILTER(?q = ?s) }")
+
+
+def test_params_interpolation(spark):
+    got = sparql_query(_edges(spark),
+                       "SELECT ?p WHERE { <%(who)s> ?p <A> . }",
+                       {"who": "D"})
+    assert [r["p"] for r in got.collect()] == ["rfc:updates"]
+
+
+def test_var_star_path_rejected(spark):
+    with pytest.raises(NotImplementedError):
+        sparql_query(_edges(spark),
+                     "SELECT ?a WHERE { ?a dcterms:isPartOf* ?b . }")
+
+
+def test_repeated_var_in_pattern(spark):
+    rows = [("S", "p:loop", "S", False, None, None),
+            ("S", "p:loop", "T", False, None, None)]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    got = sparql_query(edges, "SELECT ?s WHERE { ?s p:loop ?s . }")
+    assert [r["s"] for r in got.collect()] == ["S"]
