@@ -445,10 +445,13 @@ GATE_ORDER = [
     "sim_embedding_neardup", "media_meta", "streaming_hourly_events",
     "salted_join_suppliers", "first_success_events",
     # new or changed this round
-    "kg_sparql_annotations", "kg_pagerank",
+    "kg_sparql_annotations", "kg_pagerank", "dedup_keepfirst_docs",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
-    "dedup_simhash_pairs", "dedup_components", "sim_label_centroids",
+    # dedup_simhash_pairs (r1+r2 driver-green) moved to extras: the
+    # dedup_components gate's oracle rebuilds the identical SimHash
+    # pair list before clustering it, so the family stays covered.
+    "dedup_components", "sim_label_centroids",
     "curation_survivors",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # stable KG pipeline gates
@@ -1195,6 +1198,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("text"))
         return _longify(dedup.strip_boilerplate(inj, max_df=10))
     q["strip_boilerplate_docs"] = strip_boilerplate_docs
+
+    def dedup_keepfirst_docs(spark, sf):
+        """Exact duplicate-unit removal, keep-first (Lee et al.-style
+        substring dedup at sentence granularity) over a corpus with
+        deterministically injected duplicates: a license quote
+        prepended to every 4th doc and one of three shared appendix
+        sentences appended to every 7th — each duplicated unit must
+        survive only at its smallest (doc_id, pos) occurrence."""
+        d = _docs(spark, sf).select("doc_id", "text")
+        did = F.col("doc_id")
+        inj = d.select("doc_id", F.concat(
+            F.when(did % 4 == 0,
+                   F.lit("Quoted license text applies here. ")
+                   ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(". shared appendix "),
+                            (did % 3).cast("string"))).otherwise(F.lit("")),
+        ).alias("text"))
+        return _longify(dedup.dedup_units_keepfirst(inj))
+    q["dedup_keepfirst_docs"] = dedup_keepfirst_docs
 
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
@@ -2447,6 +2471,31 @@ hot AS (SELECT lower(trim(unit)) AS nunit FROM u GROUP BY 1
         HAVING count(DISTINCT doc_id) > 10),
 kept AS (SELECT * FROM u
          WHERE lower(trim(unit)) NOT IN (SELECT nunit FROM hot)),
+agg AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
+SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(t.n_units AS BIGINT) AS n_units,
+       CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+    # keep-first duplicate-unit removal: the winner of each normalized
+    # unit is its smallest (doc_id, pos) occurrence
+    o["dedup_keepfirst_docs"] = """
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+         THEN 'Quoted license text applies here. ' ELSE '' END || text ||
+    CASE WHEN doc_id % 7 = 0 THEN '. shared appendix ' ||
+         CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS text
+  FROM documents),
+u AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             unnest(parts) AS unit
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM inj)),
+kept AS (SELECT doc_id, pos, unit FROM u
+         QUALIFY row_number() OVER (PARTITION BY lower(trim(unit))
+                                    ORDER BY doc_id, pos) = 1),
 agg AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS clean_text,
                count(*) AS n_kept FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)

@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_components",
+    "dedup_keepfirst_docs",
     "decontaminate_docs",
     "patch_documents",
     "pdf_style_metrics",

@@ -441,6 +441,65 @@ def component_clusters(pairs: DataFrame, id_a: str = "id_a",
     return comp.join(sizes, "comp").select("id", "comp", "csize")
 
 
+def dedup_units_keepfirst(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = ". ") -> DataFrame:
+    """Cross-document exact duplicate-unit removal, keep-FIRST: split
+    each document into units on ``sep``; every unit whose normalized
+    form (lower+trim) occurs more than once in the corpus survives
+    only at its globally first occurrence (smallest (doc id, position)
+    — within-document repeats of a unit are cut too), and documents
+    reassemble their surviving units in original order.
+
+    This is the exact-substring deduplication pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (at unit rather than 50-token-window granularity),
+    complementing ``strip_boilerplate``: that pass drops units
+    EVERYWHERE once they exceed a document-frequency threshold, this
+    one keeps exactly one canonical occurrence of every duplicated
+    unit, which is the semantics training-data pipelines want for
+    quotes/licenses/templates that should stay in the corpus once.
+
+    Output per input doc: ``(id, clean_text, n_units, n_dropped)``
+    (a doc whose every unit occurred earlier elsewhere keeps a row
+    with empty clean_text).
+
+    Scale: the winner per normalized unit is ``min(struct(id, pos))``
+    — an aggregation with map-side partial min, so a hot unit (a
+    cookie banner duplicated into billions of documents) never funnels
+    its occurrences through one reducer the way a per-unit
+    row_number window would; the join back is a LEFT SEMI equi-join on
+    the winner (id, pos) pairs — a key that is unique on both sides
+    and uniformly distributed, so no skew survives to any stage.
+    """
+    import re as _re
+    units = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "unit"))
+    norm = F.lower(F.trim(F.col("unit")))
+    winners = (units.select(norm.alias("nunit"), F.struct(
+        F.col("id"), F.col("pos")).alias("occ"))
+        .groupBy("nunit").agg(F.min("occ").alias("first_occ")))
+    first = winners.select(F.col("first_occ.id").alias("id"),
+                           F.col("first_occ.pos").alias("pos"))
+    kept = units.join(first, ["id", "pos"], "left_semi")
+    re_doc = (kept.groupBy("id")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("pos"), F.col("unit")))),
+                      lambda s: s["unit"]), sep).alias("clean_text"),
+                  F.count(F.lit(1)).alias("n_kept")))
+    totals = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
+    return (totals.join(re_doc, "id", "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_units"),
+                    (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dropped")))
+
+
 def strip_boilerplate(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_df: int = 10,
                       sep: str = ". ") -> DataFrame:

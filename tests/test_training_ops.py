@@ -835,3 +835,40 @@ def test_strip_boilerplate_units(spark):
     # 'repeated' occurs 3x but only in ONE document: df=1, kept
     assert out[7]["clean_text"] == "solo seven. repeated. repeated. repeated"
     assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_dedup_units_keepfirst(spark):
+    """Duplicated units survive ONLY at the smallest (id, pos)
+    occurrence — across docs, within a doc, and under case/space
+    normalization — and an all-duplicate doc keeps an empty row."""
+    rows = [
+        (1, "shared quote. body one"),
+        (2, "body two. shared quote"),          # loses the quote to doc 1
+        (3, "Shared Quote"),                     # normalizes to the same
+        (4, "twice. twice. after"),              # within-doc repeat cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.dedup_units_keepfirst(docs).collect()}
+    assert out[1]["clean_text"] == "shared quote. body one"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "body two" and out[2]["n_dropped"] == 1
+    # doc 3's only unit occurred earlier (case-insensitively): empty row
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["clean_text"] == "twice. after"
+    assert (out[4]["n_units"], out[4]["n_dropped"]) == (3, 1)
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_dedup_units_keepfirst_partition_invariant(spark):
+    """The keeper choice is a global min, not a partition accident."""
+    rows = [(i, "common line. unique " + str(i)) for i in range(1, 30)]
+    docs1 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(1)
+    docs9 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(9)
+    r1 = sorted(map(tuple, dedup.dedup_units_keepfirst(docs1).collect()))
+    r9 = sorted(map(tuple, dedup.dedup_units_keepfirst(docs9).collect()))
+    assert r1 == r9
+    keep = dict((t[0], t[1]) for t in r1)
+    assert keep[1] == "common line. unique 1"
+    assert all(keep[i] == f"unique {i}" for i in range(2, 30))
