@@ -898,6 +898,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _kg_edges(spark, sf), BASE + "res/doc/0")
     q["kg_sparql_describe"] = kg_sparql_describe
 
+    def kg_sparql_subdocs(spark, sf):
+        """The reference's describe-with-subdocs.rq shape
+        (sources/legal/se/res/sparql/describe-with-subdocs.rq):
+        referencers of the hub document's FRAGMENTS, decorated with
+        their isPartOf* root (var-var star path whose zero-length arm
+        is pruned by the root's dcterms:identifier requirement) and
+        OPTIONAL chapter metadata."""
+        from ferenda_spark.operators.sparql import sparql_query
+        edges = _kg_edges(spark, sf).persist()
+        uri = edges.filter(F.col("pred") == "rfc:updates") \
+                   .agg(F.min("obj")).collect()[0][0]
+        return sparql_query(edges, """
+CONSTRUCT {
+  ?target dcterms:isReferencedBy ?referer .
+  ?referer dcterms:isPartOf ?rootdoc ;
+           bibo:chapter ?refchapter .
+  ?rootdoc rdf:type ?roottype ;
+           dcterms:identifier ?rootid .
+}
+WHERE {
+  ?referer dcterms:references ?target ;
+           dcterms:isPartOf* ?rootdoc .
+  ?rootdoc rdf:type ?roottype ;
+           dcterms:identifier ?rootid .
+  OPTIONAL { ?referer bibo:chapter ?refchapter . }
+  FILTER(STRSTARTS(STR(?target), "%(uri)s#"))
+}
+""", {"uri": uri})
+    q["kg_sparql_subdocs"] = kg_sparql_subdocs
+
     def kg_pagerank(spark, sf):
         """Head-entity importance over the citation graph: fixed-
         iteration integer PageRank (training-data curation's standard
@@ -2088,6 +2118,45 @@ FROM (
          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
   FROM golden c JOIN parts p ON c.obj = p.p
   WHERE c.pred = 'dcterms:references'
+)
+"""
+
+    # describe-with-subdocs.rq: referencers of the hub's fragments,
+    # root = the referer's document (the only isPartOf* ancestor
+    # carrying dcterms:identifier), OPTIONAL bibo:chapter decoration
+    o["kg_sparql_subdocs"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+tgt AS (SELECT min(obj) AS uri FROM golden WHERE pred = 'rfc:updates'),
+refs AS (
+  SELECT DISTINCT g.subj AS referer, g.obj AS target
+  FROM golden g, tgt
+  WHERE g.pred = 'dcterms:references' AND g.obj LIKE tgt.uri || '#%'),
+root AS (
+  SELECT DISTINCT referer,
+         regexp_replace(referer, '#.*$', '') AS rootdoc FROM refs)
+SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang
+FROM (
+  SELECT r.target AS subj, 'dcterms:isReferencedBy' AS pred,
+         r.referer AS obj, FALSE AS obj_is_literal,
+         CAST(NULL AS VARCHAR) AS obj_datatype,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM refs r
+  UNION ALL
+  SELECT rt.referer, 'dcterms:isPartOf', rt.rootdoc, FALSE, NULL, NULL
+  FROM root rt
+  UNION ALL
+  SELECT g.subj, 'bibo:chapter', g.obj, TRUE, NULL, NULL
+  FROM golden g JOIN root rt ON g.subj = rt.referer
+  WHERE g.pred = 'bibo:chapter'
+  UNION ALL
+  SELECT g.subj, 'rdf:type', g.obj, FALSE, NULL, NULL
+  FROM golden g JOIN (SELECT DISTINCT rootdoc FROM root) rd
+       ON g.subj = rd.rootdoc
+  WHERE g.pred = 'rdf:type'
+  UNION ALL
+  SELECT g.subj, 'dcterms:identifier', g.obj, TRUE, NULL, NULL
+  FROM golden g JOIN (SELECT DISTINCT rootdoc FROM root) rd
+       ON g.subj = rd.rootdoc
+  WHERE g.pred = 'dcterms:identifier'
 )
 """
 

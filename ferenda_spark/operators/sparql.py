@@ -17,10 +17,14 @@ Supported subset (everything the reference's .rq files exercise):
   ``CONSTRUCT { template }`` forms.
 * Basic graph patterns with variables in any position,
   ``;`` predicate-object list continuation, ``.`` separators.
-* ``{ … } UNION { … }`` (n-ary), nested groups.
-* Property paths ``pred*`` / ``pred+`` (fixed predicate, at least one
-  of subject/object a constant — the shapes annotations.rq uses).
-* ``FILTER(…)`` with ``= != && || !``, ``?x in (a, b)``,
+* ``{ … } UNION { … }`` (n-ary), nested groups, ``OPTIONAL { … }``
+  (left join, the describe-with-subdocs.rq / sfs_changes.rq shape),
+  ``GRAPH <g> { … }`` (filters a ``graph`` column when the store has
+  one; a single-graph store treats the clause as the whole store —
+  the keyword_dv.rq context shape).
+* Property paths ``pred*`` / ``pred+`` (fixed predicate; var–var
+  ``*`` takes its zero-length arm from the graph's node universe).
+* ``FILTER(…)`` with ``= != && || !``, ``?x IN (a, b)``,
   ``isUri(?v)``, ``strstarts(str(?v), "…")``, parentheses.
 * ``BIND(?x as ?y)``.
 * ``%(name)s`` parameter interpolation (the reference's convention,
@@ -100,6 +104,17 @@ class Group:
 @dataclass
 class Union:
     arms: list = field(default_factory=list)
+
+
+@dataclass
+class Optional_:
+    group: Group
+
+
+@dataclass
+class GraphScope:
+    name: object                 # Term (named graph IRI) or Var
+    group: Group
 
 
 @dataclass
@@ -205,6 +220,10 @@ class _Parser:
             return Term(t[1:-1].replace('\\"', '"'), is_literal=True)
         if t == "a":                       # rdf:type shorthand
             return Term("rdf:type")
+        if not t[0].isalpha() and t[0] != "_":
+            # punctuation can never be a term — fail loudly instead of
+            # silently mis-parsing a keyword the grammar missed
+            raise ValueError(f"sparql: expected a term, got {t!r}")
         return Term(t)                     # CURIE kept compact
 
     # -- query ------------------------------------------------------------
@@ -252,6 +271,19 @@ class _Parser:
                 items.append(Union(arms) if len(arms) > 1 else arms[0])
                 continue
             low = t.lower()
+            if low == "optional":
+                self.next()
+                items.append(Optional_(self.group()))
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if low == "graph":
+                self.next()
+                name = self.term()
+                items.append(GraphScope(name, self.group()))
+                if self.peek() == ".":
+                    self.next()
+                continue
             if low == "filter":
                 self.next()
                 self.expect("(")
@@ -281,7 +313,8 @@ class _Parser:
         while True:
             t = self.peek()
             if (t is None or t == stop or t == "{"
-                    or t.lower() in ("filter", "bind", "union")):
+                    or t.lower() in ("filter", "bind", "union",
+                                     "optional", "graph")):
                 return out
             subj = self.term()
             while True:
@@ -454,12 +487,20 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
             out = out.unionByName(one).distinct()
         return _Plan(out, {pat.o.name}, set())
     if isinstance(pat.s, Var) and isinstance(pat.o, Var):
-        if pat.path == "*":
-            raise NotImplementedError(
-                "sparql: var—pred*—var needs a universe of nodes; "
-                "use pred+ or bind one end")
         out = clo.select(F.col("descendant").alias(pat.s.name),
                          F.col("ancestor").alias(pat.o.name))
+        if pat.path == "*":
+            # zero-length arm: identity over the graph's node universe
+            # (per spec; one distinct over the edge table — the join
+            # with an already-bound side prunes it in practice)
+            nodes = (edges.select(F.col("subj").alias("n"))
+                     .unionByName(
+                         edges.filter(~F.col("obj_is_literal"))
+                         .select(F.col("obj").alias("n")))
+                     .distinct())
+            out = out.unionByName(
+                nodes.select(F.col("n").alias(pat.s.name),
+                             F.col("n").alias(pat.o.name))).distinct()
         return _Plan(out, {pat.s.name, pat.o.name}, set())
     # both constant: boolean — empty or unit pattern; keep as filter df
     hit = clo.filter((F.col("descendant") == _lit(pat.s))
@@ -467,14 +508,20 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
     return _Plan(hit.select(), set(), set())
 
 
-def _join(a: _Plan, b: _Plan) -> _Plan:
+def _join(a: _Plan, b: _Plan, how: str = "inner") -> _Plan:
     shared = sorted(a.vars & b.vars)
     # drop duplicate hidden metadata from the right side
     dup_meta = [c for v in (b.objvars & a.objvars)
                 for c in (f"__lit__{v}", f"__dt__{v}", f"__lang__{v}")]
     bdf = b.df.drop(*dup_meta) if dup_meta else b.df
-    df = (a.df.join(bdf, shared, "inner") if shared
-          else a.df.crossJoin(bdf))
+    if shared:
+        df = a.df.join(bdf, shared, how)
+    elif how == "left":
+        # OPTIONAL sharing no vars: every left row pairs with every
+        # optional solution, but left rows survive an EMPTY optional
+        df = a.df.join(bdf, F.lit(True), "left")
+    else:
+        df = a.df.crossJoin(bdf)
     return _Plan(df, a.vars | b.vars, a.objvars | b.objvars)
 
 
@@ -544,6 +591,22 @@ def _group_plan(edges: DataFrame, grp, max_depth: int) -> _Plan:
             continue
         if isinstance(item, Bind):
             binds.append(item)
+            continue
+        if isinstance(item, Optional_):
+            sub = _group_plan(edges, item.group, max_depth)
+            if plan is None:
+                raise ValueError("sparql: OPTIONAL cannot open a group")
+            plan = _join(plan, sub, how="left")
+            continue
+        if isinstance(item, GraphScope):
+            # named-graph scoping: a quad store carries a `graph`
+            # column — filter it; a single-graph edge table (this
+            # engine's default) treats the clause as the whole store
+            scoped = edges
+            if isinstance(item.name, Term) and "graph" in edges.columns:
+                scoped = edges.filter(F.col("graph") == _lit(item.name))
+            sub = _group_plan(scoped, item.group, max_depth)
+            plan = sub if plan is None else _join(plan, sub)
             continue
         sub = (_pattern_plan(edges, item, max_depth)
                if isinstance(item, Pattern)

@@ -182,10 +182,101 @@ def test_params_interpolation(spark):
     assert [r["p"] for r in got.collect()] == ["rfc:updates"]
 
 
-def test_var_star_path_rejected(spark):
-    with pytest.raises(NotImplementedError):
-        sparql_query(_edges(spark),
-                     "SELECT ?a WHERE { ?a dcterms:isPartOf* ?b . }")
+def test_var_var_star_path(spark):
+    """var—pred*—var: closure pairs plus the zero-length identity
+    over the node universe."""
+    got = sparql_query(
+        _edges(spark),
+        "SELECT ?a ?b WHERE { ?a dcterms:isPartOf* ?b . "
+        "FILTER(strstarts(str(?a), \"A#S1.\")) }")
+    assert {(r["a"], r["b"]) for r in got.collect()} == {
+        ("A#S1.1", "A#S1.1"),          # zero-length
+        ("A#S1.1", "A#S1"),
+        ("A#S1.1", "A"),
+    }
+
+
+def test_optional_left_join(spark):
+    """OPTIONAL keeps solutions whose optional pattern has no match
+    (sfs_changes.rq shape: optional identifier/title decoration)."""
+    q = """
+    SELECT ?doc ?title WHERE {
+      ?doc rfc:obsoletes <A> .
+      OPTIONAL { ?doc dcterms:missingpred ?title . }
+    }
+    """
+    got = sparql_query(_edges(spark), q).collect()
+    assert [(r["doc"], r["title"]) for r in got] == [("C", None)]
+    q2 = """
+    SELECT ?doc ?title WHERE {
+      ?doc rfc:obsoletes <A> .
+      OPTIONAL { ?doc dcterms:title ?title . }
+    }
+    """
+    got2 = sparql_query(_edges(spark), q2).collect()
+    assert [(r["doc"], r["title"]) for r in got2] == [("C", "Doc C")]
+
+
+def test_describe_with_subdocs_shape(spark):
+    """The reference's describe-with-subdocs.rq core: referencer →
+    isPartOf* root decoration with OPTIONAL metadata and a target
+    prefix filter (sources/legal/se/res/sparql/
+    describe-with-subdocs.rq)."""
+    rows = [
+        ("R", "dcterms:references", "A#S1", False, None, None),
+        ("R", "dcterms:isPartOf", "RDOC", False, None, None),
+        ("R", "dcterms:identifier", "R-id", True, None, None),
+        ("RDOC", "rdf:type", "bibo:Document", False, None, None),
+        ("RDOC", "dcterms:identifier", "RDOC-id", True, None, None),
+        # a referencer with NO identifier — OPTIONAL must keep it
+        ("Q", "dcterms:references", "A#S2", False, None, None),
+        ("Q", "dcterms:isPartOf", "RDOC", False, None, None),
+        # a referencer whose target misses the prefix filter
+        ("X", "dcterms:references", "B#S1", False, None, None),
+        ("X", "dcterms:isPartOf", "RDOC", False, None, None),
+    ]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    q = """
+    CONSTRUCT {
+      ?target dcterms:isReferencedBy ?referer .
+      ?referer dcterms:isPartOf ?rootdoc ;
+               dcterms:identifier ?refid .
+      ?rootdoc rdf:type ?roottype .
+    }
+    WHERE {
+      ?referer dcterms:references ?target ;
+               dcterms:isPartOf* ?rootdoc .
+      ?rootdoc rdf:type ?roottype ;
+               dcterms:identifier ?rootid .
+      OPTIONAL { ?referer dcterms:identifier ?refid . }
+      FILTER(STRSTARTS(STR(?target), "%(uri)s#"))
+    }
+    """
+    got = _triples(sparql_query(edges, q, {"uri": "A"}))
+    assert got == {
+        ("A#S1", "dcterms:isReferencedBy", "R", False, None, None),
+        ("R", "dcterms:isPartOf", "RDOC", False, None, None),
+        ("R", "dcterms:identifier", "R-id", True, None, None),
+        ("A#S2", "dcterms:isReferencedBy", "Q", False, None, None),
+        ("Q", "dcterms:isPartOf", "RDOC", False, None, None),
+        ("RDOC", "rdf:type", "bibo:Document", False, None, None),
+    }
+
+
+def test_graph_scope(spark):
+    """GRAPH <g> filters a quad store's graph column; without the
+    column the clause scopes to the whole (single-graph) store."""
+    quads = spark.createDataFrame(
+        [("S", "p:x", "1", False, None, None, "g1"),
+         ("S", "p:x", "2", False, None, None, "g2")],
+        SCHEMA + ", graph string")
+    q = 'SELECT ?o WHERE { GRAPH <g1> { ?s p:x ?o . } }'
+    assert [r["o"] for r in sparql_query(quads, q).collect()] == ["1"]
+    # single-graph store: clause is a no-op scope
+    got = sparql_query(_edges(spark),
+                       'SELECT ?o WHERE { GRAPH <any> '
+                       '{ <A> dcterms:title ?o . } }')
+    assert [r["o"] for r in got.collect()] == ["Doc A"]
 
 
 def test_repeated_var_in_pattern(spark):
