@@ -446,6 +446,7 @@ GATE_ORDER = [
     "salted_join_suppliers", "first_success_events",
     # new or changed this round
     "kg_sparql_annotations", "kg_pagerank", "dedup_keepfirst_docs",
+    "dedup_token_spans_docs",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     # dedup_simhash_pairs (r1+r2 driver-green) moved to extras: the
@@ -476,7 +477,10 @@ GATE_ORDER = [
     # in BOTH r1 and r2 — moved to extra_queries (still locally
     # oracle-checked) so the round-3 curation families below get
     # their first driver row.
-    "dedup_minhash_lsh", "mint_documents", "patch_documents",
+    # mint_documents (F3/F9, r1+r2 driver-green; URI minting is also
+    # load-bearing inside the kg_edges oracle) moved to extras to free
+    # the slot the token-span dedup gate takes.
+    "dedup_minhash_lsh", "patch_documents",
     "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
     # curation_pipeline_docs (the composed v2 chain) stays in
     # extra_queries: every one of its stages has its own driver row.
@@ -1249,6 +1253,25 @@ WHERE {
         ).alias("text"))
         return _longify(dedup.dedup_units_keepfirst(inj))
     q["dedup_keepfirst_docs"] = dedup_keepfirst_docs
+
+    _SPAN_PASSAGE = ("this license text is shared verbatim across many "
+                     "documents and must be flagged as a duplicated span "
+                     "by the window pass")
+
+    def dedup_token_spans_docs(spark, sf):
+        """Token-window exact-substring duplicate detection (Lee et
+        al. ExactSubstr, windowed-hash variant) over a corpus with a
+        21-token passage injected into every 6th doc: the injected
+        span's windows must be flagged everywhere except the globally
+        first occurrence, at any alignment."""
+        d = _docs(spark, sf).select("doc_id", "text")
+        inj = d.select("doc_id", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" " + _SPAN_PASSAGE)).otherwise(F.lit("")),
+        ).alias("text"))
+        return _longify(dedup.duplicate_token_spans(inj, window=20))
+    q["dedup_token_spans_docs"] = dedup_token_spans_docs
 
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
@@ -2572,6 +2595,52 @@ SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
        CAST(t.n_units AS BIGINT) AS n_units,
        CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+    # token-window substring dedup: windows are md5 of 20 joined
+    # lowercased tokens; winner = smallest (doc_id, pos); duplicate
+    # token count = DISTINCT positions under non-winner windows
+    o["dedup_token_spans_docs"] = """
+WITH inj AS (
+  SELECT doc_id, lower(text) ||
+    CASE WHEN doc_id % 6 = 0
+         THEN ' this license text is shared verbatim across many' ||
+              ' documents and must be flagged as a duplicated span' ||
+              ' by the window pass'
+         ELSE '' END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM inj),
+sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+occ AS (
+  SELECT doc_id, g.i AS pos,
+         md5(array_to_string(list_slice(toks, g.i, g.i + 19), ' '))
+             AS whash
+  FROM sized, unnest(generate_series(1, n_tokens - 19)) AS g(i)),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY whash) AS n_occ,
+         row_number() OVER (PARTITION BY whash
+                            ORDER BY doc_id, pos) AS rn
+  FROM occ),
+dups AS (SELECT doc_id, pos FROM marked WHERE n_occ > 1 AND rn > 1),
+duptok AS (
+  SELECT doc_id, count(DISTINCT g.t) AS n_dup_tokens
+  FROM dups, unnest(generate_series(pos, pos + 19)) AS g(t)
+  GROUP BY doc_id),
+nw AS (SELECT doc_id, count(*) AS n_windows FROM occ GROUP BY doc_id),
+nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM dups GROUP BY doc_id)
+SELECT s.doc_id AS id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(nd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(dt.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+FROM sized s
+LEFT JOIN nw ON nw.doc_id = s.doc_id
+LEFT JOIN nd ON nd.doc_id = s.doc_id
+LEFT JOIN duptok dt ON dt.doc_id = s.doc_id
 """
 
     o["curation_pipeline_docs"] = f"""

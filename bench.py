@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_components",
     "dedup_keepfirst_docs",
+    "dedup_token_spans_docs",
     "decontaminate_docs",
     "patch_documents",
     "pdf_style_metrics",

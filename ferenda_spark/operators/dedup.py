@@ -500,6 +500,84 @@ def dedup_units_keepfirst(docs: DataFrame, text_col: str = "text",
                     .alias("n_dropped")))
 
 
+def duplicate_token_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          window: int = 20) -> DataFrame:
+    """Token-window exact-substring duplicate detection, keep-first:
+    hash every ``window``-token sliding window of every document; a
+    window whose normalized token sequence occurs elsewhere in the
+    corpus (or earlier in the same document) is a duplicate span
+    unless it is the globally first occurrence (smallest (id, pos)).
+
+    The windowed-hash restatement of Lee et al.'s ExactSubstr
+    deduplication (suffix-array matches of ≥ N tokens ≈ at least one
+    shared N-token window): where ``dedup_units_keepfirst`` needs a
+    unit separator, this catches duplication at ANY alignment —
+    licenses, quoted passages, mirrored paragraphs — independent of
+    sentence structure.
+
+    Output per doc: ``(id, n_tokens, n_windows, n_dup_windows,
+    n_dup_tokens)`` where n_dup_tokens counts DISTINCT token positions
+    covered by duplicate windows (the span length a removal pass would
+    cut; counting distinct positions sidesteps interval merging and
+    is engine-exact for the oracle).
+
+    Scale: window hashes are one md5 per window computed from the
+    per-doc token array (array slice + join inside codegen, no
+    shuffle); the winner per hash is a min-struct aggregation
+    (map-side partial min — a viral passage never funnels one
+    reducer); duplicate flagging is a semi-join on the uniform
+    (id, pos) key; the position explosion multiplies only duplicate
+    windows by ``window``, not the corpus.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"),
+                       F.size(toks).alias("n_tokens"))
+    wins = base.select(
+        "id", "n_tokens",
+        F.when(
+            F.col("n_tokens") >= window,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (window - 1)),
+                lambda i: F.md5(F.encode(
+                    F.array_join(F.slice(F.col("toks"), i, window), " "),
+                    "UTF-8")))
+        ).otherwise(F.array().cast("array<string>")).alias("whashes"))
+    occ = wins.select("id", F.posexplode("whashes").alias("pos", "whash"))
+    counts = (occ.select("whash",
+                         F.struct(F.col("id"), F.col("pos")).alias("o"))
+              .groupBy("whash")
+              .agg(F.min("o").alias("first_occ"),
+                   F.count(F.lit(1)).alias("n_occ")))
+    dup_first = (counts.filter(F.col("n_occ") > 1)
+                 .select(F.col("whash"),
+                         F.col("first_occ.id").alias("id"),
+                         F.col("first_occ.pos").alias("pos")))
+    # duplicate occurrence = any occurrence that is NOT the winner of
+    # a multiply-occurring hash; winners of unique hashes never match
+    dups = occ.join(dup_first, ["whash", "id", "pos"], "left_anti") \
+              .join(counts.filter(F.col("n_occ") > 1).select("whash"),
+                    "whash", "left_semi")
+    dup_tok = (dups.select(
+        "id", F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + (window - 1))).alias("t"))
+        .groupBy("id")
+        .agg(F.countDistinct("t").alias("n_dup_tokens")))
+    per_doc = (occ.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_windows")))
+    dup_win = dups.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    return (wins.select("id", "n_tokens")
+            .join(per_doc, "id", "left")
+            .join(dup_win, "id", "left")
+            .join(dup_tok, "id", "left")
+            .select("id", "n_tokens",
+                    F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    .alias("n_dup_windows"),
+                    F.coalesce("n_dup_tokens", F.lit(0))
+                    .alias("n_dup_tokens")))
+
+
 def strip_boilerplate(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_df: int = 10,
                       sep: str = ". ") -> DataFrame:

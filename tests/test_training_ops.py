@@ -859,6 +859,51 @@ def test_dedup_units_keepfirst(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_duplicate_token_spans(spark):
+    """Window hashes flag shared passages at any alignment; the
+    globally first occurrence is never flagged; within-doc repeats
+    and case variants are; short docs have zero windows."""
+    rows = [
+        (1, "a b c d e f g h"),                  # 4 windows, all first
+        (2, "x y a b c d e f q"),                # shares 'a b c d e f'
+        (3, "A B C D E"),                        # case variant of w1[0]
+        (4, "p q r s t p q r s t"),              # within-doc repeat
+        (5, "one two"),                          # shorter than window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.duplicate_token_spans(
+        docs, window=5).collect()}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"],
+            out[1]["n_dup_tokens"]) == (4, 0, 0)
+    # doc 2 windows at pos 2,3 duplicate doc 1 → tokens {2..7}
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"],
+            out[2]["n_dup_tokens"]) == (5, 2, 6)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"],
+            out[3]["n_dup_tokens"]) == (1, 1, 5)
+    # doc 4: window 5 repeats window 0 → tokens {5..9}
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"],
+            out[4]["n_dup_tokens"]) == (6, 1, 5)
+    assert (out[5]["n_tokens"], out[5]["n_windows"],
+            out[5]["n_dup_windows"]) == (2, 0, 0)
+
+
+def test_duplicate_token_spans_partition_invariant(spark):
+    rows = [(i, "the same viral passage spreads here verbatim today "
+             + f"unique tail {i}") for i in range(1, 20)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(1)
+    d8 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    r1 = sorted(map(tuple, dedup.duplicate_token_spans(
+        d1, window=8).collect()))
+    r8 = sorted(map(tuple, dedup.duplicate_token_spans(
+        d8, window=8).collect()))
+    assert r1 == r8
+    by_id = {t[0]: t for t in r1}
+    # doc 1 keeps the first occurrence of the shared 8-token window
+    assert by_id[1][3] == 0 and all(by_id[i][3] >= 1 for i in range(2, 20))
+
+
 def test_dedup_units_keepfirst_partition_invariant(spark):
     """The keeper choice is a global min, not a partition accident."""
     rows = [(i, "common line. unique " + str(i)) for i in range(1, 30)]
