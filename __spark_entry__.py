@@ -446,7 +446,7 @@ GATE_ORDER = [
     "salted_join_suppliers", "first_success_events",
     # new or changed this round
     "kg_sparql_annotations", "kg_pagerank", "dedup_keepfirst_docs",
-    "dedup_token_spans_docs",
+    "dedup_token_spans_docs", "quality_classifier_docs",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     # dedup_simhash_pairs (r1+r2 driver-green) moved to extras: the
@@ -456,8 +456,11 @@ GATE_ORDER = [
     "curation_survivors",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # stable KG pipeline gates
+    # atom_feeds_events (S11, r1+r2 driver-green; the S11 family keeps
+    # the render_xhtml_docs driver gate) moved to extras to free the
+    # slot the quality-classifier gate takes.
     "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
-    "kg_closure", "kg_structure_closure", "atom_feeds_events",
+    "kg_closure", "kg_structure_closure",
     "kg_facet_multitype",
     "kg_keyword_inversion", "kg_dependency_edges", "kg_resolved_citations",
     "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
@@ -1272,6 +1275,17 @@ WHERE {
         ).alias("text"))
         return _longify(dedup.duplicate_token_spans(inj, window=20))
     q["dedup_token_spans_docs"] = dedup_token_spans_docs
+
+    def quality_classifier_docs(spark, sf):
+        """Model-based quality filtering (fastText-architecture
+        hashed-feature linear scorer, operators/classify.py): one
+        codegen projection over the token array, zero shuffle; the
+        deterministic hash-derived weights stand in for trained
+        parameters so the oracle can value-compare the full plan."""
+        from ferenda_spark.operators.classify import quality_score
+        return _longify(quality_score(
+            _docs(spark, sf).select("doc_id", "text")))
+    q["quality_classifier_docs"] = quality_classifier_docs
 
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
@@ -2595,6 +2609,27 @@ SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
        CAST(t.n_units AS BIGINT) AS n_units,
        CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+    # hashed-feature linear quality scorer: per-token weight =
+    # md5('qw-v1:'||token) folded to [0, 2^60) then mapped into
+    # [-1000, 1000]; keep ⇔ sum·1000 ≥ 0·n (threshold 0)
+    o["quality_classifier_docs"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents)
+SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_aggregate(list_transform(toks,
+            t -> CAST(concat('0x', substr(md5('qw-v1:' || t), 1, 15))
+                      AS BIGINT) % 2001 - 1000), 'sum'), 0) AS BIGINT)
+           AS score_sum_milli,
+       CAST(coalesce(list_aggregate(list_transform(toks,
+            t -> CAST(concat('0x', substr(md5('qw-v1:' || t), 1, 15))
+                      AS BIGINT) % 2001 - 1000), 'sum'), 0) AS BIGINT)
+           * 1000 >= 0 AS keep
+FROM tk
 """
 
     # token-window substring dedup: windows are md5 of 20 joined

@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_components",
     "dedup_keepfirst_docs",
     "dedup_token_spans_docs",
+    "quality_classifier_docs",
     "decontaminate_docs",
     "patch_documents",
     "pdf_style_metrics",

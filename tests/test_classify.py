@@ -1,0 +1,73 @@
+"""Hashed-feature linear quality scoring (operators/classify.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.classify import quality_score, token_weight_milli
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "good informative prose with substance"),
+         (2, "good informative prose with substance"),   # same text
+         (3, "ZZZZ QQQQ"),
+         (4, "")],
+        "doc_id long, text string")
+
+
+def test_score_deterministic_and_text_keyed(spark):
+    out = {r["id"]: r for r in quality_score(_docs(spark)).collect()}
+    # identical text → identical score, independent of doc id
+    assert out[1]["score_sum_milli"] == out[2]["score_sum_milli"]
+    assert out[1]["n_tokens"] == 5
+    assert out[3]["n_tokens"] == 2
+    # empty doc scores 0 and keeps at threshold 0
+    assert out[4]["n_tokens"] == 0 and out[4]["score_sum_milli"] == 0
+    assert out[4]["keep"] is True
+    # rerun is bit-identical
+    again = {r["id"]: r for r in quality_score(_docs(spark)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+        {k: tuple(v) for k, v in again.items()}
+
+
+def test_weights_in_span_and_salt_independence(spark):
+    toks = spark.createDataFrame(
+        [(w,) for w in "alpha beta gamma delta epsilon".split()],
+        "tok string")
+    w1 = [r["w"] for r in toks.select(
+        token_weight_milli(F.col("tok"), "qw-v1").alias("w")).collect()]
+    assert all(-1000 <= w <= 1000 for w in w1)
+    w2 = [r["w"] for r in toks.select(
+        token_weight_milli(F.col("tok"), "other-salt").alias("w")).collect()]
+    assert w1 != w2     # a new salt is an independent model
+
+
+def test_trained_bucket_weights(spark):
+    """With an explicit bucket-weight array the scorer is the fastText
+    hashing trick: token → bucket → learned weight."""
+    n = 8
+    weights = [100 * i for i in range(n)]          # bucket i → 100·i
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id long, text string")
+    out = quality_score(docs, weights=weights, n_buckets=n).collect()[0]
+    per_tok = {r["t"]: r["w"] for r in spark.createDataFrame(
+        [("alpha",), ("beta",)], "t string").select(
+        "t", token_weight_milli(F.col("t"), "qw-v1", weights, n)
+        .alias("w")).collect()}
+    assert out["score_sum_milli"] == per_tok["alpha"] + per_tok["beta"]
+    assert all(w in weights for w in per_tok.values())
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality_score(docs, weights=[1, 2], n_buckets=8).collect()
+
+
+def test_threshold_mean_semantics(spark):
+    """keep compares the MEAN weight to the threshold via integer
+    multiplication: sum·1000 ≥ thr·n."""
+    docs = _docs(spark)
+    out = {r["id"]: r for r in quality_score(
+        docs, threshold_milli=10**9).collect()}
+    # an absurd threshold rejects every non-empty doc
+    assert not out[1]["keep"] and not out[3]["keep"]
+    out_lo = {r["id"]: r for r in quality_score(
+        docs, threshold_milli=-(10**9)).collect()}
+    assert all(r["keep"] for r in out_lo.values())
