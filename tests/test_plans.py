@@ -148,3 +148,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The hashed-feature scorer is one codegen projection — no
+    exchange, no Python."""
+    from ferenda_spark.operators.classify import quality_score
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quality_score(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan       # no row-at-a-time Python
+
+
+def test_pagerank_bounded_shuffles(spark):
+    """One aggregation shuffle per iteration plus the fixed setup
+    (nodes distinct + outdeg) — the plan must not grow superlinearly
+    with iterations and must keep map-side partial aggregation."""
+    from ferenda_spark.operators.rank import pagerank
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 23}") for i in range(200)],
+        "src string, dst string")
+    pr3 = pagerank(edges, iters=3)
+    plan = _plan(pr3)
+    # localCheckpoint per iteration truncates lineage: the FINAL plan
+    # contains only the last iteration's joins, not all three
+    assert plan.count("HashAggregate") <= 6
+    pr3.collect()
+
+
+def test_token_spans_single_winner_shuffle(spark):
+    """Window hashing happens in the scan projection; the winner pass
+    is aggregation (map-side partial min), never a per-hash window
+    function (which would single-partition hot hashes)."""
+    from ferenda_spark.operators.dedup import duplicate_token_spans
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(duplicate_token_spans(docs, window=20))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
