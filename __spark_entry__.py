@@ -447,6 +447,7 @@ GATE_ORDER = [
     # new or changed this round
     "kg_sparql_annotations", "kg_pagerank", "dedup_keepfirst_docs",
     "dedup_token_spans_docs", "quality_classifier_docs",
+    "domain_stats_docs",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
     "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
     # dedup_simhash_pairs (r1+r2 driver-green) moved to extras: the
@@ -466,12 +467,14 @@ GATE_ORDER = [
     "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
     "kg_sql_citations",
     # relational / window / temporal. grouped_agg_value_median
-    # (§2.11, double-covered by the fragments_udtf gate) and
+    # (§2.11, double-covered by the fragments_udtf gate),
     # natural_sort_parts (W1, double-covered by doc_versions_views'
-    # natural-key tiebreak) — both driver-green in r1 AND r2 — moved
-    # to extra_queries to free the two slots the round-3 SPARQL and
-    # PageRank gates take.
-    "q3_shipping", "sessionize_events",
+    # natural-key tiebreak) and sessionize_events (§2.10, the
+    # streaming family keeps the streaming_hourly_events driver gate
+    # plus the applyInPandasWithState pytests) — all driver-green in
+    # r1 AND r2 — moved to extra_queries to free slots for the
+    # round-3 SPARQL / PageRank / domain-stats gates.
+    "q3_shipping",
     # training-data ops. The 50-slot gate holds one row per family:
     # setops_users (SO2/SO4), events_pagination (W3/W5),
     # asof_purchase_click (J8, double-covered by doc_versions_views),
@@ -1286,6 +1289,26 @@ WHERE {
         return _longify(quality_score(
             _docs(spark, sf).select("doc_id", "text")))
     q["quality_classifier_docs"] = quality_classifier_docs
+
+    def domain_stats_docs(spark, sf):
+        """URL/domain-level curation (operators/webfilter.py): host +
+        eTLD+1 extraction (incl. a multi-label public suffix) over
+        URLs synthesized from doc_id, aggregated into the per-domain
+        reputation table; the oracle reconstructs the expected domain
+        arithmetically, independent of the extraction code."""
+        from ferenda_spark.operators.webfilter import domain_stats
+        did = F.col("doc_id")
+        tld = (F.when(did % 3 == 0, "com")
+               .when(did % 3 == 1, "org").otherwise("co.uk"))
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("https://"),
+                     F.when(did % 5 == 0, "sub.").otherwise(""),
+                     F.lit("site"), (did % 20).cast("string"),
+                     F.lit("."), tld,
+                     F.lit("/p/"), did.cast("string")).alias("url"))
+        return _longify(domain_stats(docs))
+    q["domain_stats_docs"] = domain_stats_docs
 
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
@@ -2609,6 +2632,23 @@ SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
        CAST(t.n_units AS BIGINT) AS n_units,
        CAST(t.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+    # domain stats: the expected registered domain is reconstructed
+    # from the same doc_id arithmetic that built the URL — an
+    # extraction-independent statement of the eTLD+1 rule
+    o["domain_stats_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END ||
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+         (['com', 'org', 'co.uk'])[CAST(doc_id % 3 AS INT) + 1] AS host,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+         (['com', 'org', 'co.uk'])[CAST(doc_id % 3 AS INT) + 1] AS domain
+  FROM documents)
+SELECT domain, count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts
+FROM d GROUP BY domain
 """
 
     # hashed-feature linear quality scorer: per-token weight =

@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_keepfirst_docs",
     "dedup_token_spans_docs",
     "quality_classifier_docs",
+    "domain_stats_docs",
     "decontaminate_docs",
     "patch_documents",
     "pdf_style_metrics",

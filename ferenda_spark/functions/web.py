@@ -69,3 +69,56 @@ def canonical_url_col(url: Column) -> Column:
         F.concat(base, F.lit("?"),
                  F.array_join(F.array_sort(F.split(query, "&")), "&"))
     ).otherwise(base)
+
+
+#: multi-label public suffixes the registered-domain heuristic knows
+#: (a production pipeline broadcasts the full Public Suffix List as a
+#: lookup table; this built-in core keeps the Column form list-free)
+MULTI_TLDS = ("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+              "org.au", "co.jp", "or.jp", "ne.jp", "co.nz", "com.br",
+              "com.cn", "co.in", "co.kr", "com.mx", "co.za")
+
+
+def url_host(url: str) -> str | None:
+    """Lowercased host of a URL: authority minus userinfo and port.
+    None when the input has no ``scheme://host`` shape."""
+    m = re.match(_SCHEME_RE + r"([^/?#]+)", url or "")
+    if not m:
+        return None
+    host = m.group(2).rsplit("@", 1)[-1].split(":", 1)[0].lower()
+    return host or None
+
+
+def url_host_col(url: Column) -> Column:
+    """Column twin of ``url_host`` (pure codegen)."""
+    auth = F.regexp_extract(url, _SCHEME_RE + r"([^/?#]+)", 2)
+    host = F.lower(
+        F.element_at(F.split(
+            F.element_at(F.split(auth, "@"), -1), ":"), 1))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def registered_domain(host: str) -> str | None:
+    """eTLD+1 heuristic: the last two labels, or three when the suffix
+    is a known multi-label public suffix (``MULTI_TLDS`` core set)."""
+    if not host:
+        return None
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in MULTI_TLDS:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Column twin of ``registered_domain`` (pure codegen: split +
+    slice, the suffix test an isin over the built-in core set)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    return (F.when(host.isNull(), F.lit(None).cast("string"))
+            .when(n <= 2, host)
+            .when(last2.isin(*MULTI_TLDS), last3)
+            .otherwise(last2))

@@ -1,0 +1,76 @@
+"""URL/domain filtering (operators/webfilter.py + functions/web.py
+host / registered-domain extraction)."""
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.web import (
+    registered_domain,
+    registered_domain_col,
+    url_host,
+    url_host_col,
+)
+from ferenda_spark.operators.webfilter import domain_filter, domain_stats
+
+CASES = [
+    ("https://www.example.com/path?q=1", "www.example.com", "example.com"),
+    ("http://USER:pw@News.BBC.CO.UK:8080/x", "news.bbc.co.uk", "bbc.co.uk"),
+    ("https://sub.deep.site.org/", "sub.deep.site.org", "site.org"),
+    ("https://localhost/x", "localhost", "localhost"),
+    ("ftp://mirror.co.jp/pub", "mirror.co.jp", "mirror.co.jp"),
+    ("not a url", None, None),
+    ("", None, None),
+]
+
+
+def test_host_and_domain_python_forms():
+    for url, host, dom in CASES:
+        assert url_host(url) == host, url
+        assert registered_domain(host) == dom, url
+
+
+def test_host_and_domain_column_twins(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], "url string")
+    got = df.select(
+        "url", url_host_col(F.col("url")).alias("h"),
+        registered_domain_col(url_host_col(F.col("url"))).alias("d"))
+    by_url = {r["url"]: (r["h"], r["d"]) for r in got.collect()}
+    for url, host, dom in CASES:
+        assert by_url[url] == (host, dom), url
+
+
+def test_domain_stats_and_filter(spark):
+    rows = [(i, f"https://h{i % 3}.ex{i % 2}.com/p/{i}") for i in range(12)]
+    rows.append((99, "garbage"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    stats = {r["domain"]: (r["n_docs"], r["n_hosts"])
+             for r in domain_stats(docs).collect()}
+    assert stats["ex0.com"] == (6, 3) and stats["ex1.com"] == (6, 3)
+    assert stats[None][0] == 1              # malformed bucket is visible
+    kept = domain_filter(docs, blocklist=["ex0.com"])
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {i for i in range(12) if i % 2 == 1}   # ex1.com only
+    assert 99 not in ids                     # malformed dropped
+    # DataFrame blocklist + allowlist forms agree with the list forms
+    bl = spark.createDataFrame([("ex0.com",)], "domain string")
+    assert {r["doc_id"] for r in domain_filter(docs, blocklist=bl)
+            .collect()} == ids
+    al = spark.createDataFrame([("ex0.com",)], "domain string")
+    assert {r["doc_id"] for r in domain_filter(docs, allowlist=al)
+            .collect()} == {i for i in range(12) if i % 2 == 0}
+    assert domain_filter(docs, allowlist=[]).count() == 0
+
+
+def test_filter_plan_stays_scan_side(spark):
+    """List blocklist compiles to a pushed filter; DataFrame blocklist
+    joins broadcast — the corpus side never shuffles."""
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i}.ex.com/") for i in range(10)],
+        "doc_id long, url string")
+    plan_list = domain_filter(docs, blocklist=["bad.com"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_list
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    plan_df = domain_filter(docs, blocklist=bl) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_df
+    assert "ShuffleExchange" not in plan_df
