@@ -254,6 +254,37 @@ class GraphStore:
         return (df.join(latest, ["src_url", "src_hash"], "left_semi")
                 .dropDuplicates())
 
+    def read_at(self, table: str, snapshot_id: str | None = None,
+                as_of_ts: float | None = None) -> DataFrame:
+        """Time travel — Iceberg: ``VERSION AS OF`` (``snapshot_id``)
+        / ``TIMESTAMP AS OF`` (``as_of_ts``): the table state at a
+        past commit = the union of manifest entries up to and
+        including that snapshot (append-only commit log).
+
+        Same retention contract as Iceberg: a snapshot rewritten away
+        by :meth:`compact` or expired by :meth:`vacuum` is no longer
+        addressable — its id raises, it does not silently resolve to
+        something else."""
+        snaps = self._read_manifest(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        if (snapshot_id is None) == (as_of_ts is None):
+            raise ValueError("read_at needs exactly one of snapshot_id "
+                             "or as_of_ts")
+        if snapshot_id is not None:
+            ids = [s["id"] for s in snaps]
+            if snapshot_id not in ids:
+                raise KeyError(
+                    f"snapshot {snapshot_id!r} not in table {table} "
+                    f"(compacted or vacuumed away?)")
+            keep = snaps[: ids.index(snapshot_id) + 1]
+        else:
+            keep = [s for s in snaps if s["ts"] <= as_of_ts]
+            if not keep:
+                raise KeyError(f"table {table} has no snapshot at or "
+                               f"before ts {as_of_ts}")
+        return self.spark.read.parquet(*[s["path"] for s in keep])
+
     def exists(self, table: str) -> bool:
         return bool(self._read_manifest(table))
 

@@ -271,3 +271,37 @@ def test_compact_current_only_materializes_latest_view(spark, tmp_path):
             .select("src_hash").distinct().count()) == 1
     # resume still a no-op after the rewrite
     assert run_pipeline(spark, changed, ents, store)["skipped"] is True
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """read_at(snapshot_id) returns the table state AS OF that commit;
+    read_at(as_of_ts) resolves by commit timestamp; compaction expires
+    old snapshot ids (the Iceberg retention contract)."""
+    import pytest
+    store = GraphStore(spark, str(tmp_path / "g"))
+    s1 = store.append(spark.createDataFrame([(1,)], "v long"), "t")
+    ts_after_s1 = store.snapshots("t")[-1]["ts"]
+    s2 = store.append(spark.createDataFrame([(2,)], "v long"), "t")
+    store.append(spark.createDataFrame([(3,)], "v long"), "t")
+
+    assert {r["v"] for r in store.read_at("t", s1).collect()} == {1}
+    assert {r["v"] for r in store.read_at("t", s2).collect()} == {1, 2}
+    assert {r["v"] for r in store.read("t").collect()} == {1, 2, 3}
+    assert {r["v"] for r in store.read_at(
+        "t", as_of_ts=ts_after_s1).collect()} == {1}
+
+    with pytest.raises(KeyError, match="no snapshot at or before"):
+        store.read_at("t", as_of_ts=ts_after_s1 - 10_000)
+    with pytest.raises(ValueError, match="exactly one"):
+        store.read_at("t")
+    with pytest.raises(KeyError, match="not in table"):
+        store.read_at("t", "snap-nope")
+
+    # compaction rewrites the live set: old ids are no longer
+    # addressable, the current state is unchanged
+    store.compact("t")
+    with pytest.raises(KeyError, match="not in table"):
+        store.read_at("t", s1)
+    assert {r["v"] for r in store.read("t").collect()} == {1, 2, 3}
+    last = store.snapshots("t")[-1]["id"]
+    assert {r["v"] for r in store.read_at("t", last).collect()} == {1, 2, 3}
