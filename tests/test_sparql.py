@@ -285,3 +285,51 @@ def test_repeated_var_in_pattern(spark):
     edges = spark.createDataFrame(rows, SCHEMA)
     got = sparql_query(edges, "SELECT ?s WHERE { ?s p:loop ?s . }")
     assert [r["s"] for r in got.collect()] == ["S"]
+
+
+# -- parser robustness (hypothesis) -----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TOKENS = st.sampled_from([
+    "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "GRAPH", "FILTER",
+    "BIND", "UNION", "PREFIX", "{", "}", "(", ")", ".", ";", ",",
+    "=", "!=", "&&", "||", "!", "*", "+", "?s", "?p", "?o", "a",
+    "dcterms:title", "<http://x/y>", '"lit"', "isUri", "strstarts",
+    "str", "in", "as",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TOKENS, min_size=0, max_size=25))
+def test_parser_never_crashes_unstructured(toks):
+    """Arbitrary token soup must either parse or raise ValueError —
+    never an IndexError/AttributeError/TypeError escape."""
+    try:
+        parse_sparql(" ".join(toks))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_parser_accepts_generated_selects(data):
+    """Constructively generated well-formed SELECTs always parse and
+    project the declared variables."""
+    n_vars = data.draw(st.integers(1, 3))
+    vars_ = [f"v{i}" for i in range(n_vars)]
+    n_pat = data.draw(st.integers(1, 3))
+    pats = []
+    for _ in range(n_pat):
+        s = data.draw(st.sampled_from(["?v0", "<http://d/1>"]))
+        p = data.draw(st.sampled_from(
+            ["dcterms:title", "?v1" if n_vars > 1 else "a"]))
+        o = data.draw(st.sampled_from(
+            ['"x"', "?v2" if n_vars > 2 else "<http://d/2>"]))
+        pats.append(f"{s} {p} {o} .")
+    q = parse_sparql(
+        f"SELECT {' '.join('?' + v for v in vars_)} "
+        f"WHERE {{ {' '.join(pats)} }}")
+    assert q.form == "select" and q.select_vars == vars_
+    assert len(q.where.items) == n_pat
