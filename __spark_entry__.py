@@ -1343,6 +1343,38 @@ WHERE {
         return _longify(sampled.select("doc_id", "lang", "text_md5"))
     q["curation_pipeline_docs"] = curation_pipeline_docs
 
+    def curation_pipeline_v3(spark, sf):
+        """The round-3-late toolkit composed end-to-end: URL/domain
+        blocklist filter → hashed-feature quality classifier →
+        keep-first duplicate-unit removal → exact-dedup keeper. Every
+        stage is an existing driver-gated operator; the oracle
+        recomposes the identical chain in SQL."""
+        from ferenda_spark.operators.classify import quality_score
+        from ferenda_spark.operators.webfilter import domain_filter
+        d = _docs(spark, sf).select("doc_id", "lang", "text")
+        did = F.col("doc_id")
+        tld = (F.when(did % 3 == 0, "com")
+               .when(did % 3 == 1, "org").otherwise("co.uk"))
+        withurl = d.withColumn("url", F.concat(
+            F.lit("https://"),
+            F.when(did % 5 == 0, "sub.").otherwise(""),
+            F.lit("site"), (did % 20).cast("string"), F.lit("."), tld,
+            F.lit("/p/"), did.cast("string")))
+        vetted = domain_filter(
+            withurl, blocklist=[f"site{k}.co.uk" for k in range(20)])
+        quality = quality_score(vetted).filter(F.col("keep")) \
+            .select(F.col("id").alias("doc_id"))
+        good = vetted.join(quality, "doc_id", "left_semi")
+        uniq = dedup.dedup_units_keepfirst(good).select(
+            F.col("id").alias("doc_id"), "clean_text")
+        keepers = dedup.exact_dedup(
+            uniq, text_col="clean_text", id_col="doc_id").select(
+            F.col("keeper_id").alias("doc_id"), "text_md5")
+        return _longify(
+            keepers.join(d.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "text_md5"))
+    q["curation_pipeline_v3"] = curation_pipeline_v3
+
     def toc_documents(spark, sf):
         d = _docs(spark, sf)
         toc = analytics.toc_pages(d.select("lang", "source"),
@@ -2753,6 +2785,39 @@ WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
         CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
   < CASE d.lang WHEN 'en' THEN {rate_threshold(0.8)}
                 ELSE {rate_threshold(0.5)} END
+"""
+
+    # v3 chain: the domain blocklist kills doc_id % 3 == 2 (the co.uk
+    # third), the classifier keeps mean-weight ≥ 0 docs, keep-first
+    # unit dedup runs on the survivors, exact keeper per clean text
+    o["curation_pipeline_v3"] = """
+WITH vetted AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 != 2),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+  FROM vetted),
+good AS (
+  SELECT v.doc_id, v.text FROM vetted v JOIN tk ON tk.doc_id = v.doc_id
+  WHERE coalesce(list_aggregate(list_transform(tk.toks,
+        t -> CAST(concat('0x', substr(md5('qw-v1:' || t), 1, 15))
+                  AS BIGINT) % 2001 - 1000), 'sum'), 0) * 1000 >= 0),
+u AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             unnest(parts) AS unit
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM good)),
+kept AS (SELECT doc_id, pos, unit FROM u
+         QUALIFY row_number() OVER (PARTITION BY lower(trim(unit))
+                                    ORDER BY doc_id, pos) = 1),
+agg AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+cleaned AS (
+  SELECT g.doc_id, coalesce(a.clean_text, '') AS clean_text
+  FROM good g LEFT JOIN agg a ON a.doc_id = g.doc_id),
+keepers AS (SELECT md5(clean_text) AS text_md5, min(doc_id) AS doc_id
+            FROM cleaned GROUP BY 1)
+SELECT k.doc_id, d.lang, k.text_md5
+FROM keepers k JOIN documents d ON d.doc_id = k.doc_id
 """
 
     _words13 = _WORDS.format(c="text")
