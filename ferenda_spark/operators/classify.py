@@ -67,10 +67,15 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     w = lambda t: token_weight_milli(t, salt, weights, n_buckets)  # noqa: E731
     score = F.aggregate(toks, F.lit(0).cast("long"),
                         lambda acc, t: acc + w(t))
+    # the n==0 case is explicit: sum·1000 ≥ thr·0 would hold for EVERY
+    # threshold, letting empty junk docs through a positive-threshold
+    # gate — the documented rule is keep iff the threshold is ≤ 0
+    keep = F.when(F.size(toks) == 0, F.lit(int(threshold_milli) <= 0)) \
+        .otherwise(score * 1000
+                   >= F.lit(int(threshold_milli)).cast("long")
+                   * F.size(toks).cast("long"))
     return docs.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
         score.alias("score_sum_milli"),
-        (score * 1000 >= F.lit(int(threshold_milli)).cast("long")
-         * F.size(toks).cast("long"))
-        .alias("keep"))
+        keep.alias("keep"))

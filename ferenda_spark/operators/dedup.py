@@ -441,6 +441,40 @@ def component_clusters(pairs: DataFrame, id_a: str = "id_a",
     return comp.join(sizes, "comp").select("id", "comp", "csize")
 
 
+def _unit_rows(docs: DataFrame, text_col: str, id_col: str,
+               sep: str) -> DataFrame:
+    """(id, pos, unit) rows: split each doc on the literal ``sep``
+    (regex-escaped so Spark's regex split matches the oracle's literal
+    split). Shared by strip_boilerplate and dedup_units_keepfirst."""
+    import re as _re
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "unit"))
+
+
+def _reassemble_units(units: DataFrame, kept: DataFrame,
+                      sep: str) -> DataFrame:
+    """(id, clean_text, n_units, n_dropped): rejoin each doc's kept
+    units in original order (array_sort on (pos, unit) structs — no
+    window), keeping an explicit empty row for docs that lost every
+    unit. Shared by strip_boilerplate and dedup_units_keepfirst."""
+    re_doc = (kept.groupBy("id")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("pos"), F.col("unit")))),
+                      lambda s: s["unit"]), sep).alias("clean_text"),
+                  F.count(F.lit(1)).alias("n_kept")))
+    totals = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
+    return (totals.join(re_doc, "id", "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_units"),
+                    (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dropped")))
+
+
 def dedup_units_keepfirst(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           sep: str = ". ") -> DataFrame:
@@ -472,11 +506,7 @@ def dedup_units_keepfirst(docs: DataFrame, text_col: str = "text",
     the winner (id, pos) pairs — a key that is unique on both sides
     and uniformly distributed, so no skew survives to any stage.
     """
-    import re as _re
-    units = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
-        .alias("pos", "unit"))
+    units = _unit_rows(docs, text_col, id_col, sep)
     norm = F.lower(F.trim(F.col("unit")))
     winners = (units.select(norm.alias("nunit"), F.struct(
         F.col("id"), F.col("pos")).alias("occ"))
@@ -484,20 +514,7 @@ def dedup_units_keepfirst(docs: DataFrame, text_col: str = "text",
     first = winners.select(F.col("first_occ.id").alias("id"),
                            F.col("first_occ.pos").alias("pos"))
     kept = units.join(first, ["id", "pos"], "left_semi")
-    re_doc = (kept.groupBy("id")
-              .agg(F.array_join(
-                  F.transform(
-                      F.array_sort(F.collect_list(
-                          F.struct(F.col("pos"), F.col("unit")))),
-                      lambda s: s["unit"]), sep).alias("clean_text"),
-                  F.count(F.lit(1)).alias("n_kept")))
-    totals = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
-    return (totals.join(re_doc, "id", "left")
-            .select("id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.col("n_units"),
-                    (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
-                    .alias("n_dropped")))
+    return _reassemble_units(units, kept, sep)
 
 
 def duplicate_token_spans(docs: DataFrame, text_col: str = "text",
@@ -601,11 +618,7 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
     window). The unit split regex-escapes ``sep`` so Spark's
     regex-based split matches the oracle's literal split.
     """
-    import re as _re
-    units = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
-        .alias("pos", "unit"))
+    units = _unit_rows(docs, text_col, id_col, sep)
     norm = F.lower(F.trim(F.col("unit")))
     hot = (units.select(norm.alias("nunit"), "id").distinct()
            .groupBy("nunit").agg(F.count(F.lit(1)).alias("df"))
@@ -613,17 +626,4 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
            .select("nunit"))
     kept = (units.withColumn("nunit", norm)
             .join(hot, "nunit", "left_anti"))
-    re_doc = (kept.groupBy("id")
-              .agg(F.array_join(
-                  F.transform(
-                      F.array_sort(F.collect_list(
-                          F.struct(F.col("pos"), F.col("unit")))),
-                      lambda s: s["unit"]), sep).alias("clean_text"),
-                  F.count(F.lit(1)).alias("n_kept")))
-    totals = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_units"))
-    return (totals.join(re_doc, "id", "left")
-            .select("id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.col("n_units"),
-                    (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
-                    .alias("n_dropped")))
+    return _reassemble_units(units, kept, sep)

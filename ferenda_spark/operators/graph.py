@@ -195,6 +195,12 @@ class GraphStore:
         snap_id = f"snap-{len(self._read_manifest(table)):06d}-{uuid.uuid4().hex[:8]}"
         entry = self._write_snapshot(df, table, snap_id)
         with self._commit_lock(table):
+            # ts is COMMIT time, assigned under the lock: manifest
+            # order and ts order can then never disagree, so
+            # read_at(as_of_ts) is repeatable — a slow writer whose
+            # data write predates a faster peer's commit cannot
+            # appear retroactively in the past
+            entry["ts"] = time.time()
             snaps = self._read_manifest(table)
             snaps.append(entry)
             self._commit(table, snaps)
@@ -279,10 +285,25 @@ class GraphStore:
                     f"(compacted or vacuumed away?)")
             keep = snaps[: ids.index(snapshot_id) + 1]
         else:
-            keep = [s for s in snaps if s["ts"] <= as_of_ts]
-            if not keep:
+            # PREFIX semantics, not a ts filter: state as of T = the
+            # manifest prefix ending at the last commit with ts ≤ T.
+            # Commit timestamps are assigned under the commit lock, so
+            # an append-only history is ts-monotone and the two views
+            # agree; after a compaction the rewritten head carries a
+            # NEWER ts than the carried-over tail, and a T inside that
+            # inversion addresses a pre-compaction state that no
+            # longer exists — refuse it (the same retention contract
+            # as an expired snapshot id).
+            last = max((i for i, s in enumerate(snaps)
+                        if s["ts"] <= as_of_ts), default=None)
+            if last is None:
                 raise KeyError(f"table {table} has no snapshot at or "
                                f"before ts {as_of_ts}")
+            keep = snaps[: last + 1]
+            if any(s["ts"] > as_of_ts for s in keep):
+                raise KeyError(
+                    f"table {table}: ts {as_of_ts} addresses a state "
+                    f"rewritten by compaction (no longer addressable)")
         return self.spark.read.parquet(*[s["path"] for s in keep])
 
     def exists(self, table: str) -> bool:
@@ -346,6 +367,7 @@ class GraphStore:
                                      current_only=current_only)
         rewritten = {s["id"] for s in before}
         with self._commit_lock(table):
+            entry["ts"] = time.time()   # commit time, like append()
             now = self._read_manifest(table)
             live = {s["id"] for s in now}
             if not rewritten <= live:

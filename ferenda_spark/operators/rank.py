@@ -14,9 +14,11 @@ the fulltext scorer relies on.  Scale design:
 
 * one shuffle per iteration (groupBy dst), plus the one-time outdeg
   build; contributions are computed map-side from the joined rank;
-* the rank vector is K rows (nodes), re-persisted per iteration and
-  the previous one unpersisted — lineage stays O(1) deep via
-  localCheckpoint, same recipe as analytics.transitive_closure;
+* the rank vector is K rows (nodes); each iteration ends in a
+  localCheckpoint so lineage stays O(1) deep, the final vector is
+  materialized eagerly, and the cached edges/nodes inputs are
+  unpersisted before returning — repeated calls on a long-running
+  driver do not accumulate cached inputs;
 * a skewed in-degree hub is ONE reducer key whose input is its
   in-neighbor contributions — at 10^12 edges pre-aggregate per
   partition (partial sums are exact for integer addition), which
@@ -75,6 +77,9 @@ def pagerank(edges: DataFrame, iters: int = 3,
                        .alias("r"))
                .localCheckpoint(eager=False))
         rank = nxt
-    return rank.select("node",
-                       F.expr(f"r DIV {10**6}").cast("long")
-                       .alias("rank_micro"))
+    out = rank.select("node",
+                      F.expr(f"r DIV {10**6}").cast("long")
+                      .alias("rank_micro")).localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out

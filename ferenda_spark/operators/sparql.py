@@ -271,6 +271,11 @@ class _Parser:
                 items.append(Union(arms) if len(arms) > 1 else arms[0])
                 continue
             low = t.lower()
+            if low == "union":
+                # pattern_list would return [] without consuming the
+                # token and this loop would never advance — fail loudly
+                raise ValueError("sparql: UNION without a left-hand "
+                                 "group")
             if low == "optional":
                 self.next()
                 items.append(Optional_(self.group()))
@@ -349,6 +354,9 @@ class _Parser:
 
     def cmp_expr(self):
         t = self.peek()
+        if t is None:
+            raise ValueError("sparql: unexpected end of FILTER "
+                             "expression")
         if t == "!":
             self.next()
             return Not(self.cmp_expr())
@@ -400,7 +408,14 @@ def parse_sparql(text: str, params: dict[str, str] | None = None) -> Query:
     """Parse a query string (after ``%(name)s`` interpolation)."""
     if params:
         text = _PARAM_RE.sub(lambda m: str(params[m.group(1)]), text)
-    return _Parser(_tokenize(text), {}).query()
+    p = _Parser(_tokenize(text), {})
+    q = p.query()
+    if p.peek() is not None:
+        # solution modifiers (ORDER BY/LIMIT/GROUP BY) are outside the
+        # subset — dropping them silently would return wrong results
+        raise ValueError(f"sparql: unsupported tokens after the WHERE "
+                         f"group, starting at {p.peek()!r}")
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -570,8 +585,14 @@ def _group_plan(edges: DataFrame, grp, max_depth: int) -> _Plan:
                 df = df.withColumn(v, F.lit(None).cast("string"))
             for v in sorted(objvars):
                 if v not in a.objvars:
-                    df = (df.withColumn(f"__lit__{v}",
-                                        F.lit(None).cast("boolean"))
+                    # a var bound at subject/pred position in this arm
+                    # IS an IRI (lit flag False); only a var the arm
+                    # does not bind at all gets NULL metadata (unbound
+                    # — isUri() then nulls out, filtering the row, per
+                    # SPARQL error-on-unbound semantics)
+                    lit_flag = (F.lit(False) if v in a.vars
+                                else F.lit(None).cast("boolean"))
+                    df = (df.withColumn(f"__lit__{v}", lit_flag)
                           .withColumn(f"__dt__{v}",
                                       F.lit(None).cast("string"))
                           .withColumn(f"__lang__{v}",

@@ -63,6 +63,7 @@ def domain_filter(docs: DataFrame, url_col: str = "url",
                        "domain", "left_semi")
         else:
             if not allowlist:
-                return d.filter(F.lit(False))
+                # keep the output schema identical to every other path
+                return d.filter(F.lit(False)).drop("host", "domain")
             d = d.filter(F.col("domain").isin(*allowlist))
     return d.drop("host", "domain")

@@ -71,3 +71,13 @@ def test_threshold_mean_semantics(spark):
     out_lo = {r["id"]: r for r in quality_score(
         docs, threshold_milli=-(10**9)).collect()}
     assert all(r["keep"] for r in out_lo.values())
+
+def test_empty_doc_positive_threshold_rejected(spark):
+    """Review fix: an empty doc must NOT pass a positive-threshold
+    gate (sum*1000 >= thr*0 would hold for every thr)."""
+    docs = spark.createDataFrame([(1, ""), (2, "")],
+                                 "doc_id long, text string")
+    out = quality_score(docs, threshold_milli=500).collect()
+    assert all(not r["keep"] for r in out)
+    out0 = quality_score(docs, threshold_milli=0).collect()
+    assert all(r["keep"] for r in out0)

@@ -305,3 +305,26 @@ def test_time_travel_read_at(spark, tmp_path):
     assert {r["v"] for r in store.read("t").collect()} == {1, 2, 3}
     last = store.snapshots("t")[-1]["id"]
     assert {r["v"] for r in store.read_at("t", last).collect()} == {1, 2, 3}
+
+
+def test_time_travel_ts_is_commit_time_and_compaction_guard(spark, tmp_path):
+    """Review fix: as_of_ts uses manifest-prefix semantics; a ts
+    inside a compaction's reordering raises instead of resolving to a
+    state that no longer exists."""
+    import pytest
+    store = GraphStore(spark, str(tmp_path / "g"))
+    store.append(spark.createDataFrame([(1,)], "v long"), "t")
+    ts1 = store.snapshots("t")[-1]["ts"]
+    store.append(spark.createDataFrame([(2,)], "v long"), "t")
+    store.compact("t")
+    store.append(spark.createDataFrame([(3,)], "v long"), "t")
+    # after compaction the pre-compaction instants are unaddressable
+    # (either refusal branch is the same retention contract: nothing
+    # at-or-before, or inside the rewrite's ts inversion)
+    with pytest.raises(KeyError,
+                       match="no snapshot at or before|rewritten by"):
+        store.read_at("t", as_of_ts=ts1)
+    # the post-compaction commit IS addressable and complete
+    ts3 = store.snapshots("t")[-1]["ts"]
+    assert {r["v"] for r in store.read_at(
+        "t", as_of_ts=ts3).collect()} == {1, 2, 3}

@@ -333,3 +333,27 @@ def test_parser_accepts_generated_selects(data):
         f"WHERE {{ {' '.join(pats)} }}")
     assert q.form == "select" and q.select_vars == vars_
     assert len(q.where.items) == n_pat
+
+
+def test_review_fix_parser_errors():
+    """Leading UNION, truncated FILTER, and trailing solution
+    modifiers raise ValueError (no hang, no AttributeError)."""
+    for bad in ["SELECT ?s WHERE { UNION }",
+                "SELECT ?s WHERE { FILTER (",
+                "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?s"]:
+        with pytest.raises(ValueError):
+            parse_sparql(bad)
+
+
+def test_isuri_across_union_positions(spark):
+    """isUri holds for a var bound at SUBJECT position in one UNION
+    arm and object position in another (review fix: union padding
+    marks subject/pred bindings as IRIs, not unknown)."""
+    q = """
+    SELECT ?v WHERE {
+      { ?v rfc:updates <A> . } UNION { <B> dcterms:references ?v . }
+      FILTER(isUri(?v))
+    }
+    """
+    got = {r["v"] for r in sparql_query(_edges(spark), q).collect()}
+    assert got == {"D", "A#S1"}
