@@ -1,0 +1,58 @@
+"""spark-submit SPARQL runner over a materialized GraphStore — the
+serving-side analog of the reference's triplestore query path
+(documentrepository.py construct_annotations hitting a Fuseki/Sesame
+endpoint), here a batch job over the committed graph tables.
+
+Usage:
+    spark-submit --master local[N] --py-files ferenda_spark.zip \
+        tools/query_graph.py <store_dir> <query.rq | -> [key=value ...]
+
+Reads the store's provenance-gated current edge view, compiles the
+query (operators/sparql.py subset; %(key)s params from the CLI), and
+prints the result: CONSTRUCT as sorted N-Triples-style lines on
+stdout (grep ^TRIPLE), SELECT as tab-separated rows (grep ^ROW).
+"""
+
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    from ferenda_spark.operators.graph import GraphStore
+    from ferenda_spark.operators.sparql import parse_sparql, sparql_query
+
+    store_dir, query_src = sys.argv[1], sys.argv[2]
+    params = dict(kv.split("=", 1) for kv in sys.argv[3:])
+    text = (sys.stdin.read() if query_src == "-"
+            else open(query_src, encoding="utf-8").read())
+
+    spark = SparkSession.builder.appName("ferenda-query").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    store = GraphStore(spark, store_dir)
+    edges = store.read_current("edge").select(
+        "subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+        "obj_lang")
+    q = parse_sparql(text, params)
+    out = sparql_query(edges, text, params)
+    if q.form == "construct":
+        rows = out.orderBy("subj", "pred", "obj").collect()
+        for r in rows:
+            obj = (f'"{r["obj"]}"' if r["obj_is_literal"]
+                   else f"<{r['obj']}>")
+            print(f"TRIPLE <{r['subj']}> <{r['pred']}> {obj} .")
+    else:
+        cols = out.columns
+        rows = out.orderBy(*cols).collect()
+        for r in rows:
+            print("ROW\t" + "\t".join("" if r[c] is None else str(r[c])
+                                      for c in cols))
+    # stdout on purpose: spark-submit's PythonRunner merges the
+    # driver's stderr into stdout anyway, so an explicit tagged
+    # stdout marker is the only stable contract.
+    print(f"DONE {len(rows)} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
