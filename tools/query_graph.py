@@ -18,17 +18,15 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def main() -> None:
+def run(spark: SparkSession, argv: list[str]) -> None:
     from ferenda_spark.operators.graph import GraphStore
     from ferenda_spark.operators.sparql import parse_sparql, sparql_query
 
-    store_dir, query_src = sys.argv[1], sys.argv[2]
-    params = dict(kv.split("=", 1) for kv in sys.argv[3:])
+    store_dir, query_src = argv[0], argv[1]
+    params = dict(kv.split("=", 1) for kv in argv[2:])
     text = (sys.stdin.read() if query_src == "-"
             else open(query_src, encoding="utf-8").read())
 
-    spark = SparkSession.builder.appName("ferenda-query").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     store = GraphStore(spark, store_dir)
     edges = store.read_current("edge").select(
         "subj", "pred", "obj", "obj_is_literal", "obj_datatype",
@@ -51,7 +49,15 @@ def main() -> None:
     # driver's stderr into stdout anyway, so an explicit tagged
     # stdout marker is the only stable contract.
     print(f"DONE {len(rows)} rows")
-    spark.stop()
+
+
+def main() -> None:
+    spark = SparkSession.builder.appName("ferenda-query").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        run(spark, sys.argv[1:])
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
