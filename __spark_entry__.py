@@ -2943,7 +2943,7 @@ FROM ({o["sim_ivf_topk"]})
 """
 
     o["sim_label_centroids"] = """
-SELECT label, g.i AS dim_idx,
+SELECT CAST(label AS BIGINT) AS label, g.i AS dim_idx,
        round(avg(embedding[g.i + 1]), 6) AS centroid_component,
        count(*) AS n_vectors
 FROM embeddings,
