@@ -580,15 +580,16 @@ def duplicate_token_spans(docs: DataFrame, text_col: str = "text",
             F.col("pos"), F.col("pos") + (window - 1))).alias("t"))
         .groupBy("id")
         .agg(F.countDistinct("t").alias("n_dup_tokens")))
-    per_doc = (occ.groupBy("id")
-               .agg(F.count(F.lit(1)).alias("n_windows")))
+    # n_windows is pure arithmetic on n_tokens — computing it from occ
+    # would re-run the whole md5 window projection a third time (and at
+    # corpus scale the exploded windows are too large to cache away)
+    n_windows = F.when(F.col("n_tokens") >= window,
+                       F.col("n_tokens") - (window - 1)).otherwise(0)
     dup_win = dups.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
-    return (wins.select("id", "n_tokens")
-            .join(per_doc, "id", "left")
+    return (base.select("id", "n_tokens", n_windows.alias("n_windows"))
             .join(dup_win, "id", "left")
             .join(dup_tok, "id", "left")
-            .select("id", "n_tokens",
-                    F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            .select("id", "n_tokens", "n_windows",
                     F.coalesce("n_dup_windows", F.lit(0))
                     .alias("n_dup_windows"),
                     F.coalesce("n_dup_tokens", F.lit(0))
