@@ -271,23 +271,31 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
 
 # -- J3: bounded transitive closure ----------------------------------------
 
-def transitive_closure(edges: DataFrame, max_depth: int = 4,
+def transitive_closure(edges: DataFrame, max_depth: int | None = 4,
                        child_col: str = "child",
                        parent_col: str = "parent") -> DataFrame:
-    """All (descendant, ancestor, depth) pairs up to max_depth — the
-    ``isPartOf*`` closure behind annotation construction
-    (res/sparql/annotations.rq:4-19, SURVEY J3). Iterative self-join;
-    depth is bounded (section nesting ≤ 3-4), each iteration is one
-    shuffle over the persisted base — the (possibly expensive) edge
-    lineage is computed exactly once, and each frontier is persisted
-    so termination (count of the already-materialized join result)
-    costs no extra recompute. At 100 TB scale swap persist() for
+    """All (descendant, ancestor, depth) pairs — the ``isPartOf*``
+    closure behind annotation construction
+    (res/sparql/annotations.rq:4-19, SURVEY J3).
+
+    ``max_depth=None`` iterates to FIXPOINT (the semantics of SPARQL
+    property paths and of the gate oracles' unbounded WITH RECURSIVE):
+    semi-naive iteration whose frontier is anti-joined against the
+    already-seen pair set each round, so cycles terminate and no pair
+    is re-derived — the BFS-by-level discovery order also makes the
+    recorded depth the SHORTEST path depth for free.  A bounded
+    ``max_depth`` keeps the cheaper no-anti-join loop (section nesting
+    is ≤ 3-4; one shuffle per level over the persisted base).
+    Termination checks count the already-materialized join result, so
+    they cost no recompute.  At 100 TB scale swap persist() for
     localCheckpoint() to also truncate the growing plan lineage."""
     from pyspark import StorageLevel
     base = (edges.select(F.col(child_col).alias("descendant"),
                          F.col(parent_col).alias("ancestor"),
                          F.lit(1).alias("depth"))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    if max_depth is None:
+        return _closure_fixpoint(base)
     parts = [base]
     frontier = base
     for d in range(2, max_depth + 1):
@@ -313,6 +321,51 @@ def transitive_closure(edges: DataFrame, max_depth: int = 4,
     # completes; Spark evicts LRU, and ContextCleaner reclaims them
     # when the DataFrames go out of scope.
     return result
+
+
+def _closure_fixpoint(base: DataFrame) -> DataFrame:
+    """Semi-naive closure: frontier = (frontier ⋈ base) ∖ seen until
+    empty.  dropDuplicates bounds the frontier (two paths reaching the
+    same pair in one round collapse), the anti-join makes cycles
+    terminate, and seen is deduped by construction so no final groupBy
+    is needed.
+
+    Every round's frontier is ``localCheckpoint``-ed, NOT merely
+    persisted: round d's plan references the union of all previous
+    rounds, each of which references its own union, so without lineage
+    truncation the analyzed plan grows ~2^d and a 12-deep chain OOMs
+    the driver during analysis.  Checkpointing makes each part's plan
+    a leaf, so ``seen`` stays a flat d-way union of materialized
+    blocks and per-round planning cost is O(d).  (On a real cluster
+    localCheckpoint stores on executors — non-reliable but exactly
+    right for an iterative temporary; executor loss just recomputes
+    the query.)  The pair set is finite so the loop provably empties —
+    the cap below only guards against an engine bug looping forever."""
+    from functools import reduce
+
+    base = base.localCheckpoint()        # materialize + truncate lineage
+    parts = [base]
+    frontier = base
+    d = 1
+    while True:
+        d += 1
+        if d > 10_000:          # |pairs| ≤ |nodes|² rounds; this is a bug
+            raise RuntimeError("transitive_closure: fixpoint did not "
+                               "converge (cycle-safety anti-join broken?)")
+        seen = reduce(DataFrame.unionByName, parts)   # flat union of leaves
+        nxt = (frontier.alias("f")
+               .join(base.alias("b"),
+                     F.col("f.ancestor") == F.col("b.descendant"))
+               .select(F.col("f.descendant").alias("descendant"),
+                       F.col("b.ancestor").alias("ancestor"),
+                       F.lit(d).alias("depth"))
+               .dropDuplicates(["descendant", "ancestor"])
+               .join(seen, ["descendant", "ancestor"], "left_anti")
+               .localCheckpoint())       # eager: materializes this round
+        if nxt.isEmpty():
+            return seen
+        parts.append(nxt)
+        frontier = nxt
 
 
 # -- J5: keyword hub inversion ----------------------------------------------

@@ -13,8 +13,24 @@ into a DataFrame plan over any edge DataFrame.
 
 Supported subset (everything the reference's .rq files exercise):
 
-* ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v…`` and
+* ``PREFIX`` declarations — NORMALIZED, not just collected: every
+  ``<full-IRI>`` whose namespace is one of the engine's vocabulary
+  namespaces (``ENGINE_PREFIXES``) contracts to the store's CURIE
+  spelling, and every CURIE written under a query-declared prefix is
+  expanded through that declaration and re-contracted, so
+  ``<http://purl.org/dc/terms/references>``, ``dct:references``
+  (under ``PREFIX dct: <http://purl.org/dc/terms/>``) and
+  ``dcterms:references`` all compile to the same stored term instead
+  of silently matching nothing.
+* ``SELECT [DISTINCT] ?v…`` (plain vars and ``(COUNT(?v) AS ?n)`` /
+  ``(COUNT(*) AS ?n)`` / ``COUNT(DISTINCT ?v)`` aggregates) and
   ``CONSTRUCT { template }`` forms.
+* Solution modifiers: ``GROUP BY ?v…``, ``ORDER BY ?v / ASC(?v) /
+  DESC(?v)``, ``LIMIT n``, ``OFFSET n`` — the reference's API-shaped
+  queries sort and page results (wsgiapp.py:388-435,
+  triplestore.py:138-152).  ``ORDER BY … LIMIT k`` compiles to
+  Spark's TakeOrdered (distributed top-k, never a single-partition
+  global sort).
 * Basic graph patterns with variables in any position,
   ``;`` predicate-object list continuation, ``.`` separators.
 * ``{ … } UNION { … }`` (n-ary), nested groups, ``OPTIONAL { … }``
@@ -23,7 +39,15 @@ Supported subset (everything the reference's .rq files exercise):
   one; a single-graph store treats the clause as the whole store —
   the keyword_dv.rq context shape).
 * Property paths ``pred*`` / ``pred+`` (fixed predicate; var–var
-  ``*`` takes its zero-length arm from the graph's node universe).
+  ``*`` takes its zero-length arm from the graph's node universe —
+  compiled LAZILY: the node-universe distinct is semi-join-pruned to
+  the domain of whatever side the pattern joins with, so the full
+  edge table never shuffles just to build identity rows that the
+  join would discard).  Closures iterate to FIXPOINT by default
+  (``max_depth=None`` — matching SPARQL semantics and unbounded
+  ``WITH RECURSIVE`` oracles); a bounded ``max_depth`` stays
+  available for known-shallow hierarchies, and one ``sparql_query``
+  compile computes at most ONE closure per (predicate, bound).
 * ``FILTER(…)`` with ``= != && || !``, ``?x IN (a, b)``,
   ``isUri(?v)``, ``strstarts(str(?v), "…")``, parentheses.
 * ``BIND(?x as ?y)``.
@@ -60,6 +84,24 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: prefix → namespace IRI for the vocabulary the edge builder emits
+#: as CURIEs (the reference's DocumentRepository.namespaces subset,
+#: documentrepository.py:179-186; must stay consistent with
+#: render.RDFA_PREFIXES).  Any full IRI under one of these namespaces
+#: contracts to the CURIE at parse time; IRIs outside them (document
+#: URIs) are stored in full and stay full.
+ENGINE_PREFIXES = {
+    "dcterms": "http://purl.org/dc/terms/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "rfc": "https://example.org/ontology/rfc#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "bibo": "http://purl.org/ontology/bibo/",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
 
 
 # ---------------------------------------------------------------------------
@@ -117,13 +159,25 @@ class GraphScope:
     group: Group
 
 
+@dataclass(frozen=True)
+class Agg:
+    """One ``(COUNT([DISTINCT] ?v|*) AS ?alias)`` projection slot."""
+    var: str | None              # None for COUNT(*)
+    distinct: bool
+    alias: str
+
+
 @dataclass
 class Query:
     form: str                    # 'select' | 'construct'
-    select_vars: list | None
+    select_vars: list | None     # plain var names + Agg entries, in order
     distinct: bool
     template: list | None        # list[Pattern] for construct
     where: Group
+    group_by: list = field(default_factory=list)   # var names
+    order_by: list = field(default_factory=list)   # (var name, asc: bool)
+    limit: int | None = None
+    offset: int | None = None
 
 
 # filter-expression nodes
@@ -165,6 +219,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<iri><[^>\s]*>)
   | (?P<var>\?[A-Za-z_][\w]*)
+  | (?P<num>\d+)
   | (?P<name>[A-Za-z_][\w.-]*(?::[\w./#-]*)?)
   | (?P<op>&&|\|\||!=|[{}().;,=!*+])
   | (?P<ws>\s+)
@@ -210,12 +265,21 @@ class _Parser:
             raise ValueError(f"sparql: expected {tok!r}, got {t!r}")
 
     # -- terms ------------------------------------------------------------
+    @staticmethod
+    def _contract(iri: str) -> str:
+        """Full IRI → the engine's stored CURIE spelling when the
+        namespace is vocabulary; document URIs pass through."""
+        for pfx, ns in ENGINE_PREFIXES.items():
+            if iri.startswith(ns) and len(iri) > len(ns):
+                return f"{pfx}:{iri[len(ns):]}"
+        return iri
+
     def term(self):
         t = self.next()
         if t.startswith("?"):
             return Var(t[1:])
         if t.startswith("<"):
-            return Term(t[1:-1])
+            return Term(self._contract(t[1:-1]))
         if t.startswith('"'):
             return Term(t[1:-1].replace('\\"', '"'), is_literal=True)
         if t == "a":                       # rdf:type shorthand
@@ -224,6 +288,14 @@ class _Parser:
             # punctuation can never be a term — fail loudly instead of
             # silently mis-parsing a keyword the grammar missed
             raise ValueError(f"sparql: expected a term, got {t!r}")
+        if ":" in t:
+            pfx, local = t.split(":", 1)
+            if pfx in self.prefixes:
+                # a query-declared prefix may alias an engine namespace
+                # under another name (dct: for dcterms:) — round-trip
+                # through the declaration so the CURIE lands on the
+                # stored spelling either way
+                return Term(self._contract(self.prefixes[pfx] + local))
         return Term(t)                     # CURIE kept compact
 
     # -- query ------------------------------------------------------------
@@ -240,17 +312,101 @@ class _Parser:
                 self.next()
                 distinct = True
             sel = []
-            while self.peek() and self.peek().startswith("?"):
-                sel.append(self.next()[1:])
+            while self.peek() and (self.peek().startswith("?")
+                                   or self.peek() == "("):
+                if self.peek() == "(":
+                    sel.append(self.agg_slot())
+                else:
+                    sel.append(self.next()[1:])
             self.expect("where")
-            return Query("select", sel, distinct, None, self.group())
+            q = Query("select", sel, distinct, None, self.group())
+            self.modifiers(q)
+            return q
         if head == "construct":
             self.expect("{")
             template = self.pattern_list(stop="}")
             self.expect("}")
             self.expect("where")
-            return Query("construct", None, False, template, self.group())
+            q = Query("construct", None, False, template, self.group())
+            if self.peek() is not None:
+                # a CONSTRUCT's output is a GRAPH (a set): ordering is
+                # meaningless and a LIMIT over the pre-template
+                # solution sequence is non-deterministic — refuse loud
+                raise ValueError("sparql: solution modifiers are not "
+                                 "supported on CONSTRUCT")
+            return q
         raise ValueError(f"sparql: unsupported query form {head!r}")
+
+    def agg_slot(self) -> Agg:
+        """``( COUNT ( [DISTINCT] ?v|* ) AS ?alias )``"""
+        self.expect("(")
+        fn = self.next().lower()
+        if fn != "count":
+            raise ValueError(f"sparql: unsupported aggregate {fn!r} "
+                             "(only COUNT)")
+        self.expect("(")
+        distinct = False
+        if self.peek() and self.peek().lower() == "distinct":
+            self.next()
+            distinct = True
+        t = self.next()
+        if t == "*":
+            if distinct:
+                raise ValueError("sparql: COUNT(DISTINCT *) is not "
+                                 "supported")
+            var = None
+        elif t.startswith("?"):
+            var = t[1:]
+        else:
+            raise ValueError(f"sparql: COUNT argument must be ?var or "
+                             f"*, got {t!r}")
+        self.expect(")")
+        self.expect("as")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise ValueError("sparql: aggregate alias must be a var")
+        self.expect(")")
+        return Agg(var, distinct, alias[1:])
+
+    def modifiers(self, q: Query) -> None:
+        """GROUP BY / ORDER BY / LIMIT / OFFSET after the WHERE group
+        (LIMIT and OFFSET accepted in either order, per spec)."""
+        if self.peek() and self.peek().lower() == "group":
+            self.next()
+            self.expect("by")
+            while self.peek() and self.peek().startswith("?"):
+                q.group_by.append(self.next()[1:])
+            if not q.group_by:
+                raise ValueError("sparql: empty GROUP BY")
+        if self.peek() and self.peek().lower() == "order":
+            self.next()
+            self.expect("by")
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t.startswith("?"):
+                    q.order_by.append((self.next()[1:], True))
+                elif t.lower() in ("asc", "desc"):
+                    self.next()
+                    self.expect("(")
+                    v = self.next()
+                    if not v.startswith("?"):
+                        raise ValueError("sparql: ORDER BY needs a var")
+                    self.expect(")")
+                    q.order_by.append((v[1:], t.lower() == "asc"))
+                else:
+                    break
+            if not q.order_by:
+                raise ValueError("sparql: empty ORDER BY")
+        for _ in range(2):
+            t = self.peek()
+            if t and t.lower() == "limit":
+                self.next()
+                q.limit = int(self.next())
+            elif t and t.lower() == "offset":
+                self.next()
+                q.offset = int(self.next())
 
     # -- groups -----------------------------------------------------------
     def group(self) -> Group:
@@ -411,10 +567,10 @@ def parse_sparql(text: str, params: dict[str, str] | None = None) -> Query:
     p = _Parser(_tokenize(text), {})
     q = p.query()
     if p.peek() is not None:
-        # solution modifiers (ORDER BY/LIMIT/GROUP BY) are outside the
-        # subset — dropping them silently would return wrong results
-        raise ValueError(f"sparql: unsupported tokens after the WHERE "
-                         f"group, starting at {p.peek()!r}")
+        # anything past the parsed solution modifiers is outside the
+        # subset — dropping it silently would return wrong results
+        raise ValueError(f"sparql: unsupported tokens after the query, "
+                         f"starting at {p.peek()!r}")
     return q
 
 
@@ -440,9 +596,10 @@ class _Plan:
         self.objvars = objvars      # vars with __lit__/__dt__/__lang__ cols
 
 
-def _pattern_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
+def _pattern_plan(edges: DataFrame, pat: Pattern, max_depth,
+                  clo_cache: dict | None = None) -> _Plan:
     if pat.path:
-        return _path_plan(edges, pat, max_depth)
+        return _path_plan(edges, pat, max_depth, clo_cache)
     df = edges
     vars_: set[str] = set()
     objvars: set[str] = set()
@@ -468,28 +625,87 @@ def _pattern_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
             if pos == "obj":
                 df = df.filter(F.col("obj_is_literal") ==
                                F.lit(node.is_literal))
-    return _Plan(df.select(*sel) if sel else df.select(), vars_, objvars)
+    if not sel:
+        # fully-ground pattern: its only SPARQL effect on the group is
+        # boolean membership — limit(1) keeps the existence check and
+        # stops the later crossJoin duplicating the other side once
+        # per matching edge (wrong multiplicity for non-DISTINCT)
+        return _Plan(df.select().limit(1), vars_, objvars)
+    return _Plan(df.select(*sel), vars_, objvars)
 
 
-def _path_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
+class _StarPlan(_Plan):
+    """A var–var ``pred*`` pattern with its zero-length arm DEFERRED.
+
+    Materializing identity-over-node-universe eagerly costs a full
+    edge-table shuffle+distinct that the subsequent join throws most
+    of away (the round-3 scale-killer: kg_sparql_subdocs paid an
+    edge-wide Exchange per compile).  Instead the pattern stays
+    symbolic until ``_join`` knows the other side; ``resolve`` then
+    semi-joins the node universe against that side's (small, already
+    pruned) var domain BEFORE the distinct, so the zero-arm costs one
+    broadcastable semi-join instead of a corpus-wide distinct."""
+
+    def __init__(self, clo: DataFrame, s_name: str, o_name: str,
+                 edges: DataFrame):
+        super().__init__(None, {s_name, o_name}, set())
+        self.clo = clo
+        self.s_name = s_name
+        self.o_name = o_name
+        self.edges = edges
+
+    def resolve(self, other: "_Plan | None" = None) -> _Plan:
+        s, o = self.s_name, self.o_name
+        pairs = self.clo.select(F.col("descendant").alias(s),
+                                F.col("ancestor").alias(o))
+        nodes = (self.edges.select(F.col("subj").alias("n"))
+                 .unionByName(self.edges.filter(~F.col("obj_is_literal"))
+                              .select(F.col("obj").alias("n"))))
+        if other is not None and (other.vars & {s, o}):
+            shared = other.vars & {s, o}
+            dom = other.df
+            if s in shared and o in shared:
+                # the join binds both ends: only identity rows where
+                # the other side already has s == o can survive
+                dom = dom.filter(F.col(s) == F.col(o)) \
+                         .select(F.col(s).alias("n"))
+            else:
+                dom = dom.select(F.col(next(iter(shared))).alias("n"))
+            nodes = nodes.join(dom.distinct(), "n", "left_semi")
+        nodes = nodes.distinct()
+        out = (pairs.unionByName(nodes.select(F.col("n").alias(s),
+                                              F.col("n").alias(o)))
+               .distinct())
+        return _Plan(out, {s, o}, set())
+
+
+def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
+               clo_cache: dict | None = None) -> _Plan:
     """``?x pred* C`` / ``C pred* ?x`` / ``?x pred+ C`` …
 
     Seeded from the closure: descendant —pred→ … —pred→ ancestor.
-    ``*`` adds the depth-0 identity row for the constant end.
+    ``*`` adds the depth-0 identity row for the constant end.  One
+    compile builds at most one closure per (predicate, max_depth) —
+    the describe-with-subdocs shape walks the same predicate twice.
     """
     from ferenda_spark.operators.analytics import transitive_closure
     if not isinstance(pat.p, Term):
         raise ValueError("sparql: property path needs a constant predicate")
-    rel = (edges.filter((F.col("pred") == _lit(pat.p))
-                        & ~F.col("obj_is_literal"))
-           .select("subj", "obj"))
-    clo = transitive_closure(rel, max_depth=max_depth,
-                             child_col="subj", parent_col="obj")
+    key = (pat.p.value, max_depth)
+    clo = clo_cache.get(key) if clo_cache is not None else None
+    if clo is None:
+        rel = (edges.filter((F.col("pred") == _lit(pat.p))
+                            & ~F.col("obj_is_literal"))
+               .select("subj", "obj"))
+        clo = transitive_closure(rel, max_depth=max_depth,
+                                 child_col="subj", parent_col="obj")
+        if clo_cache is not None:
+            clo_cache[key] = clo
     if isinstance(pat.s, Var) and isinstance(pat.o, Term):
         out = clo.filter(F.col("ancestor") == _lit(pat.o)) \
                  .select(F.col("descendant").alias(pat.s.name))
         if pat.path == "*":
-            one = rel.sparkSession.createDataFrame(
+            one = edges.sparkSession.createDataFrame(
                 [(pat.o.value,)], f"{pat.s.name} string")
             out = out.unionByName(one).distinct()
         return _Plan(out, {pat.s.name}, set())
@@ -497,33 +713,37 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth: int) -> _Plan:
         out = clo.filter(F.col("descendant") == _lit(pat.s)) \
                  .select(F.col("ancestor").alias(pat.o.name))
         if pat.path == "*":
-            one = rel.sparkSession.createDataFrame(
+            one = edges.sparkSession.createDataFrame(
                 [(pat.s.value,)], f"{pat.o.name} string")
             out = out.unionByName(one).distinct()
         return _Plan(out, {pat.o.name}, set())
     if isinstance(pat.s, Var) and isinstance(pat.o, Var):
+        if pat.path == "*":
+            # zero-length arm = identity over the node universe (per
+            # spec) — deferred so the join can prune it (see _StarPlan)
+            return _StarPlan(clo, pat.s.name, pat.o.name, edges)
         out = clo.select(F.col("descendant").alias(pat.s.name),
                          F.col("ancestor").alias(pat.o.name))
-        if pat.path == "*":
-            # zero-length arm: identity over the graph's node universe
-            # (per spec; one distinct over the edge table — the join
-            # with an already-bound side prunes it in practice)
-            nodes = (edges.select(F.col("subj").alias("n"))
-                     .unionByName(
-                         edges.filter(~F.col("obj_is_literal"))
-                         .select(F.col("obj").alias("n")))
-                     .distinct())
-            out = out.unionByName(
-                nodes.select(F.col("n").alias(pat.s.name),
-                             F.col("n").alias(pat.o.name))).distinct()
         return _Plan(out, {pat.s.name, pat.o.name}, set())
-    # both constant: boolean — empty or unit pattern; keep as filter df
+    # both constant: boolean — empty or unit pattern (limit(1): its
+    # only group effect is existence, not multiplicity)
     hit = clo.filter((F.col("descendant") == _lit(pat.s))
                      & (F.col("ancestor") == _lit(pat.o)))
-    return _Plan(hit.select(), set(), set())
+    return _Plan(hit.select().limit(1), set(), set())
 
 
 def _join(a: _Plan, b: _Plan, how: str = "inner") -> _Plan:
+    # resolve deferred var-var `*` plans, pruning the node-universe
+    # zero-arm by the side it joins with.  Pruning the RIGHT side is
+    # always safe (inner: symmetric; left: unmatched right rows are
+    # dropped anyway); the LEFT side of a left join must NOT be pruned
+    # (its rows survive an empty optional) — resolve it eagerly.
+    if isinstance(a, _StarPlan) and isinstance(b, _StarPlan):
+        a = a.resolve()
+    if isinstance(b, _StarPlan):
+        b = b.resolve(a if a.vars & b.vars else None)
+    if isinstance(a, _StarPlan):
+        a = a.resolve(b if how == "inner" and (a.vars & b.vars) else None)
     shared = sorted(a.vars & b.vars)
     # drop duplicate hidden metadata from the right side
     dup_meta = [c for v in (b.objvars & a.objvars)
@@ -573,9 +793,11 @@ def _value_col(node, plan: _Plan):
     return _lit(node)
 
 
-def _group_plan(edges: DataFrame, grp, max_depth: int) -> _Plan:
+def _group_plan(edges: DataFrame, grp, max_depth,
+                clo_cache: dict | None = None) -> _Plan:
     if isinstance(grp, Union):
-        arms = [_group_plan(edges, a, max_depth) for a in grp.arms]
+        arms = [_group_plan(edges, a, max_depth, clo_cache)
+                for a in grp.arms]
         vars_ = set().union(*[a.vars for a in arms])
         objvars = set().union(*[a.objvars for a in arms])
         dfs = []
@@ -614,7 +836,7 @@ def _group_plan(edges: DataFrame, grp, max_depth: int) -> _Plan:
             binds.append(item)
             continue
         if isinstance(item, Optional_):
-            sub = _group_plan(edges, item.group, max_depth)
+            sub = _group_plan(edges, item.group, max_depth, clo_cache)
             if plan is None:
                 raise ValueError("sparql: OPTIONAL cannot open a group")
             plan = _join(plan, sub, how="left")
@@ -626,15 +848,21 @@ def _group_plan(edges: DataFrame, grp, max_depth: int) -> _Plan:
             scoped = edges
             if isinstance(item.name, Term) and "graph" in edges.columns:
                 scoped = edges.filter(F.col("graph") == _lit(item.name))
-            sub = _group_plan(scoped, item.group, max_depth)
+            sub = _group_plan(scoped, item.group, max_depth, clo_cache)
             plan = sub if plan is None else _join(plan, sub)
             continue
-        sub = (_pattern_plan(edges, item, max_depth)
+        sub = (_pattern_plan(edges, item, max_depth, clo_cache)
                if isinstance(item, Pattern)
-               else _group_plan(edges, item, max_depth))
+               else _group_plan(edges, item, max_depth, clo_cache))
         plan = sub if plan is None else _join(plan, sub)
     if plan is None:
         raise ValueError("sparql: empty group")
+    if isinstance(plan, _StarPlan):
+        # a group whose only pattern is a var–var `*` path: no join
+        # ever resolved the deferred zero-arm — materialize it now
+        # (unpruned; nothing to prune against) so filters/binds below
+        # and the projection see a real DataFrame
+        plan = plan.resolve()
     for b in binds:
         if not isinstance(b.src, Var) or b.src.name not in plan.vars:
             raise ValueError("sparql: BIND source must be a bound var")
@@ -692,29 +920,83 @@ def _construct_out(plan: _Plan, template: list[Pattern]) -> DataFrame:
 
 def sparql_query(edges: DataFrame, text: str,
                  params: dict[str, str] | None = None,
-                 max_depth: int = 8) -> DataFrame:
+                 max_depth: int | None = None) -> DataFrame:
     """Run a SELECT/CONSTRUCT query (the reference's .rq subset) over
     an edge DataFrame with schema (subj, pred, obj, obj_is_literal,
     obj_datatype, obj_lang).
 
-    SELECT returns one column per projected var; CONSTRUCT returns the
-    six-column triple schema (a graph, distinct rows).  ``max_depth``
-    bounds property-path closures (section nesting / citation chains
-    are shallow; raise for deep hierarchies).
+    SELECT returns one column per projected var/aggregate; CONSTRUCT
+    returns the six-column triple schema (a graph, distinct rows).
+    ``max_depth=None`` (default) iterates property-path closures to
+    FIXPOINT — real SPARQL path semantics and what the reference
+    triplestore answers; pass a bound for known-shallow hierarchies
+    where one fewer anti-join per level matters.  One compile builds
+    at most one closure per (predicate, bound), however many patterns
+    walk it.
     """
     q = parse_sparql(text, params)
-    plan = _group_plan(edges, q.where, max_depth)
+    plan = _group_plan(edges, q.where, max_depth, clo_cache={})
     if q.form == "construct":
         return _construct_out(plan, q.template)
-    missing = [v for v in q.select_vars if v not in plan.vars]
+    return _select_out(plan, q)
+
+
+def _select_out(plan: _Plan, q: Query) -> DataFrame:
+    """Project a SELECT: plain vars and COUNT aggregates, then the
+    solution modifiers.  ``ORDER BY … LIMIT k`` deliberately stays one
+    ``orderBy().limit(k)`` plan so Spark compiles it to TakeOrdered
+    (distributed top-k) rather than a single-partition global sort."""
+    plain = [v for v in q.select_vars if not isinstance(v, Agg)]
+    aggs = [v for v in q.select_vars if isinstance(v, Agg)]
+    missing = [v for v in plain if v not in plan.vars] + \
+              [a.var for a in aggs if a.var and a.var not in plan.vars]
     if missing:
         raise ValueError(f"sparql: SELECT of unbound vars {missing}")
-    out = plan.df.select(*q.select_vars)
-    return out.distinct() if q.distinct else out
+    bad_group = [v for v in q.group_by if v not in plan.vars]
+    if bad_group:
+        raise ValueError(f"sparql: GROUP BY of unbound vars {bad_group}")
+    if aggs:
+        ungrouped = [v for v in plain if v not in q.group_by]
+        if ungrouped:
+            raise ValueError("sparql: non-aggregate SELECT vars must "
+                             f"appear in GROUP BY: {ungrouped}")
+        exprs = []
+        for a in aggs:
+            if a.var is None:
+                e = F.count(F.lit(1))
+            elif a.distinct:
+                e = F.countDistinct(F.col(a.var))
+            else:
+                e = F.count(F.col(a.var))
+            exprs.append(e.alias(a.alias))
+        grouped = (plan.df.groupBy(*q.group_by) if q.group_by
+                   else plan.df.groupBy())
+        out = grouped.agg(*exprs)
+        # restore the SELECT list's column order
+        out = out.select(*[v if not isinstance(v, Agg) else v.alias
+                           for v in q.select_vars])
+    elif q.group_by:
+        raise ValueError("sparql: GROUP BY without an aggregate")
+    else:
+        out = plan.df.select(*plain)
+        if q.distinct:
+            out = out.distinct()
+    bad_order = [v for v, _ in q.order_by if v not in out.columns]
+    if bad_order:
+        raise ValueError(f"sparql: ORDER BY of unprojected vars "
+                         f"{bad_order}")
+    if q.order_by:
+        out = out.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                            for v, asc in q.order_by])
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
 
 
 def construct_annotations(edges: DataFrame, uri: str,
-                          max_depth: int = 8) -> DataFrame:
+                          max_depth: int | None = None) -> DataFrame:
     """The reference's default annotation graph for one document
     (res/sparql/annotations.rq, interpolated with %(uri)s): every
     triple about the document or its parts, plus isReferencedBy

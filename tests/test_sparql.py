@@ -336,11 +336,16 @@ def test_parser_accepts_generated_selects(data):
 
 
 def test_review_fix_parser_errors():
-    """Leading UNION, truncated FILTER, and trailing solution
-    modifiers raise ValueError (no hang, no AttributeError)."""
+    """Leading UNION, truncated FILTER, and genuinely-unsupported
+    trailing clauses raise ValueError (no hang, no AttributeError).
+    ORDER BY/LIMIT/OFFSET/GROUP BY are supported now; HAVING and
+    modifiers on CONSTRUCT are not and must stay loud."""
     for bad in ["SELECT ?s WHERE { UNION }",
                 "SELECT ?s WHERE { FILTER (",
-                "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?s"]:
+                "SELECT ?s WHERE { ?s ?p ?o . } HAVING (?s)",
+                "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY",
+                "SELECT ?s WHERE { ?s ?p ?o . } GROUP BY",
+                "CONSTRUCT { ?s ?p ?o . } WHERE { ?s ?p ?o . } LIMIT 5"]:
         with pytest.raises(ValueError):
             parse_sparql(bad)
 
@@ -357,3 +362,157 @@ def test_isuri_across_union_positions(spark):
     """
     got = {r["v"] for r in sparql_query(_edges(spark), q).collect()}
     assert got == {"D", "A#S1"}
+
+
+# --- round-4 features: modifiers, aggregates, prefix normalization, ---------
+# --- lazy star zero-arm, fixpoint closures, closure memoization -------------
+
+def test_order_by_limit_offset(spark):
+    """ORDER BY / LIMIT / OFFSET compile to a deterministic page — the
+    reference's API-shaped queries sort and page (wsgiapp.py:388-435,
+    triplestore.py:138-152)."""
+    q = """
+    SELECT ?s ?o WHERE { ?s dcterms:title ?o . }
+    ORDER BY DESC(?s) LIMIT 2
+    """
+    got = [(r["s"], r["o"]) for r in sparql_query(_edges(spark), q).collect()]
+    assert got == [("C", "Doc C"), ("B", "Doc B")]
+    q2 = """
+    SELECT ?s WHERE { ?s dcterms:title ?o . }
+    ORDER BY ?s LIMIT 2 OFFSET 1
+    """
+    got2 = [r["s"] for r in sparql_query(_edges(spark), q2).collect()]
+    assert got2 == ["B", "C"]
+    # ORDER BY + LIMIT must be a distributed top-k (TakeOrdered), not
+    # a single-partition global sort
+    plan = sparql_query(_edges(spark), q)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_group_by(spark):
+    q = """
+    SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . }
+    GROUP BY ?p ORDER BY DESC(?n) ?p
+    """
+    got = [(r["p"], r["n"]) for r in sparql_query(_edges(spark), q).collect()]
+    # two predicates tie at n=3; ?p ascending breaks the tie
+    assert got[:2] == [("dcterms:references", 3), ("dcterms:title", 3)]
+    assert dict(got)["rfc:updates"] == 1
+
+
+def test_count_star_and_distinct(spark):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }"
+    assert sparql_query(_edges(spark), q).collect()[0]["n"] == 12
+    q2 = "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o . }"
+    assert sparql_query(_edges(spark), q2).collect()[0]["n"] == 7
+    # non-aggregate var missing from GROUP BY is loud, not silent
+    with pytest.raises(ValueError):
+        sparql_query(_edges(spark),
+                     "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }")
+
+
+def test_prefix_normalization(spark):
+    """Full IRIs under engine vocabulary namespaces and CURIEs under
+    query-declared alias prefixes both land on the stored CURIE
+    spelling (ADVICE r3: a query writing the dcterms IRI in full must
+    not silently return empty)."""
+    q = """
+    SELECT ?s WHERE {
+      ?s <http://purl.org/dc/terms/references> <A#S1> .
+    }
+    """
+    assert {r["s"] for r in sparql_query(_edges(spark), q).collect()} \
+        == {"B"}
+    q2 = """
+    PREFIX dct: <http://purl.org/dc/terms/>
+    SELECT ?s WHERE { ?s dct:references <A#S1> . }
+    """
+    assert {r["s"] for r in sparql_query(_edges(spark), q2).collect()} \
+        == {"B"}
+
+
+def test_closure_memoized_per_compile(spark, monkeypatch):
+    """One sparql_query compile builds at most ONE closure per
+    (predicate, bound) — the describe-with-subdocs shape walks the
+    same predicate twice (VERDICT r3 #3)."""
+    import ferenda_spark.operators.analytics as analytics
+    calls = []
+    real = analytics.transitive_closure
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(analytics, "transitive_closure", counted)
+    q = """
+    SELECT DISTINCT ?a ?b WHERE {
+      ?a dcterms:isPartOf* <A> .
+      ?b dcterms:isPartOf+ <A> .
+    }
+    """
+    got = sparql_query(_edges(spark), q)
+    assert {(r["a"], r["b"]) for r in got.collect()} == {
+        (a, b) for a in ("A", "A#S1", "A#S1.1") for b in ("A#S1", "A#S1.1")}
+    assert len(calls) == 1
+
+
+def test_star_zero_arm_pruned(spark):
+    """A var-var ``pred*`` joined with a bound side semi-join-prunes
+    the node universe BEFORE the distinct (VERDICT r3 #2): the
+    executed plan carries a LeftSemi and the results still include the
+    zero-length identity rows."""
+    q = """
+    SELECT DISTINCT ?part ?anc WHERE {
+      ?part dcterms:isPartOf* ?anc .
+      ?x dcterms:references ?part .
+    }
+    """
+    out = sparql_query(_edges(spark), q)
+    got = {(r["part"], r["anc"]) for r in out.collect()}
+    # referenced parts: A#S1 (by B), Z (by C), B (by E)
+    assert got == {("A#S1", "A#S1"), ("A#S1", "A"),
+                   ("Z", "Z"), ("B", "B")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_fixpoint_closure_deep_chain(spark):
+    """Default (no max_depth) iterates to fixpoint: a 12-deep
+    references chain — deeper than the old bound of 8 — still reaches
+    the far end (ADVICE r3: bounded paths silently dropped
+    solutions)."""
+    rows = [(f"N{i}", "dcterms:references", f"N{i+1}", False, None, None)
+            for i in range(12)]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    got = sparql_query(
+        edges, "SELECT ?s WHERE { ?s dcterms:references+ <N12> . }")
+    assert {r["s"] for r in got.collect()} == {f"N{i}" for i in range(12)}
+    # and an explicit shallow bound still bounds
+    got8 = sparql_query(
+        edges, "SELECT ?s WHERE { ?s dcterms:references+ <N12> . }",
+        max_depth=3)
+    assert {r["s"] for r in got8.collect()} == {"N9", "N10", "N11"}
+
+
+def test_ground_pattern_multiplicity(spark):
+    """A fully-ground pattern in a group is an existence check — it
+    must not duplicate the other patterns' rows once per matching edge
+    (ADVICE r3: df.select() crossJoin gave wrong multiplicities for
+    non-DISTINCT SELECT)."""
+    q = """
+    SELECT ?t WHERE {
+      <A> rdf:type <bibo:Document> .
+      <B> dcterms:title ?t .
+    }
+    """
+    got = [r["t"] for r in sparql_query(_edges(spark), q).collect()]
+    assert got == ["Doc B"]
+    # ground pattern that matches nothing → empty group
+    q2 = """
+    SELECT ?t WHERE {
+      <A> rdf:type <bibo:Nothing> .
+      <B> dcterms:title ?t .
+    }
+    """
+    assert sparql_query(_edges(spark), q2).count() == 0

@@ -5,7 +5,11 @@ endpoint), here a batch job over the committed graph tables.
 
 Usage:
     spark-submit --master local[N] --py-files ferenda_spark.zip \
-        tools/query_graph.py <store_dir> <query.rq | -> [key=value ...]
+        tools/query_graph.py <store_dir> <query.rq | -> \
+        [--max-depth N] [key=value ...]
+
+Property-path closures iterate to fixpoint by default (real SPARQL
+semantics); --max-depth N bounds them for known-shallow hierarchies.
 
 Reads the store's provenance-gated current edge view, compiles the
 query (operators/sparql.py subset; %(key)s params from the CLI), and
@@ -23,7 +27,13 @@ def run(spark: SparkSession, argv: list[str]) -> None:
     from ferenda_spark.operators.sparql import parse_sparql, sparql_query
 
     store_dir, query_src = argv[0], argv[1]
-    params = dict(kv.split("=", 1) for kv in argv[2:])
+    rest = argv[2:]
+    max_depth = None
+    if "--max-depth" in rest:
+        i = rest.index("--max-depth")
+        max_depth = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
+    params = dict(kv.split("=", 1) for kv in rest)
     text = (sys.stdin.read() if query_src == "-"
             else open(query_src, encoding="utf-8").read())
 
@@ -32,7 +42,7 @@ def run(spark: SparkSession, argv: list[str]) -> None:
         "subj", "pred", "obj", "obj_is_literal", "obj_datatype",
         "obj_lang")
     q = parse_sparql(text, params)
-    out = sparql_query(edges, text, params)
+    out = sparql_query(edges, text, params, max_depth=max_depth)
     if q.form == "construct":
         rows = out.orderBy("subj", "pred", "obj").collect()
         for r in rows:
