@@ -2724,8 +2724,9 @@ base AS (
 sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
 occ AS (
   SELECT doc_id, g.i AS pos,
-         md5(array_to_string(list_slice(toks, g.i, g.i + 19), ' '))
-             AS whash
+         CAST(concat('0x', substr(
+             md5(array_to_string(list_slice(toks, g.i, g.i + 19), ' ')),
+             1, 15)) AS BIGINT) AS whash
   FROM sized, unnest(generate_series(1, n_tokens - 19)) AS g(i)),
 marked AS (
   SELECT doc_id, pos,

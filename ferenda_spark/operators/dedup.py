@@ -441,6 +441,25 @@ def component_clusters(pairs: DataFrame, id_a: str = "id_a",
     return comp.join(sizes, "comp").select("id", "comp", "csize")
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition up to the cluster's default parallelism — ONLY when
+    the source has fewer partitions than that.
+
+    CPU-heavy per-row projections (the md5-per-window hashing below)
+    inherit the SCAN's partitioning; a small parquet file is one row
+    group = one partition, so without this the whole hashing pass runs
+    on a single core however many the cluster has.  At real scale the
+    scan already has thousands of partitions and this is a provable
+    no-op (the partition-count probe builds the RDD DAG but runs no
+    job); it only pays one small exchange exactly when the input is
+    too small for the cluster — the case where the exchange is cheap.
+    """
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, *keys) if keys else df.repartition(want)
+
+
 def _unit_rows(docs: DataFrame, text_col: str, id_col: str,
                sep: str) -> DataFrame:
     """(id, pos, unit) rows: split each doc on the literal ``sep``
@@ -541,25 +560,31 @@ def duplicate_token_spans(docs: DataFrame, text_col: str = "text",
 
     Scale: window hashes are one md5 per window computed from the
     per-doc token array (array slice + join inside codegen, no
-    shuffle); the winner per hash is a min-struct aggregation
-    (map-side partial min — a viral passage never funnels one
-    reducer); duplicate flagging is a semi-join on the uniform
+    shuffle), FOLDED to a 60-bit BIGINT (the ``minhash_signature``
+    idiom) before they become the groupBy/join key — the hash is
+    key-only, never output, and an 8-byte key shuffles ~4× fewer
+    bytes than the 32-char hex string on what is inherently a
+    token-count-sized exchange; the winner per hash is a min-struct
+    aggregation (map-side partial min — a viral passage never funnels
+    one reducer); duplicate flagging is a semi-join on the uniform
     (id, pos) key; the position explosion multiplies only duplicate
     windows by ``window``, not the corpus.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"),
-                       F.size(toks).alias("n_tokens"))
+    src = _spread(docs.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("text")), "id")
+    toks = tokens(F.lower(F.col("text")))
+    base = src.select("id", toks.alias("toks"),
+                      F.size(toks).alias("n_tokens"))
     wins = base.select(
         "id", "n_tokens",
         F.when(
             F.col("n_tokens") >= window,
             F.transform(
                 F.sequence(F.lit(1), F.col("n_tokens") - (window - 1)),
-                lambda i: F.md5(F.encode(
+                lambda i: F.conv(F.substring(F.md5(F.encode(
                     F.array_join(F.slice(F.col("toks"), i, window), " "),
-                    "UTF-8")))
-        ).otherwise(F.array().cast("array<string>")).alias("whashes"))
+                    "UTF-8")), 1, 15), 16, 10).cast("long"))
+        ).otherwise(F.array().cast("array<long>")).alias("whashes"))
     occ = wins.select("id", F.posexplode("whashes").alias("pos", "whash"))
     counts = (occ.select("whash",
                          F.struct(F.col("id"), F.col("pos")).alias("o"))
