@@ -849,6 +849,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(crawl_frontier(links, seeds, max_depth=3))
     q["crawl_reachable"] = crawl_reachable
 
+    def kg_regen_dependents(spark, sf):
+        """Dependency-triggered regeneration (regen.py): every 17th
+        doc is 'changed'; result = changed ∪ transitive dependents
+        over the citation dependency graph with min dependency depth,
+        bounded at 4 (the oracle's recursive CTE must bound — citation
+        cycles would diverge UNION ALL recursion; the FIXPOINT variant
+        is pytest-covered in test_resume.py)."""
+        from ferenda_spark.operators.regen import dependency_pairs, stale_set
+        e = _kg_edges(spark, sf)
+        pages = _pages(spark, sf).select("url")
+        deps = dependency_pairs(e, pages)
+        changed = pages.filter(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 17 == 0)
+        return _longify(stale_set(deps, changed, max_depth=4))
+    q["kg_regen_dependents"] = kg_regen_dependents
+
     def kg_inbound_refs(spark, sf):
         from ferenda_spark.operators.resolve import inbound_references
         e = _kg_edges(spark, sf)
@@ -2107,6 +2123,25 @@ r AS (
   SELECT l.dst AS url, r.depth + 1 AS depth
   FROM r JOIN links l ON l.src = r.url
   WHERE r.depth < 3
+)
+SELECT url, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY url
+"""
+
+    o["kg_regen_dependents"] = f"""
+WITH RECURSIVE {_F_CTE}, {_TRIPLES_CTE}, {_resolve_cte},
+deps AS (SELECT DISTINCT t.target_url AS url,
+                regexp_replace(c.subj, '#.*$', '') AS depends_on
+         FROM c JOIN t ON c.basefile = t.basefile
+         WHERE t.target_url != regexp_replace(c.subj, '#.*$', '')),
+changed AS (SELECT 'https://example.org/res/doc/' ||
+                   CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 17 = 0),
+r AS (
+  SELECT url, 0 AS depth FROM changed
+  UNION ALL
+  SELECT d.url, r.depth + 1 AS depth
+  FROM r JOIN deps d ON d.depends_on = r.url
+  WHERE r.depth < 4
 )
 SELECT url, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY url
 """

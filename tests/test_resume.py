@@ -328,3 +328,66 @@ def test_time_travel_ts_is_commit_time_and_compaction_guard(spark, tmp_path):
     ts3 = store.snapshots("t")[-1]["ts"]
     assert {r["v"] for r in store.read_at(
         "t", as_of_ts=ts3).collect()} == {1, 2, 3}
+
+
+# --- dependency-triggered regeneration (regen.py) --------------------------
+
+def test_regenerate_exact_dependent_set(spark, tmp_path):
+    """Touching ONE doc regenerates precisely that doc plus its
+    transitive dependents over the citation graph — and nothing else
+    (the reference's add_dependency + needed('generate') loop,
+    documentrepository.py:2055-2077, documentstore.py:438-457)."""
+    from ferenda_spark.operators.regen import (
+        dependency_pairs, regenerate, stale_set)
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    ents = entities_df(spark)
+    run_pipeline(spark, pages, ents, store)
+
+    # first generate pass: everything is new → everything generates
+    first = regenerate(spark, pages, store)
+    assert first["changed"] == N and first["regenerated"] == N
+
+    # immediate rerun: nothing pending
+    again = regenerate(spark, pages, store)
+    assert again["skipped"] is True
+
+    # touch one page → exactly it + its transitive dependents
+    victim = "https://example.org/res/rfc/3"
+    touched = pages.withColumn(
+        "html",
+        F.when(F.col("url") == victim,
+               F.concat(F.col("html"), F.lit(b" ")))
+        .otherwise(F.col("html")))
+    deps = dependency_pairs(store.read_current("edge"),
+                            pages.select("url"))
+    changed = spark.createDataFrame([(victim,)], "url string")
+    want = {(r["url"], r["depth"])
+            for r in stale_set(deps, changed).collect()}
+    assert (victim, 0) in want
+
+    third = regenerate(spark, touched, store)
+    got = {(r["url"], r["depth"]) for r in third["urls"].collect()}
+    assert got == want
+    assert third["changed"] == 1
+    assert third["regenerated"] == len(want) < N
+
+    # committed: the same touched input is now a no-op
+    fourth = regenerate(spark, touched, store)
+    assert fourth["skipped"] is True
+
+
+def test_stale_set_cycle_and_depth(spark):
+    """Cycles terminate; depth is the minimum dependency distance."""
+    from ferenda_spark.operators.regen import stale_set
+    deps = spark.createDataFrame(
+        [("B", "A"), ("C", "B"), ("A", "C"),   # 3-cycle
+         ("D", "C"), ("D", "A")],              # D two ways, min depth
+        "url string, depends_on string")
+    changed = spark.createDataFrame([("A",)], "url string")
+    got = {(r["url"], r["depth"]) for r in stale_set(deps, changed).collect()}
+    assert got == {("A", 0), ("B", 1), ("D", 1), ("C", 2)}
+    bounded = {(r["url"], r["depth"])
+               for r in stale_set(deps, changed, max_depth=1).collect()}
+    assert bounded == {("A", 0), ("B", 1), ("D", 1)}
