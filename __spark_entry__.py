@@ -439,58 +439,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # still oracle-verified locally by tools/check_queries.py and
 # benchable via bench.py.
 GATE_ORDER = [
-    # never driver-checked (past the r2 cap) — lead with these
+    # --- round-4 rotation.  Never-driver-checked queries lead: the
+    # three SPARQL surface queries, the new SPARQL paging gate, the
+    # two composed curation chains and the new dependency-triggered
+    # regeneration operator had only local oracle signal before this
+    # round.
+    "kg_regen_dependents",
+    "kg_sparql_describe", "kg_sparql_subdocs", "kg_sparql_topcited",
+    "curation_pipeline_docs", "curation_pipeline_v3",
+    # thin history (a single driver row ever, in r2) — refresh these
+    "kg_structure_tree", "feedsets_events", "atom_feeds_events",
+    "grouped_agg_value_median", "sim_ivf_topk",
+    # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
+    # fixpoint closures, lazy star zero-arm; BIGINT token-span keys;
+    # classifier broadcast-weights path; closure memoization) — these
+    # must carry a fresh driver row
+    "kg_sparql_annotations", "dedup_token_spans_docs",
+    "quality_classifier_docs", "kg_closure", "kg_structure_closure",
+    # round-3 first-row gates that keep their slot (≤2 green rounds)
     "entity_link_fuzzy", "pdf_margin_metrics", "pdf_style_metrics",
     "fragments_udtf", "text_metrics", "url_canonical_dedup",
     "sim_embedding_neardup", "media_meta", "streaming_hourly_events",
     "salted_join_suppliers", "first_success_events",
-    # new or changed this round
-    "kg_sparql_annotations", "kg_pagerank", "dedup_keepfirst_docs",
-    "dedup_token_spans_docs", "quality_classifier_docs",
-    "domain_stats_docs",
+    "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
     "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
-    "kg_citation_classes", "dedup_jaccard", "sim_ann_topk",
-    # dedup_simhash_pairs (r1+r2 driver-green) moved to extras: the
-    # dedup_components gate's oracle rebuilds the identical SimHash
-    # pair list before clustering it, so the family stays covered.
-    "dedup_components", "sim_label_centroids",
+    "kg_citation_classes", "sim_ann_topk", "dedup_components",
     "curation_survivors",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
-    # stable KG pipeline gates
-    # atom_feeds_events (S11, r1+r2 driver-green; the S11 family keeps
-    # the render_xhtml_docs driver gate) moved to extras to free the
-    # slot the quality-classifier gate takes.
-    "kg_extract_text", "kg_edges", "kg_nodes", "kg_citations_by_target",
-    "kg_closure", "kg_structure_closure",
-    "kg_facet_multitype",
-    "kg_keyword_inversion", "kg_dependency_edges", "kg_resolved_citations",
-    "crawl_reachable", "kg_inbound_refs", "kg_facet_statistics",
-    "kg_sql_citations",
-    # relational / window / temporal. grouped_agg_value_median
-    # (§2.11, double-covered by the fragments_udtf gate),
-    # natural_sort_parts (W1, double-covered by doc_versions_views'
-    # natural-key tiebreak) and sessionize_events (§2.10, the
-    # streaming family keeps the streaming_hourly_events driver gate
-    # plus the applyInPandasWithState pytests) — all driver-green in
-    # r1 AND r2 — moved to extra_queries to free slots for the
-    # round-3 SPARQL / PageRank / domain-stats gates.
-    "q3_shipping",
-    # training-data ops. The 50-slot gate holds one row per family:
-    # setops_users (SO2/SO4), events_pagination (W3/W5),
-    # asof_purchase_click (J8, double-covered by doc_versions_views),
-    # toc_documents (A2/A3) and dedup_exact_docs (P5/F10, also the
-    # keeper stage inside curation_pipeline_docs) — each driver-green
-    # in BOTH r1 and r2 — moved to extra_queries (still locally
-    # oracle-checked) so the round-3 curation families below get
-    # their first driver row.
-    # mint_documents (F3/F9, r1+r2 driver-green; URI minting is also
-    # load-bearing inside the kg_edges oracle) moved to extras to free
-    # the slot the token-span dedup gate takes.
-    "dedup_minhash_lsh", "patch_documents",
+    # flagship KG gates (the north-rule invariants: byte-identical
+    # extracted text per url, exact triple multiset) — never rotated
+    "kg_extract_text", "kg_edges",
+    # the modular (non-fused) flagship path last saw a driver row in
+    # r2 — refresh it alongside the fused gate
+    "kg_edges_modular",
+    "kg_facet_multitype", "crawl_reachable",
+    # training-data ops with ≤2 green rounds
+    "patch_documents",
     "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
-    # curation_pipeline_docs (the composed v2 chain) stays in
-    # extra_queries: every one of its stages has its own driver row.
     "strip_boilerplate_docs",
+    # Rotated OUT this round after THREE consecutive driver-green
+    # rounds (r1+r2+r3), each with its operator family still holding a
+    # driver row: kg_nodes (graph materialize: kg_edges stays),
+    # kg_citations_by_target (G3/G4: kg_edges + kg_citation_classes),
+    # kg_keyword_inversion (J5/W2: keyword_termset_docs),
+    # kg_dependency_edges (P6/SO3: kg_regen_dependents consumes the
+    # same edge builder), kg_resolved_citations + kg_inbound_refs (J2:
+    # salted_join_suppliers), kg_facet_statistics (A1:
+    # kg_facet_multitype), kg_sql_citations (Q2: the three SPARQL
+    # SELECT gates rotate in), q3_shipping (J4: q1/q5 extras),
+    # dedup_jaccard + dedup_minhash_lsh (P5: keepfirst/token-spans/
+    # components stay), sim_label_centroids (sim_ann_topk +
+    # sim_ivf_topk).  All remain locally oracle-checked in
+    # extra_queries via tools/check_queries.py.
 ]
 
 
