@@ -62,6 +62,24 @@ def test_select_rows_match_edge_view(spark, store_dir, tmp_path,
     assert lines[-1] == f"DONE {len(rows)} rows"
 
 
+def test_order_by_sequence_preserved(spark, store_dir, tmp_path,
+                                     capsys):
+    """A query's ORDER BY defines the printed row sequence — the CLI
+    must not re-sort it away (only order-free queries get the
+    deterministic column sort)."""
+    rq = tmp_path / "o.rq"
+    rq.write_text(
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }\n"
+        "GROUP BY ?p ORDER BY DESC(?n) ?p LIMIT 4\n")
+    lines = _run_cli(spark, capsys, store_dir, rq)
+    rows = [ln.split("\t")[1:] for ln in lines if ln.startswith("ROW\t")]
+    assert rows and lines[-1] == f"DONE {len(rows)} rows"
+    keyed = [(-int(n), p) for p, n in rows]
+    assert keyed == sorted(keyed)          # DESC(?n), ?p sequence kept
+    assert [p for p, _ in rows] != sorted(p for p, _ in rows) or \
+        len({n for _, n in rows}) == 1     # genuinely not column-sorted
+
+
 def test_construct_triples_and_params(spark, store_dir, tmp_path,
                                       capsys):
     rq = tmp_path / "c.rq"

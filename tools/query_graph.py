@@ -51,7 +51,13 @@ def run(spark: SparkSession, argv: list[str]) -> None:
             print(f"TRIPLE <{r['subj']}> <{r['pred']}> {obj} .")
     else:
         cols = out.columns
-        rows = out.orderBy(*cols).collect()
+        # A query with ORDER BY defines its own result sequence —
+        # re-sorting would discard it (the compiled plan already ends
+        # in the orderBy, and with LIMIT it's a single TakeOrdered).
+        # Only sort column-wise for determinism when the query left
+        # the order unspecified.
+        rows = (out.collect() if q.order_by
+                else out.orderBy(*cols).collect())
         for r in rows:
             print("ROW\t" + "\t".join("" if r[c] is None else str(r[c])
                                       for c in cols))
