@@ -219,7 +219,12 @@ def build_classes() -> list[CitationClass]:
     # 4-digit year so the flat eu_directive class (YEAR2) cannot also
     # match inside the list production — the outer production owns
     # the whole span, like the reference's recursive parse.
-    art = Seq(Lit("Articles "),
+    # "Articles? " accepts the singular form too ("Article 8 of
+    # Directive 2002/58/EC") — Rep is part (sep part)*, so a single
+    # ordinal already satisfies the list capture.  Found by the golden
+    # fixture audit: the singular form previously matched NO class
+    # (eu_directive is YEAR2-only) and the citation was silently lost.
+    art = Seq(Rx(r"Articles? "),
               Cap("arts", Rep(NUM, Rx(r"(?:, | and )"))),
               Lit(" of Directive "), Cap("year", YEAR4), Lit("/"),
               Cap("num", NUM), Lit("/EC")).compile()
@@ -356,7 +361,7 @@ def build_classes() -> list[CitationClass]:
     guards = {"rfc": "[RFC", "rfc_list": "RFCs ", "bcp": "BCP ",
               "std": "STD ", "draft": "draft-", "doi": "doi:",
               "iso": "ISO ", "eu_directive": "Directive ",
-              "ecj_case": "Case C-", "eu_article": "Articles ",
+              "ecj_case": "Case C-", "eu_article": "Article",
               "nested_struct": " of RFC "}
     for cc in classes:
         cc.guard = guards[cc.name]

@@ -344,3 +344,60 @@ def test_grammar_opt_recursion_truncates_to_empty():
     assert pat.fullmatch("x")
     assert pat.fullmatch("x-x")
     assert not pat.fullmatch("x-x-x")
+
+
+# -- file-parametrized golden fixtures ---------------------------------------
+# tests/golden/citations/*.txt mirror the reference's legalref golden
+# corpus format exactly (/root/reference/test/files/legalref/*/*.txt:
+# source text, blank line, serialized <list> of <str>/<Link uri=...>
+# segments).  Unlike the in-code GOLDEN tuples above (URI sets only),
+# these pin the full SEGMENTATION — link boundaries, separator text,
+# shared-context tails — for every citation class, so a grammar change
+# that keeps the URI set but moves a boundary still fails loudly.
+
+import re as _re2
+from pathlib import Path as _Path
+
+_GOLDEN_DIR = _Path(__file__).parent / "golden" / "citations"
+_GOLDEN_FILES = sorted(_GOLDEN_DIR.glob("*.txt"))
+
+
+def _parse_fixture(path):
+    raw = path.read_text(encoding="utf-8")
+    text, tree = raw.split("\n\n", 1)
+    return text, tree.strip()
+
+
+def _serialize(segs):
+    out = ["<list>"]
+    for s in segs:
+        if s["kind"] == "link":
+            out.append(f'  <Link uri="{s["uri"]}">{s["text"]}</Link>')
+        else:
+            out.append(f'  <str>{s["text"]}</str>')
+    out.append("</list>")
+    return "\n".join(out)
+
+
+def _spark_alias_map(spark, text):
+    """The REAL alias map — the Column builder the pipeline uses —
+    so the fixtures also pin alias_map/segment_text consistency."""
+    row = (spark.createDataFrame([(text,)], "text string")
+           .select(alias_map(F.col("text")).alias("m")).first())
+    return dict(row["m"] or {})
+
+
+def test_golden_dir_has_cases():
+    assert len(_GOLDEN_FILES) >= 20
+
+
+@pytest.mark.parametrize(
+    "path", _GOLDEN_FILES, ids=lambda p: p.stem)
+def test_golden_fixture_segmentation(path, spark):
+    from ferenda_spark.operators.mention import segment_text
+    text, expected = _parse_fixture(path)
+    aliases = (_spark_alias_map(spark, text)
+               if "refers to [RFC" in text else {})
+    segs = segment_text(text, aliases)
+    assert "".join(s["text"] for s in segs) == text   # lossless
+    assert _serialize(segs) == expected
