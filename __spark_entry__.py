@@ -1521,6 +1521,14 @@ LIMIT 20
             emb, dim=64, threshold=0.4))
     q["sim_embedding_neardup"] = sim_embedding_neardup
 
+    def sim_semantic_dedup(spark, sf):
+        """SemDeDup: one survivor per connected component of the
+        cos ≥ 0.4 near-dup pair graph (banded-LSH blocked)."""
+        emb = load_table(spark, sf, "embeddings")
+        return _longify(similarity.semantic_dedup(
+            emb, dim=64, threshold=0.4))
+    q["sim_semantic_dedup"] = sim_semantic_dedup
+
     def text_metrics(spark, sf):
         """A7 + curation feature vector: token stats, quality,
         language ID, fingerprints, and Gopher-style repetition
@@ -3037,6 +3045,32 @@ pairs AS (
   FROM itb a JOIN itb b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
 SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+    # SemDeDup: identical pair construction, then the same
+    # recursive-CTE min-label closure the dedup_components oracle
+    # states, left-joined back over every id (singletons keep).
+    o["sim_semantic_dedup"] = f"""
+WITH RECURSIVE it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+itb AS ({_banded_cte('it', 'vec_id')}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_cos_sql('a.v', 'b.v')} AS cos_sim
+  FROM itb a JOIN itb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE cos_sim >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(c.comp, e.vec_id) AS BIGINT) AS "group",
+       coalesce(c.comp, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
 """
 
     sub_re = r"([0-9]+|[^\sA-Za-z0-9]+)"

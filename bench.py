@@ -52,6 +52,11 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_semantic_dedup",
+    "kg_regen_dependents",
+    "kg_sparql_subdocs",
+    "kg_sparql_topcited",
+    "curation_pipeline_v3",
     "text_metrics",
     "fulltext_fielded",
     "media_meta",

@@ -349,3 +349,49 @@ def embedding_near_dup_pairs(items: DataFrame, dim: int,
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .distinct())
+
+
+def semantic_dedup(items: DataFrame, dim: int, threshold: float = 0.95,
+                   bands: int = 4, planes_per_band: int = 6,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): keep ONE representative per group of
+    semantically near-identical documents, judged in embedding space.
+
+    Shape: candidate pairs come from ``embedding_near_dup_pairs``
+    (banded multi-probe hyperplane LSH — a pair is only scored when
+    some band buckets it together, never all-pairs; the paper's
+    k-means clustering plays the same blocking role, and a trained
+    coarse quantizer can replace the hyperplanes without changing
+    anything downstream).  The epsilon-group is the CONNECTED
+    COMPONENT of the cos ≥ threshold pair graph (``dedup.components``:
+    min-label propagation + pointer doubling, O(log diameter)
+    rounds) — pairwise-only keeps A and C when A~B~C but A≁C;
+    the component collapses the whole chain like the paper's
+    within-cluster epsilon-grouping.  Keeper: the component's minimum
+    id — deterministic and engine-reproducible (the paper keeps the
+    member farthest from the cluster centroid; at corpus scale a
+    stable keeper matters more than which near-identical copy
+    survives, same contract as every other dedup family here).
+
+    Returns (``id_col``, group, keep): every input id, its group
+    label (= itself for singletons) and whether it survives.  Filter
+    ``keep`` to materialize the deduplicated corpus; group by
+    ``group`` for cluster-size diagnostics.
+
+    Scale: the only additions over the gated pair + component ops are
+    one distinct over ids and one left join on the uniform id key —
+    nothing new shuffles document payloads.
+    """
+    from ferenda_spark.operators.dedup import components
+
+    pairs = embedding_near_dup_pairs(items, dim, threshold, bands,
+                                     planes_per_band, id_col, vec_col)
+    comp = components(pairs)
+    ids = items.select(F.col(id_col).alias("id")).distinct()
+    grp = F.coalesce(F.col("comp"), F.col("id"))
+    return (ids.join(comp, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    grp.alias("group"),
+                    (grp == F.col("id")).alias("keep")))

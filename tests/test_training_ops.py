@@ -917,3 +917,41 @@ def test_dedup_units_keepfirst_partition_invariant(spark):
     keep = dict((t[0], t[1]) for t in r1)
     assert keep[1] == "common line. unique 1"
     assert all(keep[i] == f"unique {i}" for i in range(2, 30))
+
+
+def test_semantic_dedup_chain_collapses_to_one_keeper(spark):
+    """SemDeDup: A~B and B~C (but A!~C directly) is ONE epsilon-group
+    — the component collapses the chain and exactly the min id
+    survives; far-away vectors stay singleton keepers."""
+    import numpy as np
+
+    def rot(theta):
+        v = np.zeros(8)
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return [float(x) for x in v]
+
+    far = [0.0] * 8
+    far[2] = 1.0
+    rows = [
+        Row(vec_id=10, embedding=rot(0.00)),    # A
+        Row(vec_id=11, embedding=rot(0.25)),    # B: cos(A,B)=.969
+        Row(vec_id=12, embedding=rot(0.50)),    # C: cos(B,C)=.969,
+                                                #    cos(A,C)=.878 < thr
+        Row(vec_id=20, embedding=far),          # singleton
+    ]
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        spark.createDataFrame(rows), dim=8, threshold=0.95,
+        bands=4, planes_per_band=2).collect()}
+    assert {k for k, r in out.items() if r["keep"]} == {10, 20}
+    assert out[11]["group"] == out[12]["group"] == 10
+    assert out[20]["group"] == 20
+
+
+def test_semantic_dedup_all_unique_keeps_everything(spark):
+    import numpy as np
+    rows = [Row(vec_id=i,
+                embedding=[1.0 if j == i else 0.0 for j in range(8)])
+            for i in range(8)]
+    out = similarity.semantic_dedup(
+        spark.createDataFrame(rows), dim=8, threshold=0.95).collect()
+    assert all(r["keep"] and r["group"] == r["vec_id"] for r in out)
