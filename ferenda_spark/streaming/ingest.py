@@ -73,3 +73,60 @@ def windowed_event_counts(events_stream: DataFrame,
                  F.round(F.sum("value"), 2).alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n", "total_value"))
+
+
+def _latest_pages(store: GraphStore) -> DataFrame:
+    """Latest version of every url in the versioned ``page`` table:
+    one map-side-combinable max(struct) keyed on the monotone
+    ingest_seq — no window, no global sort."""
+    pg = store.read("page")
+    rest = [c for c in pg.columns if c not in ("url", "ingest_seq")]
+    return (pg.groupBy("url")
+            .agg(F.max(F.struct("ingest_seq", *rest)).alias("s"))
+            .select("url", *[F.col(f"s.{c}").alias(c) for c in rest]))
+
+
+def stream_pipeline_with_regen(spark: SparkSession,
+                               pages_stream: DataFrame,
+                               entities: DataFrame, store: GraphStore,
+                               checkpoint_dir: str,
+                               max_depth: int | None = None):
+    """Streaming incremental KG maintenance — the reference's
+    dependency-triggered regeneration loop (``add_dependency``,
+    documentrepository.py:2055-2077 → ``needed("generate")``,
+    documentstore.py:438-457) made continuous.  Each micro-batch:
+
+    1. ingest: ``run_pipeline`` processes the batch idempotently
+       (hash anti-join; replays are no-ops);
+    2. version the page snapshot into a ``page`` table (monotone
+       ``ingest_seq`` = batch id, so the latest version per url is a
+       max(struct) — the corpus regenerate reads);
+    3. regenerate EXACTLY the batch's changed pages plus their
+       transitive dependents over the just-updated edge graph
+       (``regen.regenerate``), committing generate-stage provenance
+       so an unchanged redelivery regenerates nothing.
+
+    A page never delivered again still regenerates when a NEW citing
+    page arrives: the new page is the changed frontier and the cited
+    page is its dependent — the inbound-reference annotation freshness
+    the reference maintains through dependency files."""
+    from ferenda_spark.operators.graph import with_input_hash
+    from ferenda_spark.operators.regen import regenerate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        run_pipeline(spark, batch, entities, store)
+        store.append(
+            with_input_hash(batch).withColumn(
+                "ingest_seq", F.lit(batch_id).cast("long")),
+            "page")
+        regenerate(spark, _latest_pages(store), store,
+                   stage="generate", max_depth=max_depth)
+
+    return (pages_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -164,3 +164,63 @@ def _ts(epoch):
     import datetime
     return datetime.datetime.fromtimestamp(
         epoch, datetime.timezone.utc).replace(tzinfo=None)
+
+
+def test_stream_regen_exact_dependent_set(spark, tmp_path):
+    """Streaming dependency-triggered regeneration: touching ONE page
+    (content-hash change only — an HTML comment, so its triples are
+    identical) regenerates precisely that page plus its transitive
+    dependents over the dependency graph, and nothing else.  The
+    expected dependent set is computed INDEPENDENTLY: a pure-Python
+    BFS over the collected dependency pairs."""
+    from ferenda_spark.operators.regen import dependency_pairs
+    from ferenda_spark.streaming.ingest import stream_pipeline_with_regen
+
+    pages = pages_df(spark, 12, partitions=2).persist()
+    ents = entities_df(spark)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    store = GraphStore(spark, str(tmp_path / "graph"))
+
+    pages.write.mode("append").parquet(in_dir)
+    q = stream_pipeline_with_regen(
+        spark, read_page_stream(spark, in_dir), ents, store, ckpt)
+    q.awaitTermination(180)
+
+    gen = (store.read("provenance")
+           .filter(F.col("stage") == "generate"))
+    before = {r["url"]: r["n"] for r in
+              gen.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    assert set(before) == {r["url"] for r in
+                           pages.select("url").collect()}  # full first pass
+
+    # touch one page: hash changes, emitted triples do not
+    touched_url = sorted(before)[3]
+    touched = (pages.filter(F.col("url") == touched_url)
+               .withColumn("html", F.concat(F.col("html"),
+                                            F.lit(b"<!-- touched -->"))))
+    touched.write.mode("append").parquet(in_dir)
+    q = stream_pipeline_with_regen(
+        spark, read_page_stream(spark, in_dir), ents, store, ckpt)
+    q.awaitTermination(180)
+
+    after = {r["url"]: r["n"] for r in
+             (store.read("provenance")
+              .filter(F.col("stage") == "generate")
+              .groupBy("url").agg(F.count("*").alias("n")).collect())}
+    regenerated = {u for u, n in after.items() if n > before.get(u, 0)}
+
+    # independent expectation: python BFS over the dependency pairs
+    dep = dependency_pairs(store.read_current("edge"),
+                           pages.select("url")).collect()
+    fwd = {}
+    for r in dep:
+        fwd.setdefault(r["depends_on"], set()).add(r["url"])
+    expected, frontier = {touched_url}, {touched_url}
+    while frontier:
+        nxt = set().union(*(fwd.get(u, set()) for u in frontier)) - expected
+        expected |= nxt
+        frontier = nxt
+    assert expected - {touched_url}          # the fixture HAS dependents
+    assert regenerated == expected
+    pages.unpersist()
