@@ -290,12 +290,21 @@ def transitive_closure(edges: DataFrame, max_depth: int | None = 4,
     they cost no recompute.  At 100 TB scale swap persist() for
     localCheckpoint() to also truncate the growing plan lineage."""
     from pyspark import StorageLevel
-    base = (edges.select(F.col(child_col).alias("descendant"),
-                         F.col(parent_col).alias("ancestor"),
-                         F.lit(1).alias("depth"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    base = edges.select(F.col(child_col).alias("descendant"),
+                        F.col(parent_col).alias("ancestor"),
+                        F.lit(1).alias("depth"))
     if max_depth is None:
-        return _closure_fixpoint(base)
+        # duplicate input pairs must collapse here: the fixpoint path
+        # returns `seen` with no final groupBy (the bounded path dedups
+        # via min(depth)), and SPARQL path semantics are set-valued.
+        # No persist either — _closure_fixpoint localCheckpoints the
+        # base immediately, so a persisted copy would just sit in the
+        # CacheManager for the life of the session (one dead cached
+        # edge subset per property-path query on the long-lived gate
+        # driver / serving CLI).
+        return _closure_fixpoint(
+            base.dropDuplicates(["descendant", "ancestor"]))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     parts = [base]
     frontier = base
     for d in range(2, max_depth + 1):

@@ -44,13 +44,20 @@ _W_SPAN = 2001
 _LITERAL_MAX_BUCKETS = 8192
 
 
+def _token_hash60(tok: Column, salt: str) -> Column:
+    """THE hashing contract: salted-md5 folded to 60 bits.  Every
+    consumer (bucket index, stand-in weight, broadcast path's index
+    array) derives from this one expression so the paths cannot
+    drift."""
+    return F.conv(F.substring(F.md5(F.encode(
+        F.concat(F.lit(salt), F.lit(":"), tok), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+
+
 def token_bucket(tok: Column, salt: str, n_buckets: int) -> Column:
     """0-based weight-bucket index of one token: salted-md5 folded to
     60 bits, mod the table size (the fastText hashing trick)."""
-    h = F.conv(F.substring(F.md5(F.encode(
-        F.concat(F.lit(salt), F.lit(":"), tok), "UTF-8")), 1, 15),
-        16, 10).cast("long")
-    return h % n_buckets
+    return _token_hash60(tok, salt) % n_buckets
 
 
 def token_weight_milli(tok: Column, salt: str,
@@ -61,9 +68,7 @@ def token_weight_milli(tok: Column, salt: str,
     fastText hashing trick; literal-array path — caller gates size)
     or used directly (deterministic stand-in when no trained model is
     supplied)."""
-    h = F.conv(F.substring(F.md5(F.encode(
-        F.concat(F.lit(salt), F.lit(":"), tok), "UTF-8")), 1, 15),
-        16, 10).cast("long")
+    h = _token_hash60(tok, salt)
     if weights is None:
         return h % _W_SPAN - 1000
     if len(weights) != n_buckets:

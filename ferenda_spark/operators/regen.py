@@ -82,18 +82,27 @@ def stale_set(dep_pairs: DataFrame, changed: DataFrame,
     nests.  depth is the minimum dependency distance from any changed
     doc (BFS discovery order makes that free).
     """
+    from functools import reduce
+
     rev = dep_pairs.select(F.col("depends_on").alias("src"),
                            F.col("url").alias("dst"))
-    visited = (changed.select(F.col(url_col).alias("url")).distinct()
-               .withColumn("depth", F.lit(0))
-               .localCheckpoint())
-    frontier = visited.select("url")
+    seed = (changed.select(F.col(url_col).alias("url")).distinct()
+            .withColumn("depth", F.lit(0))
+            .localCheckpoint())
+    # parts-list shape (same as analytics._closure_fixpoint): only the
+    # NEW frontier is materialized each round; `visited` stays a flat
+    # union of already-checkpointed leaves.  Re-checkpointing the whole
+    # visited set per round would rewrite O(|visited| · depth) rows to
+    # executor storage on a deep cascade.
+    parts = [seed]
+    frontier = seed.select("url")
     d = 0
     while max_depth is None or d < max_depth:
         d += 1
         if d > 10_000:          # |urls| rounds at most; this is a bug
             raise RuntimeError("stale_set: BFS did not converge "
                                "(visited anti-join broken?)")
+        visited = reduce(DataFrame.unionByName, parts)
         nxt = (frontier.join(rev, frontier["url"] == rev["src"])
                .select(F.col("dst").alias("url")).distinct()
                .join(visited, "url", "left_anti")
@@ -101,14 +110,15 @@ def stale_set(dep_pairs: DataFrame, changed: DataFrame,
                .localCheckpoint())
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        parts.append(nxt)
         frontier = nxt.select("url")
-    return visited
+    return reduce(DataFrame.unionByName, parts)
 
 
 def regenerate(spark: SparkSession, pages: DataFrame, store: GraphStore,
                stage: str = "generate",
-               max_depth: int | None = None) -> dict:
+               max_depth: int | None = None,
+               emit=None) -> dict:
     """One incremental ``needed("generate")`` pass, committed.
 
     1. changed  = pages new/edited since the last ``stage`` snapshot
@@ -117,16 +127,24 @@ def regenerate(spark: SparkSession, pages: DataFrame, store: GraphStore,
     2. stale    = changed ∪ transitive dependents over the CURRENT
                   committed edge graph (read_current: the
                   provenance-gated latest-version view).
-    3. re-emit  = exactly the stale pages; a generate provenance row
-                  per url commits the pass so an immediate rerun is a
-                  no-op.
+    3. re-emit  = exactly the stale pages through ``emit`` (a render
+                  sink: emit(todo_pages, stale_urls)); THEN a generate
+                  provenance row per url commits the pass so an
+                  immediate rerun is a no-op.
+
+    Commit ordering is the crash contract: the provenance append is
+    LAST, after ``emit`` returns — a crash inside the sink (or between
+    the stale computation and the sink) leaves no provenance, so a
+    replay regenerates the same set deterministically.  Committing
+    first would mark pages generated forever while no artifact exists.
+    With ``emit=None`` the provenance commit itself is the pass's
+    artifact (the caller only wants the work-list bookkeeping, e.g.
+    the streaming maintainer whose rendered outputs are downstream
+    consumers of the returned urls).
 
     Returns ``{"changed": n, "regenerated": n, "urls": DataFrame}``;
     the urls DataFrame ((url, depth), localCheckpointed) is what a
-    render sink would consume — callers feed it to
-    render.xhtml pages / atom feeds.  The changed set commits even
-    when empty-dependent; a crash before the provenance append just
-    replays deterministically (same contract as run_pipeline).
+    render sink consumes — render.xhtml pages / atom feeds.
     """
     import time as _time
 
@@ -145,6 +163,8 @@ def regenerate(spark: SparkSession, pages: DataFrame, store: GraphStore,
                     F.col("url").alias("depends_on")))
     stale = stale_set(deps, changed.select("url"), max_depth=max_depth)
     todo = (pages.join(stale, "url", "left_semi"))
+    if emit is not None:
+        emit(todo, stale)
     prov = provenance_rows(todo, stage,
                            duration_s=_time.time() - t0)
     store.append(prov, "provenance")

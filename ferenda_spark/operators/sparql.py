@@ -597,9 +597,10 @@ class _Plan:
 
 
 def _pattern_plan(edges: DataFrame, pat: Pattern, max_depth,
-                  clo_cache: dict | None = None) -> _Plan:
+                  clo_cache: dict | None = None,
+                  scope: str | None = None) -> _Plan:
     if pat.path:
-        return _path_plan(edges, pat, max_depth, clo_cache)
+        return _path_plan(edges, pat, max_depth, clo_cache, scope)
     df = edges
     vars_: set[str] = set()
     objvars: set[str] = set()
@@ -680,7 +681,8 @@ class _StarPlan(_Plan):
 
 
 def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
-               clo_cache: dict | None = None) -> _Plan:
+               clo_cache: dict | None = None,
+               scope: str | None = None) -> _Plan:
     """``?x pred* C`` / ``C pred* ?x`` / ``?x pred+ C`` …
 
     Seeded from the closure: descendant —pred→ … —pred→ ancestor.
@@ -691,7 +693,11 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
     from ferenda_spark.operators.analytics import transitive_closure
     if not isinstance(pat.p, Term):
         raise ValueError("sparql: property path needs a constant predicate")
-    key = (pat.p.value, max_depth)
+    # the cache key carries the GRAPH scope: the same predicate
+    # walked inside GRAPH <g1> and GRAPH <g2> closes over DIFFERENT
+    # edge subsets — a scope-blind key would silently reuse the first
+    # scope's closure for the second (wrong solutions on a quad store)
+    key = (scope, pat.p.value, max_depth)
     clo = clo_cache.get(key) if clo_cache is not None else None
     if clo is None:
         rel = (edges.filter((F.col("pred") == _lit(pat.p))
@@ -794,9 +800,10 @@ def _value_col(node, plan: _Plan):
 
 
 def _group_plan(edges: DataFrame, grp, max_depth,
-                clo_cache: dict | None = None) -> _Plan:
+                clo_cache: dict | None = None,
+                scope: str | None = None) -> _Plan:
     if isinstance(grp, Union):
-        arms = [_group_plan(edges, a, max_depth, clo_cache)
+        arms = [_group_plan(edges, a, max_depth, clo_cache, scope)
                 for a in grp.arms]
         vars_ = set().union(*[a.vars for a in arms])
         objvars = set().union(*[a.objvars for a in arms])
@@ -836,7 +843,8 @@ def _group_plan(edges: DataFrame, grp, max_depth,
             binds.append(item)
             continue
         if isinstance(item, Optional_):
-            sub = _group_plan(edges, item.group, max_depth, clo_cache)
+            sub = _group_plan(edges, item.group, max_depth, clo_cache,
+                              scope)
             if plan is None:
                 raise ValueError("sparql: OPTIONAL cannot open a group")
             plan = _join(plan, sub, how="left")
@@ -846,14 +854,17 @@ def _group_plan(edges: DataFrame, grp, max_depth,
             # column — filter it; a single-graph edge table (this
             # engine's default) treats the clause as the whole store
             scoped = edges
+            sub_scope = scope
             if isinstance(item.name, Term) and "graph" in edges.columns:
                 scoped = edges.filter(F.col("graph") == _lit(item.name))
-            sub = _group_plan(scoped, item.group, max_depth, clo_cache)
+                sub_scope = item.name.value
+            sub = _group_plan(scoped, item.group, max_depth, clo_cache,
+                              sub_scope)
             plan = sub if plan is None else _join(plan, sub)
             continue
-        sub = (_pattern_plan(edges, item, max_depth, clo_cache)
+        sub = (_pattern_plan(edges, item, max_depth, clo_cache, scope)
                if isinstance(item, Pattern)
-               else _group_plan(edges, item, max_depth, clo_cache))
+               else _group_plan(edges, item, max_depth, clo_cache, scope))
         plan = sub if plan is None else _join(plan, sub)
     if plan is None:
         raise ValueError("sparql: empty group")

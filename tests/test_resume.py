@@ -391,3 +391,39 @@ def test_stale_set_cycle_and_depth(spark):
     bounded = {(r["url"], r["depth"])
                for r in stale_set(deps, changed, max_depth=1).collect()}
     assert bounded == {("A", 0), ("B", 1), ("D", 1)}
+
+
+def test_regenerate_commits_after_emit(spark, tmp_path):
+    """Crash contract: the generate provenance append happens AFTER
+    the emit sink — a sink failure leaves no provenance, so the replay
+    regenerates the same set instead of permanently skipping pages
+    that were never rendered."""
+    import pytest
+    from ferenda_spark.operators.regen import regenerate
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    pages = pages_df(spark, N, partitions=2)
+    run_pipeline(spark, pages, entities_df(spark), store)
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_sink(todo, stale):
+        raise Boom("render died")
+
+    with pytest.raises(Boom):
+        regenerate(spark, pages, store, emit=failing_sink)
+    # nothing committed → the full set is still pending
+    assert not (store.exists("provenance") and
+                store.read("provenance")
+                .filter(F.col("stage") == "generate").count())
+
+    seen = {}
+
+    def sink(todo, stale):
+        seen["urls"] = {r["url"] for r in stale.select("url").collect()}
+
+    ok = regenerate(spark, pages, store, emit=sink)
+    assert ok["regenerated"] == N and len(seen["urls"]) == N
+    # and now it is committed
+    assert regenerate(spark, pages, store)["skipped"] is True

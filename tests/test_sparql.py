@@ -516,3 +516,38 @@ def test_ground_pattern_multiplicity(spark):
     }
     """
     assert sparql_query(_edges(spark), q2).count() == 0
+
+
+def test_graph_scoped_path_closures_not_cross_cached(spark):
+    """The per-compile closure cache is keyed by GRAPH scope: the same
+    predicate walked inside GRAPH <g1> and GRAPH <g2> closes over
+    DIFFERENT edge subsets — reusing g1's closure for g2 would return
+    wrong solutions on a quad store."""
+    rows = [("A", "dcterms:isPartOf", "B", False, None, None, "g1"),
+            ("B", "dcterms:isPartOf", "C", False, None, None, "g1"),
+            ("A", "dcterms:isPartOf", "X", False, None, None, "g2")]
+    quads = spark.createDataFrame(
+        rows, SCHEMA + ", graph string")
+    q1 = ("SELECT DISTINCT ?x ?x2 WHERE { GRAPH <g1> "
+          "{ <A> dcterms:isPartOf+ ?x . } "
+          "GRAPH <g2> { <A> dcterms:isPartOf+ ?x2 . } }")
+    got = sparql_query(quads, q1)
+    # g1 closure: B, C (two hops); g2 must NOT see C through g1's cache
+    assert ({(r["x"], r["x2"]) for r in got.collect()}
+            == {("B", "X"), ("C", "X")})
+    q2 = ("SELECT DISTINCT ?x WHERE { GRAPH <g2> "
+          "{ <A> dcterms:isPartOf+ ?x . } }")
+    assert {r["x"] for r in sparql_query(quads, q2).collect()} == {"X"}
+
+
+def test_fixpoint_closure_set_semantics_on_duplicate_edges(spark):
+    """Duplicate input edge rows must not duplicate closure pairs in
+    the fixpoint path (the bounded path dedups via min(depth); the
+    fixpoint path returns `seen` directly)."""
+    from ferenda_spark.operators.analytics import transitive_closure
+    rows = [("a", "b"), ("a", "b"), ("b", "c")]   # (a,b) twice
+    edges = spark.createDataFrame(rows, "child string, parent string")
+    got = transitive_closure(edges, max_depth=None).collect()
+    pairs = [(r["descendant"], r["ancestor"]) for r in got]
+    assert sorted(pairs) == [("a", "b"), ("a", "c"), ("b", "c")]
+    assert len(pairs) == len(set(pairs))          # strict set semantics

@@ -31,6 +31,8 @@ def run(spark: SparkSession, argv: list[str]) -> None:
     max_depth = None
     if "--max-depth" in rest:
         i = rest.index("--max-depth")
+        if i + 1 >= len(rest):
+            raise ValueError("--max-depth needs a value")
         max_depth = int(rest[i + 1])
         rest = rest[:i] + rest[i + 2:]
     params = dict(kv.split("=", 1) for kv in rest)
