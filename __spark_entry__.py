@@ -700,6 +700,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_docs=d.count()))
     q["fulltext_fielded"] = fulltext_fielded
 
+    def fulltext_api_page(spark, sf):
+        """Q1/W5 API-shaped: the reference's query endpoint envelope
+        (wsgiapp.py:388-435 + parse_parameters boost_repos /
+        exclude_repos / pagenum / pagelen): boosted fielded search
+        with repo-level boosts and excludes, returning page 2 plus
+        startIndex/itemsPerPage/totalResults."""
+        from ferenda_spark.operators import fulltext as ft
+        d = _docs(spark, sf).select("doc_id", "text", "source")
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
+        repos = d.select(F.col("doc_id").alias("id"),
+                         F.col("source").alias("repo"))
+        return _longify(ft.fulltext_search(
+            idx, None, ["table", "window", "spark"],
+            n_docs=d.count(), repos=repos,
+            boost_repos={"src3": 10, "src7": 3},
+            exclude_repos=["src5"],
+            pagenum=2, pagelen=10))
+    q["fulltext_api_page"] = fulltext_api_page
+
     def doc_versions_views(spark, sf):
         """J8 both halves in one gate: per document, the CURRENT
         version (archive latest view) and the version IN EFFECT on
@@ -2053,6 +2072,33 @@ SELECT id, score, rank FROM (
   SELECT id, score,
          row_number() OVER (ORDER BY score DESC, id) AS rank
   FROM hits) WHERE rank <= 20
+"""
+
+    # the API-page envelope: same scoring, repo multiplier + exclude
+    # between scoring and ranking, then one page + envelope fields
+    o["fulltext_api_page"] = f"""
+WITH {_ft_ctes},
+hits AS (
+  SELECT tf.id, CAST(sum(tf.tf * tf.boost * idf.idf_milli) AS BIGINT)
+             AS score
+  FROM tf JOIN idf USING (term)
+  WHERE term IN ('table', 'window', 'spark') GROUP BY tf.id),
+shaped AS (
+  SELECT h.id,
+         CAST(h.score * CASE d.source WHEN 'src3' THEN 10
+                                      WHEN 'src7' THEN 3
+                                      ELSE 1 END AS BIGINT) AS score
+  FROM hits h JOIN documents d ON h.id = d.doc_id
+  WHERE d.source <> 'src5'),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total_results FROM shaped)
+SELECT id, score, rank,
+       CAST(10 AS BIGINT) AS start_index,
+       CAST(10 AS BIGINT) AS items_per_page,
+       total_results
+FROM (SELECT id, score,
+             row_number() OVER (ORDER BY score DESC, id) AS rank
+      FROM shaped), total
+WHERE rank > 10 AND rank <= 20
 """
 
     o["fulltext_fielded"] = f"""

@@ -127,7 +127,12 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
                     eligible: DataFrame | None = None,
                     phrases: list[str] | None = None,
                     pindex: DataFrame | None = None,
-                    n_docs: int | None = None) -> DataFrame:
+                    n_docs: int | None = None,
+                    repos: DataFrame | None = None,
+                    boost_repos: dict | None = None,
+                    exclude_repos: list[str] | None = None,
+                    pagenum: int | None = None,
+                    pagelen: int = 10) -> DataFrame:
     """Boost-ranked fielded search: (id, score, rank), top-k.
 
     Score = Σ over matched (term, field) of tf·boost·idf_milli —
@@ -166,6 +171,24 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
       whole index (the one-shot-query shape; a serving deployment
       keeps a prebuilt idf table instead).
 
+    API-shaped extras (the reference's query endpoint,
+    wsgiapp.py:388-435 + parse_parameters boost_repos/exclude_repos/
+    pagenum/pagelen):
+
+    * ``repos`` is an (id, repo) DataFrame mapping documents to their
+      repository; ``exclude_repos`` drops those repos' documents from
+      the result and ``boost_repos`` (repo → integer multiplier)
+      scales their scores — both applied to the posting-pruned scored
+      set (a left join on the uniform id key), BEFORE top-k, so a
+      boosted repo can displace unboosted hits exactly as the
+      reference's index-level boosting does;
+    * ``pagenum``/``pagelen`` return one result page plus the API
+      envelope columns (start_index, items_per_page, total_results —
+      the reference's startIndex/itemsPerPage/totalResults).  A deep
+      page costs one TakeOrdered of pagenum·pagelen rows (the standard
+      deep-paging tradeoff); total_results is one count aggregate over
+      the scored set, broadcast onto the page rows.
+
     Top-k is TakeOrdered (orderBy+limit), never a global ranking
     window over every matching doc — a common query term matches a
     large fraction of the corpus, which a single-partition window
@@ -185,9 +208,17 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
     phrases = [p for p in (phrases or []) if p.strip()]
     if not conds and not phrases:
         # empty / whitespace-only query: empty result, stable schema
-        return (index.filter(F.lit(False))
-                .select("id", F.lit(0).cast("long").alias("score"),
-                        F.lit(0).cast("int").alias("rank")))
+        empty = (index.filter(F.lit(False))
+                 .select("id", F.lit(0).cast("long").alias("score"),
+                         F.lit(0).cast("int").alias("rank")))
+        if pagenum is not None:
+            empty = (empty
+                     .withColumn("start_index", F.lit(0).cast("long"))
+                     .withColumn("items_per_page",
+                                 F.lit(pagelen).cast("long"))
+                     .withColumn("total_results",
+                                 F.lit(0).cast("long")))
+        return empty
     ph_terms = sorted({t for p in phrases for t in p.lower().split()
                        if t})
     if idf is None:
@@ -244,5 +275,45 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
     if eligible is not None:
         parts = parts.join(eligible.select("id"), "id", "left_semi")
     scored = parts.groupBy("id").agg(F.sum("part").alias("score"))
+    scored = _apply_repo_prefs(scored, repos, boost_repos, exclude_repos)
     from ferenda_spark.operators.analytics import ranked_topk
-    return ranked_topk(scored, [("score", True), ("id", False)], k)
+    order = [("score", True), ("id", False)]
+    if pagenum is None:
+        return ranked_topk(scored, order, k)
+    total = scored.agg(F.count("*").cast("long").alias("total_results"))
+    page = (ranked_topk(scored, order, pagenum * pagelen)
+            .filter(F.col("rank") > (pagenum - 1) * pagelen))
+    return (page.crossJoin(F.broadcast(total))
+            .withColumn("start_index",
+                        F.lit((pagenum - 1) * pagelen).cast("long"))
+            .withColumn("items_per_page", F.lit(pagelen).cast("long")))
+
+
+def _apply_repo_prefs(scored: DataFrame, repos: DataFrame | None,
+                      boost_repos: dict | None,
+                      exclude_repos: list[str] | None) -> DataFrame:
+    """Repo-level result shaping (wsgiapp.py parse_parameters
+    boost_repos/exclude_repos).  The repo map joins on the uniform id
+    key against the already-posting-pruned scored set; a document with
+    no repo row keeps multiplier 1 and survives excludes."""
+    if not boost_repos and not exclude_repos:
+        return scored
+    if repos is None:
+        raise ValueError("boost_repos/exclude_repos need "
+                         "repos=(id, repo)")
+    out = scored.join(repos.select("id", "repo"), "id", "left")
+    if exclude_repos:
+        out = out.filter(
+            F.coalesce(~F.col("repo").isin(*list(exclude_repos)),
+                       F.lit(True)))
+    if boost_repos:
+        mult = None
+        for repo, m in sorted(boost_repos.items()):
+            c = (F.col("repo") == repo)
+            mult = (F.when(c, F.lit(int(m))) if mult is None
+                    else mult.when(c, F.lit(int(m))))
+        out = out.withColumn(
+            "score",
+            (F.col("score") * mult.otherwise(F.lit(1)).cast("long"))
+            .cast("long"))
+    return out.drop("repo")

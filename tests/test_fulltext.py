@@ -101,3 +101,51 @@ def test_phrase_scoring_composes_with_terms(spark):
     assert out[2] == 2 * p            # two phrase hits, boost 1
     assert out[4] == idf["delta"]     # term-only hit
     assert out[1] == p and out[3] == p
+
+
+def test_repo_boosts_excludes_and_paging(spark):
+    """wsgiapp.py:388-435 API surface: exclude_repos drops a repo's
+    docs, boost_repos scales scores BEFORE top-k (a boosted doc can
+    displace unboosted ones), and pagenum/pagelen return one page plus
+    the envelope (start_index/items_per_page/total_results)."""
+    d = _corpus(spark)
+    idx = ft.fulltext_index(d, "doc_id", {"title": 4, "text": 1})
+    idf = ft.idf_milli(idx, 4)
+    repos = spark.createDataFrame(
+        [(1, "ra"), (2, "rb"), (3, "ra"), (4, "rc")], "id long, repo string")
+
+    base = {r["id"]: r["score"] for r in ft.fulltext_search(
+        idx, idf, ["beta"], k=10).collect()}
+    assert set(base) == {1, 2, 3}
+
+    # exclude rb: doc 2 gone, others' scores untouched
+    got = {r["id"]: r["score"] for r in ft.fulltext_search(
+        idx, idf, ["beta"], k=10, repos=repos,
+        exclude_repos=["rb"]).collect()}
+    assert set(got) == {1, 3} and got[1] == base[1] and got[3] == base[3]
+
+    # boosting rb lifts doc 2 to rank 1 even though doc 3 wins unboosted
+    byrank = {r["rank"]: r["id"] for r in ft.fulltext_search(
+        idx, idf, ["beta"], k=10, repos=repos,
+        boost_repos={"rb": 100}).collect()}
+    assert byrank[1] == 2
+    assert set(byrank.values()) == {1, 2, 3}
+
+    # paging: page 2 of pagelen=1 is the SECOND-ranked doc + envelope
+    page = ft.fulltext_search(idx, idf, ["beta"], repos=repos,
+                              pagenum=2, pagelen=1).collect()
+    assert len(page) == 1
+    r = page[0]
+    assert r["rank"] == 2 and r["start_index"] == 1
+    assert r["items_per_page"] == 1 and r["total_results"] == 3
+
+    # empty query with paging: stable envelope schema, zero rows
+    empty = ft.fulltext_search(idx, idf, ["   "], pagenum=1, pagelen=5)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "score", "rank", "start_index",
+                                  "items_per_page", "total_results"}
+
+    # repo prefs without the map: loud error
+    import pytest
+    with pytest.raises(ValueError, match="repos"):
+        ft.fulltext_search(idx, idf, ["beta"], boost_repos={"ra": 2})
