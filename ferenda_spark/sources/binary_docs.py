@@ -9,13 +9,15 @@ directory tree of binaries in one scan with the built-in
 JVM-side (never trusting file extensions — crawls lie), and routes
 each format to its decoder.
 
-The decoders themselves are declared codec stubs, same policy as
-operators/multimodal.py and operators/boxes.py (the container ships
-no pdftohtml/antiword); everything around them — the distributed
-scan, the sniffing, the routing, the per-format fan-out — is real
-and tested.  A production deployment replaces ``decode_binary_docs``
-with a mapInPandas invoking the codec per Arrow batch, exactly the
-extract.py pattern.
+The decoders are REAL for two of the three formats, stdlib-only:
+OOXML .docx (zipfile + ElementTree over word/document.xml) and the
+declared PDF subset (plain/FlateDecode content streams, simple font
+encodings — see ``pdf_text``); ``decode_binary_docs`` runs them in
+one mapInPandas over the routed streams, per-row error capture, no
+poison-document job kills.  Legacy OLE2 .doc (antiword's job) and
+out-of-subset PDFs (CMap/ToUnicode, encryption, non-Flate filters)
+stay declared, LOUD stubs: an ``error`` row, never silent wrong
+text.
 """
 
 from __future__ import annotations
@@ -95,10 +97,274 @@ def route_by_type(docs: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def decode_binary_docs(docs: DataFrame):
-    """Binary → text/boxes. Honest stub (no PDF/Word codecs in this
-    runtime); production swaps in a mapInPandas over the routed
-    streams (pdf → operators/boxes.py box rows, word → text)."""
-    raise NotImplementedError(
-        "PDF/Word decoding requires external codecs; see "
-        "read_binary_docs/route_by_type for the ingest contract")
+# -- real decoders (stdlib-only codecs) --------------------------------------
+#
+# The reference shells out to pdftotext/antiword per basefile
+# (pdfreader.py:107-150, wordreader.py:36-72).  This runtime ships no
+# external converters, but two of the three formats need none:
+# OOXML .docx is a ZIP of XML (zipfile + ElementTree), and PDF text
+# for the common case is FlateDecode/plain content streams whose
+# text-showing operators (Tj ' " TJ) a small scanner can read with
+# zlib alone.  Both run as plain-Python functions inside ONE
+# mapInPandas over the routed streams — the extract.py pattern.
+# Declared subset limits (loud, not silent): PDFs using CMap/ToUnicode
+# font encodings, encryption, or non-Flate filters yield an ``error``
+# row; legacy OLE2 .doc (antiword's job) stays a declared stub.
+
+_DOCX_NS = ("{http://schemas.openxmlformats.org/wordprocessingml/"
+            "2006/main}")
+
+
+def docx_text(content: bytes) -> str:
+    """OOXML .docx → plain text: word/document.xml's w:t runs, one
+    line per w:p paragraph, tabs for w:tab, newlines for w:br."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter(_DOCX_NS + "p"):
+        parts = []
+        for node in p.iter():
+            if node.tag == _DOCX_NS + "t":
+                parts.append(node.text or "")
+            elif node.tag == _DOCX_NS + "tab":
+                parts.append("\t")
+            elif node.tag == _DOCX_NS + "br":
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+def _pdf_literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at ``(``; returns (text,
+    index past the closing paren).  Handles nesting, the standard
+    escapes, octal escapes, and line continuations."""
+    out = []
+    depth = 1
+    i += 1
+    n = len(data)
+    esc = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+           ord("b"): "\b", ord("f"): "\f", ord("("): "(",
+           ord(")"): ")", ord("\\"): "\\"}
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:                      # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = data[i]
+            if c2 in esc:
+                out.append(esc[c2])
+                i += 1
+            elif 0x30 <= c2 <= 0x37:       # octal, up to 3 digits
+                o = 0
+                for _ in range(3):
+                    if i < n and 0x30 <= data[i] <= 0x37:
+                        o = o * 8 + (data[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(chr(o & 0xFF))
+            elif c2 in (0x0A, 0x0D):       # line continuation
+                i += 1
+                if c2 == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:                          # unknown escape: literal
+                out.append(chr(c2))
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _pdf_stream_text(data: bytes) -> list[str]:
+    """Text-showing strings of one decoded content stream, in order:
+    ``(s) Tj``, ``(s) '``, ``(aw ac (s)) \"``, ``[(a) -120 (b)] TJ``
+    — with ``T*``/``TD``/``'`` emitting line breaks (the subset's
+    layout heuristic: enough to keep words and lines apart)."""
+    out: list[str] = []
+    pending: list[str] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x28:                      # ( literal string
+            s, i = _pdf_literal_string(data, i)
+            pending.append(s)
+        elif c == 0x3C and i + 1 < n and data[i + 1] != 0x3C:  # <hex>
+            j = data.find(b">", i + 1)
+            if j == -1:
+                break
+            hx = bytes(ch for ch in data[i + 1:j]
+                       if ch not in b" \t\r\n")
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                pending.append(bytes.fromhex(hx.decode("ascii"))
+                               .decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) \
+                or c in (0x27, 0x22, 0x2A):  # operator token
+            j = i
+            while j < n and data[j] not in b" \t\r\n()<>[]/%":
+                j += 1
+            op = data[i:j]
+            if op in (b"Tj", b"TJ"):
+                out.extend(pending)
+            elif op == b"'":
+                out.append("\n")
+                out.extend(pending[-1:])
+            elif op == b'"':
+                out.append("\n")
+                out.extend(pending[-1:])
+            elif op in (b"T*", b"TD"):
+                out.append("\n")
+            elif op == b"ET":
+                out.append("\n")
+            pending.clear()
+            i = j if j > i else i + 1
+        elif c == 0x25:                    # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            i += 1
+    return out
+
+
+_UNSUPPORTED_PDF = (b"/Encrypt", b"/ToUnicode", b"/Type0",
+                    b"/LZWDecode", b"/DCTDecode", b"/ASCII85Decode")
+
+
+def pdf_text(content: bytes) -> str:
+    """PDF → plain text for the DECLARED SUBSET: unencrypted files
+    whose content streams are plain or FlateDecode and whose fonts
+    are simple (latin-1-compatible) encodings.  Files needing CMap
+    decoding, encryption, or other filters raise ValueError — callers
+    (decode_binary_docs) surface that as an ``error`` row, never a
+    silent wrong-text."""
+    import re
+    import zlib
+
+    for marker in _UNSUPPORTED_PDF:
+        if marker in content:
+            raise ValueError(
+                f"pdf subset: {marker.decode()} not supported "
+                "(needs an external codec)")
+    texts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n", content):
+        start = m.end()
+        end = content.find(b"endstream", start)
+        if end == -1:
+            continue
+        raw = content[start:end].rstrip(b"\r\n")
+        # the nearest dict before `stream` declares the filter
+        head = content[max(0, m.start() - 400):m.start()]
+        if b"/FlateDecode" in head.rsplit(b"<<", 1)[-1]:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"pdf subset: bad Flate stream: {e}")
+        if b"BT" not in raw:
+            continue                       # no text operators
+        texts.extend(_pdf_stream_text(raw))
+    joined = "".join(texts)
+    lines = [" ".join(ln.split()) for ln in joined.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+class _TextHTML:
+    """Generic whole-page HTML text (script/style dropped) — the
+    decode path's fallback; the KG pipeline's structured extractor
+    (operators/extract.py parse_page) stays separate because it
+    assigns text to header/preamble/section roles."""
+
+
+def html_text(content: bytes) -> str:
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.chunks: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip and data.strip():
+                self.chunks.append(" ".join(data.split()))
+
+    p = P()
+    p.feed(content.decode("utf-8", errors="replace"))
+    p.close()
+    return "\n".join(p.chunks)
+
+
+def decode_binary_docs(docs: DataFrame) -> DataFrame:
+    """Binary → (url, media_type, text, n_chars, error): ONE
+    mapInPandas over the ingested table, routing each row to its
+    stdlib codec.  Decode failures and the declared stubs (legacy
+    OLE2 .doc, out-of-subset PDFs) become per-row ``error`` values —
+    a poison document never kills the scan (crawls are full of
+    them)."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf_batch in batches:
+            texts, errors = [], []
+            for content, mtype in zip(pdf_batch["content"],
+                                      pdf_batch["media_type"]):
+                try:
+                    b = bytes(content)
+                    if mtype == "application/pdf":
+                        texts.append(pdf_text(b))
+                        errors.append(None)
+                    elif mtype.endswith("wordprocessingml.document"):
+                        texts.append(docx_text(b))
+                        errors.append(None)
+                    elif mtype == "text/html":
+                        texts.append(html_text(b))
+                        errors.append(None)
+                    elif mtype == "application/msword":
+                        texts.append(None)
+                        errors.append("legacy .doc needs antiword "
+                                      "(declared stub)")
+                    else:
+                        texts.append(None)
+                        errors.append(f"no decoder for {mtype}")
+                except Exception as e:       # noqa: BLE001 — poison row
+                    texts.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({
+                "url": pdf_batch["url"],
+                "media_type": pdf_batch["media_type"],
+                "text": texts,
+                "n_chars": [len(t) if t is not None else 0
+                            for t in texts],
+                "error": errors,
+            })
+
+    return docs.select("url", "media_type", "content").mapInPandas(
+        decode,
+        "url string, media_type string, text string, "
+        "n_chars long, error string")

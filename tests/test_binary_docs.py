@@ -1,27 +1,71 @@
-"""Binary document ingest (S5/S6 plumbing): binaryFile scan,
-magic-byte sniffing, per-format routing, declared decode stub."""
+"""Binary document ingest (S5/S6): binaryFile scan, magic-byte
+sniffing, per-format routing, and the REAL stdlib decoders — docx
+(zip+XML) and the declared PDF subset (plain/FlateDecode content
+streams) — with per-row error capture for the loud stubs."""
+
+import io
+import zipfile
+import zlib
 
 import pytest
 
 from ferenda_spark.sources.binary_docs import (
     decode_binary_docs,
+    docx_text,
+    pdf_text,
     read_binary_docs,
     route_by_type,
 )
 
 
+def _mk_docx(paras: list[str]) -> bytes:
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paras)
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        + body + "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _mk_pdf(plain: bytes, flate: bytes | None = None) -> bytes:
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    pdf += obj(4, b"<< /Length %d >>\nstream\n" % len(plain)
+               + plain + b"\nendstream")
+    if flate is not None:
+        z = zlib.compress(flate)
+        pdf += obj(5, b"<< /Length %d /Filter /FlateDecode >>\n"
+                   b"stream\n" % len(z) + z + b"\nendstream")
+    return pdf + b"%%EOF\n"
+
+
 @pytest.fixture(scope="module")
 def bin_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("bins")
-    (d / "a.pdf").write_bytes(b"%PDF-1.7 fake body")
+    (d / "a.pdf").write_bytes(_mk_pdf(
+        b"BT (Hello PDF) Tj T* (line two \\(esc\\)) Tj ET",
+        b"BT [(TJ ar) -250 (ray bits)] TJ ET BT <48657821> Tj ET"))
     (d / "b.doc").write_bytes(b"\xd0\xcf\x11\xe0 ole2 body")
-    (d / "c.docx").write_bytes(b"PK\x03\x04 zip body")
+    (d / "c.docx").write_bytes(_mk_docx(
+        ["Hello docx", "Second para cites [RFC 45]."]))
     (d / "archive.zip").write_bytes(b"PK\x03\x04 zip body")
     (d / "page.html").write_bytes(b"<html><body>x</body></html>")
     (d / "modern.html").write_bytes(b"<!doctype html><title>t</title>")
     (d / "shouty.html").write_bytes(b"<HTML><BODY>x</BODY></HTML>")
     (d / "lies.pdf").write_bytes(b"<html>not actually a pdf</html>")
     (d / "mystery.bin").write_bytes(b"\x00\x01\x02\x03")
+    (d / "evil.pdf").write_bytes(b"%PDF-1.4 truncated garbage")
+    (d / "crypt.pdf").write_bytes(_mk_pdf(b"BT (x) Tj ET")
+                                  + b"/Encrypt 9 0 R")
     return str(d)
 
 
@@ -42,21 +86,68 @@ def test_sniff_and_route(spark, bin_dir):
     routed = route_by_type(docs)
     names = {k: {r["url"].rsplit("/", 1)[-1] for r in v.collect()}
              for k, v in routed.items()}
-    assert names["pdf"] == {"a.pdf"}
+    assert names["pdf"] == {"a.pdf", "evil.pdf", "crypt.pdf"}
     assert names["word"] == {"b.doc", "c.docx"}
     assert names["html"] == {"page.html", "lies.pdf", "modern.html",
                              "shouty.html"}
     assert names["other"] == {"archive.zip", "mystery.bin"}
     # routing is a partition: nothing lost, nothing duplicated
-    assert sum(len(v) for v in names.values()) == 9
+    assert sum(len(v) for v in names.values()) == 11
 
 
 def test_glob_filter(spark, bin_dir):
     only_pdf = read_binary_docs(spark, bin_dir, glob="*.pdf")
     assert {r["url"].rsplit("/", 1)[-1] for r in only_pdf.collect()} == {
-        "a.pdf", "lies.pdf"}
+        "a.pdf", "lies.pdf", "evil.pdf", "crypt.pdf"}
 
 
-def test_decode_stub_declared(spark, bin_dir):
-    with pytest.raises(NotImplementedError):
-        decode_binary_docs(read_binary_docs(spark, bin_dir))
+# -- pure codecs --------------------------------------------------------------
+
+def test_docx_text_paragraphs_tabs_breaks():
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>Hello docx</w:t></w:r>"
+        "<w:r><w:tab/><w:t>col2</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>a</w:t><w:br/><w:t>b</w:t></w:r></w:p>"
+        "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    assert docx_text(buf.getvalue()) == "Hello docx\tcol2\na\nb"
+
+
+def test_pdf_text_operators_escapes_hex_flate():
+    pdf = _mk_pdf(
+        b"BT (Hello PDF) Tj T* (line two \\(esc\\) \\110i) Tj ET",
+        b"BT [(TJ ar) -250 (ray bits)] TJ ET BT <48657821> Tj ET")
+    assert pdf_text(pdf) == (
+        "Hello PDF\nline two (esc) Hi\nTJ array bits\nHex!")
+
+
+def test_pdf_subset_limits_are_loud():
+    with pytest.raises(ValueError, match="Encrypt"):
+        pdf_text(_mk_pdf(b"BT (x) Tj ET") + b"/Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="ToUnicode"):
+        pdf_text(_mk_pdf(b"BT (x) Tj ET") + b"/ToUnicode 9 0 R")
+
+
+# -- distributed decode --------------------------------------------------------
+
+def test_decode_binary_docs_end_to_end(spark, bin_dir):
+    out = {r["url"].rsplit("/", 1)[-1]: r for r in
+           decode_binary_docs(read_binary_docs(spark, bin_dir))
+           .collect()}
+    assert out["a.pdf"]["text"] == (
+        "Hello PDF\nline two (esc)\nTJ array bits\nHex!")
+    assert out["a.pdf"]["error"] is None
+    assert out["c.docx"]["text"] == (
+        "Hello docx\nSecond para cites [RFC 45].")
+    assert "x" in out["page.html"]["text"]
+    # loud stubs / poison rows: error set, text null, job alive
+    assert out["b.doc"]["text"] is None and "antiword" in out["b.doc"]["error"]
+    assert out["crypt.pdf"]["text"] is None
+    assert "Encrypt" in out["crypt.pdf"]["error"]
+    assert out["mystery.bin"]["text"] is None
+    assert all(r["n_chars"] == (len(r["text"]) if r["text"] else 0)
+               for r in out.values())
