@@ -2382,11 +2382,16 @@ FROM (
 """
 
     # integer PageRank, 3 iterations unrolled; every term is BIGINT
-    # floor division so the engines agree bit-for-bit
+    # floor division so the engines agree bit-for-bit.  The dangling
+    # term mirrors rank.py: dm = Σ r over nodes with no out-edges,
+    # each node's damped update adds dm // n.
     _pr_iter = """
 it{i} AS (
   SELECT n.node,
-         CAST({base} + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+         CAST({base} + (85 * (COALESCE(s.inc, 0) +
+              (SELECT COALESCE(sum(r.r), 0) FROM it{prev} r
+               WHERE r.node NOT IN (SELECT src FROM cites))
+              // (SELECT n FROM nn))) // 100 AS BIGINT) AS r
   FROM prnodes n LEFT JOIN (
     SELECT c.dst AS node, CAST(sum(r.r // o.outdeg) AS BIGINT) AS inc
     FROM cites c JOIN it{prev} r ON c.src = r.node

@@ -24,11 +24,15 @@ the fulltext scorer relies on.  Scale design:
   partition (partial sums are exact for integer addition), which
   Spark's hash aggregate already does map-side.
 
-Variant notes (declared, not silent): dangling-node mass (nodes with
-no out-edges) is dropped rather than redistributed, and ranks are not
-re-normalized per iteration — the standard "weighted PageRank without
-dangling redistribution" simplification; ordering (the use case) is
-unaffected for citation graphs where dangling nodes are leaf targets.
+Dangling-node mass (nodes with no out-edges — leaf citation targets,
+external urls) is REDISTRIBUTED uniformly each iteration, the
+canonical PageRank treatment: ``dm = Σ r(dangling)`` is one tiny
+aggregate (a 1-row DataFrame cross-joined broadcast into the update —
+no driver round-trip), and every node's update adds ``dm DIV n``
+inside the damped term.  All still BIGINT floor division, so the
+result stays bit-deterministic; total mass is conserved up to floor
+truncation.  ``dangling="drop"`` keeps the cheaper variant for graphs
+where leaves are known-irrelevant.
 """
 
 from __future__ import annotations
@@ -41,12 +45,14 @@ SCALE = 10**12
 
 
 def pagerank(edges: DataFrame, iters: int = 3,
-             damping_pct: int = 85) -> DataFrame:
+             damping_pct: int = 85,
+             dangling: str = "redistribute") -> DataFrame:
     """(node, rank_micro) for every node of ``edges(src, dst)``.
 
     ``rank_micro`` = floor(rank · 10^6) of the iteration-``iters``
     integer PageRank with damping ``damping_pct``/100, uniform
-    initialization 1/N.
+    initialization 1/N; dangling mass redistributed uniformly per
+    iteration (``dangling="drop"`` opts out).
     """
     from pyspark import StorageLevel
     edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,6 +66,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
     unit = SCALE // n
     base = (100 - damping_pct) * unit // 100
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    has_out = outdeg.select(F.col("src").alias("node"))
 
     rank = nodes.withColumn("r", F.lit(unit).cast("long"))
     for _ in range(iters):
@@ -69,13 +76,29 @@ def pagerank(edges: DataFrame, iters: int = 3,
                     .select(F.col("dst").alias("node"),
                             F.expr("r DIV outdeg").alias("c")))
         incoming = contribs.groupBy("node").agg(F.sum("c").alias("inc"))
-        nxt = (nodes.join(incoming, "node", "left")
-               .select("node",
-                       (F.lit(base).cast("long")
-                        + F.expr(f"({damping_pct} * coalesce(inc, 0)) "
-                                 f"DIV 100"))
-                       .alias("r"))
-               .localCheckpoint(eager=False))
+        if dangling == "redistribute":
+            # Σ r over no-out-edge nodes: a 1-row aggregate broadcast
+            # into every update — each node receives dm DIV n inside
+            # the damped term (canonical PageRank; integer-exact)
+            dm = (rank.join(has_out, "node", "left_anti")
+                  .agg(F.coalesce(F.sum("r"), F.lit(0))
+                       .cast("long").alias("dm")))
+            nxt = (nodes.join(incoming, "node", "left")
+                   .crossJoin(F.broadcast(dm))
+                   .select("node",
+                           (F.lit(base).cast("long")
+                            + F.expr(f"({damping_pct} * (coalesce(inc, 0)"
+                                     f" + dm DIV {n})) DIV 100"))
+                           .alias("r"))
+                   .localCheckpoint(eager=False))
+        else:
+            nxt = (nodes.join(incoming, "node", "left")
+                   .select("node",
+                           (F.lit(base).cast("long")
+                            + F.expr(f"({damping_pct} * coalesce(inc, 0))"
+                                     f" DIV 100"))
+                           .alias("r"))
+                   .localCheckpoint(eager=False))
         rank = nxt
     out = rank.select("node",
                       F.expr(f"r DIV {10**6}").cast("long")

@@ -17,7 +17,8 @@ def _pr_float(edges, iters, d=0.85):
         inc = {v: 0.0 for v in nodes}
         for a, b in edges:
             inc[b] += r[a] / outdeg[a]
-        r = {v: (1 - d) / n + d * inc[v] for v in nodes}
+        dm = sum(r[v] for v in nodes if v not in outdeg)  # dangling
+        r = {v: (1 - d) / n + d * (inc[v] + dm / n) for v in nodes}
     return r
 
 
@@ -56,3 +57,23 @@ def test_pagerank_symmetric_cycle(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, iters=2).count() == 0
+
+
+DANGLING_EDGES = [("A", "B"), ("A", "C"), ("B", "C")]   # C is dangling
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Canonical treatment: a dangling hub's mass flows back to every
+    node instead of draining out of the system."""
+    df = spark.createDataFrame(DANGLING_EDGES, "src string, dst string")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, iters=4).collect()}
+    want = _pr_float(DANGLING_EDGES, iters=4)
+    for v, micro in got.items():
+        assert abs(micro / 1e6 - want[v]) < 1e-4, (v, micro, want[v])
+    # mass conserved up to floor truncation: Σ rank ≈ 1
+    assert abs(sum(got.values()) / 1e6 - 1.0) < 1e-3
+    # the drop variant strictly loses C's mass
+    dropped = {r["node"]: r["rank_micro"]
+               for r in pagerank(df, iters=4, dangling="drop").collect()}
+    assert sum(dropped.values()) < sum(got.values())
