@@ -37,7 +37,9 @@ Supported subset (everything the reference's .rq files exercise):
   (left join, the describe-with-subdocs.rq / sfs_changes.rq shape),
   ``GRAPH <g> { … }`` (filters a ``graph`` column when the store has
   one; a single-graph store treats the clause as the whole store —
-  the keyword_dv.rq context shape).
+  the keyword_dv.rq context shape), ``FILTER [NOT] EXISTS { … }``
+  (left-semi / left-anti on the shared vars — negation without a
+  row-multiplying join).
 * Property paths ``pred*`` / ``pred+`` (fixed predicate; var–var
   ``*`` takes its zero-length arm from the graph's node universe —
   compiled LAZILY: the node-universe distinct is semi-join-pruned to
@@ -157,6 +159,13 @@ class Optional_:
 class GraphScope:
     name: object                 # Term (named graph IRI) or Var
     group: Group
+
+
+@dataclass
+class ExistsFilter:
+    """``FILTER [NOT] EXISTS { … }`` — per-solution pattern test."""
+    group: Group
+    negate: bool                 # True = NOT EXISTS
 
 
 @dataclass(frozen=True)
@@ -447,6 +456,20 @@ class _Parser:
                 continue
             if low == "filter":
                 self.next()
+                nxt = self.peek()
+                if nxt is not None and nxt.lower() in ("not", "exists"):
+                    negate = nxt.lower() == "not"
+                    self.next()
+                    if negate:
+                        t2 = self.peek()
+                        if t2 is None or t2.lower() != "exists":
+                            raise ValueError(
+                                "sparql: FILTER NOT needs EXISTS")
+                        self.next()
+                    items.append(ExistsFilter(self.group(), negate))
+                    if self.peek() == ".":
+                        self.next()
+                    continue
                 self.expect("(")
                 items.append(Filter(self.or_expr()))
                 self.expect(")")
@@ -835,9 +858,13 @@ def _group_plan(edges: DataFrame, grp, max_depth,
     plan: _Plan | None = None
     filters = []
     binds = []
+    exists = []
     for item in grp.items:
         if isinstance(item, Filter):
             filters.append(item)
+            continue
+        if isinstance(item, ExistsFilter):
+            exists.append(item)
             continue
         if isinstance(item, Bind):
             binds.append(item)
@@ -886,6 +913,21 @@ def _group_plan(edges: DataFrame, grp, max_depth,
             plan.objvars.add(b.dst)
     for f in filters:
         plan.df = plan.df.filter(_filter_col(f.expr, plan))
+    for e in exists:
+        # SPARQL filters apply at group end, so the test sees the
+        # whole group's solutions.  EXISTS = left-semi on the shared
+        # vars, NOT EXISTS = left-anti — never a row-multiplying join;
+        # with no shared vars the subpattern is a pure existence probe
+        # (limit(1) + constant-true condition).
+        sub = _group_plan(edges, e.group, max_depth, clo_cache, scope)
+        if isinstance(sub, _StarPlan):
+            sub = sub.resolve(plan if plan.vars & sub.vars else None)
+        how = "left_anti" if e.negate else "left_semi"
+        shared = sorted(plan.vars & sub.vars)
+        if shared:
+            plan.df = plan.df.join(sub.df, shared, how)
+        else:
+            plan.df = plan.df.join(sub.df.limit(1), F.lit(True), how)
     return plan
 
 

@@ -551,3 +551,48 @@ def test_fixpoint_closure_set_semantics_on_duplicate_edges(spark):
     pairs = [(r["descendant"], r["ancestor"]) for r in got]
     assert sorted(pairs) == [("a", "b"), ("a", "c"), ("b", "c")]
     assert len(pairs) == len(set(pairs))          # strict set semantics
+
+
+def test_filter_not_exists_and_exists(spark):
+    """FILTER NOT EXISTS = left-anti on shared vars; FILTER EXISTS =
+    left-semi; a no-shared-vars subpattern is a pure existence probe."""
+    edges = _edges(spark)
+    # docs that reference something but are NOT referenced themselves
+    q = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:references ?o .
+      FILTER NOT EXISTS { ?x dcterms:references ?s . }
+    }
+    """
+    got = {r["s"] for r in sparql_query(edges, q).collect()}
+    refs = {(r["subj"], r["obj"]) for r in
+            edges.filter(F.col("pred") == "dcterms:references")
+            .select("subj", "obj").collect()}
+    srcs = {s for s, _ in refs}
+    cited = {o for _, o in refs}
+    assert got == srcs - cited and got
+
+    q2 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:references ?o .
+      FILTER EXISTS { ?x dcterms:references ?s . }
+    }
+    """
+    got2 = {r["s"] for r in sparql_query(edges, q2).collect()}
+    assert got2 == srcs & cited
+    assert got | got2 == srcs and not (got & got2)
+
+    # no shared vars: probe keeps/drops ALL rows
+    probe_hit = sparql_query(edges, """
+    SELECT ?s WHERE { ?s dcterms:references ?o .
+      FILTER NOT EXISTS { ?a dcterms:isPartOf ?b . } }""")
+    assert probe_hit.count() == 0          # isPartOf edges exist
+    probe_miss = sparql_query(edges, """
+    SELECT ?s WHERE { ?s dcterms:references ?o .
+      FILTER NOT EXISTS { ?a rdf:nosuch ?b . } }""")
+    assert probe_miss.count() == len(refs)
+
+    # plan shape: anti/semi, not a row-multiplying join
+    plan = (sparql_query(edges, q)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftAnti" in plan
