@@ -23,8 +23,11 @@ Supported subset (everything the reference's .rq files exercise):
   ``dcterms:references`` all compile to the same stored term instead
   of silently matching nothing.
 * ``SELECT [DISTINCT] ?v…`` (plain vars and ``(COUNT(?v) AS ?n)`` /
-  ``(COUNT(*) AS ?n)`` / ``COUNT(DISTINCT ?v)`` aggregates) and
-  ``CONSTRUCT { template }`` forms.
+  ``(COUNT(*) AS ?n)`` / ``COUNT(DISTINCT ?v)`` aggregates),
+  ``CONSTRUCT { template }``, ``ASK`` (one boolean row) and
+  ``DESCRIBE <uri>… / ?v… WHERE`` (concise bounded description:
+  all stored triples of the described subjects, one semi-join)
+  forms.
 * Solution modifiers: ``GROUP BY ?v…``, ``ORDER BY ?v / ASC(?v) /
   DESC(?v)``, ``LIMIT n``, ``OFFSET n`` — the reference's API-shaped
   queries sort and page results (wsgiapp.py:388-435,
@@ -178,8 +181,9 @@ class Agg:
 
 @dataclass
 class Query:
-    form: str                    # 'select' | 'construct'
-    select_vars: list | None     # plain var names + Agg entries, in order
+    form: str                    # 'select'|'construct'|'ask'|'describe'
+    select_vars: list | None     # select: var names + Agg entries;
+                                 # describe: Term/Var resources
     distinct: bool
     template: list | None        # list[Pattern] for construct
     where: Group
@@ -343,6 +347,33 @@ class _Parser:
                 # solution sequence is non-deterministic — refuse loud
                 raise ValueError("sparql: solution modifiers are not "
                                  "supported on CONSTRUCT")
+            return q
+        if head == "ask":
+            if self.peek() and self.peek().lower() == "where":
+                self.next()
+            q = Query("ask", None, False, None, self.group())
+            if self.peek() is not None:
+                raise ValueError("sparql: solution modifiers are not "
+                                 "supported on ASK")
+            return q
+        if head == "describe":
+            targets = []
+            while self.peek() and self.peek().lower() != "where":
+                targets.append(self.term())
+            if not targets:
+                raise ValueError("sparql: DESCRIBE needs at least one "
+                                 "resource or var")
+            grp = None
+            if self.peek() and self.peek().lower() == "where":
+                self.next()
+                grp = self.group()
+            if any(isinstance(t, Var) for t in targets) and grp is None:
+                raise ValueError("sparql: DESCRIBE ?var needs a WHERE "
+                                 "group binding it")
+            q = Query("describe", targets, False, None, grp)
+            if self.peek() is not None:
+                raise ValueError("sparql: solution modifiers are not "
+                                 "supported on DESCRIBE")
             return q
         raise ValueError(f"sparql: unsupported query form {head!r}")
 
@@ -988,10 +1019,49 @@ def sparql_query(edges: DataFrame, text: str,
     walk it.
     """
     q = parse_sparql(text, params)
+    if q.form == "describe":
+        return _describe_out(edges, q, max_depth)
     plan = _group_plan(edges, q.where, max_depth, clo_cache={})
+    if q.form == "ask":
+        # one boolean row; limit(1) keeps the probe from scanning past
+        # the first solution
+        return plan.df.limit(1).agg(
+            (F.count(F.lit(1)) > 0).alias("ask"))
     if q.form == "construct":
         return _construct_out(plan, q.template)
     return _select_out(plan, q)
+
+
+def _describe_out(edges: DataFrame, q: Query,
+                  max_depth) -> DataFrame:
+    """``DESCRIBE <uri>… [?v… WHERE { … }]`` — the concise bounded
+    description every store is free to choose (SPARQL 1.1 §16.4):
+    here, all stored triples whose SUBJECT is a described resource
+    (the reference's richer describe-with-parts shape is a CONSTRUCT,
+    construct_annotations).  Resources come from constant terms and/or
+    the WHERE group's bindings of the listed vars; the probe is one
+    left-semi join on subj."""
+    spark = edges.sparkSession
+    parts = []
+    consts = [t for t in q.select_vars if isinstance(t, Term)]
+    vars_ = [t for t in q.select_vars if isinstance(t, Var)]
+    if consts:
+        parts.append(spark.createDataFrame(
+            [(t.value,) for t in consts], "subj string"))
+    if vars_:
+        plan = _group_plan(edges, q.where, max_depth, clo_cache={})
+        missing = [v.name for v in vars_ if v.name not in plan.vars]
+        if missing:
+            raise ValueError(f"sparql: DESCRIBE of unbound vars "
+                             f"{missing}")
+        for v in vars_:
+            parts.append(plan.df.select(F.col(v.name).alias("subj")))
+    subs = parts[0]
+    for pdf in parts[1:]:
+        subs = subs.unionByName(pdf)
+    return (edges.join(subs.distinct(), "subj", "left_semi")
+            .select("subj", "pred", "obj", "obj_is_literal",
+                    "obj_datatype", "obj_lang").distinct())
 
 
 def _select_out(plan: _Plan, q: Query) -> DataFrame:

@@ -160,7 +160,7 @@ def test_parse_prefix_and_distinct():
 
 def test_parse_errors():
     with pytest.raises(ValueError, match="unsupported query form"):
-        parse_sparql("ASK WHERE { ?s ?p ?o . }")
+        parse_sparql("INSERT DATA { <a> <b> <c> }")
     with pytest.raises(ValueError, match="unterminated group"):
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o .")
 
@@ -596,3 +596,42 @@ def test_filter_not_exists_and_exists(spark):
     plan = (sparql_query(edges, q)
             ._jdf.queryExecution().executedPlan().toString())
     assert "LeftAnti" in plan
+
+
+
+def test_ask_form(spark):
+    edges = _edges(spark)
+    got = sparql_query(edges,
+                       "ASK { ?s rfc:updates <A> . }").collect()
+    assert [r["ask"] for r in got] == [True]
+    got = sparql_query(edges,
+                       "ASK WHERE { ?s rfc:updates <Nope> . }").collect()
+    assert [r["ask"] for r in got] == [False]
+
+
+def test_describe_forms(spark):
+    edges = _edges(spark)
+    # constant resource: all stored triples with that subject
+    got = _triples(sparql_query(edges, "DESCRIBE <C>"))
+    assert got == {
+        ("C", "rfc:obsoletes", "A", False, None, None),
+        ("C", "dcterms:title", "Doc C", True, None, None),
+        ("C", "dcterms:references", "Z", False, None, None),
+    }
+    # var form: described set comes from the WHERE bindings
+    got = _triples(sparql_query(
+        edges, "DESCRIBE ?d WHERE { ?d dcterms:references <A#S1> . }"))
+    assert got == {
+        ("B", "dcterms:references", "A#S1", False, None, None),
+        ("B", "dcterms:title", "Doc B", True, None, None),
+    }
+    # mixed constants + vars union their descriptions
+    got = _triples(sparql_query(
+        edges, "DESCRIBE <D> ?d WHERE { ?d rfc:obsoletes <A> . }"))
+    assert {s for s, *_ in got} == {"C", "D"}
+    import pytest as _p
+    with _p.raises(ValueError, match="WHERE"):
+        parse_sparql("DESCRIBE ?d")
+    with _p.raises(ValueError, match="unbound"):
+        sparql_query(edges,
+                     "DESCRIBE ?zz WHERE { ?d rfc:updates <A> . }")

@@ -45,7 +45,7 @@ def run(spark: SparkSession, argv: list[str]) -> None:
         "obj_lang")
     q = parse_sparql(text, params)
     out = sparql_query(edges, text, params, max_depth=max_depth)
-    if q.form == "construct":
+    if q.form in ("construct", "describe"):
         rows = out.orderBy("subj", "pred", "obj").collect()
         for r in rows:
             obj = (f'"{r["obj"]}"' if r["obj_is_literal"]
