@@ -948,6 +948,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _kg_edges(spark, sf), BASE + "res/doc/0")
     q["kg_sparql_describe"] = kg_sparql_describe
 
+    def kg_sparql_describe_form(spark, sf):
+        """Q3 (round-4): the real DESCRIBE query form — concise
+        bounded description (all stored triples of the subject) of
+        one document and one WHERE-bound set, through the full
+        parser/compiler path."""
+        from ferenda_spark.operators.sparql import sparql_query
+        return _longify(sparql_query(
+            _kg_edges(spark, sf),
+            "DESCRIBE <%(uri)s> ?d WHERE { ?d rfc:updates <%(uri)s> . }",
+            {"uri": BASE + "res/doc/3"}))
+    q["kg_sparql_describe_form"] = kg_sparql_describe_form
+
     def kg_sparql_subdocs(spark, sf):
         """The reference's describe-with-subdocs.rq shape
         (sources/legal/se/res/sparql/describe-with-subdocs.rq):
@@ -2310,6 +2322,19 @@ FROM (
 
     # annotations.rq semantics for doc 0: triples of the doc and its
     # isPartOf* descendants, plus isReferencedBy onto cited parts
+    o["kg_sparql_describe_form"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+subs AS (
+  SELECT 'https://example.org/res/doc/3' AS subj
+  UNION
+  SELECT subj FROM golden
+  WHERE pred = 'rfc:updates'
+    AND obj = 'https://example.org/res/doc/3')
+SELECT DISTINCT g.subj, g.pred, g.obj, g.obj_is_literal,
+       g.obj_datatype, g.obj_lang
+FROM golden g JOIN subs USING (subj)
+"""
+
     o["kg_sparql_describe"] = f"""
 WITH RECURSIVE {_F_CTE}, {_TRIPLES_CTE},
 parts AS (
