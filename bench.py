@@ -59,6 +59,7 @@ HEADLINE = [
     "curation_pipeline_v3",
     "text_metrics",
     "fulltext_fielded",
+    "fulltext_api_page",
     "media_meta",
     "sessionize_events",
     "asof_purchase_click",
