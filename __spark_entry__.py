@@ -456,13 +456,24 @@ GATE_ORDER = [
     # must carry a fresh driver row
     "kg_sparql_annotations", "dedup_token_spans_docs",
     "quality_classifier_docs", "kg_closure", "kg_structure_closure",
+    # new THIS round — first driver rows: SemDeDup (its oracle rebuilds
+    # the sim_embedding_neardup pair list, keeping that family covered
+    # after its gate rotates out), the fulltext API envelope
+    # (fulltext_search_docs rotates out; fulltext_fielded stays), and
+    # the DESCRIBE query form
+    "sim_semantic_dedup", "fulltext_api_page", "kg_sparql_describe_form",
     # round-3 first-row gates that keep their slot (≤2 green rounds)
     "entity_link_fuzzy", "pdf_margin_metrics", "pdf_style_metrics",
     "fragments_udtf", "text_metrics", "url_canonical_dedup",
-    "sim_embedding_neardup", "media_meta", "streaming_hourly_events",
+    "streaming_hourly_events",
     "salted_join_suppliers", "first_success_events",
+    # rotated out for the three new round-4 ops: sim_embedding_neardup
+    # (pairs re-stated inside the sim_semantic_dedup oracle),
+    # fulltext_search_docs (fulltext_fielded + fulltext_api_page stay),
+    # media_meta (multimodal plumbing also pytest-covered by the new
+    # real binary codecs) — each driver-green in two prior rounds.
     "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
-    "fulltext_fielded", "fulltext_search_docs", "doc_versions_views",
+    "fulltext_fielded", "doc_versions_views",
     "kg_citation_classes", "sim_ann_topk", "dedup_components",
     "curation_survivors",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
