@@ -955,3 +955,63 @@ def test_semantic_dedup_all_unique_keeps_everything(spark):
     out = similarity.semantic_dedup(
         spark.createDataFrame(rows), dim=8, threshold=0.95).collect()
     assert all(r["keep"] and r["group"] == r["vec_id"] for r in out)
+
+
+def test_multimodal_resize_frames_features(spark):
+    """The three post-decode multimodal stages: resize (aspect kept,
+    never upscaled, images only), frame sampling (every_ms spacing,
+    max_frames skew cap, videos only), feature extraction (unit
+    vectors that feed the similarity ops unchanged)."""
+    # payload lengths chosen per fake_decode: len%3==0 image,
+    # 1 audio, 2 video
+    rows = [Row(media_id=1, payload=b"x" * 900),     # image 916x436
+            Row(media_id=2, payload=b"y" * 100),     # audio
+            Row(media_id=3, payload=b"z" * 3002)]    # video
+    media = spark.createDataFrame(rows)
+
+    resized = {r["media_id"]: r for r in
+               multimodal.resize_images(media, 256, 256).collect()}
+    assert set(resized) == {1}                       # images only
+    r = resized[1]
+    src_w, src_h = 900 % 640 + 16, 900 % 480 + 16    # 276, 436
+    assert max(r["width"], r["height"]) <= 256
+    # aspect preserved within integer truncation
+    assert abs(r["width"] / r["height"] - src_w / src_h) < 0.02
+    # small images are never upscaled
+    small = spark.createDataFrame([Row(media_id=9, payload=b"q" * 30)])
+    rs = multimodal.resize_images(small, 4096, 4096).collect()
+    assert rs[0]["width"] == 30 % 640 + 16 and rs[0]["height"] == 30 % 480 + 16
+
+    frames = multimodal.sample_frames(media, every_ms=1000,
+                                      max_frames=8).collect()
+    assert {f["media_id"] for f in frames} == {3}    # videos only
+    dur = (3002 * 7) % 100000
+    assert len(frames) == min(dur // 1000 + 1, 8)
+    assert sorted(f["ts_ms"] for f in frames) == [
+        i * 1000 for i in range(len(frames))]
+    assert len({bytes(f["frame"]) for f in frames}) == len(frames)
+
+    feats = multimodal.extract_features(media, dim=64)
+    got = {r["media_id"]: r["embedding"] for r in feats.collect()}
+    assert set(got) == {1, 2, 3}
+    for v in got.values():
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3   # unit norm
+    # deterministic across runs
+    again = {r["media_id"]: r["embedding"] for r in
+             multimodal.extract_features(media, dim=64).collect()}
+    assert again == got
+    # and the vectors feed the similarity ops unchanged
+    topk = similarity.cosine_topk(
+        feats.select(F.col("media_id").alias("vec_id"), "embedding"),
+        feats.select(F.col("media_id").alias("query_id"),
+                     "embedding").limit(1),
+        k=2)
+    assert topk.count() == 2
+
+    for fn in (multimodal.resize_images, multimodal.sample_frames,
+               multimodal.extract_features):
+        with pytest.raises(Exception) as exc:
+            fn(media, fake=False)
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError)
