@@ -965,9 +965,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         one document and one WHERE-bound set, through the full
         parser/compiler path."""
         from ferenda_spark.operators.sparql import sparql_query
+        # the WHERE arm binds the doc's direct parts (#S1, #S2) —
+        # a predicate whose objects really are doc URIs, so the
+        # var/WHERE path is exercised with NON-EMPTY bindings
         return _longify(sparql_query(
             _kg_edges(spark, sf),
-            "DESCRIBE <%(uri)s> ?d WHERE { ?d rfc:updates <%(uri)s> . }",
+            "DESCRIBE <%(uri)s> ?d WHERE "
+            "{ ?d dcterms:isPartOf <%(uri)s> . }",
             {"uri": BASE + "res/doc/3"}))
     q["kg_sparql_describe_form"] = kg_sparql_describe_form
 
@@ -2339,7 +2343,7 @@ subs AS (
   SELECT 'https://example.org/res/doc/3' AS subj
   UNION
   SELECT subj FROM golden
-  WHERE pred = 'rfc:updates'
+  WHERE pred = 'dcterms:isPartOf'
     AND obj = 'https://example.org/res/doc/3')
 SELECT DISTINCT g.subj, g.pred, g.obj, g.obj_is_literal,
        g.obj_datatype, g.obj_lang

@@ -212,12 +212,14 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
                  .select("id", F.lit(0).cast("long").alias("score"),
                          F.lit(0).cast("int").alias("rank")))
         if pagenum is not None:
+            # identical column order and values as the non-empty path
             empty = (empty
-                     .withColumn("start_index", F.lit(0).cast("long"))
+                     .withColumn("total_results", F.lit(0).cast("long"))
+                     .withColumn("start_index",
+                                 F.lit((pagenum - 1) * pagelen)
+                                 .cast("long"))
                      .withColumn("items_per_page",
-                                 F.lit(pagelen).cast("long"))
-                     .withColumn("total_results",
-                                 F.lit(0).cast("long")))
+                                 F.lit(pagelen).cast("long")))
         return empty
     ph_terms = sorted({t for p in phrases for t in p.lower().split()
                        if t})
@@ -280,6 +282,9 @@ def fulltext_search(index: DataFrame, idf: DataFrame | None,
     order = [("score", True), ("id", False)]
     if pagenum is None:
         return ranked_topk(scored, order, k)
+    # the paged path reads `scored` twice (count + top-k) — pin it so
+    # the postings scan/join/aggregate lineage runs once per query
+    scored = scored.persist()
     total = scored.agg(F.count("*").cast("long").alias("total_results"))
     page = (ranked_topk(scored, order, pagenum * pagelen)
             .filter(F.col("rank") > (pagenum - 1) * pagelen))
@@ -301,7 +306,12 @@ def _apply_repo_prefs(scored: DataFrame, repos: DataFrame | None,
     if repos is None:
         raise ValueError("boost_repos/exclude_repos need "
                          "repos=(id, repo)")
-    out = scored.join(repos.select("id", "repo"), "id", "left")
+    # the contract is one repo per doc (the reference's model); a map
+    # with duplicate id rows would duplicate result rows, so collapse
+    # deterministically (max repo) rather than trust the caller
+    rmap = (repos.select("id", "repo")
+            .groupBy("id").agg(F.max("repo").alias("repo")))
+    out = scored.join(rmap, "id", "left")
     if exclude_repos:
         out = out.filter(
             F.coalesce(~F.col("repo").isin(*list(exclude_repos)),

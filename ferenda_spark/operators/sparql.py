@@ -74,12 +74,16 @@ Compilation is Spark-first, not an interpreter:
   (analytics.transitive_closure — one shuffle per depth over a
   persisted base), seeded from the constant end.
 
-Restriction (documented, not silent): joining two sub-plans on a
+Restrictions (documented, not silent): joining two sub-plans on a
 variable that one side may bind to NULL (an unbound var flowing out
 of a UNION) uses Spark join semantics (null never matches) rather
 than SPARQL's "unbound is compatible" — none of the reference's
 queries hit this shape (their post-UNION joins are always on vars
-every arm binds).
+every arm binds).  The same applies to ``FILTER [NOT] EXISTS`` whose
+shared var may be NULL (e.g. bound only inside an OPTIONAL): SPARQL
+substitution semantics treat the unbound var as free inside the
+EXISTS pattern, while the compiled semi/anti join's NULL key simply
+never matches — keep EXISTS vars on the group's always-bound side.
 """
 
 from __future__ import annotations

@@ -193,8 +193,10 @@ def _pdf_literal_string(data: bytes, i: int) -> tuple[str, int]:
 def _pdf_stream_text(data: bytes) -> list[str]:
     """Text-showing strings of one decoded content stream, in order:
     ``(s) Tj``, ``(s) '``, ``(aw ac (s)) \"``, ``[(a) -120 (b)] TJ``
-    — with ``T*``/``TD``/``'`` emitting line breaks (the subset's
-    layout heuristic: enough to keep words and lines apart)."""
+    — with ``T*``/``TD``/``Td``/``Tm``/``'`` emitting line breaks
+    (the subset's layout heuristic: every text-positioning operator
+    starts a new line, which keeps words and lines apart — the
+    pdftotext-like behavior; empty lines collapse in pdf_text)."""
     out: list[str] = []
     pending: list[str] = []
     i, n = 0, len(data)
@@ -231,7 +233,7 @@ def _pdf_stream_text(data: bytes) -> list[str]:
             elif op == b'"':
                 out.append("\n")
                 out.extend(pending[-1:])
-            elif op in (b"T*", b"TD"):
+            elif op in (b"T*", b"TD", b"Td", b"Tm"):
                 out.append("\n")
             elif op == b"ET":
                 out.append("\n")
@@ -271,29 +273,39 @@ def pdf_text(content: bytes) -> str:
         if end == -1:
             continue
         raw = content[start:end].rstrip(b"\r\n")
-        # the nearest dict before `stream` declares the filter
-        head = content[max(0, m.start() - 400):m.start()]
-        if b"/FlateDecode" in head.rsplit(b"<<", 1)[-1]:
+        # the stream's OWN object dict declares the filter: scan from
+        # the enclosing `obj` token (not a fixed byte window, and not
+        # the innermost `<<` — nested dicts like /DecodeParms<<…>>
+        # would otherwise hide the filter and the compressed bytes
+        # would be scanned as text, a silent loss)
+        obj_at = content.rfind(b"obj", 0, m.start())
+        head = content[max(obj_at, 0):m.start()]
+        has_parms = b"/DecodeParms" in head
+        if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as e:
                 raise ValueError(f"pdf subset: bad Flate stream: {e}")
         if b"BT" not in raw:
             continue                       # no text operators
+        if has_parms:
+            # a predictor-coded CONTENT stream would decode to
+            # garbled text — loud, per the subset policy (xref/object
+            # streams with DecodeParms carry no BT and are skipped
+            # above)
+            raise ValueError("pdf subset: /DecodeParms predictor on a "
+                             "text content stream not supported")
         texts.extend(_pdf_stream_text(raw))
     joined = "".join(texts)
     lines = [" ".join(ln.split()) for ln in joined.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 
 
-class _TextHTML:
+def html_text(content: bytes) -> str:
     """Generic whole-page HTML text (script/style dropped) — the
     decode path's fallback; the KG pipeline's structured extractor
     (operators/extract.py parse_page) stays separate because it
     assigns text to header/preamble/section roles."""
-
-
-def html_text(content: bytes) -> str:
     from html.parser import HTMLParser
 
     class P(HTMLParser):

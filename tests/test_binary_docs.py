@@ -151,3 +151,26 @@ def test_decode_binary_docs_end_to_end(spark, bin_dir):
     assert out["mystery.bin"]["text"] is None
     assert all(r["n_chars"] == (len(r["text"]) if r["text"] else 0)
                for r in out.values())
+
+
+def test_pdf_td_lines_and_decodeparms_loud():
+    # Td between text runs starts a new line (the pdftotext-common
+    # layout pattern) — previously the words concatenated silently
+    pdf = _mk_pdf(b"BT 72 700 Td (Hello) Tj 0 -14 Td (World) Tj ET")
+    assert pdf_text(pdf) == "Hello\nWorld"
+    # a predictor-coded text content stream is LOUD, not garbled
+    import zlib as _z
+    cs = _z.compress(b"BT (x) Tj ET")
+    body = (b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(cs)).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 4 >> >>\nstream\n"
+            + cs + b"\nendstream\nendobj\n%%EOF\n")
+    with pytest.raises(ValueError, match="DecodeParms"):
+        pdf_text(body)
+    # nested dict before the filter no longer hides FlateDecode
+    cs2 = _z.compress(b"BT (ok) Tj ET")
+    body2 = (b"%PDF-1.4\n4 0 obj\n<< /Resources << /Font << /F1 5 0 R "
+             b">> >> /Length " + str(len(cs2)).encode()
+             + b" /Filter /FlateDecode >>\nstream\n"
+             + cs2 + b"\nendstream\nendobj\n%%EOF\n")
+    assert pdf_text(body2) == "ok"
