@@ -91,11 +91,25 @@ def _try_break_stale(path: str, stale_after_s: float) -> None:
 
 
 class GraphStore:
-    """Snapshot-committed table store (Iceberg-contract emulation)."""
+    """Snapshot-committed table store (Iceberg-contract emulation).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``partition_spec`` maps table → partition columns, the Iceberg
+    partition-spec analog: ``{"edge": ["pred"]}`` lays every snapshot
+    out as ``pred=<value>/`` directories, so a query filtering on a
+    predicate (every SPARQL triple pattern with a constant predicate,
+    i.e. nearly all of them) prunes to that predicate's files at
+    PLANNING time — at 10^12 edges the scan never touches the other
+    predicates' data.  Partitioning changes layout only: reads
+    restore the column (select by name, not position), multisets are
+    identical, and unpartitioned snapshots of the same table written
+    before the spec remain readable side-by-side (spec evolution,
+    like Iceberg's)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_spec: dict | None = None):
         self.spark = spark
         self.root = root
+        self.partition_spec = dict(partition_spec or {})
         os.makedirs(root, exist_ok=True)
 
     # -- manifest plumbing -------------------------------------------------
@@ -185,7 +199,11 @@ class GraphStore:
         (shared by append and compact so the on-disk layout cannot
         fork between them)."""
         path = os.path.join(self.root, table, snap_id)
-        df.write.mode("overwrite").parquet(path)
+        cols = self.partition_spec.get(table)
+        w = df.write.mode("overwrite")
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(path)
         return {"id": snap_id, "path": path, "ts": time.time(), **extra}
 
     def append(self, df: DataFrame, table: str) -> str:
@@ -214,7 +232,18 @@ class GraphStore:
         snaps = self._read_manifest(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no snapshots")
-        return self.spark.read.parquet(*[s["path"] for s in snaps])
+        paths = [s["path"] for s in snaps]
+        if table in self.partition_spec and len(paths) > 1:
+            # spec evolution: snapshots written before the partition
+            # spec are flat while later ones are pred=<v>/ trees — one
+            # multi-path scan refuses mixed layouts, so union
+            # per-snapshot scans by NAME (a filter on the partition
+            # column still prunes inside each partitioned scan)
+            out = self.spark.read.parquet(paths[0])
+            for q in paths[1:]:
+                out = out.unionByName(self.spark.read.parquet(q))
+            return out
+        return self.spark.read.parquet(*paths)
 
     def read_current(self, table: str,
                      stage: str = "materialize") -> DataFrame:
