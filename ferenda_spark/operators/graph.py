@@ -232,18 +232,20 @@ class GraphStore:
         snaps = self._read_manifest(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no snapshots")
-        paths = [s["path"] for s in snaps]
-        if table in self.partition_spec and len(paths) > 1:
-            # spec evolution: snapshots written before the partition
-            # spec are flat while later ones are pred=<v>/ trees — one
-            # multi-path scan refuses mixed layouts, so union
-            # per-snapshot scans by NAME (a filter on the partition
-            # column still prunes inside each partitioned scan)
-            out = self.spark.read.parquet(paths[0])
-            for q in paths[1:]:
-                out = out.unionByName(self.spark.read.parquet(q))
-            return out
-        return self.spark.read.parquet(*paths)
+        return self._read_paths([s["path"] for s in snaps])
+
+    def _read_paths(self, paths: list[str]) -> DataFrame:
+        """Union per-snapshot scans by NAME.  One multi-path parquet
+        scan refuses partitioned snapshot roots ("conflicting
+        directory structures") and mixed flat/partitioned layouts
+        (spec evolution), and a READER must not need the writer's
+        partition spec — the layout is self-describing per snapshot.
+        Filters on a partition column still prune inside each
+        partitioned scan; same files either way."""
+        out = self.spark.read.parquet(paths[0])
+        for q in paths[1:]:
+            out = out.unionByName(self.spark.read.parquet(q))
+        return out
 
     def read_current(self, table: str,
                      stage: str = "materialize") -> DataFrame:
@@ -333,7 +335,7 @@ class GraphStore:
                 raise KeyError(
                     f"table {table}: ts {as_of_ts} addresses a state "
                     f"rewritten by compaction (no longer addressable)")
-        return self.spark.read.parquet(*[s["path"] for s in keep])
+        return self._read_paths([s["path"] for s in keep])
 
     def exists(self, table: str) -> bool:
         return bool(self._read_manifest(table))

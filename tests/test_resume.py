@@ -460,3 +460,11 @@ def test_partition_spec_prunes_and_preserves(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     # the partitioned snapshot's scan carries the pred partition filter
     assert "PartitionFilters" in plan and "pred" in plan
+
+    # a READER must not need the writer's spec: the layout is
+    # self-describing per snapshot (serving CLI / downstream jobs
+    # open stores with GraphStore(spark, dir) and no spec)
+    specless = GraphStore(spark, str(tmp_path / "g"))
+    assert specless.read("edge").count() == 180 + 30
+    assert {(r["subj"], r["pred"], r["obj"])
+            for r in specless.read("edge").collect()} == all_rows
