@@ -475,7 +475,11 @@ GATE_ORDER = [
     "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
     "fulltext_fielded", "doc_versions_views",
     "kg_citation_classes", "sim_ann_topk", "dedup_components",
-    "curation_survivors",
+    # round-4-late: the WARC crawl-archive source roundtrip (new
+    # operator family — first driver row).  Takes the slot of
+    # curation_survivors (driver-green r1+r2+r3; the v2 and v3
+    # curation chains keep the composed-pipeline family in-gate).
+    "warc_extract_text",
     "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # flagship KG gates (the north-rule invariants: byte-identical
     # extracted text per url, exact triple multiset) — never rotated
@@ -529,6 +533,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ext.filter(F.col("is_doc")).select(
             "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
     q["kg_extract_text"] = kg_extract_text
+
+    def warc_extract_text(spark, sf):
+        """The full crawl-archive path: pages → WARC segments (one per
+        partition, gzip member per record) → parsed back by the real
+        WARC reader → lang recovered from the fetched bytes → the
+        same Arrow extract.  Oracle identical to kg_extract_text:
+        passing proves the WARC writer/parser round-trips every html
+        byte AND plugs into the pipeline unchanged."""
+        from ferenda_spark.sources.warc import pages_roundtrip_warc
+        pages = pages_roundtrip_warc(_pages(spark, sf)).withColumn(
+            "lang", F.regexp_extract(
+                F.decode("html", "UTF-8"), '<html lang="([a-z]+)"', 1))
+        ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
+        return ext.filter(F.col("is_doc")).select(
+            "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+    q["warc_extract_text"] = warc_extract_text
 
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
     q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
@@ -1745,6 +1765,9 @@ def _all_oracles() -> dict[str, str]:
 WITH {_F_CTE}
 SELECT url, md5({_EXPECTED_TEXT}) AS text_md5 FROM f
 """
+    # the WARC roundtrip must reproduce the identical per-url text:
+    # same oracle as the direct extract gate
+    o["warc_extract_text"] = o["kg_extract_text"]
 
     o["kg_edges"] = f"""
 WITH {_F_CTE}, {_TRIPLES_CTE}

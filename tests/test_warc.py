@@ -1,0 +1,134 @@
+"""WARC source (sources/warc.py): writer/parser round trips, the
+distributed read path, and poison-segment isolation."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.sources.testdata import load_table, pages_from_documents
+from ferenda_spark.sources.warc import (
+    build_warc,
+    build_response_record,
+    pages_from_warc,
+    pages_roundtrip_warc,
+    parse_warc,
+    read_warc,
+    warc_segments_from_pages,
+)
+
+SF = "/root/testdata/sf0.001"
+
+RECS = [
+    ("https://example.org/a", datetime(2024, 1, 2, 3, 4, 5),
+     b"<html>A</html>"),
+    ("https://example.org/b", datetime(2024, 1, 2, 3, 4, 6),
+     b"<html>B</html>", "text/html; charset=utf-8", 200),
+    ("https://example.org/gone", datetime(2024, 1, 2, 3, 4, 7),
+     b"nope", "text/html", 404),
+]
+
+
+# ---------------------------------------------------------------------------
+# plain-python writer/parser
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_build_parse_roundtrip(gz):
+    data = build_warc(RECS, gzip_members=gz)
+    rows = list(parse_warc(data, source="seg"))
+    assert [r["record_type"] for r in rows] == [
+        "warcinfo", "response", "response", "response"]
+    assert rows[1]["url"] == "https://example.org/a"
+    assert rows[1]["body"] == b"<html>A</html>"
+    assert rows[1]["warc_ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[2]["http_content_type"] == "text/html; charset=utf-8"
+    assert rows[3]["http_status"] == 404
+    assert all(r["error"] is None for r in rows)
+
+
+def test_build_is_deterministic():
+    assert build_warc(RECS, gzip_members=True) == build_warc(
+        RECS, gzip_members=True)
+
+
+def test_body_containing_warc_marker_survives():
+    """Content-Length framing, not delimiter scanning: a body that
+    embeds CRLFCRLF + 'WARC/1.0' must come back intact."""
+    tricky = [("https://example.org/t", datetime(2024, 1, 1),
+               b"a\r\n\r\nWARC/1.0\r\nb")]
+    rows = list(parse_warc(build_warc(tricky, warcinfo=False)))
+    assert rows[0]["body"] == b"a\r\n\r\nWARC/1.0\r\nb"
+
+
+def test_garbage_resync_and_truncation():
+    good = build_warc(RECS[:1], warcinfo=False)
+    rows = list(parse_warc(b"GARBAGE\r\n" + good))
+    assert rows[0]["error"] is not None
+    assert rows[1]["url"] == "https://example.org/a"
+    rows = list(parse_warc(good[:len(good) // 2]))
+    assert any(r["error"] for r in rows)
+
+
+def test_missing_content_length_is_error_row():
+    import re
+    rec = build_response_record("https://x", datetime(2024, 1, 1), b"hi")
+    # drop the WARC-level Content-Length (the first one)
+    broken = re.sub(rb"\r\nContent-Length: \d+", b"", rec, count=1)
+    rows = list(parse_warc(broken))
+    assert rows and rows[0]["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# distributed read path
+# ---------------------------------------------------------------------------
+
+def test_read_warc_directory(spark, tmp_path):
+    (tmp_path / "seg-0.warc").write_bytes(build_warc(RECS[:1]))
+    (tmp_path / "seg-1.warc.gz").write_bytes(
+        build_warc(RECS[1:], gzip_members=True))
+    # poison member: parse errors become rows, not task failures
+    (tmp_path / "seg-2.warc").write_bytes(b"NOT A WARC AT ALL")
+
+    recs = read_warc(spark, str(tmp_path)).collect()
+    by_type = {}
+    for r in recs:
+        by_type.setdefault(r.record_type, []).append(r)
+    assert len(by_type["response"]) == 3
+    assert len(by_type["warcinfo"]) == 2
+    errs = [r for r in recs if r.error is not None]
+    assert len(errs) == 1 and "seg-2" in errs[0].warc_file
+
+    pages = pages_from_warc(read_warc(spark, str(tmp_path)), lang="en")
+    rows = {r.url: r for r in pages.collect()}
+    # 404 filtered, 200s kept with bodies intact
+    assert set(rows) == {"https://example.org/a", "https://example.org/b"}
+    assert bytes(rows["https://example.org/a"].html) == b"<html>A</html>"
+    assert rows["https://example.org/a"].lang == "en"
+
+
+def test_pages_roundtrip_warc_identity(spark):
+    """pages → WARC segments → parse = identity on (url, html bytes,
+    second-truncated warc_ts), over the real synthetic corpus with >1
+    partition (multiple independent segments)."""
+    pages = pages_from_documents(
+        load_table(spark, SF, "documents")).repartition(4)
+    back = pages_roundtrip_warc(pages)
+
+    orig = {r.url: r for r in
+            pages.select("url", "warc_ts", "html").collect()}
+    got = {r.url: r for r in back.collect()}
+    assert set(got) == set(orig) and len(got) > 0
+    for url, r in got.items():
+        assert bytes(r.html) == bytes(orig[url].html)
+        assert r.warc_ts == orig[url].warc_ts.replace(microsecond=0)
+
+
+def test_segment_per_partition(spark):
+    pages = pages_from_documents(
+        load_table(spark, SF, "documents")).repartition(3)
+    segs = warc_segments_from_pages(pages).collect()
+    assert len(segs) == 3
+    # every segment independently parseable and led by warcinfo
+    first = list(parse_warc(bytes(segs[0].segment)))
+    assert first[0]["record_type"] == "warcinfo"
