@@ -466,7 +466,13 @@ GATE_ORDER = [
     "entity_link_fuzzy", "pdf_margin_metrics", "pdf_style_metrics",
     "fragments_udtf", "text_metrics", "url_canonical_dedup",
     "streaming_hourly_events",
-    "salted_join_suppliers", "first_success_events",
+    "salted_join_suppliers",
+    # round-4-late: deterministic training-shard packing (new operator
+    # family — first driver row).  Takes the slot of
+    # first_success_events (driver-green r1+r3; the W6 per-group-first
+    # shape stays exercised inside doc_versions_views' current-version
+    # window and stays locally oracle-checked as an extra).
+    "training_shards_docs",
     # rotated out for the three new round-4 ops: sim_embedding_neardup
     # (pairs re-stated inside the sim_semantic_dedup oracle),
     # fulltext_search_docs (fulltext_fielded + fulltext_api_page stay),
@@ -1298,6 +1304,27 @@ LIMIT 20
         return _longify(sampling.stratified_sample(
             d, {"en": 0.5, "zh": 0.2}, default_rate=0.05))
     q["sample_mixture_docs"] = sample_mixture_docs
+
+    def training_shards_docs(spark, sf):
+        """Deterministic training-shard packing: every document's
+        shard under the salted-md5 global shuffle order + greedy
+        sequential token-budget packing (operators/shards.py) — the
+        two-phase bucketed cumsum must equal the oracle's single
+        global window exactly."""
+        from ferenda_spark.operators.shards import assign_shards
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        a = assign_shards(d, budget=50000, weight_col="n_chars")
+        return a.select("doc_id", "shuffle_key", "shard")
+    q["training_shards_docs"] = training_shards_docs
+
+    def training_shard_manifest(spark, sf):
+        """Per-shard accounting sidecar over the same assignment."""
+        from ferenda_spark.operators.shards import (assign_shards,
+                                                    shard_manifest)
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        a = assign_shards(d, budget=50000, weight_col="n_chars")
+        return shard_manifest(a, "n_chars")
+    q["training_shard_manifest"] = training_shard_manifest
 
     def redact_pii_docs(spark, sf):
         """PII scrub over a corpus with deterministically injected
@@ -2779,6 +2806,36 @@ FROM comp c JOIN sizes s USING (comp)
 """
 
     from ferenda_spark.operators.sampling import rate_threshold
+    # shard packing restated as ONE global window (the semantics the
+    # bucketed two-phase implementation must reproduce exactly)
+    _SHARD_CTE = """
+t AS (
+  SELECT doc_id, n_chars AS w,
+    CAST(concat('0x', substr(md5('shard-v1:' ||
+         CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey
+  FROM documents),
+c AS (
+  SELECT doc_id, hkey, w,
+    CAST(sum(w) OVER (ORDER BY hkey, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) - w AS prev
+  FROM t)
+"""
+    o["training_shards_docs"] = f"""
+WITH {_SHARD_CTE}
+SELECT doc_id, hkey AS shuffle_key,
+       CAST(prev // 50000 AS BIGINT) AS shard
+FROM c
+"""
+    o["training_shard_manifest"] = f"""
+WITH {_SHARD_CTE}
+SELECT CAST(prev // 50000 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_weight,
+       min(hkey) AS first_key, max(hkey) AS last_key
+FROM c GROUP BY 1
+"""
+
     o["sample_mixture_docs"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
