@@ -65,6 +65,9 @@ HEADLINE = [
     "asof_purchase_click",
     "streaming_hourly_events",
     "salted_join_suppliers",
+    # round-4-late additions
+    "warc_extract_text",
+    "training_shards_docs",
 ]
 
 

@@ -69,25 +69,27 @@ def assign_shards(docs: DataFrame, budget: int, weight_col: str,
         raise ValueError(f"budget must be positive, got {budget}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    bad = docs.filter(
-        F.col(key_col).isNull() | F.col(weight_col).isNull()
-        | (F.col(weight_col) < 0)).limit(1).count()
-    if bad:
-        raise ValueError(
-            "assign_shards: null key or null/negative weight present; "
-            "packing is positional — fix rows upstream, do not drop "
-            "silently")
-
     hkey = sample_uniform(F.col(key_col), salt)
     # ceil-divisor keeps bucket < n_buckets for every key; floor of a
     # monotone function keeps bucket-major order = key order
     div = -(-SAMPLE_SCALE // n_buckets)
+    # null keys hash to a NULL shuffle_key → NULL bucket: the totals
+    # pass below surfaces them (and bad weights) without a separate
+    # validation scan of the corpus
+    bad_row = (F.col(key_col).isNull() | F.col(weight_col).isNull()
+               | (F.col(weight_col) < 0))
     with_key = docs.withColumn("shuffle_key", hkey).withColumn(
         "_bucket", (F.col("shuffle_key") / F.lit(div)).cast("long"))
 
     totals = (with_key.groupBy("_bucket")
-              .agg(F.sum(F.col(weight_col).cast("long")).alias("_total"))
-              .collect())  # bounded: ≤ n_buckets rows
+              .agg(F.sum(F.col(weight_col).cast("long")).alias("_total"),
+                   F.sum(bad_row.cast("long")).alias("_bad"))
+              .collect())  # bounded: ≤ n_buckets rows (+1 if nulls)
+    if any(row["_bad"] for row in totals):
+        raise ValueError(
+            "assign_shards: null key or null/negative weight present; "
+            "packing is positional — fix rows upstream, do not drop "
+            "silently")
     offsets, running = {}, 0
     for row in sorted(totals, key=lambda r: r["_bucket"]):
         offsets[row["_bucket"]] = running
