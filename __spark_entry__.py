@@ -1326,6 +1326,17 @@ LIMIT 20
         return shard_manifest(a, "n_chars")
     q["training_shard_manifest"] = training_shard_manifest
 
+    def pack_contexts_docs(spark, sf):
+        """Concat-and-split context packing: every (document,
+        context) incidence with its cut plan under a 512-token
+        context over the same deterministic corpus order."""
+        from ferenda_spark.operators.shards import pack_contexts
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        p = pack_contexts(d, context_len=512, weight_col="n_chars")
+        return p.select("doc_id", "ctx", "ctx_offset",
+                        "slice_start", "slice_len")
+    q["pack_contexts_docs"] = pack_contexts_docs
+
     def redact_pii_docs(spark, sf):
         """PII scrub over a corpus with deterministically injected
         identifiers (emails on doc_id%7, IPv4 on %11, 9-digit runs on
@@ -2834,6 +2845,21 @@ SELECT CAST(prev // 50000 AS BIGINT) AS shard,
        CAST(sum(w) AS BIGINT) AS total_weight,
        min(hkey) AS first_key, max(hkey) AS last_key
 FROM c GROUP BY 1
+"""
+
+    o["pack_contexts_docs"] = f"""
+WITH {_SHARD_CTE},
+e AS (
+  SELECT doc_id, prev, w,
+         unnest(generate_series(prev // 512, (prev + w - 1) // 512))
+           AS ctx
+  FROM c WHERE w > 0)
+SELECT doc_id, ctx,
+  greatest(prev - ctx * 512, 0) AS ctx_offset,
+  greatest(ctx * 512 - prev, 0) AS slice_start,
+  (least((ctx + 1) * 512, prev + w) - prev)
+    - greatest(ctx * 512 - prev, 0) AS slice_len
+FROM e
 """
 
     o["sample_mixture_docs"] = f"""

@@ -52,21 +52,18 @@ from ferenda_spark.operators.sampling import SAMPLE_SCALE, sample_uniform
 DEFAULT_BUCKETS = 64
 
 
-def assign_shards(docs: DataFrame, budget: int, weight_col: str,
-                  key_col: str = "doc_id", salt: str = "shard-v1",
-                  n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """docs + (shard, shuffle_key) columns.
-
-    ``shard`` is the packing described in the module docstring;
-    ``shuffle_key`` is the 60-bit order key — writers emit shard
-    files with ``partitionBy(shard)`` + ``sortWithinPartitions
-    (shuffle_key)`` and the bytes are reproducible end-to-end.
+def with_corpus_offset(docs: DataFrame, weight_col: str,
+                       key_col: str = "doc_id", salt: str = "shard-v1",
+                       n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """docs + (shuffle_key, corpus_offset) columns: the exact global
+    running weight BEFORE each document under the deterministic
+    shuffle order — the primitive both shard packing and context
+    packing divide.  Two-phase bucketed cumsum (module docstring);
+    one shuffle, no global window.
 
     Rows with a NULL key or NULL/negative weight are rejected loudly
-    (a silent drop would shift every later shard boundary).
+    (a silent drop would shift every later offset).
     """
-    if budget <= 0:
-        raise ValueError(f"budget must be positive, got {budget}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     hkey = sample_uniform(F.col(key_col), salt)
@@ -107,10 +104,80 @@ def assign_shards(docs: DataFrame, budget: int, weight_col: str,
                 + F.col("_offset"))
     return (with_key
             .join(F.broadcast(off_df), "_bucket")
-            .withColumn("_prev", prev_cum)
-            # DIV: exact integer division (no double rounding past 2^53)
-            .withColumn("shard", F.expr(f"_prev DIV {int(budget)}"))
-            .drop("_bucket", "_offset", "_prev"))
+            .withColumn("corpus_offset", prev_cum)
+            .drop("_bucket", "_offset"))
+
+
+def assign_shards(docs: DataFrame, budget: int, weight_col: str,
+                  key_col: str = "doc_id", salt: str = "shard-v1",
+                  n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """docs + (shard, shuffle_key) columns.
+
+    ``shard`` is the greedy sequential packing described in the
+    module docstring; ``shuffle_key`` is the 60-bit order key —
+    writers emit shard files with ``partitionBy(shard)`` +
+    ``sortWithinPartitions(shuffle_key)`` and the bytes are
+    reproducible end-to-end.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    off = with_corpus_offset(docs, weight_col, key_col, salt, n_buckets)
+    # DIV: exact integer division (no double rounding past 2^53)
+    return (off.withColumn("shard",
+                           F.expr(f"corpus_offset DIV {int(budget)}"))
+            .drop("corpus_offset"))
+
+
+def pack_contexts(docs: DataFrame, context_len: int, weight_col: str,
+                  key_col: str = "doc_id", salt: str = "shard-v1",
+                  n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Concat-and-split context packing: the corpus, in the
+    deterministic shuffle order, is one token stream cut into
+    fixed-length contexts; a document spans every context its token
+    range touches (documents ARE split at context boundaries — the
+    standard LM pretraining convention; nothing is padded, nothing
+    dropped).
+
+    Output: one row per (document, context) incidence with the
+    loader's cut plan —
+      ``ctx``        global context index (``token DIV context_len``)
+      ``ctx_offset`` position of this slice within the context
+      ``slice_start`` start of the slice within the document
+      ``slice_len``   slice length
+    Zero-weight documents occupy no tokens and emit no rows.
+
+    Pure arithmetic + one ``sequence``/explode over the corpus
+    offsets — no additional shuffle beyond ``with_corpus_offset``;
+    a document longer than ``context_len`` explodes into exactly
+    ceil(w / context_len) (+1 when straddling) rows, which is the
+    output's inherent size.
+    """
+    if context_len <= 0:
+        raise ValueError(
+            f"context_len must be positive, got {context_len}")
+    off = with_corpus_offset(docs, weight_col, key_col, salt, n_buckets)
+    C = int(context_len)
+    w = F.col(weight_col).cast("long")
+    # DIV throughout: offsets exceed 2^53 at 10^12-doc scale, so no
+    # double-rounding division anywhere
+    exploded = (off.filter(w > 0)
+                .withColumn("_last_tok", F.col("corpus_offset") + w - 1)
+                .withColumn("ctx", F.explode(F.sequence(
+                    F.expr(f"corpus_offset DIV {C}"),
+                    F.expr(f"_last_tok DIV {C}"))))
+                .drop("_last_tok"))
+    ctx_start = F.col("ctx") * C
+    slice_start = F.greatest(ctx_start - F.col("corpus_offset"),
+                             F.lit(0))
+    slice_end = (F.least(ctx_start + C,
+                         F.col("corpus_offset") + w)
+                 - F.col("corpus_offset"))
+    return (exploded
+            .withColumn("ctx_offset",
+                        F.greatest(F.col("corpus_offset") - ctx_start,
+                                   F.lit(0)))
+            .withColumn("slice_start", slice_start)
+            .withColumn("slice_len", slice_end - slice_start))
 
 
 def shard_manifest(assigned: DataFrame, weight_col: str,

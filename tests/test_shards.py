@@ -85,3 +85,54 @@ def test_null_weight_and_bad_budget_raise(spark, docs):
         assign_shards(poisoned, budget=20000, weight_col="n_chars")
     with pytest.raises(ValueError, match="budget"):
         assign_shards(docs, budget=0, weight_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# context packing (concat-and-split)
+# ---------------------------------------------------------------------------
+
+def test_pack_contexts_tiles_exactly(spark, docs):
+    """Slices tile every document [0, w) in order, every context but
+    the last is exactly full, context ids are contiguous from 0."""
+    from collections import defaultdict
+    from ferenda_spark.operators.shards import pack_contexts
+    C = 512
+    rows = pack_contexts(docs, context_len=C,
+                         weight_col="n_chars").collect()
+    byctx, bydoc = defaultdict(int), defaultdict(list)
+    for r in rows:
+        byctx[r.ctx] += r.slice_len
+        bydoc[r.doc_id].append((r.slice_start, r.slice_len,
+                                r.ctx, r.ctx_offset))
+    last = max(byctx)
+    assert sorted(byctx) == list(range(last + 1))
+    assert all(v == C for c, v in byctx.items() if c != last)
+    nch = {r.doc_id: r.n_chars for r in docs.collect()}
+    for d, sl in bydoc.items():
+        sl.sort()
+        assert sum(length for _, length, _, _ in sl) == nch[d]
+        pos = 0
+        for s, length, ctx, off in sl:
+            assert s == pos
+            assert 0 <= off and off + length <= C
+            pos += length
+
+
+def test_pack_contexts_partition_invariance(spark, docs):
+    from ferenda_spark.operators.shards import pack_contexts
+    key = ["doc_id", "ctx", "ctx_offset", "slice_start", "slice_len"]
+    a = pack_contexts(docs, 512, "n_chars").select(*key).collect()
+    b = pack_contexts(docs.repartition(17), 512,
+                      "n_chars").select(*key).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_contexts_zero_weight_and_bad_len(spark, docs):
+    from ferenda_spark.operators.shards import pack_contexts
+    z = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") == 5, F.lit(0))
+        .otherwise(F.col("n_chars")))
+    rows = pack_contexts(z, 512, "n_chars").collect()
+    assert all(r.doc_id != 5 for r in rows)  # zero tokens, zero rows
+    with pytest.raises(ValueError, match="context_len"):
+        pack_contexts(docs, 0, "n_chars")
