@@ -1337,6 +1337,28 @@ LIMIT 20
                         "slice_start", "slice_len")
     q["pack_contexts_docs"] = pack_contexts_docs
 
+    def latest_fetch_docs(spark, sf):
+        """Crawl-snapshot dedup: the corpus plus synthesized refetch
+        variants (fragment / trailing-slash urls at later fetch
+        times) collapses to one newest fetch per canonical url."""
+        from ferenda_spark.operators.webfilter import latest_fetch
+        p = _pages(spark, sf).select("url", "warc_ts")
+        d_id = F.regexp_extract(F.col("url"), r"(\d+)$", 1).cast("long")
+        v1 = (p.filter(d_id % 5 == 0).select(
+            F.concat(F.col("url"), F.lit("#top")).alias("url"),
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+            .alias("warc_ts")))
+        v2 = (p.filter(d_id % 7 == 0).select(
+            F.concat(F.col("url"), F.lit("/")).alias("url"),
+            (F.col("warc_ts") + F.expr("INTERVAL 2 DAY"))
+            .alias("warc_ts")))
+        lf = latest_fetch(p.unionByName(v1).unionByName(v2))
+        return lf.select(
+            "canonical_url", F.col("url").alias("winner_url"),
+            F.col("warc_ts").cast("long").alias("latest_epoch"),
+            "n_fetches")
+    q["latest_fetch_docs"] = latest_fetch_docs
+
     def redact_pii_docs(spark, sf):
         """PII scrub over a corpus with deterministically injected
         identifiers (emails on doc_id%7, IPv4 on %11, 9-digit runs on
@@ -2860,6 +2882,21 @@ SELECT doc_id, ctx,
   (least((ctx + 1) * 512, prev + w) - prev)
     - greatest(ctx * 512 - prev, 0) AS slice_len
 FROM e
+"""
+
+    o["latest_fetch_docs"] = f"""
+WITH {_F_CTE}
+SELECT url AS canonical_url,
+  CASE WHEN doc_id % 7 = 0 THEN url || '/'
+       WHEN doc_id % 5 = 0 THEN url || '#top'
+       ELSE url END AS winner_url,
+  1704067200 + doc_id * 137
+    + CASE WHEN doc_id % 7 = 0 THEN 172800
+           WHEN doc_id % 5 = 0 THEN 86400 ELSE 0 END AS latest_epoch,
+  CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+       AS BIGINT) AS n_fetches
+FROM f
 """
 
     o["sample_mixture_docs"] = f"""

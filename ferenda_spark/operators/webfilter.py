@@ -67,3 +67,34 @@ def domain_filter(docs: DataFrame, url_col: str = "url",
                 return d.filter(F.lit(False)).drop("host", "domain")
             d = d.filter(F.col("domain").isin(*allowlist))
     return d.drop("host", "domain")
+
+
+def latest_fetch(fetches: DataFrame, url_col: str = "url",
+                 ts_col: str = "warc_ts") -> DataFrame:
+    """Crawl-snapshot dedup: newest fetch per CANONICAL url.
+
+    A corpus assembled from several crawl snapshots holds the same
+    resource many times under syntactic url variants (fragment,
+    trailing slash, unsorted query) and different fetch times; the
+    curation convention keeps exactly one — the most recent fetch of
+    the canonical form, ties broken by the raw url (deterministic).
+
+    Output: one row per canonical url with the winning fetch's
+    columns plus ``canonical_url`` and ``n_fetches``.  One shuffle on
+    the canonical key (row_number + count share the single window
+    partition); canonicalization itself is scan-side codegen
+    (functions/web.py::canonical_url_col).
+    """
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.web import canonical_url_col
+
+    w = Window.partitionBy("canonical_url")
+    wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col))
+    return (fetches
+            .withColumn("canonical_url",
+                        canonical_url_col(F.col(url_col)))
+            .withColumn("_rn", F.row_number().over(wo))
+            .withColumn("n_fetches", F.count(F.lit(1)).over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

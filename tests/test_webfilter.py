@@ -74,3 +74,26 @@ def test_filter_plan_stays_scan_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan_df
     assert "ShuffleExchange" not in plan_df
+
+
+def test_latest_fetch_canonical_winner(spark):
+    from datetime import datetime
+    from ferenda_spark.operators.webfilter import latest_fetch
+    rows = [
+        ("https://a.com/x", datetime(2024, 1, 1)),
+        ("https://a.com/x#frag", datetime(2024, 1, 3)),
+        ("https://a.com/x/", datetime(2024, 1, 2)),
+        ("https://b.com/y?b=2&a=1", datetime(2024, 1, 1)),
+        ("https://b.com/y?a=1&b=2", datetime(2024, 1, 1)),  # ts tie
+        ("https://c.com/z", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    got = {r.canonical_url: r for r in latest_fetch(df).collect()}
+    assert set(got) == {"https://a.com/x", "https://b.com/y?a=1&b=2",
+                        "https://c.com/z"}
+    a = got["https://a.com/x"]
+    assert a.url == "https://a.com/x#frag" and a.n_fetches == 3
+    # timestamp tie broken by raw url ascending (deterministic)
+    b = got["https://b.com/y?a=1&b=2"]
+    assert b.url == "https://b.com/y?a=1&b=2" and b.n_fetches == 2
+    assert got["https://c.com/z"].n_fetches == 1
