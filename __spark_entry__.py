@@ -455,7 +455,14 @@ GATE_ORDER = [
     # classifier broadcast-weights path; closure memoization) — these
     # must carry a fresh driver row
     "kg_sparql_annotations", "dedup_token_spans_docs",
-    "quality_classifier_docs", "kg_closure", "kg_structure_closure",
+    "quality_classifier_docs",
+    # round-4-late: the ingest-to-export chain (crawl snapshots →
+    # canonical dedup → extract → quality floor → training shards).
+    # Takes the slot of kg_closure (driver-green r1+r2+r3; the J3
+    # closure family stays in-gate via kg_structure_closure, and
+    # kg_closure stays locally oracle-checked as an extra).
+    "curation_pipeline_v4",
+    "kg_structure_closure",
     # new THIS round — first driver rows: SemDeDup (its oracle rebuilds
     # the sim_embedding_neardup pair list, keeping that family covered
     # after its gate rotates out), the fulltext API envelope
@@ -1358,6 +1365,40 @@ LIMIT 20
             F.col("warc_ts").cast("long").alias("latest_epoch"),
             "n_fetches")
     q["latest_fetch_docs"] = latest_fetch_docs
+
+    def curation_pipeline_v4(spark, sf):
+        """The ingest-to-export story in one query: multi-snapshot
+        crawl (refetch variants at later times, same content) →
+        newest-fetch-per-canonical-url dedup → Arrow extract →
+        document-quality floor (length ≥ 420) → deterministic
+        training-shard packing → per-shard manifest.  Every stage is
+        an independently-gated operator; the oracle recomposes the
+        identical chain in SQL."""
+        from ferenda_spark.operators.shards import (assign_shards,
+                                                    shard_manifest)
+        from ferenda_spark.operators.webfilter import latest_fetch
+        p = _pages(spark, sf).select("url", "warc_ts", "html", "lang")
+        d_id = F.regexp_extract(F.col("url"), r"(\d+)$", 1).cast("long")
+        v1 = (p.filter(d_id % 5 == 0).withColumn(
+            "url", F.concat(F.col("url"), F.lit("#top"))).withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")))
+        v2 = (p.filter(d_id % 7 == 0).withColumn(
+            "url", F.concat(F.col("url"), F.lit("/"))).withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAY")))
+        fetched = latest_fetch(p.unionByName(v1).unionByName(v2))
+        # canonical identity for the rest of the chain (the winner's
+        # raw url may carry a fragment/slash variant)
+        pages = fetched.select(F.col("canonical_url").alias("url"),
+                               "html", "lang")
+        ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
+        kept = (ext.filter(F.col("is_doc"))
+                .select("url", F.length("text").cast("long").alias("w"))
+                .filter(F.col("w") >= 420))
+        a = assign_shards(kept, budget=50000, weight_col="w",
+                          key_col="url")
+        return (shard_manifest(a, "w")
+                .select("shard", "n_docs", "total_weight"))
+    q["curation_pipeline_v4"] = curation_pipeline_v4
 
     def redact_pii_docs(spark, sf):
         """PII scrub over a corpus with deterministically injected
@@ -2897,6 +2938,27 @@ SELECT url AS canonical_url,
          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
        AS BIGINT) AS n_fetches
 FROM f
+"""
+
+    o["curation_pipeline_v4"] = f"""
+WITH {_F_CTE},
+kept AS (
+  SELECT url, CAST(len({_EXPECTED_TEXT}) AS BIGINT) AS w
+  FROM f WHERE len({_EXPECTED_TEXT}) >= 420),
+t AS (
+  SELECT url, w,
+    CAST(concat('0x', substr(md5('shard-v1:' || url), 1, 15))
+         AS BIGINT) AS hkey
+  FROM kept),
+c AS (
+  SELECT url, hkey, w,
+    CAST(sum(w) OVER (ORDER BY hkey, url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) - w AS prev
+  FROM t)
+SELECT CAST(prev // 50000 AS BIGINT) AS shard,
+       count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_weight
+FROM c GROUP BY 1
 """
 
     o["sample_mixture_docs"] = f"""

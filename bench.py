@@ -68,6 +68,7 @@ HEADLINE = [
     # round-4-late additions
     "warc_extract_text",
     "training_shards_docs",
+    "curation_pipeline_v4",
 ]
 
 
