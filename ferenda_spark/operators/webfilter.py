@@ -84,13 +84,20 @@ def latest_fetch(fetches: DataFrame, url_col: str = "url",
     the canonical key (row_number + count share the single window
     partition); canonicalization itself is scan-side codegen
     (functions/web.py::canonical_url_col).
+
+    The winner order is a total order over FULL rows: (ts desc, url,
+    xxhash64 of every column) — two same-second fetches of the same
+    raw url with different content (dynamic page, re-crawled segment)
+    still resolve identically on every run/partitioning, keeping the
+    byte-identical-rebuild property.
     """
     from pyspark.sql import Window
 
     from ferenda_spark.functions.web import canonical_url_col
 
     w = Window.partitionBy("canonical_url")
-    wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col))
+    wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col),
+                   F.xxhash64(*[F.col(c) for c in fetches.columns]))
     return (fetches
             .withColumn("canonical_url",
                         canonical_url_col(F.col(url_col)))

@@ -152,9 +152,34 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP body. Raises
+    ValueError on malformed framing."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(CRLF, pos)
+        if nl == -1:
+            raise ValueError("chunked body missing size line")
+        size_field = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise ValueError("malformed chunk size %r" % size_field[:16])
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        chunk = body[pos:pos + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunk")
+        out.append(chunk)
+        pos += size + 2  # skip trailing CRLF
+
+
 def _parse_http_payload(payload: bytes):
     """HTTP/1.1 message → (status, content_type, body). Raises
-    ValueError on a payload that is not an HTTP response."""
+    ValueError on a payload that is not an HTTP response, or whose
+    body encoding can't be decoded — a silent pass-through of chunk
+    framing or gzip bytes as 'html' would corrupt every consumer."""
     head, sep, body = payload.partition(CRLF + CRLF)
     if not sep:
         raise ValueError("http payload missing header terminator")
@@ -167,82 +192,176 @@ def _parse_http_payload(payload: bytes):
         raise ValueError("malformed HTTP status line")
     status = int(parts[1])
     http_headers = _parse_headers(CRLF.join(lines[1:]))
+    te = http_headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    elif te and te != "identity":
+        raise ValueError("unsupported transfer-encoding %r" % te)
+    ce = http_headers.get("content-encoding", "").lower()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError as exc:
+            raise ValueError("content-encoding gzip: %s" % exc)
+    elif ce == "deflate":
+        import zlib
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                raise ValueError("content-encoding deflate: %s" % exc)
+    elif ce and ce != "identity":
+        raise ValueError("unsupported content-encoding %r" % ce)
     return status, http_headers.get("content-type"), body
+
+
+def _iter_chunks(data: bytes) -> Iterator[bytes]:
+    """Segment bytes → decompressed chunks.  Plain data yields itself
+    once; gzip yields ONE CHUNK PER MEMBER via ``zlib.decompressobj``
+    — with the .warc.gz member-per-record convention only one
+    record's payload is ever resident, not the whole decompressed
+    segment.  Raises ValueError on corrupt/truncated gzip."""
+    if data[:2] != _GZIP_MAGIC:
+        yield data
+        return
+    import zlib
+    mv = memoryview(data)
+    pos = 0
+    while pos < len(mv):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(mv[pos:])
+        except zlib.error as exc:
+            raise ValueError("corrupt gzip member at %d: %s" % (pos, exc))
+        if not d.eof:
+            raise ValueError("truncated gzip member at %d" % pos)
+        consumed = len(mv) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: never spin
+            raise ValueError("gzip made no progress at %d" % pos)
+        pos += consumed
+        yield chunk
 
 
 def parse_warc(data: bytes, source: str = "") -> Iterator[dict]:
     """One WARC segment (plain or multi-member gzip) → record dicts
-    matching WARC_RECORD_SCHEMA.  Linear single pass; a malformed
-    record emits an ``error`` row and resynchronizes at the next
-    ``WARC/`` marker instead of aborting the segment."""
-    if data[:2] == _GZIP_MAGIC:
-        # multi-member stream: gzip.decompress handles concatenated
-        # members (one per record, the .warc.gz convention)
-        data = gzip.decompress(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos:pos + 2] == CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        rec_offset = pos
-        if not data.startswith(b"WARC/", pos):
-            nxt = data.find(b"\r\nWARC/", pos)
-            yield _err_row(source, rec_offset,
-                           "expected WARC/ version marker")
-            if nxt == -1:
-                return
-            pos = nxt + 2
-            continue
-        head_end = data.find(CRLF + CRLF, pos)
-        if head_end == -1:
-            yield _err_row(source, rec_offset, "truncated header block")
-            return
-        version_end = data.find(CRLF, pos)
-        headers = _parse_headers(data[version_end + 2:head_end])
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            yield _err_row(source, rec_offset, "missing Content-Length")
-            nxt = data.find(b"\r\nWARC/", head_end)
-            if nxt == -1:
-                return
-            pos = nxt + 2
-            continue
-        payload = data[head_end + 4:head_end + 4 + length]
-        pos = head_end + 4 + length
-        if len(payload) < length:
-            yield _err_row(source, rec_offset, "truncated payload")
-            return
-        rec_type = headers.get("warc-type", "")
-        row = {
-            "warc_file": source, "rec_offset": rec_offset,
-            "record_type": rec_type,
-            "url": headers.get("warc-target-uri"),
-            "warc_ts": _parse_warc_date(headers.get("warc-date")),
-            "http_status": None, "http_content_type": None,
-            "body": None, "error": None,
-        }
-        if rec_type == "response":
+    matching WARC_RECORD_SCHEMA.  Incremental single pass over the
+    member stream (memory ≈ compressed blob + one record, not the
+    decompressed segment); EVERY malformed input — garbage bytes,
+    missing Content-Length, truncation, corrupt gzip — emits an
+    ``error`` row and resynchronizes at the next ``WARC/`` marker;
+    nothing raises out of this generator (a corrupt segment must
+    never kill a Spark task)."""
+    buf = bytearray()
+    consumed_total = 0  # absolute decompressed offset of buf[0]
+
+    def drain(eof: bool) -> list:
+        nonlocal buf, consumed_total
+        rows = []
+        pos, n = 0, len(buf)
+        while pos < n:
+            while pos + 1 < n and buf[pos:pos + 2] == CRLF:
+                pos += 2  # inter-record padding
+            if pos >= n:
+                break
+            if n - pos < 5 and not eof:
+                break  # partial 'WARC/' marker may complete later
+            rec_offset = consumed_total + pos
+            if not buf.startswith(b"WARC/", pos):
+                nxt = buf.find(b"\r\nWARC/", pos)
+                if nxt == -1 and not eof:
+                    break  # resync point may arrive with more data
+                rows.append(_err_row(source, rec_offset,
+                                     "expected WARC/ version marker"))
+                if nxt == -1:
+                    pos = n
+                    break
+                pos = nxt + 2
+                continue
+            head_end = buf.find(CRLF + CRLF, pos)
+            if head_end == -1:
+                if eof:
+                    rows.append(_err_row(source, rec_offset,
+                                         "truncated header block"))
+                    pos = n
+                break
+            version_end = buf.find(CRLF, pos)
+            headers = _parse_headers(bytes(buf[version_end + 2:head_end]))
             try:
-                status, ctype, body = _parse_http_payload(payload)
-                row.update(http_status=status, http_content_type=ctype,
-                           body=body)
-            except ValueError as exc:
-                row["error"] = "http: %s" % exc
-        # non-response payload bytes intentionally not copied out
-        yield row
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                nxt = buf.find(b"\r\nWARC/", head_end)
+                if nxt == -1 and not eof:
+                    break
+                rows.append(_err_row(source, rec_offset,
+                                     "missing Content-Length"))
+                if nxt == -1:
+                    pos = n
+                    break
+                pos = nxt + 2
+                continue
+            end = head_end + 4 + length
+            if end > n:
+                if eof:
+                    rows.append(_err_row(source, rec_offset,
+                                         "truncated payload"))
+                    pos = n
+                break
+            payload = bytes(buf[head_end + 4:end])
+            pos = end
+            rec_type = headers.get("warc-type", "")
+            row = {
+                "warc_file": source, "rec_offset": rec_offset,
+                "record_type": rec_type,
+                "url": headers.get("warc-target-uri"),
+                "warc_ts": _parse_warc_date(headers.get("warc-date")),
+                "http_status": None, "http_content_type": None,
+                "body": None, "error": None,
+            }
+            if rec_type == "response":
+                try:
+                    status, ctype, body = _parse_http_payload(payload)
+                    row.update(http_status=status,
+                               http_content_type=ctype, body=body)
+                except ValueError as exc:
+                    row["error"] = "http: %s" % exc
+            # non-response payload bytes intentionally not copied out
+            rows.append(row)
+        if pos:
+            del buf[:pos]
+            consumed_total += pos
+        return rows
+
+    chunks = _iter_chunks(data)
+    while True:
+        try:
+            chunk = next(chunks)
+        except StopIteration:
+            break
+        except ValueError as exc:
+            # corrupt gzip mid-stream: flush what parsed, one error
+            # row, stop — never raise out of the generator
+            yield from drain(eof=True)
+            yield _err_row(source, consumed_total + len(buf),
+                           "gzip: %s" % exc)
+            return
+        buf += chunk
+        yield from drain(eof=False)
+    yield from drain(eof=True)
 
 
 def _parse_warc_date(value):
+    """WARC-Date → datetime: second precision plus the WARC 1.1
+    fractional-second form (both spec-legal)."""
     if not value:
         return None
-    try:
-        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return None
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(value, fmt)
+        except ValueError:
+            continue
+    return None
 
 
 def _err_row(source: str, offset: int, msg: str) -> dict:
@@ -256,18 +375,28 @@ def _err_row(source: str, offset: int, msg: str) -> dict:
 # DataFrame surface
 # ---------------------------------------------------------------------------
 
+#: canonical column order of WARC_RECORD_SCHEMA (single source for
+#: every records→pandas conversion)
+_RECORD_COLUMNS = ["warc_file", "rec_offset", "record_type", "url",
+                   "warc_ts", "http_status", "http_content_type",
+                   "body", "error"]
+
+
+def _records_pdf(rows: list):
+    import pandas as pd
+    return pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+
+
 def read_warc(spark: SparkSession, path: str,
               glob: str = "*.warc*") -> DataFrame:
     """Directory of WARC segments → one row per WARC record.
 
     One distributed ``binaryFile`` scan (a segment per row/task — the
-    Common Crawl parallelism unit), one Arrow pass to parse.  At real
-    scale, ``spark.sql.files.maxPartitionBytes`` is irrelevant here
-    (binaryFile never splits a file), so task memory is bounded by the
-    largest segment (~1 GB) — the same bound every WARC consumer has.
-    """
-    import pandas as pd
-
+    Common Crawl parallelism unit), one Arrow pass to parse.
+    ``binaryFile`` never splits a file, so the compressed segment
+    (~1 GB) is resident per task; the member-streaming parser then
+    holds only one decompressed record at a time (plus the emitted
+    batch), NOT the whole ~5 GB decompressed segment."""
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", glob)
            .option("recursiveFileLookup", "true")
@@ -279,10 +408,7 @@ def read_warc(spark: SparkSession, path: str,
             rows = []
             for src, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(parse_warc(bytes(content), source=src))
-            yield pd.DataFrame(
-                rows, columns=["warc_file", "rec_offset", "record_type",
-                               "url", "warc_ts", "http_status",
-                               "http_content_type", "body", "error"])
+            yield _records_pdf(rows)
 
     return raw.mapInPandas(parse_batches, schema=WARC_RECORD_SCHEMA)
 
@@ -331,8 +457,6 @@ def pages_roundtrip_warc(pages: DataFrame) -> DataFrame:
     self-validating path the roundtrip gate runs: output equals input
     (url, warc_ts second-truncated, html) iff writer and parser agree
     byte-for-byte."""
-    import pandas as pd
-
     segs = warc_segments_from_pages(pages)
 
     def parse_segments(batches):
@@ -340,10 +464,7 @@ def pages_roundtrip_warc(pages: DataFrame) -> DataFrame:
             rows = []
             for seg in pdf["segment"]:
                 rows.extend(parse_warc(bytes(seg), source=""))
-            yield pd.DataFrame(
-                rows, columns=["warc_file", "rec_offset", "record_type",
-                               "url", "warc_ts", "http_status",
-                               "http_content_type", "body", "error"])
+            yield _records_pdf(rows)
 
     records = segs.mapInPandas(parse_segments, schema=WARC_RECORD_SCHEMA)
     return pages_from_warc(records)

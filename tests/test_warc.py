@@ -132,3 +132,69 @@ def test_segment_per_partition(spark):
     # every segment independently parseable and led by warcinfo
     first = list(parse_warc(bytes(segs[0].segment)))
     assert first[0]["record_type"] == "warcinfo"
+
+
+def test_corrupt_gzip_yields_error_rows_not_exceptions():
+    """A truncated or garbage .warc.gz must emit error rows — never
+    raise (one corrupt segment in 80k must not kill a Spark task)."""
+    good = build_warc(RECS, gzip_members=True)
+    rows = list(parse_warc(good[: len(good) // 2], source="s"))
+    assert rows and rows[-1]["error"] is not None
+    # records from intact leading members still come through
+    assert any(r["record_type"] == "warcinfo" for r in rows)
+    rows = list(parse_warc(b"\x1f\x8bGARBAGE-NOT-GZIP"))
+    assert len(rows) == 1 and rows[0]["error"] is not None
+
+
+def test_gzip_memory_is_member_streamed():
+    """The gzip path never materializes the whole decompressed
+    segment: _iter_chunks yields one member at a time."""
+    from ferenda_spark.sources.warc import _iter_chunks
+    data = build_warc(RECS, gzip_members=True)
+    chunks = list(_iter_chunks(data))
+    assert len(chunks) == 4  # warcinfo + 3 responses
+    assert b"".join(chunks) == build_warc(RECS, gzip_members=False)
+
+
+def test_fractional_second_warc_date():
+    """WARC 1.1 fractional-second WARC-Date is spec-legal and must
+    not silently become NULL."""
+    rec = build_response_record("https://x", datetime(2024, 1, 1), b"b")
+    rec = rec.replace(b"WARC-Date: 2024-01-01T00:00:00Z",
+                      b"WARC-Date: 2024-01-01T00:00:00.123456Z")
+    rows = list(parse_warc(rec))
+    assert rows[0]["warc_ts"] == datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+
+def _response_with_http(http: bytes, url=b"https://x") -> bytes:
+    headers = [b"WARC/1.0", b"WARC-Type: response",
+               b"WARC-Record-ID: <urn:uuid:0>",
+               b"WARC-Date: 2024-01-01T00:00:00Z",
+               b"WARC-Target-URI: " + url,
+               b"Content-Type: application/http; msgtype=response",
+               ("Content-Length: %d" % len(http)).encode()]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+def test_chunked_transfer_encoding_decoded():
+    body = b"4\r\n<htm\r\n7\r\nl>hi</h\r\n4\r\ntml>\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + body)
+    rows = list(parse_warc(_response_with_http(http)))
+    assert rows[0]["error"] is None
+    assert rows[0]["body"] == b"<html>hi</html>"
+
+
+def test_content_encoding_gzip_decoded_and_unknown_is_error():
+    import gzip as _gz
+    payload = _gz.compress(b"<html>z</html>", mtime=0)
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            + ("Content-Length: %d\r\n\r\n" % len(payload)).encode()
+            + payload)
+    rows = list(parse_warc(_response_with_http(http)))
+    assert rows[0]["error"] is None
+    assert rows[0]["body"] == b"<html>z</html>"
+    # unknown encoding must flag, not pass bytes through as html
+    http = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nXXXX"
+    rows = list(parse_warc(_response_with_http(http)))
+    assert rows[0]["error"] and "content-encoding" in rows[0]["error"]

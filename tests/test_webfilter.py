@@ -97,3 +97,19 @@ def test_latest_fetch_canonical_winner(spark):
     b = got["https://b.com/y?a=1&b=2"]
     assert b.url == "https://b.com/y?a=1&b=2" and b.n_fetches == 2
     assert got["https://c.com/z"].n_fetches == 1
+
+
+def test_latest_fetch_full_row_tiebreak_deterministic(spark):
+    """Same canonical url, same warc_ts, same raw url, DIFFERENT
+    content: the winner must be identical across partitionings (the
+    order key covers the full row)."""
+    from datetime import datetime
+    from ferenda_spark.operators.webfilter import latest_fetch
+    rows = [("https://a.com/x", datetime(2024, 1, 1), f"<html>{i}</html>")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html string")
+    a = latest_fetch(df).collect()
+    b = latest_fetch(df.repartition(7)).collect()
+    assert len(a) == len(b) == 1
+    assert a[0].html == b[0].html and a[0].n_fetches == 20
