@@ -34,7 +34,8 @@ from ferenda_spark.operators.metadata import doc_metadata_triples, section_tripl
 
 
 def build_triples(pages: DataFrame, entities: DataFrame,
-                  dedup: bool = False, fused: bool = True) -> DataFrame:
+                  dedup: bool = False, fused: bool = True,
+                  doc_url_regex: str | None = None) -> DataFrame:
     """pages → canonical triple DataFrame (the distilled graph).
 
     ``fused=True`` (default) runs the single-pass execution
@@ -55,15 +56,17 @@ def build_triples(pages: DataFrame, entities: DataFrame,
     a full-output 6-column shuffle would be the single most expensive
     stage of the job. Set True when unioning untrusted extra sources.
     """
+    from ferenda_spark.operators.extract import DOC_URL_RE
+    regex = doc_url_regex if doc_url_regex is not None else DOC_URL_RE
     if fused:
         from ferenda_spark.operators.fused import fused_triples
         labels = [(r["label"], r["uri"])
                   for r in entities.filter(F.col("kind") == "publisher")
                   .select("label", "uri").collect()]
-        ext = extract(pages, entity_labels=labels)
+        ext = extract(pages, doc_url_regex=regex, entity_labels=labels)
         triples = fused_triples(ext)
         return triples.dropDuplicates() if dedup else triples
-    extracted = extract(pages)
+    extracted = extract(pages, doc_url_regex=regex)
     # One Python parse per page feeds four downstream column-only
     # plans — persist the (small, html-free) extract output so the
     # Arrow UDF runs once, not four times.
@@ -84,7 +87,8 @@ def build_triples(pages: DataFrame, entities: DataFrame,
 
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
-                 store: GraphStore, stage: str = "materialize") -> dict:
+                 store: GraphStore, stage: str = "materialize",
+                 doc_url_regex: str | None = None) -> dict:
     """Incremental run: process only pending pages, commit snapshots.
 
     Returns run stats. Rerunning on the same input is a no-op (the
@@ -110,7 +114,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
         todo.unpersist()
         return {"pages": 0, "triples": 0, "skipped": True}
 
-    triples = build_triples(todo.drop("input_hash"), entities)
+    triples = build_triples(todo.drop("input_hash"), entities,
+                            doc_url_regex=doc_url_regex)
     # every triple's subject derives from its page url (doc uri or
     # #fragment of it), so src_url is a pure column and src_hash is
     # one batch-local equi-join on url

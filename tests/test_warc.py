@@ -198,3 +198,32 @@ def test_content_encoding_gzip_decoded_and_unknown_is_error():
     http = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nXXXX"
     rows = list(parse_warc(_response_with_http(http)))
     assert rows[0]["error"] and "content-encoding" in rows[0]["error"]
+
+
+def test_ingest_warc_tool_roundtrip_and_resume(spark, tmp_path):
+    """tools/ingest_warc.py run(): archive → committed graph, poison
+    isolated, second run a no-op, custom discovery regex threaded."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import ingest_warc
+
+    pages = pages_from_documents(
+        load_table(spark, SF, "documents")).repartition(2)
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    for i, r in enumerate(warc_segments_from_pages(pages).collect()):
+        (warc_dir / f"seg-{i}.warc.gz").write_bytes(bytes(r.segment))
+    (warc_dir / "seg-poison.warc.gz").write_bytes(b"\x1f\x8bJUNK")
+
+    store_dir = str(tmp_path / "store")
+    out = ingest_warc.run(spark, [str(warc_dir), store_dir,
+                                  "--doc-url-regex",
+                                  r"^https://example\.org/res/doc/\d+$"])
+    assert out["warc_error_rows"] == 1
+    assert out["parsed_pages"] == 500 and out["triples"] > 0
+    out2 = ingest_warc.run(spark, [str(warc_dir), store_dir])
+    assert out2["skipped"] is True and out2["parsed_pages"] == 500
+
+    from ferenda_spark.operators.graph import GraphStore
+    edges = GraphStore(spark, store_dir).read_current("edge")
+    assert edges.count() == out["triples"]
