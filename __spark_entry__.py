@@ -1393,7 +1393,12 @@ LIMIT 20
         ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
         kept = (ext.filter(F.col("is_doc"))
                 .select("url", F.length("text").cast("long").alias("w"))
-                .filter(F.col("w") >= 420))
+                .filter(F.col("w") >= 420)
+                # localCheckpoint: shard packing scans its input twice
+                # (bucket totals + windowed cumsum) — materialize the
+                # tiny (url, w) projection so the Arrow extract and
+                # the dedup window run once, not twice
+                .localCheckpoint())
         a = assign_shards(kept, budget=50000, weight_col="w",
                           key_col="url")
         return (shard_manifest(a, "w")

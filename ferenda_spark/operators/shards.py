@@ -61,6 +61,12 @@ def with_corpus_offset(docs: DataFrame, weight_col: str,
     packing divide.  Two-phase bucketed cumsum (module docstring);
     one shuffle, no global window.
 
+    The input is SCANNED TWICE (bucket-totals pass, then the windowed
+    cumsum): reading a table twice is the intended trade at scale,
+    but an expensive computed upstream (an Arrow extract, a dedup
+    window) should be persisted or localCheckpoint'ed — or projected
+    to its (key, weight) columns first — so the work runs once.
+
     Rows with a NULL key or NULL/negative weight are rejected loudly
     (a silent drop would shift every later offset).
     """
