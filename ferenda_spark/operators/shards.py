@@ -196,3 +196,25 @@ def shard_manifest(assigned: DataFrame, weight_col: str,
                  F.sum(F.col(weight_col).cast("long")).alias("total_weight"),
                  F.min("shuffle_key").alias("first_key"),
                  F.max("shuffle_key").alias("last_key")))
+
+
+def write_training_shards(assigned: DataFrame, path: str,
+                          weight_col: str) -> None:
+    """Materialize a shard assignment as the training-export layout:
+
+      path/data/shard=<k>/...parquet   rows in shuffle_key order
+      path/manifest/...parquet         one row per shard (sidecar)
+
+    Each shard directory's row order is the deterministic shuffle
+    order (repartition ON shard + sortWithinPartitions), so a
+    re-export of the same corpus is row-identical file-for-file.
+    One shuffle (the repartition); the manifest aggregation reuses
+    the assignment.
+    """
+    (assigned
+     .repartition("shard")
+     .sortWithinPartitions("shard", "shuffle_key")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(path + "/data"))
+    (shard_manifest(assigned, weight_col)
+     .write.mode("overwrite").parquet(path + "/manifest"))

@@ -136,3 +136,36 @@ def test_pack_contexts_zero_weight_and_bad_len(spark, docs):
     assert all(r.doc_id != 5 for r in rows)  # zero tokens, zero rows
     with pytest.raises(ValueError, match="context_len"):
         pack_contexts(docs, 0, "n_chars")
+
+
+def test_write_training_shards_layout_and_order(spark, docs, tmp_path):
+    from ferenda_spark.operators.shards import (assign_shards,
+                                                write_training_shards)
+    a = assign_shards(docs, budget=20000, weight_col="n_chars")
+    out = str(tmp_path / "export")
+    write_training_shards(a, out, "n_chars")
+
+    import os
+    shard_dirs = sorted(d for d in os.listdir(out + "/data")
+                        if d.startswith("shard="))
+    man = {r.shard: r for r in
+           spark.read.parquet(out + "/manifest").collect()}
+    assert len(shard_dirs) == len(man)
+    # per-shard contents match the assignment; in-file order is the
+    # shuffle order (read back preserves file order per partition dir)
+    for d in shard_dirs:
+        k = int(d.split("=")[1])
+        rows = spark.read.parquet(f"{out}/data/{d}").collect()
+        assert len(rows) == man[k].n_docs
+        keys = [r.shuffle_key for r in rows]
+        assert keys == sorted(keys)
+        assert sum(r.n_chars for r in rows) == man[k].total_weight
+    # re-export is byte-stable at the row level
+    out2 = str(tmp_path / "export2")
+    write_training_shards(a, out2, "n_chars")
+    for d in shard_dirs:
+        r1 = [tuple(r) for r in
+              spark.read.parquet(f"{out}/data/{d}").collect()]
+        r2 = [tuple(r) for r in
+              spark.read.parquet(f"{out2}/data/{d}").collect()]
+        assert r1 == r2
