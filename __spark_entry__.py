@@ -554,10 +554,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         same Arrow extract.  Oracle identical to kg_extract_text:
         passing proves the WARC writer/parser round-trips every html
         byte AND plugs into the pipeline unchanged."""
-        from ferenda_spark.sources.warc import pages_roundtrip_warc
+        from ferenda_spark.sources.warc import (html_lang_col,
+                                                pages_roundtrip_warc)
         pages = pages_roundtrip_warc(_pages(spark, sf)).withColumn(
-            "lang", F.regexp_extract(
-                F.decode("html", "UTF-8"), '<html lang="([a-z]+)"', 1))
+            "lang", html_lang_col(F.col("html")))
         ext = extract(pages, doc_url_regex=DOC_PAGE_URL_RE)
         return ext.filter(F.col("is_doc")).select(
             "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
@@ -1394,11 +1394,13 @@ LIMIT 20
         kept = (ext.filter(F.col("is_doc"))
                 .select("url", F.length("text").cast("long").alias("w"))
                 .filter(F.col("w") >= 420)
-                # localCheckpoint: shard packing scans its input twice
-                # (bucket totals + windowed cumsum) — materialize the
-                # tiny (url, w) projection so the Arrow extract and
-                # the dedup window run once, not twice
-                .localCheckpoint())
+                # lazy localCheckpoint: shard packing scans its input
+                # twice (bucket totals + windowed cumsum) — the tiny
+                # (url, w) projection materializes ONCE at the first
+                # action so the Arrow extract and the dedup window
+                # never re-run, while schema-only consumers (the
+                # dtype audit) still construct the plan for free
+                .localCheckpoint(eager=False))
         a = assign_shards(kept, budget=50000, weight_col="w",
                           key_col="url")
         return (shard_manifest(a, "w")

@@ -443,21 +443,34 @@ class GraphStore:
 
 # -- resume / incremental recompute ----------------------------------------
 
-def with_input_hash(pages: DataFrame) -> DataFrame:
+def with_input_hash(pages: DataFrame, config_salt: str = "") -> DataFrame:
     """Content hash for change detection (reference: md5 content hashes,
     documententry.py:248-253; download_is_different:1096-1101).
+
+    ``config_salt`` folds the run's EXTRACTION CONFIGURATION (discovery
+    regex, forced language, grammar version, ...) into the hash:
+    changing the config changes every input_hash, so the resume
+    anti-join reprocesses the whole corpus and the changed-page
+    contract retires each page's previous-config subgraph — instead
+    of a corrected rerun silently no-op'ing against provenance rows
+    committed under the wrong configuration.
 
     NULL html hashes as empty content rather than NULL: a NULL
     input_hash never matches itself in the resume anti-join's
     equality keys, so such a page would re-process on EVERY run
     (unbounded provenance growth, never-skipped replays)."""
-    return pages.withColumn(
-        "input_hash",
-        F.md5(F.coalesce(F.col("html").cast("binary"), F.lit(b""))))
+    content = F.coalesce(F.col("html").cast("binary"), F.lit(b""))
+    if config_salt:
+        # empty salt keeps the historical pure-content hash, so
+        # existing stores stay resumable
+        content = F.concat(F.encode(F.lit(config_salt + "|"), "UTF-8"),
+                           content)
+    return pages.withColumn("input_hash", F.md5(content))
 
 
 def pending_pages(pages: DataFrame, store: GraphStore,
-                  stage: str = "materialize") -> DataFrame:
+                  stage: str = "materialize",
+                  config_salt: str = "") -> DataFrame:
     """Anti-join pages against the last committed provenance snapshot:
     only urls that are new, changed (hash differs), or previously
     failed remain — the ``needed()`` freshness check as a join.
@@ -465,7 +478,7 @@ def pending_pages(pages: DataFrame, store: GraphStore,
     At scale this is a shuffle-free broadcast when the committed set
     is small relative to input, else an AQE-planned SMJ on url.
     """
-    hashed = with_input_hash(pages)
+    hashed = with_input_hash(pages, config_salt)
     if not store.exists("provenance"):
         return hashed
     done = (store.read("provenance")

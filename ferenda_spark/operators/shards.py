@@ -199,22 +199,31 @@ def shard_manifest(assigned: DataFrame, weight_col: str,
 
 
 def write_training_shards(assigned: DataFrame, path: str,
-                          weight_col: str) -> None:
+                          weight_col: str,
+                          key_col: str = "doc_id") -> None:
     """Materialize a shard assignment as the training-export layout:
 
       path/data/shard=<k>/...parquet   rows in shuffle_key order
       path/manifest/...parquet         one row per shard (sidecar)
 
     Each shard directory's row order is the deterministic shuffle
-    order (repartition ON shard + sortWithinPartitions), so a
+    order — sorted (shard, shuffle_key, key_col): the key tiebreak
+    matters because 60-bit shuffle_key collisions are expected at
+    10^12 docs (~n²/2^61 tie pairs) and Spark's sort is not stable,
+    so without it a re-export could swap tied rows.  With it, a
     re-export of the same corpus is row-identical file-for-file.
-    One shuffle (the repartition); the manifest aggregation reuses
-    the assignment.
+    One shuffle (the repartition); ``assigned`` is persisted across
+    the two write actions so its upstream (the two-scan cumsum and
+    whatever feeds it) runs once.
     """
-    (assigned
-     .repartition("shard")
-     .sortWithinPartitions("shard", "shuffle_key")
-     .write.mode("overwrite").partitionBy("shard")
-     .parquet(path + "/data"))
-    (shard_manifest(assigned, weight_col)
-     .write.mode("overwrite").parquet(path + "/manifest"))
+    assigned = assigned.persist()
+    try:
+        (assigned
+         .repartition("shard")
+         .sortWithinPartitions("shard", "shuffle_key", key_col)
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(path + "/data"))
+        (shard_manifest(assigned, weight_col)
+         .write.mode("overwrite").parquet(path + "/manifest"))
+    finally:
+        assigned.unpersist()

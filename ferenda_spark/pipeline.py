@@ -88,7 +88,8 @@ def build_triples(pages: DataFrame, entities: DataFrame,
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
                  store: GraphStore, stage: str = "materialize",
-                 doc_url_regex: str | None = None) -> dict:
+                 doc_url_regex: str | None = None,
+                 config_salt: str = "") -> dict:
     """Incremental run: process only pending pages, commit snapshots.
 
     Returns run stats. Rerunning on the same input is a no-op (the
@@ -104,11 +105,15 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, entities: DataFrame,
     recomputes deterministically. A changed page (new input_hash)
     reprocesses AND retires its previous version's subgraph in the
     same view.
+
+    ``config_salt`` (see with_input_hash): fingerprint of the run's
+    extraction configuration — a rerun with a changed configuration
+    reprocesses everything instead of silently skipping.
     """
     import time as _time
 
     t0 = _time.time()
-    todo = pending_pages(pages, store, stage).persist()
+    todo = pending_pages(pages, store, stage, config_salt).persist()
     n_todo = todo.count()
     if n_todo == 0:
         todo.unpersist()

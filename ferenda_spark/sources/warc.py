@@ -468,3 +468,17 @@ def pages_roundtrip_warc(pages: DataFrame) -> DataFrame:
 
     records = segs.mapInPandas(parse_segments, schema=WARC_RECORD_SCHEMA)
     return pages_from_warc(records)
+
+
+def html_lang_col(html) -> "F.Column":
+    """Recover the document language from the fetched bytes (the
+    ``<html lang=...>`` attribute) — the lang column a WARC archive
+    doesn't carry.  NULL, never empty string, when absent: an
+    ``obj_lang=""`` triple is different bytes from the canonical
+    pipeline's NULL.  Handles extra attributes, either quote style,
+    and region subtags; scan-side codegen."""
+    raw = F.regexp_extract(
+        F.decode(html, "UTF-8"),
+        r"""(?i)<html[^>]*\blang=["']([A-Za-z]{1,8}(?:-[A-Za-z0-9]{1,8})*)""",
+        1)
+    return F.nullif(raw, F.lit(""))

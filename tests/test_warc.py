@@ -227,3 +227,21 @@ def test_ingest_warc_tool_roundtrip_and_resume(spark, tmp_path):
     from ferenda_spark.operators.graph import GraphStore
     edges = GraphStore(spark, store_dir).read_current("edge")
     assert edges.count() == out["triples"]
+
+    # a rerun with a CHANGED extraction config must reprocess (not
+    # silently no-op) and retire the old-config subgraph
+    out3 = ingest_warc.run(spark, [str(warc_dir), store_dir,
+                                   "--doc-url-regex", r"^never-matches$"])
+    assert out3.get("skipped") is not True and out3["pages"] == 500
+    assert GraphStore(spark, store_dir).read_current("edge").count() == 0
+
+
+def test_html_lang_col_cases(spark):
+    from ferenda_spark.sources.warc import html_lang_col
+    rows = [(b'<html lang="en"><body/>',),
+            (b"<HTML class='x' lang='sv-SE'>",),
+            (b'<html><body>no lang</body>',),
+            (b'<html lang="en-US">',)]
+    df = spark.createDataFrame(rows, "html binary")
+    got = [r[0] for r in df.select(html_lang_col(F.col("html"))).collect()]
+    assert got == ["en", "sv-SE", None, "en-US"]

@@ -35,19 +35,19 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_DOC_URL_RE = r"^https://example\.org/res/doc/\d+$"
-
 
 def run(spark: SparkSession, argv: list[str]) -> dict:
     from ferenda_spark.fixtures.pages import entities_df
     from ferenda_spark.operators.graph import GraphStore
     from ferenda_spark.operators.webfilter import latest_fetch
     from ferenda_spark.pipeline import run_pipeline
-    from ferenda_spark.sources.warc import pages_from_warc, read_warc
+    from ferenda_spark.sources.testdata import DOC_PAGE_URL_RE
+    from ferenda_spark.sources.warc import (html_lang_col,
+                                            pages_from_warc, read_warc)
 
     warc_dir, store_dir = argv[0], argv[1]
     rest = argv[2:]
-    doc_url_re = DEFAULT_DOC_URL_RE
+    doc_url_re = DOC_PAGE_URL_RE
     lang = None
     if "--doc-url-regex" in rest:
         i = rest.index("--doc-url-regex")
@@ -56,20 +56,31 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
         i = rest.index("--lang")
         lang = rest[i + 1]
 
-    records = read_warc(spark, warc_dir).persist()
+    # two passes over the archive (error census, then the pages
+    # build) instead of persisting the raw records — caching every
+    # decompressed body of a crawl just to share an error count would
+    # spill the whole corpus
+    records = read_warc(spark, warc_dir)
     n_errors = records.filter(F.col("error").isNotNull()).count()
     fetched = latest_fetch(pages_from_warc(records))
     pages = fetched.select(
         F.col("canonical_url").alias("url"), "warc_ts", "html")
     pages = pages.withColumn(
-        "lang", F.lit(lang) if lang is not None else F.regexp_extract(
-            F.decode("html", "UTF-8"), '<html lang="([a-z]+)"', 1))
+        "lang", F.lit(lang) if lang is not None
+        else html_lang_col(F.col("html")))
+    # the narrow post-dedup projection IS worth caching: the count
+    # below and run_pipeline's pending anti-join both consume it
+    pages = pages.persist()
     n_pages = pages.count()
 
     store = GraphStore(spark, store_dir)
+    # the extraction configuration is part of the resume identity: a
+    # rerun with a corrected regex/lang reprocesses everything and
+    # retires the old subgraph, instead of silently no-op'ing
     stats = run_pipeline(spark, pages, entities_df(spark), store,
-                         doc_url_regex=doc_url_re)
-    records.unpersist()
+                         doc_url_regex=doc_url_re,
+                         config_salt="%s|%s" % (doc_url_re, lang or ""))
+    pages.unpersist()
     # stats carries "pages" = pipeline-processed pages (0 on a resumed
     # no-op run); parsed_pages = what the archive yielded this run
     out = {"warc_error_rows": n_errors, "parsed_pages": n_pages, **stats}
