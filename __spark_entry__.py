@@ -1396,10 +1396,10 @@ LIMIT 20
                 .filter(F.col("w") >= 420)
                 # lazy localCheckpoint: shard packing scans its input
                 # twice (bucket totals + windowed cumsum) — the tiny
-                # (url, w) projection materializes ONCE at the first
-                # action so the Arrow extract and the dedup window
-                # never re-run, while schema-only consumers (the
-                # dtype audit) still construct the plan for free
+                # (url, w) projection materializes ONCE, at
+                # assign_shards' bucket-totals collect (which runs at
+                # DataFrame-construction time by design), so the
+                # Arrow extract and the dedup window never re-run
                 .localCheckpoint(eager=False))
         a = assign_shards(kept, budget=50000, weight_col="w",
                           key_col="url")

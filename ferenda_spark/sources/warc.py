@@ -74,10 +74,21 @@ def format_warc_ts(ts) -> str:
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _header_safe(value: str, what: str) -> str:
+    """Reject CR/LF in a header value LOUDLY: spliced verbatim it
+    would inject headers and desynchronize the whole segment's
+    framing (crawled urls do contain such garbage — filter upstream)."""
+    if "\r" in value or "\n" in value:
+        raise ValueError("%s contains CR/LF: %r" % (what, value[:80]))
+    return value
+
+
 def build_response_record(url: str, ts, body: bytes,
                           content_type: str = "text/html",
                           status: int = 200) -> bytes:
     """One WARC ``response`` record wrapping an HTTP/1.1 message."""
+    url = _header_safe(url, "url")
+    content_type = _header_safe(content_type, "content_type")
     ts_s = format_warc_ts(ts)
     status_text = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
                    500: "Internal Server Error"}.get(status, "Status")
@@ -175,11 +186,38 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2  # skip trailing CRLF
 
 
+def _decode_coding(body: bytes, coding: str, kind: str) -> bytes:
+    """Undo one content/transfer coding layer. Raises ValueError on
+    codings we can't decode — passing compressed bytes through as
+    'html' would corrupt every consumer."""
+    if coding in ("identity", ""):
+        return body
+    if coding == "chunked":
+        return _dechunk(body)
+    if coding in ("gzip", "x-gzip"):
+        try:
+            return gzip.decompress(body)
+        except OSError as exc:
+            raise ValueError("%s gzip: %s" % (kind, exc))
+    if coding == "deflate":
+        import zlib
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            try:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                raise ValueError("%s deflate: %s" % (kind, exc))
+    raise ValueError("unsupported %s %r" % (kind, coding))
+
+
 def _parse_http_payload(payload: bytes):
     """HTTP/1.1 message → (status, content_type, body). Raises
     ValueError on a payload that is not an HTTP response, or whose
-    body encoding can't be decoded — a silent pass-through of chunk
-    framing or gzip bytes as 'html' would corrupt every consumer."""
+    body encoding can't be decoded.  Codings are LISTS ('gzip,
+    chunked' is legal HTTP/1.1) and are undone in reverse application
+    order; any layer we can't decode raises — never a silent
+    pass-through."""
     head, sep, body = payload.partition(CRLF + CRLF)
     if not sep:
         raise ValueError("http payload missing header terminator")
@@ -193,54 +231,43 @@ def _parse_http_payload(payload: bytes):
     status = int(parts[1])
     http_headers = _parse_headers(CRLF.join(lines[1:]))
     te = http_headers.get("transfer-encoding", "").lower()
-    if "chunked" in te:
-        body = _dechunk(body)
-    elif te and te != "identity":
-        raise ValueError("unsupported transfer-encoding %r" % te)
+    for coding in reversed([c.strip() for c in te.split(",") if c.strip()]):
+        body = _decode_coding(body, coding, "transfer-encoding")
     ce = http_headers.get("content-encoding", "").lower()
-    if ce in ("gzip", "x-gzip"):
-        try:
-            body = gzip.decompress(body)
-        except OSError as exc:
-            raise ValueError("content-encoding gzip: %s" % exc)
-    elif ce == "deflate":
-        import zlib
-        try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            try:
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
-            except zlib.error as exc:
-                raise ValueError("content-encoding deflate: %s" % exc)
-    elif ce and ce != "identity":
-        raise ValueError("unsupported content-encoding %r" % ce)
+    for coding in reversed([c.strip() for c in ce.split(",") if c.strip()]):
+        body = _decode_coding(body, coding, "content-encoding")
     return status, http_headers.get("content-type"), body
 
 
-def _iter_chunks(data: bytes) -> Iterator[bytes]:
+#: decompressed bytes handed to the record parser per read — bounds
+#: parser-buffer growth to ~(one record + this)
+_GZIP_CHUNK = 1 << 20
+
+
+def _iter_chunks(data: bytes,
+                 chunk_size: int = _GZIP_CHUNK) -> Iterator[bytes]:
     """Segment bytes → decompressed chunks.  Plain data yields itself
-    once; gzip yields ONE CHUNK PER MEMBER via ``zlib.decompressobj``
-    — with the .warc.gz member-per-record convention only one
-    record's payload is ever resident, not the whole decompressed
-    segment.  Raises ValueError on corrupt/truncated gzip."""
+    once; gzip yields BOUNDED chunks via ``gzip.GzipFile`` (which
+    walks concatenated members natively and incrementally — no
+    per-member copy of the remaining compressed tail, no
+    whole-segment materialization).  Raises ValueError on
+    corrupt/truncated gzip."""
     if data[:2] != _GZIP_MAGIC:
         yield data
         return
     import zlib
-    mv = memoryview(data)
-    pos = 0
-    while pos < len(mv):
-        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    f = gzip.GzipFile(fileobj=io.BytesIO(data))
+    while True:
         try:
-            chunk = d.decompress(mv[pos:])
-        except zlib.error as exc:
-            raise ValueError("corrupt gzip member at %d: %s" % (pos, exc))
-        if not d.eof:
-            raise ValueError("truncated gzip member at %d" % pos)
-        consumed = len(mv) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: never spin
-            raise ValueError("gzip made no progress at %d" % pos)
-        pos += consumed
+            # read1, not read: on a mid-stream truncation, read()
+            # would discard the intact leading members it had already
+            # decompressed while filling the chunk; read1 hands them
+            # over first and raises on the NEXT call
+            chunk = f.read1(chunk_size)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise ValueError("corrupt gzip: %s" % exc)
+        if not chunk:
+            return
         yield chunk
 
 
@@ -387,6 +414,27 @@ def _records_pdf(rows: list):
     return pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
 
+#: flush thresholds for the emitted record batches — bound peak task
+#: memory to ~one batch, never the whole decompressed segment
+_BATCH_ROWS = 2000
+_BATCH_BYTES = 64 << 20
+
+
+def _batched_pdfs(row_iter):
+    """Record-dict iterator → bounded pandas batches (so a 5 GB
+    decompressed segment never sits in one Python list + one
+    DataFrame + one Arrow batch simultaneously)."""
+    rows, nbytes = [], 0
+    for row in row_iter:
+        rows.append(row)
+        nbytes += len(row["body"] or b"")
+        if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+            yield _records_pdf(rows)
+            rows, nbytes = [], 0
+    if rows:
+        yield _records_pdf(rows)
+
+
 def read_warc(spark: SparkSession, path: str,
               glob: str = "*.warc*") -> DataFrame:
     """Directory of WARC segments → one row per WARC record.
@@ -394,9 +442,9 @@ def read_warc(spark: SparkSession, path: str,
     One distributed ``binaryFile`` scan (a segment per row/task — the
     Common Crawl parallelism unit), one Arrow pass to parse.
     ``binaryFile`` never splits a file, so the compressed segment
-    (~1 GB) is resident per task; the member-streaming parser then
-    holds only one decompressed record at a time (plus the emitted
-    batch), NOT the whole ~5 GB decompressed segment."""
+    (~1 GB) is resident per task; the streaming parser then holds one
+    decompressed record plus one bounded output batch at a time, NOT
+    the whole ~5 GB decompressed segment."""
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", glob)
            .option("recursiveFileLookup", "true")
@@ -404,11 +452,11 @@ def read_warc(spark: SparkSession, path: str,
            .select("path", "content"))
 
     def parse_batches(batches):
-        for pdf in batches:
-            rows = []
-            for src, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc(bytes(content), source=src))
-            yield _records_pdf(rows)
+        def rows():
+            for pdf in batches:
+                for src, content in zip(pdf["path"], pdf["content"]):
+                    yield from parse_warc(bytes(content), source=src)
+        yield from _batched_pdfs(rows())
 
     return raw.mapInPandas(parse_batches, schema=WARC_RECORD_SCHEMA)
 
@@ -439,10 +487,20 @@ def warc_segments_from_pages(pages: DataFrame,
     src = pages.select("url", "warc_ts", "html")
 
     def to_segments(batches):
+        import pandas as _pd
         recs = []
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
                                      pdf["html"]):
+                # loud, named failure: an export sink silently
+                # dropping rows (or dying on NaT.strftime deep in
+                # pandas) loses data without a trace — archives from
+                # third-party sources legitimately carry NULL fields
+                if url is None or html is None or ts is None or (
+                        isinstance(ts, float) or _pd.isna(ts)):
+                    raise ValueError(
+                        "warc export: NULL url/warc_ts/html for "
+                        "url=%r — filter or repair upstream" % (url,))
                 recs.append((url, ts, bytes(html)))
         if recs:
             yield pd.DataFrame(
@@ -460,11 +518,11 @@ def pages_roundtrip_warc(pages: DataFrame) -> DataFrame:
     segs = warc_segments_from_pages(pages)
 
     def parse_segments(batches):
-        for pdf in batches:
-            rows = []
-            for seg in pdf["segment"]:
-                rows.extend(parse_warc(bytes(seg), source=""))
-            yield _records_pdf(rows)
+        def rows():
+            for pdf in batches:
+                for seg in pdf["segment"]:
+                    yield from parse_warc(bytes(seg), source="")
+        yield from _batched_pdfs(rows())
 
     records = segs.mapInPandas(parse_segments, schema=WARC_RECORD_SCHEMA)
     return pages_from_warc(records)

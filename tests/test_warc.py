@@ -146,13 +146,14 @@ def test_corrupt_gzip_yields_error_rows_not_exceptions():
     assert len(rows) == 1 and rows[0]["error"] is not None
 
 
-def test_gzip_memory_is_member_streamed():
+def test_gzip_memory_is_chunk_streamed():
     """The gzip path never materializes the whole decompressed
-    segment: _iter_chunks yields one member at a time."""
+    segment: _iter_chunks yields bounded chunks (and walks
+    concatenated members incrementally, no per-member tail copy)."""
     from ferenda_spark.sources.warc import _iter_chunks
     data = build_warc(RECS, gzip_members=True)
-    chunks = list(_iter_chunks(data))
-    assert len(chunks) == 4  # warcinfo + 3 responses
+    chunks = list(_iter_chunks(data, chunk_size=32))
+    assert all(len(c) <= 32 for c in chunks) and len(chunks) > 4
     assert b"".join(chunks) == build_warc(RECS, gzip_members=False)
 
 
@@ -245,3 +246,28 @@ def test_html_lang_col_cases(spark):
     df = spark.createDataFrame(rows, "html binary")
     got = [r[0] for r in df.select(html_lang_col(F.col("html"))).collect()]
     assert got == ["en", "sv-SE", None, "en-US"]
+
+
+def test_te_list_gzip_then_chunked_decoded():
+    """'Transfer-Encoding: gzip, chunked' (legal HTTP/1.1): both
+    layers must be undone, in reverse application order."""
+    import gzip as _gz
+    payload = _gz.compress(b"<html>tc</html>", mtime=0)
+    chunked = (b"%x\r\n" % len(payload)) + payload + b"\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+            + chunked)
+    rows = list(parse_warc(_response_with_http(http)))
+    assert rows[0]["error"] is None
+    assert rows[0]["body"] == b"<html>tc</html>"
+
+
+def test_writer_rejects_header_injection_and_null_fields(spark):
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_response_record("https://x/\r\nEvil: 1",
+                              datetime(2024, 1, 1), b"b")
+    from ferenda_spark.sources.warc import warc_segments_from_pages
+    df = spark.createDataFrame(
+        [("https://a", None, b"<html/>")],
+        "url string, warc_ts timestamp, html binary")
+    with pytest.raises(Exception, match="NULL url/warc_ts/html"):
+        warc_segments_from_pages(df).collect()
