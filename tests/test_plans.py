@@ -185,3 +185,44 @@ def test_token_spans_single_winner_shuffle(spark):
     plan = _plan(duplicate_token_spans(docs, window=20))
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_assign_shards_single_corpus_shuffle_and_broadcast_offsets(spark):
+    """The packing phase shuffles the corpus exactly once (on the
+    monotone bucket key for the per-bucket window); the bucket-offset
+    table joins BROADCAST — the corpus never shuffles to meet it."""
+    from ferenda_spark.operators.shards import assign_shards
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(assign_shards(docs, budget=20000, weight_col="n_chars"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # exchanges: one hashpartitioning for the window + the broadcast
+    # exchange for the offsets dim (which moves n_buckets rows, not
+    # the corpus)
+    import re
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, plan[:2000]
+    assert "Window" in plan
+
+
+def test_latest_fetch_single_exchange(spark):
+    """Canonicalization is scan-side; the canonical-key window is the
+    only shuffle (row_number and count share the partition)."""
+    from datetime import datetime
+    from ferenda_spark.operators.webfilter import latest_fetch
+    df = spark.createDataFrame(
+        [("https://a.com/x", datetime(2024, 1, 1))],
+        "url string, warc_ts timestamp")
+    plan = _plan(latest_fetch(df))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_pack_contexts_no_extra_shuffle(spark):
+    """Context explode is pure arithmetic on the corpus offsets — no
+    exchange beyond assign_shards' single corpus shuffle."""
+    import re
+    from ferenda_spark.operators.shards import pack_contexts
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_contexts(docs, 512, "n_chars"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Generate explode" in plan or "explode" in plan.lower()
