@@ -459,10 +459,10 @@ GATE_ORDER = [
     # round-4-late: the ingest-to-export chain (crawl snapshots →
     # canonical dedup → extract → quality floor → training shards).
     # Takes the slot of kg_closure (driver-green r1+r2+r3; the J3
-    # closure family stays in-gate via kg_structure_closure, and
-    # kg_closure stays locally oracle-checked as an extra).
+    # closure family stays in-gate via kg_regen_dependents'
+    # dependent-set closure, and kg_closure + kg_structure_closure
+    # stay locally oracle-checked as extras).
     "curation_pipeline_v4",
-    "kg_structure_closure",
     # new THIS round — first driver rows: SemDeDup (its oracle rebuilds
     # the sim_embedding_neardup pair list, keeping that family covered
     # after its gate rotates out), the fulltext API envelope
@@ -487,7 +487,17 @@ GATE_ORDER = [
     # real binary codecs) — each driver-green in two prior rounds.
     "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
     "fulltext_fielded", "doc_versions_views",
-    "kg_citation_classes", "sim_ann_topk", "dedup_components",
+    "sim_ann_topk", "dedup_components",
+    # round-4-final: the last three never-driver-checked queries take
+    # their first rows, so EVERY registered query now has at least one
+    # historical driver row.  Slots come from kg_structure_closure
+    # (driver-green r2+r3; the J3 closure family stays in-gate via
+    # kg_regen_dependents' dependent-set closure), crawl_reachable
+    # (driver-green r2+r3; S1 crawl stays covered by kg_edges +
+    # warc_extract_text) and kg_citation_classes (driver-green r2+r3;
+    # the G5/G6 grammar is exercised end-to-end inside kg_edges).  All
+    # three stay locally oracle-checked as extras.
+    "pack_contexts_docs", "latest_fetch_docs", "training_shard_manifest",
     # round-4-late: the WARC crawl-archive source roundtrip (new
     # operator family — first driver row).  Takes the slot of
     # curation_survivors (driver-green r1+r2+r3; the v2 and v3
@@ -500,7 +510,7 @@ GATE_ORDER = [
     # the modular (non-fused) flagship path last saw a driver row in
     # r2 — refresh it alongside the fused gate
     "kg_edges_modular",
-    "kg_facet_multitype", "crawl_reachable",
+    "kg_facet_multitype",
     # training-data ops with ≤2 green rounds
     "patch_documents",
     "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
