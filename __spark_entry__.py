@@ -1255,6 +1255,32 @@ LIMIT 20
             corpus, k=8, bands=4, threshold=0.8))
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def dedup_incremental_docs(spark, sf):
+        """Incremental (daily-batch) dedup against a persisted MinHash
+        band index: history = docs 0-299 (index precomputed once, only
+        streamed map-side), batch = genuinely-new docs 300-449 (must
+        survive) ∪ near-copies of history docs (band-collide with the
+        index → rejected) ∪ exact copies of fresh docs (batch-internal
+        min-id keeper).  Returns the surviving batch ids."""
+        docs = _docs(spark, sf).select("doc_id", "text")
+        history = docs.filter(F.col("doc_id") < 300)
+        fresh = docs.filter((F.col("doc_id") >= 300)
+                            & (F.col("doc_id") < 450))
+        near_hist = (docs.filter(F.col("doc_id") < 50)
+                     .select((F.col("doc_id") + _COPY_OFFSET)
+                             .alias("doc_id"),
+                             F.concat(F.lit("near duplicate copy "),
+                                      F.col("text")).alias("text")))
+        copy_fresh = (fresh.filter(F.col("doc_id") < 320)
+                      .select((F.col("doc_id") + 2 * _COPY_OFFSET)
+                              .alias("doc_id"), "text"))
+        batch = fresh.unionByName(near_hist).unionByName(copy_fresh)
+        index = dedup.minhash_bands(history, k=8, bands=4)
+        return _longify(
+            dedup.dedup_against_index(batch, index, k=8, bands=4)
+            .select("doc_id"))
+    q["dedup_incremental_docs"] = dedup_incremental_docs
+
     def curation_survivors(spark, sf):
         """End-to-end curation chain — the composed workflow a
         training-data user actually runs: MinHash-LSH near-dup
@@ -2828,6 +2854,45 @@ FROM inter
 JOIN sz sa ON sa.id = inter.id_a
 JOIN sz sb ON sb.id = inter.id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8
+"""
+
+    # incremental dedup: the same band math over a named source
+    def _bands_cte(src: str, pre: str) -> str:
+        return f"""{pre}t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM {src}),
+{pre}hv AS (SELECT id, {hs_expr} AS hv FROM {pre}t WHERE len(sh) > 0),
+{pre}sig AS (SELECT id, {sig_expr} AS sig FROM {pre}hv),
+{pre}bands AS (
+  SELECT id, g.b AS band,
+         CAST(sig[2 * g.b + 1] AS VARCHAR) || '|' ||
+         CAST(sig[2 * g.b + 2] AS VARCHAR) AS band_key
+  FROM {pre}sig,
+       (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g)"""
+
+    o["dedup_incremental_docs"] = f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+fresh AS (SELECT doc_id, text FROM documents
+          WHERE doc_id >= 300 AND doc_id < 450),
+batch AS (
+  SELECT doc_id, text FROM fresh
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, 'near duplicate copy ' || text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + {2 * _COPY_OFFSET}, text FROM fresh
+  WHERE doc_id < 320),
+{_bands_cte("hist", "h")},
+{_bands_cte("batch", "b")},
+dead_hist AS (
+  SELECT DISTINCT b.id FROM bbands b
+  JOIN hbands h ON b.band = h.band AND b.band_key = h.band_key),
+kb AS (SELECT * FROM bbands
+       WHERE id NOT IN (SELECT id FROM dead_hist)),
+w AS (SELECT band, band_key, min(id) AS w FROM kb GROUP BY 1, 2),
+losers AS (SELECT DISTINCT kb.id FROM kb
+           JOIN w USING (band, band_key) WHERE kb.id > w.w)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id FROM batch b
+WHERE b.doc_id NOT IN (SELECT id FROM dead_hist)
+  AND b.doc_id NOT IN (SELECT id FROM losers)
 """
 
     th_expr = (f"list_transform({words_c}, "

@@ -235,6 +235,63 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def dedup_against_index(batch: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 16, bands: int = 4, n: int = 3,
+                        self_dedup: bool = True) -> DataFrame:
+    """Survivors of a NEW batch against a persisted historical MinHash
+    band index — the daily-crawl shape: the history is enormous and
+    its signatures are already computed; only the fresh batch is new.
+
+    ``index`` is any DataFrame with (band int, band_key string) rows
+    as produced by :func:`minhash_bands` over the historical corpus
+    (extra columns are ignored).  Write it once (e.g. partitioned by a
+    band_key hash) and reuse it every batch; this operator only ever
+    STREAMS it map-side.
+
+    Shape for a 100 TB history: the batch's distinct band keys are
+    broadcast (bounded by batch_docs x bands rows), the index is
+    left-semi joined against that broadcast — the history never
+    shuffles and its signatures are never recomputed (the
+    decontaminate idiom, :func:`decontaminate`).  The surviving hit
+    keys (a subset of the batch's own keys) then knock out batch docs
+    through a second broadcast semi-join, so the batch never shuffles
+    either.  Self-dedup within the surviving batch is the band-level
+    min-id keeper: a doc is dropped iff it shares a band bucket with a
+    smaller id (dup chains collapse deterministically to the smallest
+    id even when intermediate links were themselves dropped).
+
+    Policy: candidate-level (band-collision) rejection against the
+    history — the conservative crawl policy: an LSH false positive
+    costs one extra fresh doc, a true near-dup never survives.
+    Jaccard verification against history would need historical text;
+    callers wanting it can join rejected ids back to the store and
+    apply :func:`minhash_dedup_pairs` semantics.
+    """
+    bb = minhash_bands(batch, text_col, id_col, k, bands, n)
+    bkeys = bb.select("band", "band_key").distinct()
+    # historical collisions, at band-key granularity (small: <= the
+    # batch's own key count)
+    hits = (index.select("band", "band_key")
+            .join(F.broadcast(bkeys), ["band", "band_key"], "leftsemi")
+            .distinct())
+    dead_hist = (bb.join(F.broadcast(hits), ["band", "band_key"],
+                         "leftsemi")
+                 .select("id").distinct())
+    kept = batch.join(dead_hist.withColumnRenamed("id", id_col),
+                      id_col, "left_anti")
+    if self_dedup:
+        kb = bb.join(dead_hist, "id", "left_anti")
+        winners = (kb.groupBy("band", "band_key")
+                   .agg(F.min("id").alias("w")))
+        losers = (kb.join(winners, ["band", "band_key"])
+                  .filter(F.col("id") > F.col("w"))
+                  .select("id").distinct())
+        kept = kept.join(losers.withColumnRenamed("id", id_col),
+                         id_col, "left_anti")
+    return kept
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: bit j of the signature is 1 iff
     sum over tokens of (+1 if bit j of md5(token) set else -1) > 0.

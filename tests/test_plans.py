@@ -226,3 +226,23 @@ def test_pack_contexts_no_extra_shuffle(spark):
     plan = _plan(pack_contexts(docs, 512, "n_chars"))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_dedup_against_index_streams_the_index(spark):
+    """The 100 TB side (the persisted band index) must only ever be
+    the STREAMED side of broadcast semi-joins — never sorted, never
+    exchanged for a merge join.  The only allowed exchanges move
+    batch-derived band keys / ids."""
+    from ferenda_spark.operators import dedup
+    history = spark.range(0, 4).selectExpr(
+        "id as doc_id",
+        "concat('hist words number ', id, ' extra filler tokens') as text")
+    index = dedup.minhash_bands(history, k=8, bands=4)
+    batch = spark.range(100, 104).selectExpr(
+        "id as doc_id",
+        "concat('batch words number ', id, ' other filler tokens') as text")
+    plan = _plan(dedup.dedup_against_index(batch, index, k=8, bands=4,
+                                           self_dedup=False))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan

@@ -1015,3 +1015,41 @@ def test_multimodal_resize_frames_features(spark):
             fn(media, fake=False)
         assert "NotImplementedError" in str(exc.value) or isinstance(
             exc.value, NotImplementedError)
+
+
+def test_dedup_against_index_history_and_batch_keeper(spark):
+    """Incremental dedup against a persisted band index: a batch doc
+    band-colliding with history is rejected (even a NEAR copy), a
+    genuinely new doc survives, a batch-internal copy collapses to
+    the min id, and self_dedup=False keeps it."""
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely novel sentence with brand new words here"),
+         (12, "completely novel sentence with brand new words here"),
+         (13, "another fully unrelated document speaking other things")],
+        "doc_id long, text string")
+    index = dedup.minhash_bands(history, k=8, bands=4)
+    kept = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, index, k=8, bands=4).collect()}
+    assert kept == {11, 13}
+    kept2 = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, index, k=8, bands=4, self_dedup=False).collect()}
+    assert kept2 == {11, 12, 13}
+
+
+def test_dedup_against_index_short_doc_survives(spark):
+    """A batch doc too short for one shingle has no bands at all — it
+    must pass through untouched, not be dropped or crash."""
+    history = spark.createDataFrame(
+        [(1, "some historical document with plenty of words inside")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame([(20, "to be")],
+                                  "doc_id long, text string")
+    index = dedup.minhash_bands(history, k=8, bands=4)
+    kept = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, index, k=8, bands=4).collect()}
+    assert kept == {20}
