@@ -106,6 +106,26 @@ def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
 
 _COPY_OFFSET = 10_000_000
 
+# tiny literal TBox for the kg_rdfs_entailed gate (query + oracle):
+# two subclass chains, a three-deep subproperty chain, domain/range
+# reachable only through the chain; es/zh lang classes deliberately
+# lack a superclass
+_RDFS_SCHEMA = [
+    ("c:lang_en", "rdfs:subClassOf", "c:text"),
+    ("c:lang_de", "rdfs:subClassOf", "c:text"),
+    ("c:lang_fr", "rdfs:subClassOf", "c:text"),
+    ("c:text", "rdfs:subClassOf", "c:thing"),
+    ("c:citing", "rdfs:subClassOf", "c:doc"),
+    ("c:cited", "rdfs:subClassOf", "c:doc"),
+    ("c:doc", "rdfs:subClassOf", "c:thing"),
+    ("p:cites", "rdfs:subPropertyOf", "p:references"),
+    ("p:references", "rdfs:subPropertyOf", "p:links"),
+    ("p:haslang", "rdfs:subPropertyOf", "p:hasattr"),
+    ("p:references", "rdfs:domain", "c:citing"),
+    ("p:hasattr", "rdfs:domain", "c:doc"),
+    ("p:links", "rdfs:range", "c:cited"),
+]
+
 
 def _dup_corpus(spark: SparkSession, sf_dir: str, cutoff: int = 100,
                 mutate: bool = False) -> DataFrame:
@@ -1280,6 +1300,77 @@ LIMIT 20
             dedup.dedup_against_index(batch, index, k=8, bands=4)
             .select("doc_id"))
     q["dedup_incremental_docs"] = dedup_incremental_docs
+
+    def _rdfs_instance(spark, sf):
+        """Doc-derived ABox: an asserted lang type, a lang attribute
+        triple and a cites chain per document."""
+        docs = _docs(spark, sf).select("doc_id", "lang")
+        d = F.concat(F.lit("d:"), F.col("doc_id"))
+        return (docs.select(
+            d.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.concat(F.lit("c:lang_"), F.col("lang")).alias("obj"))
+            .unionByName(docs.select(
+                d.alias("subj"), F.lit("p:haslang").alias("pred"),
+                F.col("lang").alias("obj")))
+            .unionByName(docs.filter(F.col("doc_id") > 0).select(
+                d.alias("subj"), F.lit("p:cites").alias("pred"),
+                F.concat(F.lit("d:"), F.col("doc_id") - 1).alias("obj"))))
+
+    def kg_rdfs_entailed(spark, sf):
+        """RDFS ρdf materialization (operators/infer.py): a tiny
+        literal TBox (two subclass chains, a three-deep subproperty
+        chain, domain/range through the chain; es/zh classes
+        deliberately lack a superclass) forward-chained over the
+        doc-derived ABox.  The TBox closes schema-side and broadcasts;
+        the ABox streams through one pass.  Returns the materialized
+        graph's (pred, cls, n) census — cls splits rdf:type rows per
+        class so every rule arm (rdfs2/3/5/7/9/11) pins its own row."""
+        from ferenda_spark.operators.infer import rdfs_materialize
+        schema = spark.createDataFrame(
+            _RDFS_SCHEMA, "subj string, pred string, obj string")
+        mat = rdfs_materialize(_rdfs_instance(spark, sf), schema=schema)
+        return (mat.groupBy(
+            "pred",
+            F.when(F.col("pred") == "rdf:type", F.col("obj"))
+            .otherwise(F.lit("")).alias("cls"))
+            .agg(F.count("*").alias("n")))
+    q["kg_rdfs_entailed"] = kg_rdfs_entailed
+
+    def kg_sameas_canonical(spark, sf):
+        """owl:sameAs canonicalization (operators/infer.py): mirror
+        uris m1:<id> (ids < 200) and m2:<id> (ids < 100) chain to the
+        canonical d:<id> spelling; the citation edges are written in
+        MIXED spellings plus a raw-duplicate arm (ids < 50) that must
+        collapse with its mirror-spelled twin after rewriting.
+        Returns the canonicalized cites edge set — every row must be
+        pure d:-spelled and exactly one per (citing, cited) pair."""
+        from ferenda_spark.operators.infer import sameas_canonicalize
+        docs = _docs(spark, sf).select("doc_id")
+        did = F.concat(F.lit("d:"), F.col("doc_id"))
+        m1 = F.concat(F.lit("m1:"), F.col("doc_id"))
+        m2 = F.concat(F.lit("m2:"), F.col("doc_id"))
+        sameas = (docs.filter(F.col("doc_id") < 200).select(
+            m1.alias("subj"), F.lit("owl:sameAs").alias("pred"),
+            did.alias("obj"))
+            .unionByName(docs.filter(F.col("doc_id") < 100).select(
+                m2.alias("subj"), F.lit("owl:sameAs").alias("pred"),
+                m1.alias("obj"))))
+        prev = F.col("doc_id") - 1
+        edges = (docs.filter(F.col("doc_id") > 0).select(
+            F.when(F.col("doc_id") < 200, m1).otherwise(did)
+            .alias("subj"),
+            F.lit("p:cites").alias("pred"),
+            F.when(prev < 100, F.concat(F.lit("m2:"), prev))
+            .otherwise(F.concat(F.lit("d:"), prev)).alias("obj"))
+            .unionByName(
+                docs.filter((F.col("doc_id") > 0)
+                            & (F.col("doc_id") < 50)).select(
+                    did.alias("subj"), F.lit("p:cites").alias("pred"),
+                    F.concat(F.lit("d:"), prev).alias("obj"))))
+        out = sameas_canonicalize(sameas.unionByName(edges))
+        return out.filter(F.col("pred") == "p:cites") \
+            .select("subj", "obj")
+    q["kg_sameas_canonical"] = kg_sameas_canonical
 
     def curation_survivors(spark, sf):
         """End-to-end curation chain — the composed workflow a
@@ -2893,6 +2984,105 @@ losers AS (SELECT DISTINCT kb.id FROM kb
 SELECT CAST(b.doc_id AS BIGINT) AS doc_id FROM batch b
 WHERE b.doc_id NOT IN (SELECT id FROM dead_hist)
   AND b.doc_id NOT IN (SELECT id FROM losers)
+"""
+
+    # RDFS ρdf materialization: the same rule set as operators/infer
+    # (closed TBox, one ABox pass), stated with recursive CTEs
+    _rdfs_values = ", ".join(f"('{s}', '{p}', '{ob}')"
+                             for s, p, ob in _RDFS_SCHEMA)
+    o["kg_rdfs_entailed"] = f"""
+WITH RECURSIVE
+inst AS (
+  SELECT 'd:' || doc_id AS subj, 'rdf:type' AS pred,
+         'c:lang_' || lang AS obj FROM documents
+  UNION ALL
+  SELECT 'd:' || doc_id, 'p:haslang', lang FROM documents
+  UNION ALL
+  SELECT 'd:' || doc_id, 'p:cites', 'd:' || (doc_id - 1)
+  FROM documents WHERE doc_id > 0),
+sch(subj, pred, obj) AS (VALUES {_rdfs_values}),
+scp AS (SELECT subj AS sub, obj AS sup FROM sch
+        WHERE pred = 'rdfs:subClassOf'),
+sc(sub, sup) AS (
+  SELECT sub, sup FROM scp
+  UNION
+  SELECT sc.sub, scp.sup FROM sc JOIN scp ON scp.sub = sc.sup),
+spp AS (SELECT subj AS sub, obj AS sup FROM sch
+        WHERE pred = 'rdfs:subPropertyOf'),
+sp(sub, sup) AS (
+  SELECT sub, sup FROM spp
+  UNION
+  SELECT sp.sub, spp.sup FROM sp JOIN spp ON spp.sub = sp.sup),
+scs AS (SELECT sub, sup FROM sc WHERE sub <> sup),
+sps AS (SELECT sub, sup FROM sp WHERE sub <> sup),
+dom AS (SELECT subj AS sub, obj AS cls FROM sch
+        WHERE pred = 'rdfs:domain'),
+rng AS (SELECT subj AS sub, obj AS cls FROM sch
+        WHERE pred = 'rdfs:range'),
+effdom AS (SELECT sub, cls FROM dom
+           UNION
+           SELECT sps.sub, dom.cls FROM sps
+           JOIN dom ON dom.sub = sps.sup),
+effrng AS (SELECT sub, cls FROM rng
+           UNION
+           SELECT sps.sub, rng.cls FROM sps
+           JOIN rng ON rng.sub = sps.sup),
+plain AS (SELECT * FROM inst WHERE pred <> 'rdf:type'),
+alltypes AS (
+  SELECT subj, obj FROM inst WHERE pred = 'rdf:type'
+  UNION ALL
+  SELECT p.subj, e.cls FROM plain p JOIN effdom e ON e.sub = p.pred
+  UNION ALL
+  SELECT p.obj, e.cls FROM plain p JOIN effrng e ON e.sub = p.pred),
+mat AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM inst
+    UNION ALL SELECT subj, pred, obj FROM sch
+    UNION ALL
+    SELECT p.subj, sps.sup, p.obj FROM plain p
+    JOIN sps ON sps.sub = p.pred
+    UNION ALL SELECT subj, 'rdf:type', obj FROM alltypes
+    UNION ALL
+    SELECT t.subj, 'rdf:type', scs.sup FROM alltypes t
+    JOIN scs ON scs.sub = t.obj
+    UNION ALL SELECT sub, 'rdfs:subClassOf', sup FROM scs
+    UNION ALL SELECT sub, 'rdfs:subPropertyOf', sup FROM sps))
+SELECT pred, CASE WHEN pred = 'rdf:type' THEN obj ELSE '' END AS cls,
+       count(*) AS n
+FROM mat GROUP BY 1, 2
+"""
+
+    # sameAs canonicalization: components = min uri reachable over
+    # the symmetric identity edges (recursive CTE), then rewrite
+    o["kg_sameas_canonical"] = """
+WITH RECURSIVE
+sa AS (
+  SELECT 'm1:' || doc_id AS a, 'd:' || doc_id AS b
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'm2:' || doc_id, 'm1:' || doc_id
+  FROM documents WHERE doc_id < 100),
+e AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(n, anc) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.a, reach.anc FROM reach JOIN e ON e.b = reach.n),
+canon AS (SELECT n, min(anc) AS canon FROM reach GROUP BY n),
+edges AS (
+  SELECT CASE WHEN doc_id < 200 THEN 'm1:' || doc_id
+              ELSE 'd:' || doc_id END AS subj,
+         CASE WHEN doc_id - 1 < 100 THEN 'm2:' || (doc_id - 1)
+              ELSE 'd:' || (doc_id - 1) END AS obj
+  FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT 'd:' || doc_id, 'd:' || (doc_id - 1)
+  FROM documents WHERE doc_id > 0 AND doc_id < 50)
+SELECT DISTINCT coalesce(cs.canon, edges.subj) AS subj,
+                coalesce(co.canon, edges.obj) AS obj
+FROM edges
+LEFT JOIN canon cs ON cs.n = edges.subj
+LEFT JOIN canon co ON co.n = edges.obj
 """
 
     th_expr = (f"list_transform({words_c}, "

@@ -70,6 +70,9 @@ HEADLINE = [
     "warc_extract_text",
     "training_shards_docs",
     "curation_pipeline_v4",
+    "dedup_incremental_docs",
+    "kg_rdfs_entailed",
+    "kg_sameas_canonical",
 ]
 
 

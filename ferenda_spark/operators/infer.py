@@ -1,0 +1,245 @@
+"""RDFS entailment materialization and owl:sameAs canonicalization —
+the KG-construction layer the reference delegates to its triplestore.
+
+The reference mints ``owl:sameAs`` triples during metadata inference
+(``sources/legal/se/swedishlegalsource.py:1095`` infer_metadata,
+``sources/legal/se/dv.py:1466``; a hand-curated identity graph ships
+at ``sources/legal/eu/res/extra/sameas.n3``) and special-cases
+``rdf:type``/``owl:sameAs`` in dependency analysis
+(``documentrepository.py:2031``); class/property entailment is left
+to the backing store (Fuseki/Sesame with an RDFS reasoner).  Here
+both become explicit DataFrame operators, designed around the one
+asymmetry that matters at 100 TB: the ontology (TBox) and the
+identity-link graph are *tiny* next to the instance triples (ABox),
+so every rule application is a broadcast hash join the corpus
+streams through — the big table shuffles exactly once, for the final
+``distinct``.
+
+Rule fragment: the ρdf core of RDFS (Muñoz, Pérez, Gutierrez,
+"Minimal deductive systems for RDF", ESWC 2007) — rdfs5/rdfs11
+(subPropertyOf / subClassOf transitivity), rdfs7 (property
+inheritance), rdfs2/rdfs3 (domain/range typing), rdfs9 (type
+inheritance).  Because no ρdf rule derives a *schema* triple from an
+*instance* triple, closing the TBox first and then making ONE pass
+over the ABox with the closed TBox reaches the full fixpoint — no
+instance-side iteration, ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analytics import transitive_closure
+from .dedup import components
+
+RDF_TYPE = "rdf:type"
+SUBCLASS = "rdfs:subClassOf"
+SUBPROP = "rdfs:subPropertyOf"
+DOMAIN = "rdfs:domain"
+RANGE = "rdfs:range"
+SAME_AS = "owl:sameAs"
+
+_SCHEMA_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE)
+
+
+def _pairs(schema: DataFrame, pred: str) -> DataFrame:
+    return (schema.filter(F.col("pred") == pred)
+            .select(F.col("subj").alias("sub"), F.col("obj").alias("sup"))
+            .distinct())
+
+
+def _strict_closure(pairs: DataFrame) -> DataFrame:
+    """Transitive (non-reflexive) closure of a tiny schema relation.
+    Fixpoint-iterated, so subclass cycles (equivalent classes spelled
+    as mutual subClassOf) terminate instead of looping."""
+    return (transitive_closure(pairs, max_depth=None,
+                               child_col="sub", parent_col="sup")
+            .select(F.col("descendant").alias("sub"),
+                    F.col("ancestor").alias("sup"))
+            # a cycle makes a node its own ancestor; entailing
+            # (x subClassOf x) is harmless but noisy — drop it
+            .filter(F.col("sub") != F.col("sup")))
+
+
+def rdfs_materialize(triples: DataFrame, schema: DataFrame | None = None,
+                     dedup: bool = True) -> DataFrame:
+    """Forward-chain the ρdf RDFS rules to fixpoint and return the
+    materialized graph: input triples ∪ closed schema ∪ entailments,
+    as the same ``(subj, pred, obj)`` shape.
+
+    ``schema`` defaults to the schema triples embedded in ``triples``
+    itself (preds rdfs:subClassOf / subPropertyOf / domain / range) —
+    the mixed-graph case; pass the TBox separately when it lives in
+    its own store.  Either way the schema side is closed first
+    (driver-side fixpoint over a tiny relation) and every
+    instance-side rule is ONE broadcast join the corpus streams
+    through map-side:
+
+    - rdfs7:  (s p o), p ⊑* q          → (s q o)
+    - rdfs2:  (s p o), p ⊑* q, dom(q,C) → (s rdf:type C)
+    - rdfs3:  (s p o), p ⊑* q, rng(q,C) → (o rdf:type C)
+    - rdfs9:  (s rdf:type C), C ⊑* D    → (s rdf:type D)
+      (applied to asserted AND rdfs2/3-derived types, so the
+      domain→superclass chain lands in the same single pass)
+    - rdfs5/rdfs11: the sc/sp closures themselves, materialized as
+      schema triples.
+
+    The folding of ⊑* into the domain/range tables (effective
+    domain/range) is what keeps this one pass: a subproperty inherits
+    its superproperties' domains without the ABox ever re-joining.
+    The only corpus shuffle is the final ``dropDuplicates``
+    (``dedup=False`` skips it when a downstream agg dedups anyway).
+    """
+    t = triples.select("subj", "pred", "obj")
+    if schema is None:
+        sch = t.filter(F.col("pred").isin(*_SCHEMA_PREDS))
+        base_parts = [t]
+    else:
+        sch = schema.select("subj", "pred", "obj") \
+            .filter(F.col("pred").isin(*_SCHEMA_PREDS))
+        base_parts = [t, sch]
+
+    sc = _strict_closure(_pairs(sch, SUBCLASS))
+    sp = _strict_closure(_pairs(sch, SUBPROP))
+    dom = _pairs(sch, DOMAIN).withColumnRenamed("sup", "cls")
+    rng = _pairs(sch, RANGE).withColumnRenamed("sup", "cls")
+
+    # effective domain/range: p ⊑* q (including p = q) folded in
+    def _effective(dr: DataFrame) -> DataFrame:
+        inherited = (sp.join(
+            F.broadcast(dr.withColumnRenamed("sub", "sup2")),
+            sp["sup"] == F.col("sup2"))
+            .select("sub", "cls"))
+        return dr.select("sub", "cls").unionByName(inherited).distinct()
+
+    eff_dom = _effective(dom)
+    eff_rng = _effective(rng)
+
+    inst = t.filter(~F.col("pred").isin(*_SCHEMA_PREDS))
+    plain = inst.filter(F.col("pred") != RDF_TYPE)
+
+    # rdfs7 — property inheritance
+    derived_prop = (plain.join(
+        F.broadcast(sp.withColumnRenamed("sub", "pred")), "pred")
+        .select("subj", F.col("sup").alias("pred"), "obj"))
+    # rdfs2 / rdfs3 — domain/range typing (⊑* pre-folded)
+    dom_types = (plain.join(
+        F.broadcast(eff_dom.withColumnRenamed("sub", "pred")), "pred")
+        .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj")))
+    rng_types = (plain.join(
+        F.broadcast(eff_rng.withColumnRenamed("sub", "pred")), "pred")
+        .select(F.col("obj").alias("subj"),
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj")))
+    # rdfs9 — type inheritance over asserted ∪ rdfs2/3-derived types
+    asserted_types = inst.filter(F.col("pred") == RDF_TYPE)
+    all_types = asserted_types.unionByName(dom_types) \
+        .unionByName(rng_types)
+    super_types = (all_types.join(
+        F.broadcast(sc.withColumnRenamed("sub", "obj")), "obj")
+        .select("subj", "pred", F.col("sup").alias("obj")))
+    # rdfs5 / rdfs11 — the closures as materialized schema triples
+    closed_schema = (sc.select(F.col("sub").alias("subj"),
+                               F.lit(SUBCLASS).alias("pred"),
+                               F.col("sup").alias("obj"))
+                     .unionByName(
+                         sp.select(F.col("sub").alias("subj"),
+                                   F.lit(SUBPROP).alias("pred"),
+                                   F.col("sup").alias("obj"))))
+
+    out = base_parts[0]
+    for p in (base_parts[1:] + [derived_prop, dom_types, rng_types,
+                                super_types, closed_schema]):
+        out = out.unionByName(p)
+    return out.dropDuplicates(["subj", "pred", "obj"]) if dedup else out
+
+
+def sameas_map(triples: DataFrame,
+               sameas_pred: str = SAME_AS) -> DataFrame:
+    """``(node, canon)`` rewrite map from the graph's owl:sameAs
+    links: ``canon`` is the lexicographically smallest URI reachable
+    through any chain of sameAs edges (direction-blind, as identity
+    is symmetric), one row per node whose spelling differs from its
+    canonical one — exactly the rows a rewrite join needs.
+
+    Scale: the identity-link graph is minted per document cluster
+    (the reference's infer_metadata emits a handful per doc), so it
+    is millions of edges against trillions of triples.  Components
+    run pointer-doubled min-label propagation (:func:`components`)
+    over xxhash64 node keys; the map is bounded by the sameAs node
+    count and broadcasts.  Hash collisions would silently MERGE two
+    identity clusters, so the operator counts nodes vs distinct
+    hashes (two aggregates over the small node set) and raises on a
+    collision rather than corrupting identities — at that point
+    re-key with a salted hash.
+    """
+    pairs = (triples.filter(F.col("pred") == sameas_pred)
+             .select("subj", "obj").distinct())
+    nodes = (pairs.select(F.col("subj").alias("node"))
+             .unionByName(pairs.select(F.col("obj").alias("node")))
+             .distinct()
+             .withColumn("h", F.xxhash64("node"))
+             .persist())
+    agg = nodes.agg(F.count("*").alias("n"),
+                    F.countDistinct("h").alias("nh")).first()
+    if agg["n"] != agg["nh"]:
+        nodes.unpersist()
+        raise ValueError(
+            f"xxhash64 collision among {agg['n']} sameAs nodes "
+            f"({agg['n'] - agg['nh']} colliding); identity clusters "
+            "would merge — re-key sameas_map with a salted hash")
+    hpairs = (pairs
+              .join(nodes.select(F.col("node").alias("subj"),
+                                 F.col("h").alias("id_a")), "subj")
+              .join(nodes.select(F.col("node").alias("obj"),
+                                 F.col("h").alias("id_b")), "obj")
+              .select("id_a", "id_b"))
+    comp = components(hpairs)
+    labeled = nodes.join(comp, nodes["h"] == comp["id"]) \
+        .select("node", "comp")
+    canon = labeled.groupBy("comp").agg(F.min("node").alias("canon"))
+    out = (labeled.join(canon, "comp")
+           .filter(F.col("node") != F.col("canon"))
+           .select("node", "canon"))
+    nodes.unpersist()
+    return out
+
+
+def sameas_canonicalize(triples: DataFrame,
+                        sameas_pred: str = SAME_AS,
+                        rewrite_map: DataFrame | None = None,
+                        drop_sameas: bool = True,
+                        dedup: bool = True) -> DataFrame:
+    """Rewrite every subject/object through the graph's owl:sameAs
+    identity clusters so each resource has ONE spelling — the step
+    that turns the reference's minted sameAs links (dv.py:1466,
+    sameas.n3) into a deduplicated graph instead of a query-time
+    UNION.
+
+    Two broadcast left joins (subj, then obj) stream the corpus
+    map-side; only nodes that actually appear in a sameAs cluster are
+    in the map, so untouched triples pass through unchanged.
+    Canonicalization collapses variant spellings of the same edge
+    onto identical rows; ``dedup`` removes them (the one corpus
+    shuffle).  ``drop_sameas`` removes the now self-referential
+    identity triples themselves.  Pass a precomputed ``rewrite_map``
+    (:func:`sameas_map` output, e.g. persisted across daily batches)
+    to skip recomputing components.
+    """
+    m = rewrite_map if rewrite_map is not None else \
+        sameas_map(triples, sameas_pred)
+    t = triples
+    if drop_sameas:
+        t = t.filter(F.col("pred") != sameas_pred)
+    sm = F.broadcast(m.select(F.col("node").alias("subj"),
+                              F.col("canon").alias("_sc")))
+    om = F.broadcast(m.select(F.col("node").alias("obj"),
+                              F.col("canon").alias("_oc")))
+    out = (t.join(sm, "subj", "left")
+           .join(om, "obj", "left")
+           .select(F.coalesce("_sc", "subj").alias("subj"),
+                   "pred",
+                   F.coalesce("_oc", "obj").alias("obj")))
+    return out.dropDuplicates(["subj", "pred", "obj"]) if dedup else out
