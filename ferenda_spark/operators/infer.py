@@ -62,7 +62,61 @@ def _strict_closure(pairs: DataFrame) -> DataFrame:
             .filter(F.col("sub") != F.col("sup")))
 
 
+class ClosedSchema:
+    """A TBox closed once, reusable across any number of ABox passes
+    (the streaming shape: the schema is static, the batches are not).
+
+    ``checkpoint=True`` pins every frame with ``localCheckpoint`` so a
+    per-micro-batch plan references materialized leaves instead of
+    re-running the closure fixpoint each batch."""
+
+    def __init__(self, schema: DataFrame, checkpoint: bool = False):
+        sch = schema.select("subj", "pred", "obj") \
+            .filter(F.col("pred").isin(*_SCHEMA_PREDS))
+        sc = _strict_closure(_pairs(sch, SUBCLASS))
+        sp = _strict_closure(_pairs(sch, SUBPROP))
+        dom = _pairs(sch, DOMAIN).withColumnRenamed("sup", "cls")
+        rng = _pairs(sch, RANGE).withColumnRenamed("sup", "cls")
+
+        # effective domain/range: p ⊑* q (including p = q) folded in
+        def _effective(dr: DataFrame) -> DataFrame:
+            inherited = (sp.join(
+                F.broadcast(dr.withColumnRenamed("sub", "sup2")),
+                sp["sup"] == F.col("sup2"))
+                .select("sub", "cls"))
+            return dr.select("sub", "cls").unionByName(inherited) \
+                .distinct()
+
+        # asserted schema ∪ the rdfs5/rdfs11 closure rows, as triples
+        triples_out = sch.unionByName(
+            sc.select(F.col("sub").alias("subj"),
+                      F.lit(SUBCLASS).alias("pred"),
+                      F.col("sup").alias("obj"))
+            .unionByName(
+                sp.select(F.col("sub").alias("subj"),
+                          F.lit(SUBPROP).alias("pred"),
+                          F.col("sup").alias("obj"))))
+        frames = {"sc": sc, "sp": sp, "eff_dom": _effective(dom),
+                  "eff_rng": _effective(rng), "triples": triples_out}
+        if checkpoint:
+            frames = {k: v.localCheckpoint(eager=True)
+                      for k, v in frames.items()}
+        self.sc = frames["sc"]
+        self.sp = frames["sp"]
+        self.eff_dom = frames["eff_dom"]
+        self.eff_rng = frames["eff_rng"]
+        self.triples = frames["triples"]
+
+
+def close_schema(schema: DataFrame,
+                 checkpoint: bool = False) -> ClosedSchema:
+    """Close a TBox once for reuse across batches — see
+    :class:`ClosedSchema`."""
+    return ClosedSchema(schema, checkpoint=checkpoint)
+
+
 def rdfs_materialize(triples: DataFrame, schema: DataFrame | None = None,
+                     closed: ClosedSchema | None = None,
                      dedup: bool = True) -> DataFrame:
     """Forward-chain the ρdf RDFS rules to fixpoint and return the
     materialized graph: input triples ∪ closed schema ∪ entailments,
@@ -89,47 +143,37 @@ def rdfs_materialize(triples: DataFrame, schema: DataFrame | None = None,
     domain/range) is what keeps this one pass: a subproperty inherits
     its superproperties' domains without the ABox ever re-joining.
     The only corpus shuffle is the final ``dropDuplicates``
-    (``dedup=False`` skips it when a downstream agg dedups anyway).
+    (``dedup=False`` skips it when a downstream agg dedups anyway —
+    note the mixed-graph case then re-emits the asserted schema rows).
+
+    Pass a precomputed ``closed`` (:func:`close_schema`) to reuse one
+    TBox closure across many batches — the streaming maintainer's
+    shape; the closed TBox's triples are then NOT re-emitted (the
+    schema owner already holds them), output = batch ∪ entailments.
     """
     t = triples.select("subj", "pred", "obj")
-    if schema is None:
-        sch = t.filter(F.col("pred").isin(*_SCHEMA_PREDS))
-        base_parts = [t]
-    else:
-        sch = schema.select("subj", "pred", "obj") \
-            .filter(F.col("pred").isin(*_SCHEMA_PREDS))
-        base_parts = [t, sch]
-
-    sc = _strict_closure(_pairs(sch, SUBCLASS))
-    sp = _strict_closure(_pairs(sch, SUBPROP))
-    dom = _pairs(sch, DOMAIN).withColumnRenamed("sup", "cls")
-    rng = _pairs(sch, RANGE).withColumnRenamed("sup", "cls")
-
-    # effective domain/range: p ⊑* q (including p = q) folded in
-    def _effective(dr: DataFrame) -> DataFrame:
-        inherited = (sp.join(
-            F.broadcast(dr.withColumnRenamed("sub", "sup2")),
-            sp["sup"] == F.col("sup2"))
-            .select("sub", "cls"))
-        return dr.select("sub", "cls").unionByName(inherited).distinct()
-
-    eff_dom = _effective(dom)
-    eff_rng = _effective(rng)
+    emit_schema = closed is None
+    if closed is None:
+        sch = t.filter(F.col("pred").isin(*_SCHEMA_PREDS)) \
+            if schema is None else schema
+        closed = ClosedSchema(sch)
 
     inst = t.filter(~F.col("pred").isin(*_SCHEMA_PREDS))
     plain = inst.filter(F.col("pred") != RDF_TYPE)
 
     # rdfs7 — property inheritance
     derived_prop = (plain.join(
-        F.broadcast(sp.withColumnRenamed("sub", "pred")), "pred")
+        F.broadcast(closed.sp.withColumnRenamed("sub", "pred")), "pred")
         .select("subj", F.col("sup").alias("pred"), "obj"))
     # rdfs2 / rdfs3 — domain/range typing (⊑* pre-folded)
     dom_types = (plain.join(
-        F.broadcast(eff_dom.withColumnRenamed("sub", "pred")), "pred")
+        F.broadcast(closed.eff_dom.withColumnRenamed("sub", "pred")),
+        "pred")
         .select("subj", F.lit(RDF_TYPE).alias("pred"),
                 F.col("cls").alias("obj")))
     rng_types = (plain.join(
-        F.broadcast(eff_rng.withColumnRenamed("sub", "pred")), "pred")
+        F.broadcast(closed.eff_rng.withColumnRenamed("sub", "pred")),
+        "pred")
         .select(F.col("obj").alias("subj"),
                 F.lit(RDF_TYPE).alias("pred"),
                 F.col("cls").alias("obj")))
@@ -138,20 +182,15 @@ def rdfs_materialize(triples: DataFrame, schema: DataFrame | None = None,
     all_types = asserted_types.unionByName(dom_types) \
         .unionByName(rng_types)
     super_types = (all_types.join(
-        F.broadcast(sc.withColumnRenamed("sub", "obj")), "obj")
+        F.broadcast(closed.sc.withColumnRenamed("sub", "obj")), "obj")
         .select("subj", "pred", F.col("sup").alias("obj")))
-    # rdfs5 / rdfs11 — the closures as materialized schema triples
-    closed_schema = (sc.select(F.col("sub").alias("subj"),
-                               F.lit(SUBCLASS).alias("pred"),
-                               F.col("sup").alias("obj"))
-                     .unionByName(
-                         sp.select(F.col("sub").alias("subj"),
-                                   F.lit(SUBPROP).alias("pred"),
-                                   F.col("sup").alias("obj"))))
 
-    out = base_parts[0]
-    for p in (base_parts[1:] + [derived_prop, dom_types, rng_types,
-                                super_types, closed_schema]):
+    parts = [derived_prop, dom_types, rng_types, super_types]
+    if emit_schema:
+        # asserted schema ∪ rdfs5/rdfs11 closure rows
+        parts.append(closed.triples)
+    out = t
+    for p in parts:
         out = out.unionByName(p)
     return out.dropDuplicates(["subj", "pred", "obj"]) if dedup else out
 

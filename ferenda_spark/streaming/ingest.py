@@ -130,3 +130,51 @@ def stream_pipeline_with_regen(spark: SparkSession,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+def stream_materialize_entailed(spark: SparkSession,
+                                triples_stream: DataFrame,
+                                schema: DataFrame, store: GraphStore,
+                                checkpoint_dir: str,
+                                table: str = "entailed"):
+    """Continuous RDFS materialization: every micro-batch of instance
+    triples is forward-chained against a STATIC TBox and appended to
+    the entailed graph table.
+
+    Why per-batch entailment is complete (no streaming state): each
+    ρdf instance rule (rdfs7/2/3/9 — operators/infer.py) derives from
+    ONE instance triple plus the closed schema, so a triple's
+    entailments ride in whatever batch carries it; no cross-batch
+    joins.  The TBox closure (the only fixpoint) is computed ONCE at
+    stream start and ``localCheckpoint``-pinned, so per-batch plans
+    join materialized leaves instead of re-running it.
+
+    Delivery: snapshot appends are at-least-once (a batch replayed
+    after a mid-append crash appends again), but materialization is
+    deterministic and row-idempotent, so the exactly-once OBSERVED
+    graph is ``store.read(table).dropDuplicates(["subj", "pred",
+    "obj"])`` — replayed rows are byte-identical.  ``batch_seq``
+    records which micro-batch produced each snapshot for lineage.
+    The closed TBox's own triples are NOT re-emitted per batch; the
+    schema owner holds them (union :class:`ClosedSchema`
+    ``.triples`` at read when the consumer wants the full graph).
+    """
+    from ferenda_spark.operators.infer import (
+        close_schema,
+        rdfs_materialize,
+    )
+    closed = close_schema(schema, checkpoint=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        mat = rdfs_materialize(batch, closed=closed)
+        store.append(
+            mat.withColumn("batch_seq", F.lit(batch_id).cast("long")),
+            table)
+
+    return (triples_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

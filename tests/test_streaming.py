@@ -224,3 +224,60 @@ def test_stream_regen_exact_dependent_set(spark, tmp_path):
     assert expected - {touched_url}          # the fixture HAS dependents
     assert regenerated == expected
     pages.unpersist()
+
+
+def test_stream_materialize_entailed_matches_batch(spark, tmp_path):
+    """Two micro-batch drops of instance triples must materialize, in
+    union, EXACTLY the batch rdfs_materialize over the whole corpus
+    (minus the TBox triples, which the stream contract leaves with
+    the schema owner) — per-batch ρdf entailment loses nothing."""
+    from ferenda_spark.operators import infer
+    from ferenda_spark.operators.infer import rdfs_materialize
+    from ferenda_spark.streaming.ingest import stream_materialize_entailed
+
+    schema = spark.createDataFrame([
+        ("c:A", infer.SUBCLASS, "c:B"),
+        ("p:p", infer.SUBPROP, "p:q"),
+        ("p:q", infer.DOMAIN, "c:A"),
+    ], "subj string, pred string, obj string")
+    inst_rows = [(f"s{i}", "p:p", f"o{i}") for i in range(8)] + \
+        [(f"s{i}", infer.RDF_TYPE, "c:A") for i in range(3)]
+    inst = spark.createDataFrame(inst_rows,
+                                 "subj string, pred string, obj string")
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    store = GraphStore(spark, str(tmp_path / "graph"))
+
+    # drop 1: first half
+    inst.filter(F.col("subj").isin("s0", "s1", "s2", "s3")) \
+        .write.mode("append").parquet(in_dir)
+    stream = (spark.readStream
+              .schema("subj string, pred string, obj string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = stream_materialize_entailed(spark, stream, schema, store, ckpt)
+    q.awaitTermination(120)
+    n1 = store.read("entailed").count()
+    assert n1 > 0
+
+    # drop 2: the rest — resumes from the checkpoint, batch 1 not redone
+    inst.filter(~F.col("subj").isin("s0", "s1", "s2", "s3")) \
+        .write.mode("append").parquet(in_dir)
+    stream = (spark.readStream
+              .schema("subj string, pred string, obj string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = stream_materialize_entailed(spark, stream, schema, store, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r["subj"], r["pred"], r["obj"]) for r in
+           store.read("entailed").collect()}
+    want = {tuple(r) for r in
+            rdfs_materialize(inst, schema=schema).collect()}
+    tbox = {tuple(r) for r in schema.collect()} | \
+        {(r["subj"], r["pred"], r["obj"]) for r in
+         rdfs_materialize(schema).collect()}
+    assert got == want - tbox
+    # every snapshot row carries its producing micro-batch
+    seqs = {r["batch_seq"] for r in
+            store.read("entailed").select("batch_seq").collect()}
+    assert len(seqs) >= 2 and all(s is not None for s in seqs)
