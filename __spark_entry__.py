@@ -459,6 +459,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # still oracle-verified locally by tools/check_queries.py and
 # benchable via bench.py.
 GATE_ORDER = [
+    # --- round-4 session-2 rotation.  The three ops added after the
+    # last swap are never-driver-checked and lead for their first
+    # rows.  Slots come from salted_join_suppliers (driver-green
+    # r1+r3; the skew-salting family stays pytest-plan-audited in
+    # test_plans.py and inside the resolve path), dedup_components
+    # (green r3; the components family stays IN-GATE via
+    # kg_sameas_canonical itself — which runs components — and
+    # sim_semantic_dedup's min-label-closure oracle) and
+    # streaming_hourly_events (green r1+r3; the windowed-agg family
+    # stays pytest-proven streaming==batch in test_streaming.py).
+    # All three swap-outs stay locally oracle-checked as extras.
+    "dedup_incremental_docs", "kg_rdfs_entailed", "kg_sameas_canonical",
     # --- round-4 rotation.  Never-driver-checked queries lead: the
     # three SPARQL surface queries, the new SPARQL paging gate, the
     # two composed curation chains and the new dependency-triggered
@@ -492,8 +504,6 @@ GATE_ORDER = [
     # round-3 first-row gates that keep their slot (≤2 green rounds)
     "entity_link_fuzzy", "pdf_margin_metrics", "pdf_style_metrics",
     "fragments_udtf", "text_metrics", "url_canonical_dedup",
-    "streaming_hourly_events",
-    "salted_join_suppliers",
     # round-4-late: deterministic training-shard packing (new operator
     # family — first driver row).  Takes the slot of
     # first_success_events (driver-green r1+r3; the W6 per-group-first
@@ -507,7 +517,7 @@ GATE_ORDER = [
     # real binary codecs) — each driver-green in two prior rounds.
     "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
     "fulltext_fielded", "doc_versions_views",
-    "sim_ann_topk", "dedup_components",
+    "sim_ann_topk",
     # round-4-final: the last three never-driver-checked queries take
     # their first rows, so EVERY registered query now has at least one
     # historical driver row.  Slots come from kg_structure_closure

@@ -49,16 +49,60 @@ def _pairs(schema: DataFrame, pred: str) -> DataFrame:
             .distinct())
 
 
-def _strict_closure(pairs: DataFrame) -> DataFrame:
-    """Transitive (non-reflexive) closure of a tiny schema relation.
-    Fixpoint-iterated, so subclass cycles (equivalent classes spelled
-    as mutual subClassOf) terminate instead of looping."""
+# TBoxes are tiny by definition; above this edge count the closure
+# falls back to the distributed fixpoint (the driver BFS's output is
+# worst-case quadratic in the longest chain, so don't raise this to
+# "fits in driver RAM" sizes blindly)
+_DRIVER_CLOSURE_MAX = 10_000
+
+
+def _py_strict_closure(pairs) -> set:
+    """Driver-side strict transitive closure: BFS from each source
+    over the adjacency map; self-reach (cycles) dropped."""
+    adj: dict[str, set] = {}
+    for sub, sup in pairs:
+        adj.setdefault(sub, set()).add(sup)
+    out: set = set()
+    for s, direct in adj.items():
+        seen: set = set()
+        stack = list(direct)
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        # a cycle makes a node reach itself; entailing
+        # (x subClassOf x) is harmless but noisy — drop it
+        out.update((s, t) for t in seen if t != s)
+    return out
+
+
+def _strict_closure(pairs: DataFrame,
+                    driver_max: int = _DRIVER_CLOSURE_MAX) -> DataFrame:
+    """Transitive (non-reflexive) closure of a schema relation,
+    cycle-safe (equivalent classes spelled as mutual subClassOf
+    terminate instead of looping).
+
+    Fast path: a TBox is tiny next to the ABox by definition, and the
+    distributed fixpoint costs ~2 driver round-trip jobs per closure
+    LEVEL (localCheckpoint + emptiness probe) — a dozen mini-jobs to
+    close a dozen rows.  So up to ``driver_max`` edges the pairs are
+    collected and closed with a driver-side BFS in one job, returned
+    as a local relation (which downstream broadcast joins love).
+    Bigger relations fall back to the semi-naive distributed fixpoint
+    (:func:`transitive_closure`)."""
+    if driver_max:
+        head = pairs.limit(driver_max + 1).collect()
+        if len(head) <= driver_max:
+            return pairs.sparkSession.createDataFrame(
+                sorted(_py_strict_closure(
+                    (r["sub"], r["sup"]) for r in head)),
+                "sub string, sup string")
     return (transitive_closure(pairs, max_depth=None,
                                child_col="sub", parent_col="sup")
             .select(F.col("descendant").alias("sub"),
                     F.col("ancestor").alias("sup"))
-            # a cycle makes a node its own ancestor; entailing
-            # (x subClassOf x) is harmless but noisy — drop it
             .filter(F.col("sub") != F.col("sup")))
 
 
@@ -66,15 +110,59 @@ class ClosedSchema:
     """A TBox closed once, reusable across any number of ABox passes
     (the streaming shape: the schema is static, the batches are not).
 
-    ``checkpoint=True`` pins every frame with ``localCheckpoint`` so a
-    per-micro-batch plan references materialized leaves instead of
-    re-running the closure fixpoint each batch."""
+    Up to ``_DRIVER_CLOSURE_MAX`` schema triples the WHOLE closure is
+    computed driver-side in one collect and every frame is a local
+    relation — broadcasting a local relation needs no job and no
+    shuffle, so the per-query / per-micro-batch schema cost is zero
+    (the TBox is a constant of the job, and the plan says so).  Above
+    that the distributed fixpoint path takes over; ``checkpoint=True``
+    then pins every frame with ``localCheckpoint`` so reuse across
+    micro-batches references materialized leaves."""
 
-    def __init__(self, schema: DataFrame, checkpoint: bool = False):
+    def __init__(self, schema: DataFrame, checkpoint: bool = False,
+                 driver_max: int = _DRIVER_CLOSURE_MAX):
         sch = schema.select("subj", "pred", "obj") \
             .filter(F.col("pred").isin(*_SCHEMA_PREDS))
-        sc = _strict_closure(_pairs(sch, SUBCLASS))
-        sp = _strict_closure(_pairs(sch, SUBPROP))
+        if driver_max:
+            head = sch.limit(driver_max + 1).collect()
+            if len(head) <= driver_max:
+                self._init_local(sch.sparkSession,
+                                 {tuple(r) for r in head})
+                return
+        self._init_distributed(sch, checkpoint)
+
+    def _init_local(self, spark, rows: set) -> None:
+        by_pred: dict[str, set] = {p: set() for p in _SCHEMA_PREDS}
+        for s, p, o in rows:
+            by_pred[p].add((s, o))
+        sc = _py_strict_closure(by_pred[SUBCLASS])
+        sp = _py_strict_closure(by_pred[SUBPROP])
+
+        def _effective(dr: set) -> set:
+            by_sup: dict[str, set] = {}
+            for q, cls in dr:
+                by_sup.setdefault(q, set()).add(cls)
+            return dr | {(p, cls) for p, q in sp
+                         for cls in by_sup.get(q, ())}
+
+        def _df(pairs: set, ddl: str) -> DataFrame:
+            return spark.createDataFrame(sorted(pairs), ddl)
+
+        self.sc = _df(sc, "sub string, sup string")
+        self.sp = _df(sp, "sub string, sup string")
+        self.eff_dom = _df(_effective(by_pred[DOMAIN]),
+                           "sub string, cls string")
+        self.eff_rng = _df(_effective(by_pred[RANGE]),
+                           "sub string, cls string")
+        self.triples = _df(
+            rows | {(s, SUBCLASS, o) for s, o in sc}
+            | {(s, SUBPROP, o) for s, o in sp},
+            "subj string, pred string, obj string")
+
+    def _init_distributed(self, sch: DataFrame,
+                          checkpoint: bool) -> None:
+        sc = _strict_closure(_pairs(sch, SUBCLASS), driver_max=0)
+        sp = _strict_closure(_pairs(sch, SUBPROP), driver_max=0)
         dom = _pairs(sch, DOMAIN).withColumnRenamed("sup", "cls")
         rng = _pairs(sch, RANGE).withColumnRenamed("sup", "cls")
 
@@ -88,14 +176,15 @@ class ClosedSchema:
                 .distinct()
 
         # asserted schema ∪ the rdfs5/rdfs11 closure rows, as triples
-        triples_out = sch.unionByName(
-            sc.select(F.col("sub").alias("subj"),
-                      F.lit(SUBCLASS).alias("pred"),
-                      F.col("sup").alias("obj"))
+        triples_out = sch.dropDuplicates(["subj", "pred", "obj"]) \
             .unionByName(
-                sp.select(F.col("sub").alias("subj"),
-                          F.lit(SUBPROP).alias("pred"),
-                          F.col("sup").alias("obj"))))
+                sc.select(F.col("sub").alias("subj"),
+                          F.lit(SUBCLASS).alias("pred"),
+                          F.col("sup").alias("obj"))
+                .unionByName(
+                    sp.select(F.col("sub").alias("subj"),
+                              F.lit(SUBPROP).alias("pred"),
+                              F.col("sup").alias("obj"))))
         frames = {"sc": sc, "sp": sp, "eff_dom": _effective(dom),
                   "eff_rng": _effective(rng), "triples": triples_out}
         if checkpoint:

@@ -159,3 +159,57 @@ def test_sameas_rewrite_is_broadcast(identity_graph):
     plan = _plan(sameas_canonicalize(identity_graph, rewrite_map=m))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_strict_closure_driver_equals_distributed(spark):
+    """The driver-BFS fast path and the distributed fixpoint are the
+    same function: identical pair sets on chains, diamonds, cycles,
+    self-loops and random digraphs."""
+    import random
+    from ferenda_spark.operators.infer import _strict_closure
+    rnd = random.Random(7)
+    cases = [
+        [("a", "b"), ("b", "c"), ("c", "d")],                # chain
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],    # diamond
+        [("a", "b"), ("b", "a"), ("b", "c")],                # cycle
+        [("a", "a")],                                        # self-loop
+    ] + [
+        [(f"n{rnd.randrange(8)}", f"n{rnd.randrange(8)}")
+         for _ in range(12)]
+        for _ in range(3)
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "sub string, sup string")
+        fast = {tuple(r) for r in _strict_closure(df).collect()}
+        slow = {tuple(r) for r in
+                _strict_closure(df, driver_max=0).collect()}
+        assert fast == slow, pairs
+
+
+def test_strict_closure_empty(spark):
+    from ferenda_spark.operators.infer import _strict_closure
+    df = spark.createDataFrame([], "sub string, sup string")
+    assert _strict_closure(df).collect() == []
+
+
+def test_closed_schema_local_equals_distributed(spark, graph):
+    """The driver-side (local-relation) ClosedSchema and the
+    distributed-fixpoint one must be the same closure — and
+    rdfs_materialize must produce the identical graph through both."""
+    from ferenda_spark.operators.infer import ClosedSchema
+    mixed, schema, instance = graph
+    local = ClosedSchema(schema)
+    dist = ClosedSchema(schema, driver_max=0)
+    for name in ("sc", "sp", "eff_dom", "eff_rng", "triples"):
+        a = {tuple(r) for r in getattr(local, name).collect()}
+        b = {tuple(r) for r in getattr(dist, name).collect()}
+        assert a == b, name
+    got = {tuple(r) for r in
+           rdfs_materialize(instance, closed=dist).collect()}
+    want = {tuple(r) for r in
+            rdfs_materialize(instance, closed=local).collect()}
+    assert got == want
+    # the closed-TBox path emits batch ∪ entailments, no schema rows
+    assert want == {t for t in EXPECTED
+                    if t[1] not in (infer.SUBCLASS, infer.SUBPROP,
+                                    infer.DOMAIN, infer.RANGE)}
