@@ -1382,6 +1382,48 @@ LIMIT 20
             .select("subj", "obj")
     q["kg_sameas_canonical"] = kg_sameas_canonical
 
+    def rdf_ntriples_roundtrip(spark, sf):
+        """N-Triples wire round trip (sources/rdf_serial.py): doc-
+        derived triples with every hard case — literals embedding
+        quotes, newlines, tabs and backslashes, language tags, typed
+        integers, resource objects — serialized to N-Triples lines
+        (CURIEs expanded to IRIs) and parsed back (IRIs contracted).
+        The oracle restates the INPUT, so any serializer/parser
+        asymmetry breaks the match; the error column must be all
+        NULL."""
+        from ferenda_spark.sources.rdf_serial import (
+            format_ntriples,
+            parse_ntriples,
+        )
+        pfx = {"d": "http://ex.org/doc/", "p": "http://ex.org/prop/",
+               "xsd": "http://www.w3.org/2001/XMLSchema#"}
+        docs = _docs(spark, sf).select("doc_id", "text", "lang",
+                                       "n_chars")
+        subj = F.concat(F.lit("d:"), F.col("doc_id"))
+        snull = F.lit(None).cast("string")
+        title = F.concat(F.lit('He said "'),
+                         F.substring("text", 1, 20),
+                         F.lit('"\non line\ttwo \\ end'))
+        t1 = docs.select(
+            subj.alias("subj"), F.lit("p:title").alias("pred"),
+            title.alias("obj"), F.lit(True).alias("obj_is_literal"),
+            F.col("lang").alias("obj_lang"),
+            snull.alias("obj_datatype"))
+        t2 = docs.select(
+            subj.alias("subj"), F.lit("p:nchars").alias("pred"),
+            F.col("n_chars").cast("string").alias("obj"),
+            F.lit(True).alias("obj_is_literal"),
+            snull.alias("obj_lang"),
+            F.lit("xsd:integer").alias("obj_datatype"))
+        t3 = docs.filter(F.col("doc_id") > 0).select(
+            subj.alias("subj"), F.lit("p:cites").alias("pred"),
+            F.concat(F.lit("d:"), F.col("doc_id") - 1).alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            snull.alias("obj_lang"), snull.alias("obj_datatype"))
+        triples = t1.unionByName(t2).unionByName(t3)
+        return parse_ntriples(format_ntriples(triples, pfx), pfx)
+    q["rdf_ntriples_roundtrip"] = rdf_ntriples_roundtrip
+
     def curation_survivors(spark, sf):
         """End-to-end curation chain — the composed workflow a
         training-data user actually runs: MinHash-LSH near-dup
@@ -3060,6 +3102,27 @@ mat AS (
 SELECT pred, CASE WHEN pred = 'rdf:type' THEN obj ELSE '' END AS cls,
        count(*) AS n
 FROM mat GROUP BY 1, 2
+"""
+
+    # N-Triples round trip: the oracle restates the generated INPUT —
+    # the wire format must be a perfect inverse pair
+    o["rdf_ntriples_roundtrip"] = r"""
+WITH base AS (SELECT doc_id, text, lang, n_chars FROM documents)
+SELECT 'd:' || doc_id AS subj, 'p:title' AS pred,
+       'He said "' || substr(text, 1, 20) || '"' || chr(10)
+         || 'on line' || chr(9) || 'two \ end' AS obj,
+       TRUE AS obj_is_literal, lang AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS error
+FROM base
+UNION ALL
+SELECT 'd:' || doc_id, 'p:nchars', CAST(n_chars AS VARCHAR),
+       TRUE, NULL, 'xsd:integer', NULL
+FROM base
+UNION ALL
+SELECT 'd:' || doc_id, 'p:cites', 'd:' || (doc_id - 1),
+       FALSE, NULL, NULL, NULL
+FROM base WHERE doc_id > 0
 """
 
     # sameAs canonicalization: components = min uri reachable over

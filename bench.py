@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_incremental_docs",
     "kg_rdfs_entailed",
     "kg_sameas_canonical",
+    "rdf_ntriples_roundtrip",
 ]
 
 

@@ -1,0 +1,175 @@
+"""N-Triples writer/reader round trips (escapes, langtags,
+datatypes, blank nodes, error rows) and the Turtle-subset TBox
+reader."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.sources import rdf_serial as rs
+
+TRIPLE_DDL = ("subj string, pred string, obj string, "
+              "obj_is_literal boolean, obj_lang string, "
+              "obj_datatype string")
+
+PFX = {"d": "http://ex.org/doc/", "p": "http://ex.org/prop/",
+       "xsd": "http://www.w3.org/2001/XMLSchema#"}
+
+ROWS = [
+    ("d:1", "p:cites", "d:2", False, None, None),
+    ("d:1", "p:title", 'He said "hi"\nline2\tand \\ done',
+     True, "en", None),
+    ("d:2", "p:size", "42", True, None, "xsd:integer"),
+    ("d:2", "p:note", "plain words", True, None, None),
+    ("_:b0", "p:cites", "d:1", False, None, None),
+    ("d:3", "p:ref", "dcterms: looks like a curie", True, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(ROWS, TRIPLE_DDL)
+
+
+def test_ntriples_roundtrip_exact(spark, triples):
+    lines = rs.format_ntriples(triples, prefixes=PFX)
+    back = rs.parse_ntriples(lines, prefixes=PFX)
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+    got = {tuple(r)[:-1] for r in back.collect()}
+    assert got == {tuple(r) for r in ROWS}
+
+
+def test_ntriples_lines_shape(spark, triples):
+    lines = [r["line"] for r in
+             rs.format_ntriples(triples, PFX).collect()]
+    assert all(ln.endswith(" .") for ln in lines)
+    title = [ln for ln in lines if "title" in ln][0]
+    # escapes on the wire, real newline/tab never raw
+    assert "\\n" in title and "\\t" in title and '\\"' in title
+    assert "\n" not in title and "\t" not in title
+    assert title.endswith('"@en .')
+    size = [ln for ln in lines if "size" in ln][0]
+    assert size.rstrip(" .").endswith(
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    blank = [ln for ln in lines if ln.startswith("_:")][0]
+    assert blank.startswith("_:b0 <")
+
+
+def test_ntriples_parser_errors_and_comments(spark):
+    lines = spark.createDataFrame(
+        [("# a comment",), ("",), ("   ",),
+         ('<http://a> <http://p> "ok" .',),
+         ("<http://a> <http://p> missing-brackets .",),
+         ('<http://a> <http://p> "bad \\u0041 escape" .',)],
+        "line string")
+    out = rs.parse_ntriples(lines).collect()
+    assert len(out) == 3  # comments/blanks dropped
+    errs = [r for r in out if r["error"] is not None]
+    assert len(errs) == 2
+    assert any("unparseable" in r["error"] for r in errs)
+    assert any("unsupported escape" in r["error"] for r in errs)
+    ok = [r for r in out if r["error"] is None][0]
+    assert (ok["subj"], ok["obj"]) == ("http://a", "ok")
+
+
+def test_ntriples_file_roundtrip_gzip(spark, triples, tmp_path):
+    path = str(tmp_path / "dump")
+    rs.write_ntriples(triples, path, prefixes=PFX, compression="gzip")
+    import glob
+    assert glob.glob(path + "/*.gz")
+    back = rs.read_ntriples(spark, path, prefixes=PFX)
+    assert {tuple(r)[:-1] for r in back.collect()} == \
+        {tuple(r) for r in ROWS}
+
+
+def test_heuristic_literal_detection(spark):
+    df = spark.createDataFrame(
+        [("http://a", "http://p", "http://b"),
+         ("http://a", "http://p", "two words")],
+        "subj string, pred string, obj string")
+    lines = sorted(r["line"] for r in rs.format_ntriples(df).collect())
+    assert lines[0].endswith('"two words" .')
+    assert lines[1].endswith("<http://b> .")
+
+
+def test_expand_contract_inverse(spark):
+    df = spark.createDataFrame(
+        [("d:9",), ("p:x",), ("http://other/iri",), ("no-prefix",)],
+        "v string")
+    r = df.select(
+        rs.contract_iris(rs.expand_curies(F.col("v"), PFX), PFX)
+        .alias("v")).collect()
+    assert [x["v"] for x in r] == ["d:9", "p:x", "http://other/iri",
+                                   "no-prefix"]
+
+
+TTL = """# a vocab in the reference's res/vocab shape
+@prefix : <http://ex.org/onto/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+:Article a owl:Class ;
+    rdfs:label "Article"@en ;
+    rdfs:comment \"\"\"A scholarly article,
+spanning lines.\"\"\"@en ;
+    rdfs:isDefinedBy "http://ex.org/onto/"^^xsd:anyURI ;
+    rdfs:subClassOf :Document .
+
+:Document a owl:Class ;
+    rdfs:label "Doc \\"quoted\\"" .
+
+:cites rdfs:subPropertyOf :references, :links ;
+    rdfs:domain :Article .
+"""
+
+
+def test_turtle_subset_parses_vocab_shape(spark):
+    rows = rs.parse_turtle_tbox(TTL)
+    d = {}
+    for s, p, o, lit, lang, dt in rows:
+        d.setdefault((s.rsplit("/", 1)[-1], p.rsplit("#", 1)[-1]),
+                     []).append((o, lit, lang, dt))
+    assert d[("Article", "type")][0][0].endswith("owl#Class")
+    assert d[("Article", "label")] == [("Article", True, "en", None)]
+    assert "spanning lines." in d[("Article", "comment")][0][0]
+    assert d[("Article", "isDefinedBy")][0][3] == \
+        "http://www.w3.org/2001/XMLSchema#anyURI"
+    assert d[("Article", "subClassOf")][0][0] == \
+        "http://ex.org/onto/Document"
+    assert d[("Document", "label")][0][0] == 'Doc "quoted"'
+    # ',' object list fans out
+    assert {o for o, *_ in d[("cites", "subPropertyOf")]} == \
+        {"http://ex.org/onto/references", "http://ex.org/onto/links"}
+    assert d[("cites", "domain")][0][0] == "http://ex.org/onto/Article"
+
+
+def test_turtle_subset_rejects_out_of_subset():
+    with pytest.raises(rs.TurtleSubsetError):
+        rs.parse_turtle_tbox(
+            "@prefix : <http://x/> .\n:a :p [ :q :r ] .")
+    with pytest.raises(rs.TurtleSubsetError):
+        rs.parse_turtle_tbox(":nosuchprefix :p :o .")
+
+
+def test_turtle_tbox_feeds_rdfs_materialize(spark, tmp_path):
+    """The composition the reference runs at startup: vocab .ttl →
+    TBox → entailment over instance triples."""
+    from ferenda_spark.operators.infer import rdfs_materialize
+    ttl = tmp_path / "onto.ttl"
+    ttl.write_text(
+        "@prefix : <http://ex.org/onto/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        ":Article rdfs:subClassOf :Document .\n")
+    tbox = rs.read_turtle_tbox(spark, str(ttl)).select(
+        "subj",
+        F.replace(F.col("pred"),
+                  F.lit("http://www.w3.org/2000/01/rdf-schema#"),
+                  F.lit("rdfs:")).alias("pred"),
+        "obj")
+    inst = spark.createDataFrame(
+        [("http://ex.org/x", "rdf:type", "http://ex.org/onto/Article")],
+        "subj string, pred string, obj string")
+    got = {tuple(r) for r in
+           rdfs_materialize(inst, schema=tbox).collect()}
+    assert ("http://ex.org/x", "rdf:type",
+            "http://ex.org/onto/Document") in got
