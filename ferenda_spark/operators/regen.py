@@ -84,8 +84,15 @@ def stale_set(dep_pairs: DataFrame, changed: DataFrame,
     """
     from functools import reduce
 
-    rev = dep_pairs.select(F.col("depends_on").alias("src"),
-                           F.col("url").alias("dst"))
+    from pyspark import StorageLevel
+
+    # pin the reversed edge set ONCE: dep_pairs usually carries the
+    # full extract→resolve lineage, and every BFS round joins against
+    # rev — unpinned, that lineage would re-run once per round (the
+    # whole-corpus extract times the cascade depth)
+    rev = (dep_pairs.select(F.col("depends_on").alias("src"),
+                            F.col("url").alias("dst"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     seed = (changed.select(F.col(url_col).alias("url")).distinct()
             .withColumn("depth", F.lit(0))
             .localCheckpoint())
@@ -112,6 +119,10 @@ def stale_set(dep_pairs: DataFrame, changed: DataFrame,
             break
         parts.append(nxt)
         frontier = nxt.select("url")
+    # parts are checkpointed leaves — the result never references rev,
+    # so release the cache here instead of leaking it on a long-lived
+    # driver (the gate runner / serving CLI)
+    rev.unpersist()
     return reduce(DataFrame.unionByName, parts)
 
 
