@@ -1382,6 +1382,36 @@ LIMIT 20
             .select("subj", "obj")
     q["kg_sameas_canonical"] = kg_sameas_canonical
 
+    def kg_owl_properties(spark, sf):
+        """OWL property entailment (operators/infer.py): p:next is
+        TransitiveProperty over 8-doc chains, p:prev its inverseOf,
+        p:near a SymmetricProperty — the bibo:citedBy/skos:exactMatch
+        declaration shapes.  Returns the materialized triples for the
+        first 64 docs (exact multiset pins all three rule arms plus
+        their interaction: the prev-closure is the mirrored
+        next-closure)."""
+        from ferenda_spark.operators.infer import (
+            owl_property_materialize,
+        )
+        docs = _docs(spark, sf).select("doc_id")
+        did = F.concat(F.lit("d:"), F.col("doc_id"))
+        decls = spark.createDataFrame(
+            [("p:next", "rdf:type", "owl:TransitiveProperty"),
+             ("p:prev", "owl:inverseOf", "p:next"),
+             ("p:near", "rdf:type", "owl:SymmetricProperty")],
+            "subj string, pred string, obj string")
+        nxt = docs.filter(F.col("doc_id") % 8 != 0).select(
+            did.alias("subj"), F.lit("p:next").alias("pred"),
+            F.concat(F.lit("d:"), F.col("doc_id") - 1).alias("obj"))
+        near = docs.filter(F.col("doc_id") % 20 == 0).select(
+            did.alias("subj"), F.lit("p:near").alias("pred"),
+            F.concat(F.lit("d:"), F.col("doc_id") + 1).alias("obj"))
+        mat = owl_property_materialize(
+            decls.unionByName(nxt).unionByName(near))
+        sid = F.substring("subj", 3, 20).try_cast("long")
+        return mat.filter(sid < 64)
+    q["kg_owl_properties"] = kg_owl_properties
+
     def rdf_ntriples_roundtrip(spark, sf):
         """N-Triples wire round trip (sources/rdf_serial.py): doc-
         derived triples with every hard case — literals embedding
@@ -3102,6 +3132,32 @@ mat AS (
 SELECT pred, CASE WHEN pred = 'rdf:type' THEN obj ELSE '' END AS cls,
        count(*) AS n
 FROM mat GROUP BY 1, 2
+"""
+
+    # OWL property rules: recursive-CTE next-closure, prev = mirror,
+    # near = symmetric double
+    o["kg_owl_properties"] = """
+WITH RECURSIVE
+nxt AS (SELECT 'd:' || doc_id AS s, 'd:' || (doc_id - 1) AS o
+        FROM documents WHERE doc_id % 8 <> 0),
+near AS (SELECT 'd:' || doc_id AS s, 'd:' || (doc_id + 1) AS o
+         FROM documents WHERE doc_id % 20 = 0),
+clo(s, o) AS (
+  SELECT s, o FROM nxt
+  UNION
+  SELECT clo.s, nxt.o FROM clo JOIN nxt ON nxt.s = clo.o),
+mat AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT 'p:next' AS subj, 'rdf:type' AS pred,
+           'owl:TransitiveProperty' AS obj
+    UNION ALL SELECT 'p:prev', 'owl:inverseOf', 'p:next'
+    UNION ALL SELECT 'p:near', 'rdf:type', 'owl:SymmetricProperty'
+    UNION ALL SELECT s, 'p:next', o FROM clo
+    UNION ALL SELECT o, 'p:prev', s FROM clo
+    UNION ALL SELECT s, 'p:near', o FROM near
+    UNION ALL SELECT o, 'p:near', s FROM near))
+SELECT subj, pred, obj FROM mat
+WHERE TRY_CAST(substr(subj, 3) AS BIGINT) < 64
 """
 
     # N-Triples round trip: the oracle restates the generated INPUT —

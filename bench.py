@@ -74,6 +74,7 @@ HEADLINE = [
     "kg_rdfs_entailed",
     "kg_sameas_canonical",
     "rdf_ntriples_roundtrip",
+    "kg_owl_properties",
 ]
 
 

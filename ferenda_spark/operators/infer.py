@@ -371,3 +371,100 @@ def sameas_canonicalize(triples: DataFrame,
                    "pred",
                    F.coalesce("_oc", "obj").alias("obj")))
     return out.dropDuplicates(["subj", "pred", "obj"]) if dedup else out
+
+
+# ------------------------------------------------------ OWL properties
+
+INVERSE_OF = "owl:inverseOf"
+SYMMETRIC = "owl:SymmetricProperty"
+TRANSITIVE = "owl:TransitiveProperty"
+
+
+def owl_property_materialize(triples: DataFrame,
+                             schema: DataFrame | None = None,
+                             dedup: bool = True) -> DataFrame:
+    """Forward-chain the OWL property rules the reference's shipped
+    vocabularies actually declare — ``owl:inverseOf``
+    (``res/vocab/bibo.ttl:356``: bibo:citedBy inverseOf bibo:cites —
+    the citation graph's own inverse), ``owl:SymmetricProperty`` and
+    ``owl:TransitiveProperty`` (``res/vocab/skos.ttl:42-43,113``:
+    skos:exactMatch is both, skos:related symmetric) — and return the
+    materialized graph.
+
+    Rule order reaches the joint fixpoint in one sequence:
+
+    1. swap pass — inverse/symmetric derivations from the asserted
+       triples (a broadcast join on the tiny declared-property set,
+       plus a column swap; map-side);
+    2. per-predicate transitive closure over asserted ∪ swapped (so a
+       q-assertion reaches p's closure through p=inverseOf(q) before
+       closing; semi-naive fixpoint, the one genuinely iterative
+       ABox-scale step);
+    3. swap pass again over the closure output (the closure of p
+       entails the mirrored closure of its inverse — and if both are
+       declared transitive, q's closure IS p's mirrored closure, so
+       nothing further derives).
+
+    The declared-property lists are collected driver-side (they are
+    vocabulary statements — a handful of rows) so step 2 can loop
+    per-predicate in plain Python; each closure is the shared
+    ``transitive_closure`` fixpoint.  RDFS interaction is by
+    composition: run this, then :func:`rdfs_materialize` (property
+    swaps never create new subclass/type facts on their own).
+
+    ``schema`` defaults to the declarations embedded in ``triples``:
+    ``owl:inverseOf`` rows plus ``rdf:type`` rows whose object is one
+    of the two property classes.
+    """
+    t = triples.select("subj", "pred", "obj")
+    sch = t if schema is None else schema.select("subj", "pred", "obj")
+    decls = sch.filter(
+        (F.col("pred") == INVERSE_OF)
+        | ((F.col("pred") == RDF_TYPE)
+           & F.col("obj").isin(SYMMETRIC, TRANSITIVE))).collect()
+    inv: set = set()
+    sym: set = set()
+    trans: set = set()
+    for r in decls:
+        if r["pred"] == INVERSE_OF:
+            inv.add((r["subj"], r["obj"]))
+            inv.add((r["obj"], r["subj"]))
+        elif r["obj"] == SYMMETRIC:
+            sym.add(r["subj"])
+        else:
+            trans.add(r["subj"])
+    swap_map = {p: q for p, q in inv} | {p: p for p in sym}
+
+    def swap_pass(df: DataFrame) -> DataFrame:
+        if not swap_map:
+            return None
+        m = df.sparkSession.createDataFrame(
+            sorted(swap_map.items()), "pred string, to_pred string")
+        return (df.join(F.broadcast(m), "pred")
+                .select(F.col("obj").alias("subj"),
+                        F.col("to_pred").alias("pred"),
+                        F.col("subj").alias("obj")))
+
+    parts = [t]
+    swapped = swap_pass(t)
+    if swapped is not None:
+        parts.append(swapped)
+    base = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    for p in sorted(trans):
+        closed = transitive_closure(
+            base.filter(F.col("pred") == p)
+            .select(F.col("subj").alias("child"),
+                    F.col("obj").alias("parent")),
+            max_depth=None)
+        ptrips = closed.select(
+            F.col("descendant").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.col("ancestor").alias("obj"))
+        parts.append(ptrips)
+        re_swapped = swap_pass(ptrips)
+        if re_swapped is not None:
+            parts.append(re_swapped)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["subj", "pred", "obj"]) if dedup else out

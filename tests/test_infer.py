@@ -213,3 +213,59 @@ def test_closed_schema_local_equals_distributed(spark, graph):
     assert want == {t for t in EXPECTED
                     if t[1] not in (infer.SUBCLASS, infer.SUBPROP,
                                     infer.DOMAIN, infer.RANGE)}
+
+
+def test_owl_inverse_symmetric_transitive_exact(spark):
+    """The three OWL property rules reach their joint fixpoint: an
+    inverse assertion feeds the closure, the closure mirrors back to
+    the inverse, symmetric doubles, no declarations = identity."""
+    from ferenda_spark.operators.infer import owl_property_materialize
+    g = _t(spark, [
+        ("p:next", infer.RDF_TYPE, "owl:TransitiveProperty"),
+        ("p:prev", "owl:inverseOf", "p:next"),
+        ("p:near", infer.RDF_TYPE, "owl:SymmetricProperty"),
+        ("a", "p:next", "b"),
+        ("c", "p:prev", "b"),          # means b p:next c
+        ("x", "p:near", "y"),
+        ("q", "p:plain", "r"),
+    ])
+    got = {tuple(r) for r in owl_property_materialize(g).collect()}
+    assert got == {
+        ("p:next", infer.RDF_TYPE, "owl:TransitiveProperty"),
+        ("p:prev", "owl:inverseOf", "p:next"),
+        ("p:near", infer.RDF_TYPE, "owl:SymmetricProperty"),
+        ("a", "p:next", "b"), ("c", "p:prev", "b"),
+        ("x", "p:near", "y"), ("q", "p:plain", "r"),
+        # inverse of the asserted pair + symmetric double
+        ("b", "p:prev", "a"), ("b", "p:next", "c"),
+        ("y", "p:near", "x"),
+        # closure through the inverse-derived hop, mirrored back
+        ("a", "p:next", "c"), ("c", "p:prev", "a"),
+    }
+
+
+def test_owl_no_declarations_identity(spark):
+    from ferenda_spark.operators.infer import owl_property_materialize
+    g = _t(spark, [("a", "p:x", "b"), ("a", "p:x", "b")])
+    assert [tuple(r) for r in owl_property_materialize(g).collect()] \
+        == [("a", "p:x", "b")]
+
+
+def test_owl_symmetric_transitive_same_pred(spark):
+    """A predicate that is BOTH symmetric and transitive (the
+    skos:exactMatch shape) closes over the symmetric double — the
+    whole chain becomes a clique both ways."""
+    from ferenda_spark.operators.infer import owl_property_materialize
+    g = _t(spark, [
+        ("p:eq", infer.RDF_TYPE, "owl:SymmetricProperty"),
+        ("p:eq", infer.RDF_TYPE, "owl:TransitiveProperty"),
+        ("a", "p:eq", "b"),
+        ("c", "p:eq", "b"),
+    ])
+    got = {(r["subj"], r["obj"]) for r in
+           owl_property_materialize(g).collect()
+           if r["pred"] == "p:eq"}
+    # a~b, c~b → {a,b,c} fully connected minus self-loops... except
+    # the closure DOES derive self-pairs (a→b→a); assert the clique
+    assert {(u, v) for u in "abc" for v in "abc"} - got <= set()
+    assert ("a", "c") in got and ("c", "a") in got
