@@ -328,9 +328,14 @@ def sameas_map(triples: DataFrame,
     labeled = nodes.join(comp, nodes["h"] == comp["id"]) \
         .select("node", "comp")
     canon = labeled.groupBy("comp").agg(F.min("node").alias("canon"))
+    # materialize the (small, sameAs-node-bounded) map BEFORE dropping
+    # the nodes cache: the returned plan references the nodes subtree
+    # twice (canon groupBy + final join), and unpersisting while it is
+    # still lazy would re-run the corpus-scale sameAs scan per use
     out = (labeled.join(canon, "comp")
            .filter(F.col("node") != F.col("canon"))
-           .select("node", "canon"))
+           .select("node", "canon")
+           .localCheckpoint(eager=True))
     nodes.unpersist()
     return out
 
@@ -393,22 +398,26 @@ def owl_property_materialize(triples: DataFrame,
 
     Rule order reaches the joint fixpoint in one sequence:
 
-    1. swap pass — inverse/symmetric derivations from the asserted
-       triples (a broadcast join on the tiny declared-property set,
-       plus a column swap; map-side);
-    2. per-predicate transitive closure over asserted ∪ swapped (so a
+    1. orbit pass — the inverse/symmetric declarations form a tiny
+       rewrite graph over (predicate, flipped?) states; its CLOSURE
+       (the orbit — e.g. a predicate both symmetric and inverseOf q
+       derives p-flipped, q-flipped AND q-unflipped forms) is
+       computed driver-side and applied as ONE broadcast join + swap
+       over the asserted triples, so composed declarations never need
+       iterating over the ABox;
+    2. per-predicate transitive closure over asserted ∪ orbit (so a
        q-assertion reaches p's closure through p=inverseOf(q) before
        closing; semi-naive fixpoint, the one genuinely iterative
        ABox-scale step);
-    3. swap pass again over the closure output (the closure of p
+    3. orbit pass again over the closure output (the closure of p
        entails the mirrored closure of its inverse — and if both are
        declared transitive, q's closure IS p's mirrored closure, so
        nothing further derives).
 
     The declared-property lists are collected driver-side (they are
-    vocabulary statements — a handful of rows) so step 2 can loop
-    per-predicate in plain Python; each closure is the shared
-    ``transitive_closure`` fixpoint.  RDFS interaction is by
+    vocabulary statements — a handful of rows) so the orbit and the
+    step-2 predicate loop run in plain Python; each closure is the
+    shared ``transitive_closure`` fixpoint.  RDFS interaction is by
     composition: run this, then :func:`rdfs_materialize` (property
     swaps never create new subclass/type facts on their own).
 
@@ -433,17 +442,41 @@ def owl_property_materialize(triples: DataFrame,
             sym.add(r["subj"])
         else:
             trans.add(r["subj"])
-    swap_map = {p: q for p, q in inv} | {p: p for p in sym}
+    # orbit of the declaration group: BFS over (pred, flipped) states
+    # where every declared op (x→y, incl. sym self-loops) flips the
+    # triple. A MULTI-map (a dict would drop mappings when a property
+    # is symmetric AND inverse, or has several inverses), CLOSED under
+    # composition (symmetric+inverse on p derives q both flipped and
+    # unflipped — one pass over the ABox covers every composed form).
+    ops: dict[str, set] = {}
+    for x, y in inv | {(p, p) for p in sym}:
+        ops.setdefault(x, set()).add(y)
+    orbit: set = set()          # (src_pred, to_pred, flipped)
+    for s in ops:
+        seen = {(s, False)}
+        stack = [(s, False)]
+        while stack:
+            cur, f = stack.pop()
+            for y in ops.get(cur, ()):
+                ns = (y, not f)
+                if ns not in seen:
+                    seen.add(ns)
+                    stack.append(ns)
+        orbit.update((s, t2, f) for t2, f in seen if (t2, f) != (s, False))
+    orbit_rows = sorted(orbit)
 
     def swap_pass(df: DataFrame) -> DataFrame:
-        if not swap_map:
+        if not orbit_rows:
             return None
         m = df.sparkSession.createDataFrame(
-            sorted(swap_map.items()), "pred string, to_pred string")
-        return (df.join(F.broadcast(m), "pred")
-                .select(F.col("obj").alias("subj"),
-                        F.col("to_pred").alias("pred"),
-                        F.col("subj").alias("obj")))
+            orbit_rows, "pred string, to_pred string, flip boolean")
+        j = df.join(F.broadcast(m), "pred")
+        return j.select(
+            F.when(F.col("flip"), F.col("obj"))
+            .otherwise(F.col("subj")).alias("subj"),
+            F.col("to_pred").alias("pred"),
+            F.when(F.col("flip"), F.col("subj"))
+            .otherwise(F.col("obj")).alias("obj"))
 
     parts = [t]
     swapped = swap_pass(t)

@@ -50,9 +50,16 @@ def expand_curies(c: Column, prefixes: dict[str, str]) -> Column:
 
 def contract_iris(c: Column, prefixes: dict[str, str]) -> Column:
     """IRI → CURIE, the inverse of :func:`expand_curies` (longest
-    namespace wins); unmatched IRIs pass through unchanged."""
+    namespace wins); unmatched IRIs pass through unchanged.
+
+    The when-chain is built shortest-namespace-FIRST: each iteration
+    wraps the previous expression, so the last (longest) namespace
+    becomes the outermost, first-evaluated branch — iterating
+    longest-first would invert the precedence and a namespace that
+    prefixes another (e.g. a --base-iri above dcterms) would swallow
+    its sub-namespaces' terms."""
     out = c
-    for pfx, iri in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+    for pfx, iri in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
         out = F.when(c.startswith(iri),
                      F.concat(F.lit(pfx + ":"),
                               F.substring(c, len(iri) + 1, 2**30))
@@ -112,7 +119,9 @@ def format_ntriples(triples: DataFrame,
     if "obj_is_literal" in cols:
         is_lit = F.coalesce(F.col("obj_is_literal"), F.lit(True))
     else:
-        is_lit = ~F.col("obj").rlike(_RESOURCE_RE)
+        # blank nodes fail the scheme:rest test but are resources
+        is_lit = ~(F.col("obj").rlike(_RESOURCE_RE)
+                   | F.col("obj").startswith("_:"))
     lang = F.col("obj_lang") if "obj_lang" in cols else F.lit(None)
     dtype = F.col("obj_datatype") if "obj_datatype" in cols \
         else F.lit(None)
@@ -135,9 +144,13 @@ def format_ntriples(triples: DataFrame,
                  obj_term, F.lit(" .")).alias("line"))
 
 
-_NT_S = r"(<[^>]*>|_:[A-Za-z][A-Za-z0-9]*)"
+# blank-node labels per the N-Triples grammar (letters, digits,
+# underscore, '-', interior '.'; must not END with '.' — the
+# statement terminator needs to stay unambiguous)
+_NT_BNODE = r"_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?"
+_NT_S = rf"(<[^>]*>|{_NT_BNODE})"
 _NT_P = r"(<[^>]*>)"
-_NT_O = (r"(<[^>]*>|_:[A-Za-z][A-Za-z0-9]*|"
+_NT_O = (rf"(<[^>]*>|{_NT_BNODE}|"
          r'"((?:[^"\\]|\\.)*)"'
          r"(?:@([A-Za-z][A-Za-z0-9-]*))?(?:\^\^<([^>]*)>)?)")
 _NT_LINE = rf"^[ \t]*{_NT_S}[ \t]+{_NT_P}[ \t]+{_NT_O}[ \t]*\.[ \t\r]*$"
@@ -254,8 +267,13 @@ def _ttl_tokens(text: str):
                         buf.append(text[j])
                         j += 1
                 val, i = "".join(buf), j + 1
-                for raw, esc in reversed(_ESCAPES):
+                # same sentinel fold as _unescape_lit: '\\\\' first,
+                # or an escaped backslash followed by n/r/t/" would
+                # decode as a control character
+                val = val.replace("\\\\", _SENTINEL)
+                for raw, esc in _ESCAPES[1:]:
                     val = val.replace(esc, raw)
+                val = val.replace(_SENTINEL, "\\")
             lang = dtype = None
             if text.startswith("@", i):
                 j = i + 1

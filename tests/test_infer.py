@@ -269,3 +269,30 @@ def test_owl_symmetric_transitive_same_pred(spark):
     # the closure DOES derive self-pairs (a→b→a); assert the clique
     assert {(u, v) for u in "abc" for v in "abc"} - got <= set()
     assert ("a", "c") in got and ("c", "a") in got
+
+
+def test_owl_symmetric_and_inverse_on_same_pred(spark):
+    """A property that is symmetric AND has an inverse derives BOTH
+    swaps per assertion — the swap map is a multimap, not a dict."""
+    from ferenda_spark.operators.infer import owl_property_materialize
+    g = _t(spark, [
+        ("p:p", "owl:inverseOf", "p:q"),
+        ("p:p", infer.RDF_TYPE, "owl:SymmetricProperty"),
+        ("a", "p:p", "b"),
+    ])
+    got = {tuple(r) for r in owl_property_materialize(g).collect()}
+    assert ("b", "p:q", "a") in got      # inverse derivation
+    assert ("b", "p:p", "a") in got      # symmetric derivation
+    # and the symmetric double re-derives through the inverse too
+    assert ("a", "p:q", "b") in got
+
+
+def test_owl_multiple_inverses_all_derive(spark):
+    from ferenda_spark.operators.infer import owl_property_materialize
+    g = _t(spark, [
+        ("p:p", "owl:inverseOf", "p:q"),
+        ("p:p", "owl:inverseOf", "p:r"),
+        ("a", "p:p", "b"),
+    ])
+    got = {tuple(r) for r in owl_property_materialize(g).collect()}
+    assert ("b", "p:q", "a") in got and ("b", "p:r", "a") in got

@@ -173,3 +173,43 @@ def test_turtle_tbox_feeds_rdfs_materialize(spark, tmp_path):
            rdfs_materialize(inst, schema=tbox).collect()}
     assert ("http://ex.org/x", "rdf:type",
             "http://ex.org/onto/Document") in got
+
+
+def test_contract_longest_namespace_wins(spark):
+    """A namespace that prefixes another (a --base-iri above dcterms)
+    must not swallow the sub-namespace's terms."""
+    pfx = {"a": "http://x/", "ab": "http://x/y/"}
+    r = spark.createDataFrame([("http://x/y/z",), ("http://x/w",)],
+                              "v string").select(
+        rs.contract_iris(F.col("v"), pfx).alias("v")).collect()
+    assert [x["v"] for x in r] == ["ab:z", "a:w"]
+
+
+def test_heuristic_keeps_blank_node_objects(spark):
+    df = spark.createDataFrame(
+        [("_:s1", "http://p", "_:b0")],
+        "subj string, pred string, obj string")
+    [line] = [r["line"] for r in rs.format_ntriples(df).collect()]
+    assert line == "_:s1 <http://p> _:b0 ."
+
+
+def test_bnode_label_roundtrip(spark):
+    """Labels with underscores, hyphens, interior dots and leading
+    digits are legal BLANK_NODE_LABELs — the writer passes them
+    through, so the parser must accept them back."""
+    rows = [("_:doc_1", "http://p", "_:b-2"),
+            ("_:0x", "http://p", "_:a.b")]
+    df = spark.createDataFrame(rows,
+                               "subj string, pred string, obj string")
+    back = rs.parse_ntriples(rs.format_ntriples(df))
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+    assert {(r["subj"], r["obj"]) for r in back.collect()} == \
+        {("_:doc_1", "_:b-2"), ("_:0x", "_:a.b")}
+
+
+def test_turtle_escaped_backslash_before_letter():
+    """'a\\\\nb' in Turtle source is backslash + 'nb', NOT a newline —
+    the '\\\\' fold must run first (sentinel), same as N-Triples."""
+    rows = rs.parse_turtle_tbox(
+        '@prefix : <http://x/> .\n:s :p "a\\\\nb" .')
+    assert rows[0][2] == "a\\nb" and "\n" not in rows[0][2]
