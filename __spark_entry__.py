@@ -1346,6 +1346,37 @@ LIMIT 20
             .agg(F.count("*").alias("n")))
     q["kg_rdfs_entailed"] = kg_rdfs_entailed
 
+    def kg_sparql_entailed(spark, sf):
+        """SPARQL over the ENTAILED graph — the composition the
+        reference gets by pointing its .rq queries at a reasoning
+        triplestore: rdfs_materialize output feeds the same
+        sparql_query compiler unchanged (both speak (subj, pred,
+        obj)), so a query over rdf:type sees inferred types (c:doc,
+        c:thing, c:citing...) the raw graph never asserted."""
+        from ferenda_spark.operators.infer import rdfs_materialize
+        from ferenda_spark.operators.sparql import sparql_query
+        schema = spark.createDataFrame(
+            _RDFS_SCHEMA, "subj string, pred string, obj string")
+        mat = (rdfs_materialize(_rdfs_instance(spark, sf),
+                                schema=schema)
+               # the compiler speaks the full edge schema; in this
+               # synthetic CURIE graph a literal is exactly a
+               # non-prefixed object (the bare lang attribute values)
+               .withColumn("obj_is_literal",
+                           ~F.col("obj").rlike("^[a-z]+:"))
+               .withColumn("obj_datatype",
+                           F.lit(None).cast("string"))
+               .withColumn("obj_lang", F.lit(None).cast("string")))
+        return sparql_query(mat, """
+SELECT ?cls (COUNT(?s) AS ?n) WHERE {
+  ?s rdf:type ?cls .
+}
+GROUP BY ?cls
+ORDER BY DESC(?n) ?cls
+LIMIT 10
+""")
+    q["kg_sparql_entailed"] = kg_sparql_entailed
+
     def kg_sameas_canonical(spark, sf):
         """owl:sameAs canonicalization (operators/infer.py): mirror
         uris m1:<id> (ids < 200) and m2:<id> (ids < 100) chain to the
@@ -3069,10 +3100,11 @@ WHERE b.doc_id NOT IN (SELECT id FROM dead_hist)
 """
 
     # RDFS ρdf materialization: the same rule set as operators/infer
-    # (closed TBox, one ABox pass), stated with recursive CTEs
+    # (closed TBox, one ABox pass), stated with recursive CTEs; the
+    # mat CTE is shared with the SPARQL-over-entailed-graph oracle
     _rdfs_values = ", ".join(f"('{s}', '{p}', '{ob}')"
                              for s, p, ob in _RDFS_SCHEMA)
-    o["kg_rdfs_entailed"] = f"""
+    _rdfs_mat_cte = f"""
 WITH RECURSIVE
 inst AS (
   SELECT 'd:' || doc_id AS subj, 'rdf:type' AS pred,
@@ -3129,9 +3161,18 @@ mat AS (
     JOIN scs ON scs.sub = t.obj
     UNION ALL SELECT sub, 'rdfs:subClassOf', sup FROM scs
     UNION ALL SELECT sub, 'rdfs:subPropertyOf', sup FROM sps))
+"""
+
+    o["kg_rdfs_entailed"] = _rdfs_mat_cte + """
 SELECT pred, CASE WHEN pred = 'rdf:type' THEN obj ELSE '' END AS cls,
        count(*) AS n
 FROM mat GROUP BY 1, 2
+"""
+
+    o["kg_sparql_entailed"] = _rdfs_mat_cte + """
+SELECT obj AS cls, count(*) AS n FROM mat
+WHERE pred = 'rdf:type'
+GROUP BY 1 ORDER BY n DESC, cls LIMIT 10
 """
 
     # OWL property rules: recursive-CTE next-closure, prev = mirror,

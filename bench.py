@@ -75,6 +75,7 @@ HEADLINE = [
     "kg_sameas_canonical",
     "rdf_ntriples_roundtrip",
     "kg_owl_properties",
+    "kg_sparql_entailed",
 ]
 
 
