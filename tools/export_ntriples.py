@@ -25,17 +25,9 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-STD_PREFIXES = {
-    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
-    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
-    "owl": "http://www.w3.org/2002/07/owl#",
-    "xsd": "http://www.w3.org/2001/XMLSchema#",
-    "dcterms": "http://purl.org/dc/terms/",
-    "bibo": "http://purl.org/ontology/bibo/",
-    "foaf": "http://xmlns.com/foaf/0.1/",
-    "skos": "http://www.w3.org/2004/02/skos/core#",
-    "prov": "http://www.w3.org/ns/prov#",
-}
+from ferenda_spark.sources.rdf_serial import (  # noqa: E402,F401
+    STD_PREFIXES,
+)
 
 
 def _parse_args(argv: list[str]) -> argparse.Namespace:
