@@ -710,3 +710,52 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
     kept = (units.withColumn("nunit", norm)
             .join(hot, "nunit", "left_anti"))
     return _reassemble_units(units, kept, sep)
+
+
+def write_minhash_index(docs: DataFrame, path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 16, bands: int = 4, n: int = 3,
+                        buckets: int = 256) -> None:
+    """Persist the historical MinHash band index
+    (:func:`minhash_bands` output) for incremental dedup
+    (:func:`dedup_against_index`): the signatures of a 100 TB history
+    are computed ONCE here, never again per daily batch.
+
+    Layout: parquet partitioned by ``bucket = crc32(band_key) %
+    buckets``.  The daily reader streams the whole index map-side (no
+    pruning is possible — a fresh batch's band keys are arbitrary),
+    but the bucketing keeps per-file row groups band-key-clustered so
+    a point investigation ("which history docs collide with THIS
+    key?") scans 1/``buckets`` of the data, and daily APPENDS of
+    newly-accepted docs land in the same layout (dynamic partition
+    overwrite per bucket never rewrites the whole index).  The
+    parameter triple (k, bands, n) is stamped into the path's
+    ``_minhash_params`` sidecar and verified on read — an index built
+    with different shingle/band math would silently miss every
+    collision."""
+    import json
+    import os
+    bk = minhash_bands(docs, text_col, id_col, k, bands, n)
+    (bk.withColumn("bucket", F.crc32(F.col("band_key")) % buckets)
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    with open(os.path.join(path, "_minhash_params"), "w") as fp:
+        json.dump({"k": k, "bands": bands, "n": n}, fp)
+
+
+def read_minhash_index(spark, path: str, k: int = 16, bands: int = 4,
+                       n: int = 3) -> DataFrame:
+    """Load a persisted band index, refusing parameter mismatches
+    (the collision math only lines up when the batch side uses the
+    SAME (k, bands, n))."""
+    import json
+    import os
+    sidecar = os.path.join(path, "_minhash_params")
+    if os.path.exists(sidecar):
+        with open(sidecar) as fp:
+            params = json.load(fp)
+        if params != {"k": k, "bands": bands, "n": n}:
+            raise ValueError(
+                f"minhash index at {path} was built with {params}, "
+                f"read requested k={k} bands={bands} n={n} — "
+                "collisions would silently never match")
+    return spark.read.parquet(path).select("id", "band", "band_key")

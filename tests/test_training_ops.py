@@ -1053,3 +1053,27 @@ def test_dedup_against_index_short_doc_survives(spark):
     kept = {r["doc_id"] for r in dedup.dedup_against_index(
         batch, index, k=8, bands=4).collect()}
     assert kept == {20}
+
+
+def test_minhash_index_roundtrip_and_param_guard(spark, tmp_path):
+    """dedup_against_index over the READ-BACK persisted index equals
+    the in-memory run; mismatched (k, bands, n) refuses loudly."""
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely novel sentence with brand new words here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(history, path, k=8, bands=4)
+    idx = dedup.read_minhash_index(spark, path, k=8, bands=4)
+    kept_disk = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, idx, k=8, bands=4).collect()}
+    kept_mem = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, dedup.minhash_bands(history, k=8, bands=4),
+        k=8, bands=4).collect()}
+    assert kept_disk == kept_mem == {11}
+    with pytest.raises(ValueError, match="built with"):
+        dedup.read_minhash_index(spark, path, k=16, bands=4)
