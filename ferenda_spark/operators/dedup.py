@@ -712,10 +712,26 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
     return _reassemble_units(units, kept, sep)
 
 
+def _minhash_sidecar(path: str) -> str:
+    import os
+    return os.path.join(path, "_minhash_params")
+
+
+def _read_minhash_params(path: str) -> dict | None:
+    import json
+    import os
+    sidecar = _minhash_sidecar(path)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as fp:
+        return json.load(fp)
+
+
 def write_minhash_index(docs: DataFrame, path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 16, bands: int = 4, n: int = 3,
-                        buckets: int = 256) -> None:
+                        buckets: int = 256,
+                        mode: str = "overwrite") -> None:
     """Persist the historical MinHash band index
     (:func:`minhash_bands` output) for incremental dedup
     (:func:`dedup_against_index`): the signatures of a 100 TB history
@@ -726,36 +742,59 @@ def write_minhash_index(docs: DataFrame, path: str,
     pruning is possible — a fresh batch's band keys are arbitrary),
     but the bucketing keeps per-file row groups band-key-clustered so
     a point investigation ("which history docs collide with THIS
-    key?") scans 1/``buckets`` of the data, and daily APPENDS of
-    newly-accepted docs land in the same layout (dynamic partition
-    overwrite per bucket never rewrites the whole index).  The
-    parameter triple (k, bands, n) is stamped into the path's
-    ``_minhash_params`` sidecar and verified on read — an index built
-    with different shingle/band math would silently miss every
-    collision."""
+    key?") scans 1/``buckets`` of the data.
+
+    ``mode="overwrite"`` (re)builds the whole index;
+    ``mode="append"`` folds a day's ACCEPTED docs in by adding files
+    inside the existing bucket directories — nothing historical is
+    rewritten, and the call REFUSES (before any write) when the
+    existing index's ``_minhash_params`` sidecar is missing or built
+    with a different (k, bands, n): appending parameter-mismatched
+    band rows would poison the index with keys that can never
+    collide.  The sidecar is (re)stamped after the data job, so a
+    crash between the two leaves a loudly-unreadable index (see
+    :func:`read_minhash_index`) rather than a silently unguarded one.
+    """
     import json
-    import os
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_minhash_index: unsupported mode "
+                         f"{mode!r} (overwrite | append)")
+    want = {"k": k, "bands": bands, "n": n}
+    if mode == "append":
+        have = _read_minhash_params(path)
+        if have != want:
+            raise ValueError(
+                f"write_minhash_index(mode='append'): index at "
+                f"{path} carries params {have}, append requested "
+                f"{want} — mismatched band math would poison the "
+                "index (missing sidecar ⇒ rebuild with overwrite)")
     bk = minhash_bands(docs, text_col, id_col, k, bands, n)
     (bk.withColumn("bucket", F.crc32(F.col("band_key")) % buckets)
-     .write.mode("overwrite").partitionBy("bucket").parquet(path))
-    with open(os.path.join(path, "_minhash_params"), "w") as fp:
-        json.dump({"k": k, "bands": bands, "n": n}, fp)
+     .write.mode(mode).partitionBy("bucket").parquet(path))
+    with open(_minhash_sidecar(path), "w") as fp:
+        json.dump(want, fp)
 
 
 def read_minhash_index(spark, path: str, k: int = 16, bands: int = 4,
                        n: int = 3) -> DataFrame:
     """Load a persisted band index, refusing parameter mismatches
     (the collision math only lines up when the batch side uses the
-    SAME (k, bands, n))."""
-    import json
-    import os
-    sidecar = os.path.join(path, "_minhash_params")
-    if os.path.exists(sidecar):
-        with open(sidecar) as fp:
-            params = json.load(fp)
-        if params != {"k": k, "bands": bands, "n": n}:
-            raise ValueError(
-                f"minhash index at {path} was built with {params}, "
-                f"read requested k={k} bands={bands} n={n} — "
-                "collisions would silently never match")
+    SAME (k, bands, n)).  A MISSING sidecar also refuses: it means
+    the index writer crashed mid-publish or the copy lost the
+    underscore file — an unverifiable index read with wrong
+    parameters would silently never collide, the exact failure the
+    guard exists for."""
+    params = _read_minhash_params(path)
+    want = {"k": k, "bands": bands, "n": n}
+    if params is None:
+        raise ValueError(
+            f"minhash index at {path} has no _minhash_params sidecar "
+            "(interrupted publish or lossy copy) — rebuild it with "
+            "write_minhash_index, or restore the sidecar, before "
+            "trusting its collisions")
+    if params != want:
+        raise ValueError(
+            f"minhash index at {path} was built with {params}, "
+            f"read requested k={k} bands={bands} n={n} — "
+            "collisions would silently never match")
     return spark.read.parquet(path).select("id", "band", "band_key")

@@ -213,3 +213,29 @@ def test_turtle_escaped_backslash_before_letter():
     rows = rs.parse_turtle_tbox(
         '@prefix : <http://x/> .\n:s :p "a\\\\nb" .')
     assert rows[0][2] == "a\\nb" and "\n" not in rows[0][2]
+
+
+def test_load_tool_empty_dump_and_partition_spec(spark, tmp_path):
+    """tools/load_ntriples: an empty dump is a clear operational
+    error (not a fake parse-failure), and --partition-by lays the
+    loaded snapshot out for predicate pruning."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.load_ntriples import run as load_run
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "part-0.txt").write_text("# only a comment\n\n")
+    with pytest.raises(SystemExit, match="no triple lines"):
+        load_run(spark, [str(empty), str(tmp_path / "s1")])
+    dump = tmp_path / "dump"
+    triples = spark.createDataFrame(
+        [("d:1", "p:cites", "d:2", False, None, None),
+         ("d:1", "p:title", "hello", True, "en", None)], TRIPLE_DDL)
+    rs.write_ntriples(triples, str(dump), prefixes=PFX)
+    store_dir = tmp_path / "s2"
+    out = load_run(spark, [str(dump), str(store_dir),
+                           "--partition-by", "pred",
+                           "--base-iri", "http://ex.org/doc/"])
+    assert out["triples"] == 2 and out["error_lines"] == 0
+    snap_dirs = list((store_dir / "edge").glob("snap-*/pred=*"))
+    assert snap_dirs, "loaded snapshot not pred-partitioned"

@@ -1077,3 +1077,37 @@ def test_minhash_index_roundtrip_and_param_guard(spark, tmp_path):
     assert kept_disk == kept_mem == {11}
     with pytest.raises(ValueError, match="built with"):
         dedup.read_minhash_index(spark, path, k=16, bands=4)
+
+
+def test_minhash_index_append_and_sidecar_guards(spark, tmp_path):
+    """Daily fold-in: append adds the new docs' bands without
+    rewriting history; parameter-mismatched appends and reads of a
+    sidecar-less index refuse loudly."""
+    import os
+    h1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    h2 = spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(h1, path, k=8, bands=4)
+    dedup.write_minhash_index(h2, path, k=8, bands=4, mode="append")
+    idx = dedup.read_minhash_index(spark, path, k=8, bands=4)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "pack my box with five dozen liquor jugs right now"),
+         (12, "completely novel sentence with brand new words here")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup.dedup_against_index(
+        batch, idx, k=8, bands=4).collect()}
+    assert kept == {12}  # collides with BOTH the base and the append
+    with pytest.raises(ValueError, match="poison"):
+        dedup.write_minhash_index(h2, path, k=16, bands=4,
+                                  mode="append")
+    with pytest.raises(ValueError, match="rebuild with overwrite"):
+        dedup.write_minhash_index(h2, str(tmp_path / "nothere"),
+                                  k=8, bands=4, mode="append")
+    os.remove(os.path.join(path, "_minhash_params"))
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.read_minhash_index(spark, path, k=8, bands=4)

@@ -25,9 +25,7 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ferenda_spark.sources.rdf_serial import (  # noqa: E402,F401
-    STD_PREFIXES,
-)
+from ferenda_spark.sources.rdf_serial import STD_PREFIXES
 
 
 def _parse_args(argv: list[str]) -> argparse.Namespace:

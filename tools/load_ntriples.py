@@ -35,6 +35,11 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-error-rate", type=float, default=0.01,
                    help="refuse to commit when more than this "
                         "fraction of non-comment lines fail to parse")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated partition columns for the "
+                        "target table (e.g. 'pred' — matches a store "
+                        "created with partition_spec so loaded "
+                        "snapshots keep pruning at planning time)")
     return p.parse_args(argv)
 
 
@@ -53,7 +58,12 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
     n_err = parsed.filter(F.col("error").isNotNull()).count()
     n_all = parsed.count()
     n_ok = n_all - n_err
-    rate = (n_err / n_all) if n_all else 1.0
+    if n_all == 0:
+        parsed.unpersist()
+        raise SystemExit(
+            f"load_ntriples: {args.nt_path} contains no triple lines "
+            "(empty dump, or only comments/blanks) — nothing to load")
+    rate = n_err / n_all
     if rate > args.max_error_rate:
         sample = [r["error"] for r in
                   parsed.filter(F.col("error").isNotNull())
@@ -63,7 +73,9 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
             f"load_ntriples: {n_err}/{n_all} lines failed to parse "
             f"(rate {rate:.4f} > {args.max_error_rate}); first "
             f"errors: {sample}")
-    store = GraphStore(spark, args.store_dir)
+    spec = {args.table: args.partition_by.split(",")} \
+        if args.partition_by else None
+    store = GraphStore(spark, args.store_dir, partition_spec=spec)
     snap = store.append(
         parsed.filter(F.col("error").isNull()).drop("error"),
         args.table)
