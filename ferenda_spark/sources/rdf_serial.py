@@ -409,3 +409,58 @@ def read_turtle_tbox(spark: SparkSession, path: str) -> DataFrame:
         rows, "subj string, pred string, obj string, "
               "obj_is_literal boolean, obj_lang string, "
               "obj_datatype string")
+
+
+# ------------------------------------------------------- skolemization
+
+SKOLEM_SEGMENT = "/.well-known/genid/"
+
+
+def skolemize(triples: DataFrame,
+              base_iri: str = "https://example.org") -> DataFrame:
+    """Replace blank nodes with skolem IRIs (RDF 1.1 §3.5,
+    ``/.well-known/genid/``) — the standard answer to the problem a
+    distributed store cannot avoid: a blank node's identity is scoped
+    to one serialization, so rows naming ``_:b0`` in two partitions
+    (or two dump files) may or may not mean the same node.  Minting
+    ``<base/.well-known/genid/b0>`` makes the identity global and
+    join-stable while staying recognizably anonymous (deskolemizable).
+
+    Pure column expressions; labels pass through unchanged inside the
+    IRI, so skolemize/deskolemize are exact inverses.  Literal objects
+    are untouched (``obj_is_literal`` respected when present, the
+    ``_:`` prefix test used otherwise — a literal that merely starts
+    with ``_:`` is only at risk in schemas without the flag)."""
+    prefix = base_iri.rstrip("/") + SKOLEM_SEGMENT
+
+    def sk(c: Column) -> Column:
+        return F.when(c.startswith("_:"),
+                      F.concat(F.lit(prefix),
+                               F.substring(c, 3, 2**30))).otherwise(c)
+
+    cols = set(triples.columns)
+    obj_ok = F.col("obj_is_literal") if "obj_is_literal" in cols \
+        else F.lit(None).cast("boolean")
+    obj = F.when(F.coalesce(obj_ok, F.lit(False)), F.col("obj")) \
+        .otherwise(sk(F.col("obj")))
+    out = triples.withColumn("subj", sk(F.col("subj"))) \
+        .withColumn("obj", obj)
+    return out
+
+
+def deskolemize(triples: DataFrame,
+                base_iri: str = "https://example.org") -> DataFrame:
+    """Exact inverse of :func:`skolemize`: skolem IRIs under the
+    base's ``/.well-known/genid/`` collapse back to ``_:`` labels
+    (foreign skolem IRIs — other bases — are left alone, per spec:
+    they are real IRIs to everyone but their minter)."""
+    prefix = base_iri.rstrip("/") + SKOLEM_SEGMENT
+
+    def unsk(c: Column) -> Column:
+        return F.when(c.startswith(prefix),
+                      F.concat(F.lit("_:"),
+                               F.substring(c, len(prefix) + 1, 2**30))
+                      ).otherwise(c)
+
+    return triples.withColumn("subj", unsk(F.col("subj"))) \
+        .withColumn("obj", unsk(F.col("obj")))

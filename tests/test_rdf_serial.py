@@ -239,3 +239,27 @@ def test_load_tool_empty_dump_and_partition_spec(spark, tmp_path):
     assert out["triples"] == 2 and out["error_lines"] == 0
     snap_dirs = list((store_dir / "edge").glob("snap-*/pred=*"))
     assert snap_dirs, "loaded snapshot not pred-partitioned"
+
+
+def test_skolemize_roundtrip_and_scope(spark):
+    """Blank nodes become well-known genid IRIs and back exactly;
+    literals (flagged) and foreign skolem IRIs are untouched."""
+    df = spark.createDataFrame(
+        [("_:b0", "p:cites", "_:b1", False, None, None),
+         ("d:1", "p:cites", "_:b0", False, None, None),
+         ("d:1", "p:title", "_:not an id", True, None, None),
+         ("d:2", "p:see",
+          "https://other.org/.well-known/genid/x", False, None, None)],
+        TRIPLE_DDL)
+    sk = rs.skolemize(df, "https://ex.org")
+    got = {(r["subj"], r["obj"]) for r in sk.collect()}
+    assert ("https://ex.org/.well-known/genid/b0",
+            "https://ex.org/.well-known/genid/b1") in got
+    assert ("d:1", "_:not an id") in got          # literal untouched
+    assert ("d:2", "https://other.org/.well-known/genid/x") in got
+    back = rs.deskolemize(sk, "https://ex.org")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+    # foreign genid survives deskolemize under a different base
+    assert {r["obj"] for r in back.collect()} >= {
+        "https://other.org/.well-known/genid/x"}
