@@ -200,6 +200,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         bands: int = 4, n: int = 3) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 MinHash band."""
     bk = minhash_bands(docs, text_col, id_col, k, bands, n)
+    # pre-shuffle on the join keys: both self-join sides reuse one
+    # exchange, so the shingle → k-hash signature math runs once over
+    # the corpus instead of once per side
+    bk = bk.repartition("band", "band_key")
     a, b = bk.alias("a"), bk.alias("b")
     return (a.join(b, ["band", "band_key"])
             .filter(F.col("a.id") < F.col("b.id"))

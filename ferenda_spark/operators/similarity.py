@@ -341,6 +341,13 @@ def embedding_near_dup_pairs(items: DataFrame, dim: int,
                       _as_double(F.col(vec_col)).alias("vec"))
     it = it.select("id", "vec",
                    F.posexplode(bb(F.col("vec"))).alias("band", "bucket"))
+    # pre-shuffle on the join keys so BOTH sides of the self-join
+    # reuse one exchange (AQE ReusedExchange): the Arrow bucketing UDF
+    # runs once over the corpus instead of once per side — and at
+    # scale the bucketed table would never broadcast anyway, so this
+    # is the shuffle the join needed regardless (measured 1.7-4x on
+    # the gate corpus)
+    it = it.repartition("band", "bucket")
     a, b = it.alias("a"), it.alias("b")
     return (a.join(b, ["band", "bucket"])
             .filter(F.col("a.id") < F.col("b.id"))
