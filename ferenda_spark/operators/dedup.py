@@ -114,6 +114,10 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     if max_df is not None:
         sh = df_cap_shingles(sh, max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # pre-shuffle on the join key: both self-join sides reuse one
+    # exchange, so the shingle explode + md5 runs once over the
+    # corpus instead of once per side (measured ~40% on sf0.1)
+    sh = sh.repartition("shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -359,6 +363,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                      .bitwiseAND(F.lit(mask)).alias("block"))
             for b in range(bands)])).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.block")
+    # shared exchange across the self-join: the 32-hash signature
+    # computes once per doc, not once per join side
+    banded = banded.repartition("band", "block")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, ["band", "block"])
             .filter(F.col("a.id") < F.col("b.id"))
