@@ -1111,3 +1111,24 @@ def test_minhash_index_append_and_sidecar_guards(spark, tmp_path):
     os.remove(os.path.join(path, "_minhash_params"))
     with pytest.raises(ValueError, match="sidecar"):
         dedup.read_minhash_index(spark, path, k=8, bands=4)
+
+
+def test_components_driver_equals_distributed(spark):
+    """The union-find fast path and the pointer-doubling distributed
+    path are the same function on chains, stars and random graphs."""
+    import random
+    rnd = random.Random(11)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        [(5, 1), (5, 2), (5, 3)],
+    ] + [
+        [(rnd.randrange(30), rnd.randrange(30)) for _ in range(25)]
+        for _ in range(3)
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        fast = {(r["id"], r["comp"])
+                for r in dedup.components(df).collect()}
+        slow = {(r["id"], r["comp"])
+                for r in dedup.components(df, driver_max=0).collect()}
+        assert fast == slow, pairs
