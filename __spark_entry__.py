@@ -537,12 +537,18 @@ GATE_ORDER = [
     # flagship KG gates (the north-rule invariants: byte-identical
     # extracted text per url, exact triple multiset) — never rotated
     "kg_extract_text", "kg_edges",
-    # the modular (non-fused) flagship path last saw a driver row in
-    # r2 — refresh it alongside the fused gate
-    "kg_edges_modular",
-    "kg_facet_multitype",
+    # round-4-final rotation #2: the three inference/serialization ops
+    # added late this round take their FIRST driver rows, so every
+    # registered query has at least one historical driver row.  Slots
+    # come from kg_edges_modular (driver-green r1+r2; the modular path
+    # stays exercised by tools/scaling_job.py and pytest, and shares
+    # its oracle with the always-gated kg_edges), kg_facet_multitype
+    # (driver-green r2+r3; P4/A1 facets stay locally oracle-checked
+    # via kg_facet_projection + facet_stats_cube extras) and
+    # patch_documents (driver-green r2+r3; G10 patching keeps golden
+    # pytest coverage).  All three stay in extra_queries.
+    "kg_sparql_entailed", "kg_owl_properties", "rdf_ntriples_roundtrip",
     # training-data ops with ≤2 green rounds
-    "patch_documents",
     "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
     "strip_boilerplate_docs",
     # Rotated OUT this round after THREE consecutive driver-green
