@@ -1548,6 +1548,17 @@ LIMIT 10
         return _longify(dedup.decontaminate(d, bench, n=13))
     q["decontaminate_docs"] = decontaminate_docs
 
+    def decontaminate_bloom_docs(spark, sf):
+        """The bench-too-big-to-broadcast variant: a fixed-size
+        broadcast Bloom filter prefilters corpus shingles map-side
+        (Arrow probe, ~0.8% false positives), exact verify join on the
+        survivors only.  Result is EXACT — same oracle as
+        decontaminate_docs."""
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+        return _longify(dedup.decontaminate_bloom(d, bench, n=13))
+    q["decontaminate_bloom_docs"] = decontaminate_bloom_docs
+
     def sample_mixture_docs(spark, sf):
         """Deterministic per-language mixture sample: en kept at 0.5,
         zh at 0.2, everything else at 0.05 — salted-md5 variate, so
@@ -1957,6 +1968,14 @@ LIMIT 10
         curation job computes."""
         return _longify(textstats.text_metrics(_docs(spark, sf)))
     q["text_metrics"] = text_metrics
+
+    def gopher_rules_docs(spark, sf):
+        """The Gopher rule-based quality filter (word-count band,
+        mean word length, symbol/bullet/ellipsis ratios, alphabetic
+        fraction, required stopwords) — one codegen projection, zero
+        shuffles; every band replayed verbatim in the oracle."""
+        return _longify(textstats.gopher_rules(_docs(spark, sf)))
+    q["gopher_rules_docs"] = gopher_rules_docs
 
     def _boxes(spark, sf):
         """Deterministic synthetic PDF-textbox table (the decode step
@@ -3660,6 +3679,8 @@ SELECT t.id, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON h.id = t.id
 """
+    # the bloom prefilter is exact after its verify join — same oracle
+    o["decontaminate_bloom_docs"] = o["decontaminate_docs"]
 
     o["toc_documents"] = """
 SELECT lang, string_agg(source, ',' ORDER BY source) AS titles_csv,
@@ -3916,6 +3937,54 @@ SELECT ts.doc_id, n_tokens, n_subtokens, n_chars_measured,
 FROM ts
 JOIN qsel USING (doc_id) JOIN lsel USING (doc_id)
 JOIN fp USING (doc_id) JOIN rep USING (doc_id)
+"""
+
+    _lw_words = _WORDS.format(c="lower(text)")
+    o["gopher_rules_docs"] = f"""
+WITH t AS (SELECT doc_id AS id, text, {words_c} AS w, {_lw_words} AS lw,
+           list_filter(string_split(text, chr(10)),
+                       l -> trim(l) <> '') AS ln
+           FROM documents),
+m AS (SELECT id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(w, x -> CAST(length(x) AS BIGINT))),
+      (a, b) -> a + b) / greatest(len(w), 1) AS mean_len,
+  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '…'))
+   + len(regexp_extract_all(text, '\\.\\.\\.')))
+  / greatest(len(w), 1) AS sym_ratio,
+  len(list_filter(ln, l -> substring(ltrim(l), 1, 1) = '•'
+      OR substring(ltrim(l), 1, 1) = '-'
+      OR substring(ltrim(l), 1, 1) = '*'))
+  / greatest(len(ln), 1) AS bullet_frac,
+  len(list_filter(ln, l -> ends_with(rtrim(l), '…')
+      OR ends_with(rtrim(l), '...')))
+  / greatest(len(ln), 1) AS ellipsis_frac,
+  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+  / greatest(len(w), 1) AS alpha_frac,
+  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(lw, s))) AS BIGINT) AS n_req_stop
+  FROM t)
+SELECT id, n_words,
+  round(mean_len, 4) AS mean_word_len,
+  round(sym_ratio, 4) AS symbol_word_ratio,
+  round(bullet_frac, 4) AS bullet_line_frac,
+  round(ellipsis_frac, 4) AS ellipsis_line_frac,
+  round(alpha_frac, 4) AS alpha_word_frac,
+  n_req_stop AS n_req_stopwords,
+  n_words >= 50 AND n_words <= 100000 AS rule_n_words,
+  mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_len,
+  sym_ratio <= 0.1 AS rule_symbols,
+  bullet_frac <= 0.9 AS rule_bullets,
+  ellipsis_frac <= 0.3 AS rule_ellipsis,
+  alpha_frac >= 0.8 AS rule_alpha,
+  n_req_stop >= 2 AS rule_stopwords,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+    AND n_req_stop >= 2 AS keep
+FROM m
 """
 
     o["curation_survivors"] = f"""

@@ -528,6 +528,135 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                     (n_hits > 0).alias("contaminated")))
 
 
+class ShingleBloom:
+    """A broadcast Bloom filter over a shingle set: ``words`` is a
+    SparkContext broadcast of an int64 numpy word array (m bits), ``m``
+    the bit count, ``k`` the probe count.  Built once from the
+    benchmark side, reusable across any number of corpus batches
+    (incremental / streaming decontamination probes the same filter)."""
+
+    __slots__ = ("words", "m", "k")
+
+    def __init__(self, words, m: int, k: int):
+        self.words, self.m, self.k = words, m, k
+
+    def unpersist(self):
+        self.words.unpersist()
+
+
+def build_shingle_bloom(bench: DataFrame, text_col: str = "text",
+                        n: int = 13, bits_per_key: int = 10,
+                        num_hashes: int = 7) -> ShingleBloom:
+    """Aggregate the benchmark's distinct shingles into a fixed-size
+    Bloom filter, entirely DataFrame-side until the final word
+    collect: each shingle sets ``num_hashes`` bits via
+    Kirsch-Mitzenmacher double hashing (g_i = h1 + i*h2 mod m, both
+    xxhash64), bits fold to (word_idx, mask) rows and ``bit_or``
+    merges them map-side, so the driver collects at most m/64 set
+    words — the size of the filter itself, never the shingle count.
+
+    Sizing: m = bits_per_key × n_keys (10 bits/key + 7 probes ≈ 0.8%
+    false positives).  At a 100M-shingle benchmark that is a ~125 MB
+    broadcast — shippable where the exact shingle-set broadcast of
+    ``decontaminate`` (multi-GB of strings) is not."""
+    import numpy as np
+
+    bench_sh = bench.select(
+        F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    n_keys = bench_sh.count()
+    m = max(64, ((bits_per_key * n_keys + 63) // 64) * 64)
+    # both hashes reduced mod m up front: g_i = h1m + i*h2m stays
+    # below (k+1)*m, so the arithmetic never overflows int64 (ANSI
+    # mode would throw) and the numpy probe replays it verbatim
+    h1 = F.pmod(F.xxhash64("shingle"), F.lit(m))
+    h2 = F.pmod(F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(m))
+    pos = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(m)))).alias("pos")
+    words = (bench_sh.select(pos)
+             .select(F.expr("pos DIV 64").alias("word_idx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(pos, 64) AS INT))").alias("mask"))
+             .groupBy("word_idx")
+             .agg(F.expr("bit_or(mask)").alias("word"))
+             .collect())
+    arr = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        arr[r["word_idx"]] = r["word"]
+    bc = bench.sparkSession.sparkContext.broadcast(arr)
+    return ShingleBloom(bc, m, num_hashes)
+
+
+def decontaminate_bloom(docs: DataFrame, bench: DataFrame | None = None,
+                        bloom: ShingleBloom | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", n: int = 13,
+                        bits_per_key: int = 10,
+                        num_hashes: int = 7) -> DataFrame:
+    """``decontaminate`` for benchmark sets too large to broadcast as
+    exact shingle strings: a fixed-size broadcast Bloom filter
+    prefilters the corpus shingles MAP-SIDE (Arrow-vectorized probe,
+    zero shuffle), and only the survivors — true hits plus the ~0.8%
+    false-positive trickle — meet the exact bench set in a shuffle
+    join that makes the result EXACT.  Output contract and semantics
+    are identical to ``decontaminate``: one row per doc,
+    ``(id, n_hits, contaminated)``.
+
+    Pass a prebuilt ``bloom`` (from ``build_shingle_bloom``) to reuse
+    one filter across corpus batches; ``bench`` is still required for
+    the exact verify join.  The probe replays the JVM hash plan in
+    numpy int64 — both hashes arrive already reduced mod m, so the
+    derived positions are exact small-integer arithmetic on both
+    sides."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if bench is None:
+        raise ValueError("decontaminate_bloom: bench is required "
+                         "(the exact-verify side)")
+    if bloom is None:
+        bloom = build_shingle_bloom(bench, bench_text_col, n,
+                                    bits_per_key, num_hashes)
+    words_bc, m, k = bloom.words, bloom.m, bloom.k
+
+    def _probe(h1, h2):
+        arr = words_bc.value
+        a = h1.to_numpy(dtype=np.int64)      # already in [0, m)
+        b = h2.to_numpy(dtype=np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.int64(i) * b) % m  # ≤ (k+1)*m, no overflow
+            ok &= ((arr[pos >> 6] >> (pos & 63)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    in_bloom = pandas_udf(_probe, "boolean")
+
+    doc_sh = shingle_rows(docs, text_col, id_col, n)
+    survivors = (doc_sh
+                 .withColumn("h1", F.pmod(F.xxhash64("shingle"),
+                                          F.lit(m)))
+                 .withColumn("h2", F.pmod(
+                     F.xxhash64("shingle", F.lit(0x9E3779B9)),
+                     F.lit(m)))
+                 .filter(in_bloom("h1", "h2"))
+                 .drop("h1", "h2"))
+    bench_sh = bench.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("shingle")
+    ).distinct()
+    # exact verify on the post-bloom trickle only; no broadcast hint —
+    # the premise is a bench side past the broadcast threshold
+    hits = (survivors.join(bench_sh, "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").alias("n_hits")))
+    base = docs.select(F.col(id_col).alias("id"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (base.join(hits, "id", "left")
+            .select("id", n_hits.alias("n_hits"),
+                    (n_hits > 0).alias("contaminated")))
+
+
 def component_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b") -> DataFrame:
     """``(id, comp, csize)`` — every paired document with its cluster

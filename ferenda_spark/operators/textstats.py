@@ -187,6 +187,83 @@ def _repetition_struct(text_col: str) -> Column:
     return sig(F.col(text_col))
 
 
+#: The required-stopword set of the Gopher rules (Rae et al. 2021,
+#: public): a document must contain at least 2 of these to pass.
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                        "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021): keep a
+    document only if its word count, mean word length, symbol-to-word
+    ratio (# and ellipses), bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction and required-stopword count all fall
+    inside the published bands.  Returns one row per doc with every
+    measured signal, a per-rule boolean, and the final ``keep``.
+
+    Every signal is row-local pure-Column work — the whole filter is
+    ONE codegen projection in the scan, zero shuffles at any corpus
+    size, and each expression is replayed verbatim in the ANSI-SQL
+    oracle (same tokenization, same non-overlapping regexp counts,
+    same IEEE division)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1))
+    mean_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t)) / nd)
+    n_symbols = (F.regexp_count(text, F.lit("#"))
+                 + F.regexp_count(text, F.lit("…"))
+                 + F.regexp_count(text, F.lit(r"\.\.\.")))
+    symbol_ratio = n_symbols / nd
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.substring(F.ltrim(l), 1, 1)
+        .isin("•", "-", "*"))) / nl
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.endswith(F.rtrim(l), F.lit("…"))
+        | F.endswith(F.rtrim(l), F.lit("...")))) / nl
+    alpha_frac = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]"))) / nd
+    lower_toks = tokens(F.lower(text))
+    n_req_stop = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQ_STOPWORDS]),
+        lambda w: F.array_contains(lower_toks, w)))
+    rules = {
+        "rule_n_words": (n >= min_words) & (n <= max_words),
+        "rule_mean_len": (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len),
+        "rule_symbols": symbol_ratio <= max_symbol_ratio,
+        "rule_bullets": bullet_frac <= max_bullet_frac,
+        "rule_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "rule_alpha": alpha_frac >= min_alpha_frac,
+        "rule_stopwords": n_req_stop >= min_stopwords,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_req_stop.cast("long").alias("n_req_stopwords"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"))
+
+
 def text_metrics(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """EVERY row-local text-analysis signal in ONE projection: token

@@ -315,6 +315,39 @@ def test_textstats(docs):
     assert fp[1]["rolling_fp"] != fp[3]["rolling_fp"]
 
 
+def test_gopher_rules(spark):
+    """Each published band trips on a purpose-built doc; a normal
+    English paragraph passes all seven rules; the whole filter is one
+    shuffle-free projection."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs back to the barn with plenty of words that have "
+            "normal shape and size so the filter should be happy " * 3)
+    short = "too few words here"
+    bullets = "\n".join("• item %d with several more words" % i
+                        for i in range(10)) + "\n" + good
+    ellipsis = "\n".join("trailing thought number %d goes on..." % i
+                         for i in range(10)) + "\nplain line\n" + good
+    symbols = good + " " + "# " * 40
+    nonalpha = ("the be to of and that have with " +
+                "1234 5678 " * 30)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets), (4, ellipsis),
+         (5, symbols), (6, nonalpha)],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in textstats.gopher_rules(docs).collect()}
+    assert out[1]["keep"] is True
+    assert all(out[1][c] for c in out[1].asDict() if c.startswith("rule_"))
+    assert out[2]["rule_n_words"] is False and out[2]["keep"] is False
+    assert out[3]["rule_bullets"] is False and out[3]["bullet_line_frac"] > 0.9
+    assert out[4]["rule_ellipsis"] is False
+    assert out[5]["rule_symbols"] is False
+    assert out[6]["rule_alpha"] is False
+    assert out[6]["rule_stopwords"] is True  # all 8 present
+    plan = (textstats.gopher_rules(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_langid(spark):
     rows = [
         Row(doc_id=1, text="the cat and the dog of the house is that"),
@@ -756,6 +789,57 @@ def test_decontaminate_ngram_overlap(spark):
     assert got[3] == (0, False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom-prefiltered path is the same function as the exact
+    broadcast path — on overlap-heavy synthetic docs AND with a
+    deliberately tiny, collision-heavy filter (1 bit/key, 1 probe)
+    whose false positives the verify join must kill."""
+    import random
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rnd.choice(vocab) for _ in range(30))
+             for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    want = sorted(dedup.decontaminate(docs, bench, n=5).collect())
+    got = sorted(dedup.decontaminate_bloom(docs, bench, n=5).collect())
+    assert got == want
+    tiny = sorted(dedup.decontaminate_bloom(
+        docs, bench, n=5, bits_per_key=1, num_hashes=1).collect())
+    assert tiny == want
+
+
+def test_decontaminate_bloom_reuse_and_empty_bench(spark):
+    """A prebuilt bloom serves multiple corpus batches (the
+    incremental/streaming shape); an empty bench marks every doc
+    clean; the corpus-side probe is an Arrow-vectorized filter."""
+    gram = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu"
+    docs = spark.createDataFrame(
+        [(1, "lead in " + gram + " trailing words"),
+         (2, "nothing shared here at all " * 5)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("q: " + gram + " a: yes",)],
+                                  "text string")
+    bloom = dedup.build_shingle_bloom(bench, n=13)
+    for _ in range(2):  # same filter, two batches
+        got = {r["id"]: r["contaminated"]
+               for r in dedup.decontaminate_bloom(
+                   docs, bench, bloom=bloom, n=13).collect()}
+        assert got == {1: True, 2: False}
+    out = dedup.decontaminate_bloom(docs, bloom=bloom, bench=bench, n=13)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    bloom.unpersist()
+    empty = bench.filter(F.lit(False))
+    got = {r["id"]: r["contaminated"]
+           for r in dedup.decontaminate_bloom(docs, empty, n=13).collect()}
+    assert got == {1: False, 2: False}
+    with pytest.raises(ValueError, match="bench"):
+        dedup.decontaminate_bloom(docs)
 
 
 def test_stratified_sample_rates_and_reproducibility(spark):
