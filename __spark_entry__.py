@@ -539,7 +539,10 @@ GATE_ORDER = [
     "kg_extract_text", "kg_edges",
     # round-4-final rotation #2: the three inference/serialization ops
     # added late this round take their FIRST driver rows, so every
-    # registered query has at least one historical driver row.  Slots
+    # query registered BEFORE this rotation has at least one
+    # historical driver row.  (decontaminate_bloom_docs and
+    # gopher_rules_docs, added after it, are the never-driver-checked
+    # extras to rotate in next round.)  Slots
     # come from kg_edges_modular (driver-green r1+r2; the modular path
     # stays exercised by tools/scaling_job.py and pytest, and shares
     # its oracle with the always-gated kg_edges), kg_facet_multitype

@@ -76,6 +76,8 @@ HEADLINE = [
     "rdf_ntriples_roundtrip",
     "kg_owl_properties",
     "kg_sparql_entailed",
+    "decontaminate_bloom_docs",
+    "gopher_rules_docs",
 ]
 
 

@@ -113,11 +113,12 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sh = shingle_rows(docs, text_col, id_col, n)
     if max_df is not None:
         sh = df_cap_shingles(sh, max_df)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # pre-shuffle on the join key: both self-join sides reuse one
-    # exchange, so the shingle explode + md5 runs once over the
-    # corpus instead of once per side (measured ~40% on sf0.1)
+    # pre-shuffle on the join key BEFORE anything consumes sh: the
+    # self-join's two sides AND the sizes aggregate all read the one
+    # exchange, so the shingle explode + md5 materializes exactly
+    # once over the corpus (measured ~40% on sf0.1)
     sh = sh.repartition("shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -414,8 +415,13 @@ def components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     output (they are their own keeper); union them back at the call
     site if needed.
     """
-    e = pairs.select(F.col(id_a).cast("long").alias("u"),
-                     F.col(id_b).cast("long").alias("v"))
+    e = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                      F.col(id_b).cast("long").alias("v"))
+         # null ids (upstream left-join artifacts) can join nothing —
+         # drop them up front so both the distributed path and the
+         # driver fast path see the same graph (the fast path would
+         # otherwise hit None < int in the union step)
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
     edges = (e.unionByName(e.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
              .distinct()
@@ -513,13 +519,25 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     have no shingles and are trivially clean (the same empty-shingle
     guard as ``shingles``)."""
     doc_sh = shingle_rows(docs, text_col, id_col, n)
-    bench_sh = bench.select(
-        F.explode(shingles(F.col(bench_text_col), n)).alias("shingle")
-    ).distinct()
+    bench_sh = _bench_shingles(bench, bench_text_col, n)
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    hits = (doc_sh.join(bench_sh, "shingle")
-            .groupBy("id")
+    return _ngram_hit_report(docs, doc_sh.join(bench_sh, "shingle"),
+                             id_col)
+
+
+def _bench_shingles(bench: DataFrame, text_col: str, n: int) -> DataFrame:
+    return bench.select(
+        F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+
+
+def _ngram_hit_report(docs: DataFrame, matched_sh: DataFrame,
+                      id_col: str) -> DataFrame:
+    """The shared decontamination output contract: matched (id,
+    shingle) rows → one ``(id, n_hits, contaminated)`` row per input
+    doc (absent ids are clean)."""
+    hits = (matched_sh.groupBy("id")
             .agg(F.countDistinct("shingle").alias("n_hits")))
     base = docs.select(F.col(id_col).alias("id"))
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
@@ -531,14 +549,18 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
 class ShingleBloom:
     """A broadcast Bloom filter over a shingle set: ``words`` is a
     SparkContext broadcast of an int64 numpy word array (m bits), ``m``
-    the bit count, ``k`` the probe count.  Built once from the
-    benchmark side, reusable across any number of corpus batches
-    (incremental / streaming decontamination probes the same filter)."""
+    the bit count, ``k`` the probe count, ``n`` the shingle size it
+    was built over.  Built once from the benchmark side, reusable
+    across any number of corpus batches (incremental / streaming
+    decontamination probes the same filter).  ``n`` is verified at
+    probe time — a filter probed with mismatched shingle size would
+    silently report everything clean (the same failure mode the
+    MinHash index sidecar guards against)."""
 
-    __slots__ = ("words", "m", "k")
+    __slots__ = ("words", "m", "k", "n")
 
-    def __init__(self, words, m: int, k: int):
-        self.words, self.m, self.k = words, m, k
+    def __init__(self, words, m: int, k: int, n: int):
+        self.words, self.m, self.k, self.n = words, m, k, n
 
     def unpersist(self):
         self.words.unpersist()
@@ -561,9 +583,11 @@ def build_shingle_bloom(bench: DataFrame, text_col: str = "text",
     ``decontaminate`` (multi-GB of strings) is not."""
     import numpy as np
 
-    bench_sh = bench.select(
-        F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    bench_sh = _bench_shingles(bench, text_col, n)
+    # the explode+distinct runs once: the sizing count and the bit
+    # aggregation below both read the cache (unpersisted after the
+    # word collect — nothing lazy escapes this function)
+    bench_sh = bench_sh.persist()
     n_keys = bench_sh.count()
     m = max(64, ((bits_per_key * n_keys + 63) // 64) * 64)
     # both hashes reduced mod m up front: g_i = h1m + i*h2m stays
@@ -581,11 +605,12 @@ def build_shingle_bloom(bench: DataFrame, text_col: str = "text",
              .groupBy("word_idx")
              .agg(F.expr("bit_or(mask)").alias("word"))
              .collect())
+    bench_sh.unpersist()
     arr = np.zeros(m // 64, dtype=np.int64)
     for r in words:
         arr[r["word_idx"]] = r["word"]
     bc = bench.sparkSession.sparkContext.broadcast(arr)
-    return ShingleBloom(bc, m, num_hashes)
+    return ShingleBloom(bc, m, num_hashes, n)
 
 
 def decontaminate_bloom(docs: DataFrame, bench: DataFrame | None = None,
@@ -619,6 +644,11 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame | None = None,
     if bloom is None:
         bloom = build_shingle_bloom(bench, bench_text_col, n,
                                     bits_per_key, num_hashes)
+    if bloom.n != n:
+        raise ValueError(
+            f"decontaminate_bloom: bloom was built over {bloom.n}-gram "
+            f"shingles but the probe asks for n={n} — a mismatched "
+            "probe would silently report every doc clean")
     words_bc, m, k = bloom.words, bloom.m, bloom.k
 
     def _probe(h1, h2):
@@ -642,19 +672,11 @@ def decontaminate_bloom(docs: DataFrame, bench: DataFrame | None = None,
                      F.lit(m)))
                  .filter(in_bloom("h1", "h2"))
                  .drop("h1", "h2"))
-    bench_sh = bench.select(
-        F.explode(shingles(F.col(bench_text_col), n)).alias("shingle")
-    ).distinct()
     # exact verify on the post-bloom trickle only; no broadcast hint —
     # the premise is a bench side past the broadcast threshold
-    hits = (survivors.join(bench_sh, "shingle")
-            .groupBy("id")
-            .agg(F.countDistinct("shingle").alias("n_hits")))
-    base = docs.select(F.col(id_col).alias("id"))
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
-    return (base.join(hits, "id", "left")
-            .select("id", n_hits.alias("n_hits"),
-                    (n_hits > 0).alias("contaminated")))
+    bench_sh = _bench_shingles(bench, bench_text_col, n)
+    return _ngram_hit_report(docs, survivors.join(bench_sh, "shingle"),
+                             id_col)
 
 
 def component_clusters(pairs: DataFrame, id_a: str = "id_a",

@@ -417,7 +417,8 @@ SKOLEM_SEGMENT = "/.well-known/genid/"
 
 
 def skolemize(triples: DataFrame,
-              base_iri: str = "https://example.org") -> DataFrame:
+              base_iri: str = "https://example.org",
+              scope: str | None = None) -> DataFrame:
     """Replace blank nodes with skolem IRIs (RDF 1.1 §3.5,
     ``/.well-known/genid/``) — the standard answer to the problem a
     distributed store cannot avoid: a blank node's identity is scoped
@@ -426,12 +427,20 @@ def skolemize(triples: DataFrame,
     ``<base/.well-known/genid/b0>`` makes the identity global and
     join-stable while staying recognizably anonymous (deskolemizable).
 
+    A blank label is only unique WITHIN one serialization: two dump
+    files each using ``_:b0`` for unrelated nodes must not collide
+    after skolemization (RDF 1.1 §3.5 wants globally unique minted
+    IRIs).  Pass a per-source ``scope`` (e.g. the dump's file name)
+    to namespace the minted IRIs — ``genid/<scope>/b0`` — and pass
+    the SAME scope to :func:`deskolemize` to invert.
+
     Pure column expressions; labels pass through unchanged inside the
-    IRI, so skolemize/deskolemize are exact inverses.  Literal objects
-    are untouched (``obj_is_literal`` respected when present, the
-    ``_:`` prefix test used otherwise — a literal that merely starts
-    with ``_:`` is only at risk in schemas without the flag)."""
-    prefix = base_iri.rstrip("/") + SKOLEM_SEGMENT
+    IRI, so skolemize/deskolemize (with matching scopes) are exact
+    inverses.  Literal objects are untouched (``obj_is_literal``
+    respected when present, the ``_:`` prefix test used otherwise — a
+    literal that merely starts with ``_:`` is only at risk in schemas
+    without the flag)."""
+    prefix = _skolem_prefix(base_iri, scope)
 
     def sk(c: Column) -> Column:
         return F.when(c.startswith("_:"),
@@ -449,12 +458,16 @@ def skolemize(triples: DataFrame,
 
 
 def deskolemize(triples: DataFrame,
-                base_iri: str = "https://example.org") -> DataFrame:
-    """Exact inverse of :func:`skolemize`: skolem IRIs under the
-    base's ``/.well-known/genid/`` collapse back to ``_:`` labels
-    (foreign skolem IRIs — other bases — are left alone, per spec:
-    they are real IRIs to everyone but their minter)."""
-    prefix = base_iri.rstrip("/") + SKOLEM_SEGMENT
+                base_iri: str = "https://example.org",
+                scope: str | None = None) -> DataFrame:
+    """Exact inverse of :func:`skolemize` (same ``scope``): skolem
+    IRIs under the base's ``/.well-known/genid/`` collapse back to
+    ``_:`` labels (foreign skolem IRIs — other bases or other scopes —
+    are left alone, per spec: they are real IRIs to everyone but
+    their minter).  Literal objects are untouched, mirroring
+    skolemize: a string literal that merely spells a skolem IRI must
+    not be corrupted into a blank-node label."""
+    prefix = _skolem_prefix(base_iri, scope)
 
     def unsk(c: Column) -> Column:
         return F.when(c.startswith(prefix),
@@ -462,5 +475,17 @@ def deskolemize(triples: DataFrame,
                                F.substring(c, len(prefix) + 1, 2**30))
                       ).otherwise(c)
 
+    cols = set(triples.columns)
+    obj_lit = F.col("obj_is_literal") if "obj_is_literal" in cols \
+        else F.lit(None).cast("boolean")
+    obj = F.when(F.coalesce(obj_lit, F.lit(False)), F.col("obj")) \
+        .otherwise(unsk(F.col("obj")))
     return triples.withColumn("subj", unsk(F.col("subj"))) \
-        .withColumn("obj", unsk(F.col("obj")))
+        .withColumn("obj", obj)
+
+
+def _skolem_prefix(base_iri: str, scope: str | None) -> str:
+    prefix = base_iri.rstrip("/") + SKOLEM_SEGMENT
+    if scope:
+        prefix += scope.strip("/") + "/"
+    return prefix

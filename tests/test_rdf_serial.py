@@ -263,3 +263,38 @@ def test_skolemize_roundtrip_and_scope(spark):
     # foreign genid survives deskolemize under a different base
     assert {r["obj"] for r in back.collect()} >= {
         "https://other.org/.well-known/genid/x"}
+
+
+def test_deskolemize_respects_literals(spark):
+    """A string literal that merely spells a skolem IRI must not be
+    corrupted into a blank-node label (deskolemize mirrors
+    skolemize's obj_is_literal guard)."""
+    df = spark.createDataFrame(
+        [("d:1", "p:note",
+          "https://ex.org/.well-known/genid/b0", True, None, None)],
+        TRIPLE_DDL)
+    back = rs.deskolemize(rs.skolemize(df, "https://ex.org"),
+                          "https://ex.org")
+    assert back.collect()[0]["obj"] == \
+        "https://ex.org/.well-known/genid/b0"
+
+
+def test_skolemize_scope_separates_sources(spark):
+    """The same blank label in two independently-serialized inputs
+    mints DIFFERENT skolem IRIs under per-source scopes (RDF 1.1
+    §3.5 global uniqueness), and each scope inverts exactly."""
+    a = spark.createDataFrame(
+        [("_:b0", "p:cites", "d:1", False, None, None)], TRIPLE_DDL)
+    b = spark.createDataFrame(
+        [("_:b0", "p:cites", "d:2", False, None, None)], TRIPLE_DDL)
+    ska = rs.skolemize(a, "https://ex.org", scope="dump-a")
+    skb = rs.skolemize(b, "https://ex.org", scope="dump-b")
+    sa = ska.collect()[0]["subj"]
+    sb = skb.collect()[0]["subj"]
+    assert sa != sb
+    assert sa == "https://ex.org/.well-known/genid/dump-a/b0"
+    back = rs.deskolemize(ska, "https://ex.org", scope="dump-a")
+    assert back.collect()[0]["subj"] == "_:b0"
+    # mismatched scope leaves the (foreign to it) IRI alone
+    other = rs.deskolemize(ska, "https://ex.org", scope="dump-b")
+    assert other.collect()[0]["subj"] == sa

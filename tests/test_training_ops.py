@@ -840,6 +840,25 @@ def test_decontaminate_bloom_reuse_and_empty_bench(spark):
     assert got == {1: False, 2: False}
     with pytest.raises(ValueError, match="bench"):
         dedup.decontaminate_bloom(docs)
+    # a bloom probed with a mismatched shingle size would silently
+    # report everything clean — it must refuse instead
+    bloom13 = dedup.build_shingle_bloom(bench, n=13)
+    with pytest.raises(ValueError, match="13-gram"):
+        dedup.decontaminate_bloom(docs, bench, bloom=bloom13, n=5)
+    bloom13.unpersist()
+
+
+def test_components_null_ids_dropped(spark):
+    """Null ids (upstream left-join artifacts) are dropped, not
+    crashed on — same answer on both the driver fast path and the
+    distributed path."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5)],
+        "id_a long, id_b long")
+    for dm in (10**6, 0):
+        got = {(r["id"], r["comp"])
+               for r in dedup.components(df, driver_max=dm).collect()}
+        assert got == {(1, 1), (2, 1), (5, 1)}
 
 
 def test_stratified_sample_rates_and_reproducibility(spark):
