@@ -268,6 +268,44 @@ _PUB_URI = ("'https://example.org/res/org/' || "
 _RFC = "'https://example.org/res/rfc/'"
 
 # golden triple CTE: every (subj,pred,obj,...) the pipeline must emit
+#: SHACL-lite fixture shapes (shape_id, target_class, path, min_count,
+#: max_count, node_kind, datatype) — shared verbatim between the Spark
+#: gate and its oracle so the two can never diverge.  std-title and
+#: std-issued are conforming controls; the other four each trip one
+#: constraint kind deterministically.
+SHACL_SHAPES = [
+    ("std-title", "bibo:Standard", "dcterms:title", 1, 1,
+     "Literal", None),
+    ("std-abstract", "bibo:Standard", "dcterms:abstract", 1, None,
+     None, None),
+    ("part-refs", "bibo:DocumentPart", "dcterms:references", None, 1,
+     "IRI", None),
+    ("std-issued", "bibo:Standard", "dcterms:issued", 1, 1,
+     None, "xsd:gYearMonth"),
+    ("rep-issued-iri", "bibo:Report", "dcterms:issued", None, None,
+     "IRI", None),
+    ("part-chapter-dt", "bibo:DocumentPart", "bibo:chapter", 1, 1,
+     "Literal", "xsd:string"),
+]
+
+
+def _shacl_shapes_values() -> str:
+    """The SHACL_SHAPES fixture as a DuckDB VALUES list."""
+    def v(x, typ):
+        if x is None:
+            return f"CAST(NULL AS {typ})"
+        return str(x) if typ == "BIGINT" else "'" + x + "'"
+
+    rows = ", ".join(
+        "({})".format(", ".join([
+            v(s[0], "VARCHAR"), v(s[1], "VARCHAR"), v(s[2], "VARCHAR"),
+            v(s[3], "BIGINT"), v(s[4], "BIGINT"),
+            v(s[5], "VARCHAR"), v(s[6], "VARCHAR")]))
+        for s in SHACL_SHAPES)
+    return (f"(VALUES {rows}) AS s(shape_id, target_class, path, "
+            "min_count, max_count, node_kind, datatype)")
+
+
 _TRIPLES_CTE = f"""
 golden AS (
   SELECT DISTINCT * FROM (
@@ -614,6 +652,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
     q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
+
+    def kg_void_description(spark, sf):
+        """VoID property partitions (W3C VoID): per-predicate triple /
+        distinct-subject / distinct-object counts over the KG — the
+        store's self-description, exportable as RDF via
+        voidstats.void_triples."""
+        from ferenda_spark.operators import voidstats
+        return voidstats.property_partitions(_kg_edges(spark, sf))
+    q["kg_void_description"] = kg_void_description
+
+    def kg_shacl_violations(spark, sf):
+        """SHACL-lite validation report: minCount / maxCount /
+        nodeKind / datatype constraints per target class, one
+        violation row per (focus, shape, constraint).  The fixture
+        shapes exercise all four constraint kinds with deterministic
+        violations (and two conforming controls)."""
+        from ferenda_spark.operators import shacl
+        shapes = spark.createDataFrame(SHACL_SHAPES, shacl.SHAPE_DDL)
+        return shacl.shacl_validate(_kg_edges(spark, sf), shapes)
+    q["kg_shacl_violations"] = kg_shacl_violations
 
     def kg_nodes(spark, sf):
         return nodes_from_triples(_kg_edges(spark, sf)).select(
@@ -2150,6 +2208,62 @@ WITH {_F_CTE}, {_TRIPLES_CTE}
 SELECT * FROM golden
 """
     o["kg_edges_modular"] = o["kg_edges"]
+
+    o["kg_void_description"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT pred, count(*) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM golden GROUP BY pred
+"""
+
+    o["kg_shacl_violations"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+shapes AS (SELECT * FROM {_shacl_shapes_values()}),
+targets AS (
+  SELECT DISTINCT g.subj AS focus, s.*
+  FROM golden g JOIN shapes s
+    ON g.pred = 'rdf:type' AND g.obj = s.target_class),
+joined AS (
+  SELECT t.focus, t.shape_id, t.path, t.min_count, t.max_count,
+         t.node_kind, t.datatype, g.obj, g.obj_is_literal,
+         g.obj_datatype
+  FROM targets t LEFT JOIN golden g
+    ON g.subj = t.focus AND g.pred = t.path),
+agg AS (
+  SELECT focus, shape_id, path, min_count, max_count, node_kind,
+         datatype,
+         count(obj) AS n_values,
+         coalesce(sum(CASE WHEN node_kind IS NOT NULL
+                            AND obj IS NOT NULL
+                            AND ((node_kind = 'IRI' AND obj_is_literal)
+                              OR (node_kind = 'Literal'
+                                  AND NOT obj_is_literal))
+                      THEN 1 ELSE 0 END), 0) AS n_kind_bad,
+         coalesce(sum(CASE WHEN datatype IS NOT NULL
+                            AND obj IS NOT NULL
+                            AND obj_datatype IS DISTINCT FROM datatype
+                      THEN 1 ELSE 0 END), 0) AS n_dt_bad
+  FROM joined
+  GROUP BY focus, shape_id, path, min_count, max_count, node_kind,
+           datatype)
+SELECT focus, shape_id, path, 'minCount' AS "constraint",
+       CAST(n_values AS BIGINT) AS actual,
+       CAST(min_count AS VARCHAR) AS expected
+FROM agg WHERE min_count IS NOT NULL AND n_values < min_count
+UNION ALL
+SELECT focus, shape_id, path, 'maxCount',
+       CAST(n_values AS BIGINT), CAST(max_count AS VARCHAR)
+FROM agg WHERE max_count IS NOT NULL AND n_values > max_count
+UNION ALL
+SELECT focus, shape_id, path, 'nodeKind',
+       CAST(n_kind_bad AS BIGINT), node_kind
+FROM agg WHERE n_kind_bad > 0
+UNION ALL
+SELECT focus, shape_id, path, 'datatype',
+       CAST(n_dt_bad AS BIGINT), datatype
+FROM agg WHERE n_dt_bad > 0
+"""
 
     o["kg_nodes"] = f"""
 WITH {_F_CTE}

@@ -78,6 +78,8 @@ HEADLINE = [
     "kg_sparql_entailed",
     "decontaminate_bloom_docs",
     "gopher_rules_docs",
+    "kg_void_description",
+    "kg_shacl_violations",
 ]
 
 

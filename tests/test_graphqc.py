@@ -1,0 +1,115 @@
+"""Tests for the graph-quality operators: VoID statistics and
+SHACL-lite validation."""
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import shacl, voidstats
+
+EDGE_DDL = ("subj string, pred string, obj string, "
+            "obj_is_literal boolean, obj_datatype string, "
+            "obj_lang string")
+
+
+def _edges(spark):
+    rows = [
+        ("d:1", "rdf:type", "ex:Doc", False, None, None),
+        ("d:1", "p:title", "one", True, None, "en"),
+        ("d:1", "p:cites", "d:2", False, None, None),
+        ("d:1", "p:cites", "d:3", False, None, None),
+        ("d:2", "rdf:type", "ex:Doc", False, None, None),
+        ("d:2", "p:title", "two", True, None, None),
+        ("d:2", "p:year", "2020", True, "xsd:gYear", None),
+        ("d:3", "rdf:type", "ex:Other", False, None, None),
+    ]
+    return spark.createDataFrame(rows, EDGE_DDL)
+
+
+def test_void_statistics(spark):
+    e = _edges(spark)
+    prop = {r["pred"]: r for r in
+            voidstats.property_partitions(e).collect()}
+    assert prop["p:cites"]["n_triples"] == 2
+    assert prop["p:cites"]["n_subjects"] == 1
+    assert prop["p:cites"]["n_objects"] == 2
+    assert prop["rdf:type"]["n_subjects"] == 3
+    cls = {r["rdf_class"]: r["n_entities"] for r in
+           voidstats.class_partitions(e).collect()}
+    assert cls == {"ex:Doc": 2, "ex:Other": 1}
+    s = voidstats.dataset_summary(e).collect()[0]
+    assert s["n_triples"] == 8
+    assert s["n_subjects"] == 3
+    assert s["n_properties"] == 4
+    assert s["n_classes"] == 2
+
+
+def test_void_triples_rdf_and_roundtrip(spark, tmp_path):
+    """The VoID description is itself valid RDF in the edge schema —
+    it survives the N-Triples writer/parser unchanged."""
+    from ferenda_spark.sources import rdf_serial as rs
+    e = _edges(spark)
+    v = voidstats.void_triples(e, "https://ex.org/void")
+    rows = v.collect()
+    counts = {(r["subj"], r["pred"]): r["obj"] for r in rows}
+    assert counts[("https://ex.org/void", "void:triples")] == "8"
+    assert counts[("https://ex.org/void/prop/p_cites",
+                   "void:triples")] == "2"
+    assert counts[("https://ex.org/void/class/ex_Doc",
+                   "void:entities")] == "2"
+    # every count is an xsd:integer literal; links are IRIs
+    for r in rows:
+        if r["pred"].startswith("void:") and r["obj_is_literal"]:
+            assert r["obj_datatype"].endswith("integer")
+    path = str(tmp_path / "void.nt")
+    rs.write_ntriples(v, path)
+    back = rs.read_ntriples(spark, path)
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+    got = back.select("subj", "pred", "obj", "obj_is_literal")
+    want = v.select("subj", "pred", "obj", "obj_is_literal")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_shacl_validate_all_constraint_kinds(spark):
+    e = _edges(spark)
+    shapes = spark.createDataFrame([
+        # every Doc needs a title (d:1, d:2 conform)
+        ("s-title", "ex:Doc", "p:title", 1, 1, "Literal", None),
+        # every Doc needs an abstract (none has one -> 2 minCount)
+        ("s-abs", "ex:Doc", "p:abstract", 1, None, None, None),
+        # at most one citation (d:1 has 2 -> maxCount)
+        ("s-cites", "ex:Doc", "p:cites", None, 1, "IRI", None),
+        # year must be an IRI (d:2's is a literal -> nodeKind)
+        ("s-year-kind", "ex:Doc", "p:year", None, None, "IRI", None),
+        # title must be xsd:string (stored datatype NULL -> datatype)
+        ("s-title-dt", "ex:Doc", "p:title", None, None, None,
+         "xsd:string"),
+    ], shacl.SHAPE_DDL)
+    out = {(r["focus"], r["shape_id"], r["constraint"]):
+           (r["actual"], r["expected"])
+           for r in shacl.shacl_validate(e, shapes).collect()}
+    assert out[("d:1", "s-abs", "minCount")] == (0, "1")
+    assert out[("d:2", "s-abs", "minCount")] == (0, "1")
+    assert out[("d:1", "s-cites", "maxCount")] == (2, "1")
+    assert out[("d:2", "s-year-kind", "nodeKind")] == (1, "IRI")
+    assert out[("d:1", "s-title-dt", "datatype")] == (1, "xsd:string")
+    assert out[("d:2", "s-title-dt", "datatype")] == (1, "xsd:string")
+    # no violations beyond the designed ones; d:3 (ex:Other) untargeted
+    assert len(out) == 6
+    assert not any(f == "d:3" for f, _, _ in out)
+    assert shacl.conforms(e, shapes) is False
+    ok_shapes = spark.createDataFrame(
+        [("s-title", "ex:Doc", "p:title", 1, 1, "Literal", None)],
+        shacl.SHAPE_DDL)
+    assert shacl.conforms(e, ok_shapes) is True
+
+
+def test_shacl_shapes_broadcast_plan(spark):
+    """The shape dimension broadcasts; the corpus-sized edge table is
+    never broadcast."""
+    e = _edges(spark)
+    shapes = spark.createDataFrame(
+        [("s-abs", "ex:Doc", "p:abstract", 1, None, None, None)],
+        shacl.SHAPE_DDL)
+    plan = (shacl.shacl_validate(e, shapes)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
