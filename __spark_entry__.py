@@ -289,6 +289,19 @@ SHACL_SHAPES = [
 ]
 
 
+#: Deequ-style constraint fixture over the documents table — shared
+#: between the Spark gate and its oracle.
+DOC_CHECKS = [
+    ("id-unique", "doc_id", "unique", 0.0),
+    ("text-complete", "text", "complete", 1.0),
+    ("lang-complete", "lang", "complete", 1.0),
+    ("lang-diverse", "lang", "distinct_at_least", 2.0),
+    ("chars-positive", "n_chars", "min_at_least", 1.0),
+    ("chars-bounded", "n_chars", "max_at_most", 100000.0),
+    ("source-nonnumeric-bound", "source", "min_at_least", 0.0),
+]
+
+
 def _shacl_shapes_values() -> str:
     """The SHACL_SHAPES fixture as a DuckDB VALUES list."""
     def v(x, typ):
@@ -2037,6 +2050,25 @@ LIMIT 10
         shuffles; every band replayed verbatim in the oracle."""
         return _longify(textstats.gopher_rules(_docs(spark, sf)))
     q["gopher_rules_docs"] = gopher_rules_docs
+
+    def profile_documents(spark, sf):
+        """Deequ-style per-column profile of the ingest table in one
+        aggregation pass: row/null/distinct counts, completeness,
+        min/max per column."""
+        from ferenda_spark.operators import profile as prof
+        return prof.profile(
+            _docs(spark, sf),
+            ["doc_id", "text", "lang", "source", "n_chars"])
+    q["profile_documents"] = profile_documents
+
+    def check_documents(spark, sf):
+        """Declarative constraint checks over one profile pass:
+        uniqueness of the id, completeness of every column, value
+        bounds, language diversity — pass/fail per constraint, never
+        a throw."""
+        from ferenda_spark.operators import profile as prof
+        return prof.check(_docs(spark, sf), DOC_CHECKS)
+    q["check_documents"] = check_documents
 
     def _boxes(spark, sf):
         """Deterministic synthetic PDF-textbox table (the decode step
@@ -3798,6 +3830,47 @@ FROM t LEFT JOIN h ON h.id = t.id
 """
     # the bloom prefilter is exact after its verify join — same oracle
     o["decontaminate_bloom_docs"] = o["decontaminate_docs"]
+
+    _prof_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _prof_union = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(count({c}) / greatest(count(*), 1), 6) AS completeness,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents""" for c in _prof_cols)
+    o["profile_documents"] = _prof_union
+
+    _checks_rows = ", ".join(
+        f"('{cid}', '{col}', '{kind}', {thr})"
+        for cid, col, kind, thr in DOC_CHECKS)
+    o["check_documents"] = f"""
+WITH p AS ({_prof_union}),
+c AS (SELECT check_id, "column", kind,
+             CAST(threshold AS DOUBLE) AS threshold
+      FROM (VALUES {_checks_rows})
+      AS c(check_id, "column", kind, threshold))
+SELECT c.check_id, c."column", c.kind, c.threshold,
+  round(CASE c.kind
+    WHEN 'complete' THEN p.completeness
+    WHEN 'unique' THEN CAST(p.n_distinct AS DOUBLE)
+    WHEN 'distinct_at_least' THEN CAST(p.n_distinct AS DOUBLE)
+    WHEN 'min_at_least' THEN TRY_CAST(p.min_value AS DOUBLE)
+    WHEN 'max_at_most' THEN TRY_CAST(p.max_value AS DOUBLE)
+  END, 6) AS actual,
+  coalesce(CASE c.kind
+    WHEN 'complete' THEN p.completeness >= c.threshold
+    WHEN 'unique' THEN p.n_distinct = (p.n_rows - p.n_null)
+                       AND p.n_null = 0
+    WHEN 'distinct_at_least' THEN p.n_distinct >= c.threshold
+    WHEN 'min_at_least' THEN TRY_CAST(p.min_value AS DOUBLE)
+                             >= c.threshold
+    WHEN 'max_at_most' THEN TRY_CAST(p.max_value AS DOUBLE)
+                            <= c.threshold
+  END, FALSE) AS passed
+FROM c JOIN p ON p."column" = c."column"
+"""
 
     o["toc_documents"] = """
 SELECT lang, string_agg(source, ',' ORDER BY source) AS titles_csv,

@@ -80,6 +80,8 @@ HEADLINE = [
     "gopher_rules_docs",
     "kg_void_description",
     "kg_shacl_violations",
+    "profile_documents",
+    "check_documents",
 ]
 
 

@@ -1,8 +1,10 @@
-"""Tests for the graph-quality operators: VoID statistics and
-SHACL-lite validation."""
+"""Tests for the data-quality operators: VoID statistics, SHACL-lite
+validation, and Deequ-style tabular profiling/checks."""
 
+import pytest
 from pyspark.sql import functions as F
 
+from ferenda_spark.operators import profile as prof
 from ferenda_spark.operators import shacl, voidstats
 
 EDGE_DDL = ("subj string, pred string, obj string, "
@@ -113,3 +115,63 @@ def test_shacl_shapes_broadcast_plan(spark):
     plan = (shacl.shacl_validate(e, shapes)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def _table(spark):
+    rows = [
+        (1, "alpha", "en", 10),
+        (2, "beta", "en", 20),
+        (2, None, "sv", 30),      # duplicate id, null text
+        (4, "delta", None, -5),   # null lang, negative n
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n long")
+
+
+def test_profile_single_pass_stats(spark):
+    p = {r["column"]: r for r in prof.profile(_table(spark)).collect()}
+    assert set(p) == {"text", "lang"} | {"doc_id", "n"}
+    assert p["doc_id"]["n_rows"] == 4
+    assert p["doc_id"]["n_null"] == 0
+    assert p["doc_id"]["n_distinct"] == 3
+    assert p["text"]["n_null"] == 1
+    assert p["text"]["completeness"] == 0.75
+    assert p["n"]["min_value"] == "-5"
+    assert p["n"]["max_value"] == "30"
+    # numeric ordering happened BEFORE the string render
+    assert p["doc_id"]["min_value"] == "1"
+    with pytest.raises(ValueError, match="no string/numeric"):
+        prof.profile(spark.createDataFrame([([1],)], "a array<long>"))
+
+
+def test_check_constraints(spark):
+    t = _table(spark)
+    out = {r["check_id"]: r for r in prof.check(t, [
+        ("u", "doc_id", "unique", 0.0),
+        ("c", "text", "complete", 0.9),
+        ("c2", "lang", "complete", 0.7),
+        ("d", "lang", "distinct_at_least", 2.0),
+        ("mn", "n", "min_at_least", 0.0),
+        ("mx", "n", "max_at_most", 100.0),
+        ("bad-bound", "text", "min_at_least", 0.0),
+    ]).collect()}
+    assert out["u"]["passed"] is False           # dup id 2
+    assert out["c"]["passed"] is False           # 0.75 < 0.9
+    assert out["c2"]["passed"] is True
+    assert out["d"]["passed"] is True and out["d"]["actual"] == 2.0
+    assert out["mn"]["passed"] is False          # min -5
+    assert out["mx"]["passed"] is True
+    # non-numeric bound: conservative fail, not a throw (ANSI cast)
+    assert out["bad-bound"]["passed"] is False
+    assert out["bad-bound"]["actual"] is None
+    with pytest.raises(ValueError, match="unknown constraint"):
+        prof.check(t, [("x", "n", "between", 1.0)])
+
+
+def test_profile_approximate_mode(spark):
+    """HLL mode returns the same shape with near-exact counts at toy
+    scale (the 10^12-row path)."""
+    p = {r["column"]: r for r in
+         prof.profile(_table(spark), ["doc_id"],
+                      approximate=True).collect()}
+    assert abs(p["doc_id"]["n_distinct"] - 3) <= 1
