@@ -175,3 +175,60 @@ def test_profile_approximate_mode(spark):
          prof.profile(_table(spark), ["doc_id"],
                       approximate=True).collect()}
     assert abs(p["doc_id"]["n_distinct"] - 3) <= 1
+
+
+def test_validate_graph_cli(spark, tmp_path, capsys):
+    """tools/validate_graph.py against a real pipeline store: VoID
+    summary line, SHACL stats line, nonzero exit on nonconformance,
+    and the shapes-file parser's error contract."""
+    import importlib.util
+    from pathlib import Path
+
+    from ferenda_spark.fixtures.pages import entities_df, pages_df
+    from ferenda_spark.operators.graph import GraphStore
+    from ferenda_spark.pipeline import run_pipeline
+
+    cli_path = (Path(__file__).resolve().parents[1] / "tools"
+                / "validate_graph.py")
+    spec = importlib.util.spec_from_file_location("validate_graph",
+                                                  cli_path)
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    d = str(tmp_path / "graph")
+    run_pipeline(spark, pages_df(spark, 20, partitions=2),
+                 entities_df(spark), GraphStore(spark, d))
+
+    shapes = tmp_path / "shapes.tsv"
+    shapes.write_text(
+        "# conforming control + one designed violation\n"
+        "s-title\tbibo:Standard\tdcterms:title\t1\t1\tLiteral\t\n"
+        "s-abs\tbibo:Standard\tdcterms:abstract\t1\t\t\t\n")
+    void_out = str(tmp_path / "void.nt")
+    with pytest.raises(SystemExit):
+        cli.run(spark, [d, "--shapes", str(shapes),
+                        "--void-out", void_out,
+                        "--report-out", str(tmp_path / "report")])
+    out = capsys.readouterr().out
+    assert "VOID_STATS table=edge triples=" in out
+    assert "SHACL_STATS shapes=2 violations=" in out
+    assert "conforms=False" in out
+    report = spark.read.parquet(str(tmp_path / "report"))
+    assert report.filter(F.col("shape_id") == "s-abs").count() > 0
+    assert report.filter(F.col("shape_id") == "s-title").count() == 0
+    from ferenda_spark.sources import rdf_serial as rs
+    void = rs.read_ntriples(spark, void_out)
+    assert void.filter(F.col("error").isNotNull()).count() == 0
+    # conforming shapes only -> zero exit path (returns normally)
+    ok = tmp_path / "ok.tsv"
+    ok.write_text("s-title\tbibo:Standard\tdcterms:title\t1\t1\tLiteral\t\n")
+    res = cli.run(spark, [d, "--shapes", str(ok)])
+    assert res["violations"] == 0
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("only\tthree\tfields\n")
+    with pytest.raises(ValueError, match="7 tab-separated"):
+        cli.parse_shapes_file(str(bad))
+    kindbad = tmp_path / "kind.tsv"
+    kindbad.write_text("s\tc\tp\t\t\tBNode\t\n")
+    with pytest.raises(ValueError, match="node_kind"):
+        cli.parse_shapes_file(str(kindbad))
