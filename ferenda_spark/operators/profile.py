@@ -98,12 +98,23 @@ def check(df: DataFrame, checks: list[tuple] | DataFrame,
     min/max), ``distinct_at_least`` (n_distinct ≥ threshold).  The
     constraint list is tiny and joins the tiny profile — all the data
     work happened in the single profile scan."""
-    rows = (checks.collect() if isinstance(checks, DataFrame)
-            else [tuple(c) for c in checks])
+    if isinstance(checks, DataFrame):
+        # by field name, not position — callers build this frame from
+        # CSV/config with no guaranteed column order
+        rows = [(r["check_id"], r["column"], r["kind"],
+                 float(r["threshold"])) for r in checks.collect()]
+    else:
+        rows = [(c[0], c[1], c[2], float(c[3])) for c in checks]
     bad = [r for r in rows if r[2] not in CHECK_KINDS]
     if bad:
         raise ValueError(f"check: unknown constraint kinds {bad!r} "
                          f"(supported: {CHECK_KINDS})")
+    if approximate and any(r[2] == "unique" for r in rows):
+        raise ValueError(
+            "check: 'unique' is an exact equality test "
+            "(n_distinct == n_present) — meaningless against a "
+            "HyperLogLog estimate; drop approximate=True or the "
+            "unique constraint")
     cols = sorted({r[1] for r in rows})
     prof = profile(df, cols, approximate)
     spark = df.sparkSession
@@ -111,30 +122,23 @@ def check(df: DataFrame, checks: list[tuple] | DataFrame,
     j = cdf.join(F.broadcast(prof),
                  cdf["column"] == prof["column"]).drop(prof["column"])
     n_present = F.col("n_rows") - F.col("n_null")
+    # try_cast, not cast: under ANSI mode a bound constraint written
+    # against a non-numeric column must fail its check, not the job
     actual = (F.when(F.col("kind") == "complete", F.col("completeness"))
-              .when(F.col("kind") == "unique",
-                    F.col("n_distinct").cast("double"))
-              .when(F.col("kind") == "distinct_at_least",
+              .when(F.col("kind").isin("unique", "distinct_at_least"),
                     F.col("n_distinct").cast("double"))
               .when(F.col("kind") == "min_at_least",
                     F.col("min_value").try_cast("double"))
               .when(F.col("kind") == "max_at_most",
                     F.col("max_value").try_cast("double")))
-    # try_cast, not cast: under ANSI mode a bound constraint written
-    # against a non-numeric column must fail its check, not the job
-    passed = (F.when(F.col("kind") == "complete",
-                     F.col("completeness") >= F.col("threshold"))
-              .when(F.col("kind") == "unique",
-                    (F.col("n_distinct") == n_present)
-                    & (F.col("n_null") == 0))
-              .when(F.col("kind") == "distinct_at_least",
-                    F.col("n_distinct") >= F.col("threshold"))
-              .when(F.col("kind") == "min_at_least",
-                    F.col("min_value").try_cast("double")
-                    >= F.col("threshold"))
+    # passed derives from the SAME actual expression (unique is the
+    # one non-threshold kind), so report and verdict cannot diverge
+    passed = (F.when(F.col("kind") == "unique",
+                     (F.col("n_distinct") == n_present)
+                     & (F.col("n_null") == 0))
               .when(F.col("kind") == "max_at_most",
-                    F.col("max_value").try_cast("double")
-                    <= F.col("threshold")))
+                    actual <= F.col("threshold"))
+              .otherwise(actual >= F.col("threshold")))
     # a bound constraint on a non-numeric column casts to NULL — the
     # conservative report is failed, never silently passed
     return j.select("check_id", "column", "kind", "threshold",

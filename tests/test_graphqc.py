@@ -232,3 +232,21 @@ def test_validate_graph_cli(spark, tmp_path, capsys):
     kindbad.write_text("s\tc\tp\t\t\tBNode\t\n")
     with pytest.raises(ValueError, match="node_kind"):
         cli.parse_shapes_file(str(kindbad))
+
+
+def test_check_guards_and_df_input(spark):
+    """unique+approximate is refused loudly; a checks DataFrame is
+    consumed by field name regardless of column order; int thresholds
+    coerce."""
+    t = _table(spark)
+    with pytest.raises(ValueError, match="HyperLogLog"):
+        prof.check(t, [("u", "doc_id", "unique", 0.0)],
+                   approximate=True)
+    # reordered columns + int threshold
+    cdf = spark.createDataFrame(
+        [("n", "d", "distinct_at_least", 2)],
+        "column string, check_id string, kind string, threshold long")
+    out = prof.check(t, cdf).collect()
+    assert out[0]["check_id"] == "d" and out[0]["passed"] is True
+    out2 = prof.check(t, [("mx", "n", "max_at_most", 100)]).collect()
+    assert out2[0]["passed"] is True

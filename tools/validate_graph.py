@@ -68,7 +68,12 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
                    help="dataset IRI for the VoID description")
     p.add_argument("--approximate", action="store_true",
                    help="HyperLogLog distinct counts (the 10^12 path)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.report_out and not args.shapes:
+        p.error("--report-out requires --shapes (nothing would be "
+                "written and the graph would look validated when no "
+                "validation ran)")
+    return args
 
 
 def run(spark: SparkSession, argv: list[str]) -> dict:
@@ -94,15 +99,15 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
     result = {"triples": s["n_triples"], "violations": None}
     conforms = True
     if args.shapes:
-        shapes = spark.createDataFrame(parse_shapes_file(args.shapes),
-                                       shacl.SHAPE_DDL)
+        shape_rows = parse_shapes_file(args.shapes)
+        shapes = spark.createDataFrame(shape_rows, shacl.SHAPE_DDL)
         report = shacl.shacl_validate(edges, shapes).persist()
         n_viol = report.count()
         conforms = n_viol == 0
         by_kind = {r["constraint"]: r["n"] for r in
                    report.groupBy("constraint").count()
                    .withColumnRenamed("count", "n").collect()}
-        print(f"SHACL_STATS shapes={shapes.count()} "
+        print(f"SHACL_STATS shapes={len(shape_rows)} "
               f"violations={n_viol} conforms={conforms} "
               f"by_kind={by_kind}")
         if args.report_out:
