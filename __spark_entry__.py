@@ -675,6 +675,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return voidstats.property_partitions(_kg_edges(spark, sf))
     q["kg_void_description"] = kg_void_description
 
+    def kg_degree_histogram(spark, sf):
+        """Degree distribution of the KG (out over subjects, in over
+        IRI objects) — the skew diagnostic that tells a 100 TB job
+        whether its joins need salting."""
+        from ferenda_spark.operators import voidstats
+        return voidstats.degree_histogram(_kg_edges(spark, sf))
+    q["kg_degree_histogram"] = kg_degree_histogram
+
     def kg_shacl_violations(spark, sf):
         """SHACL-lite validation report: minCount / maxCount /
         nodeKind / datatype constraints per target class, one
@@ -1175,6 +1183,26 @@ ORDER BY DESC(?n) ?target
 LIMIT 20
 """)
     q["kg_sparql_topcited"] = kg_sparql_topcited
+
+    def kg_sparql_aggregates(spark, sf):
+        """The full SPARQL 1.1 aggregate set minus
+        GROUP_CONCAT/SAMPLE: COUNT + MIN/MAX (lexical over the
+        engine's string terms) + SUM/AVG (try_cast numeric,
+        non-numeric ignored) in one grouped query with deterministic
+        top-k paging."""
+        from ferenda_spark.operators.sparql import sparql_query
+        return sparql_query(_kg_edges(spark, sf), """
+SELECT ?s (COUNT(?o) AS ?n) (MIN(?o) AS ?first) (MAX(?o) AS ?last)
+       (SUM(?c) AS ?chapters) (AVG(?c) AS ?meanch)
+WHERE {
+  ?s dcterms:references ?o .
+  ?s bibo:chapter ?c .
+}
+GROUP BY ?s
+ORDER BY DESC(?n) ?s
+LIMIT 25
+""")
+    q["kg_sparql_aggregates"] = kg_sparql_aggregates
 
     def kg_pagerank(spark, sf):
         """Head-entity importance over the citation graph: fixed-
@@ -2249,6 +2277,18 @@ SELECT pred, count(*) AS n_triples,
 FROM golden GROUP BY pred
 """
 
+    o["kg_degree_histogram"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+outd AS (SELECT subj AS node, count(*) AS degree FROM golden
+         GROUP BY subj),
+ind AS (SELECT obj AS node, count(*) AS degree FROM golden
+        WHERE NOT obj_is_literal GROUP BY obj)
+SELECT 'out' AS direction, degree, count(*) AS n_nodes
+FROM outd GROUP BY degree
+UNION ALL
+SELECT 'in', degree, count(*) FROM ind GROUP BY degree
+"""
+
     o["kg_shacl_violations"] = f"""
 WITH {_F_CTE}, {_TRIPLES_CTE},
 shapes AS (SELECT * FROM {_shacl_shapes_values()}),
@@ -2925,6 +2965,21 @@ FROM golden WHERE pred = 'dcterms:references'
 GROUP BY obj
 ORDER BY n DESC, target
 LIMIT 20
+"""
+
+    o["kg_sparql_aggregates"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+r AS (SELECT subj AS s, obj AS o FROM golden
+      WHERE pred = 'dcterms:references'),
+ch AS (SELECT subj AS s, obj AS c FROM golden
+       WHERE pred = 'bibo:chapter'),
+j AS (SELECT r.s, r.o, ch.c FROM r JOIN ch USING (s)),
+a AS (SELECT s, count(o) AS n, min(o) AS "first", max(o) AS "last",
+             sum(TRY_CAST(c AS DOUBLE)) AS chapters,
+             avg(TRY_CAST(c AS DOUBLE)) AS meanch
+      FROM j GROUP BY s)
+SELECT s, n, "first", "last", chapters, meanch
+FROM a ORDER BY n DESC, s LIMIT 25
 """
 
     # describe-with-subdocs.rq: referencers of the hub's fragments,

@@ -82,6 +82,8 @@ HEADLINE = [
     "kg_shacl_violations",
     "profile_documents",
     "check_documents",
+    "kg_sparql_aggregates",
+    "kg_degree_histogram",
 ]
 
 

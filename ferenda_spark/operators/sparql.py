@@ -22,8 +22,11 @@ Supported subset (everything the reference's .rq files exercise):
   (under ``PREFIX dct: <http://purl.org/dc/terms/>``) and
   ``dcterms:references`` all compile to the same stored term instead
   of silently matching nothing.
-* ``SELECT [DISTINCT] ?v…`` (plain vars and ``(COUNT(?v) AS ?n)`` /
-  ``(COUNT(*) AS ?n)`` / ``COUNT(DISTINCT ?v)`` aggregates),
+* ``SELECT [DISTINCT] ?v…`` (plain vars and ``(FN(?v) AS ?n)``
+  aggregates, FN ∈ COUNT (incl. ``*`` and DISTINCT) / SUM / AVG /
+  MIN / MAX — MIN/MAX compare the engine's string terms lexically,
+  SUM/AVG coerce via try_cast and ignore non-numeric terms, the
+  documented subset of SPARQL's error-dropping aggregation),
   ``CONSTRUCT { template }``, ``ASK`` (one boolean row) and
   ``DESCRIBE <uri>… / ?v… WHERE`` (concise bounded description:
   all stored triples of the described subjects, one semi-join)
@@ -177,10 +180,12 @@ class ExistsFilter:
 
 @dataclass(frozen=True)
 class Agg:
-    """One ``(COUNT([DISTINCT] ?v|*) AS ?alias)`` projection slot."""
+    """One ``(FN([DISTINCT] ?v|*) AS ?alias)`` projection slot,
+    FN ∈ COUNT/SUM/AVG/MIN/MAX."""
     var: str | None              # None for COUNT(*)
     distinct: bool
     alias: str
+    fn: str = "count"
 
 
 @dataclass
@@ -382,35 +387,40 @@ class _Parser:
         raise ValueError(f"sparql: unsupported query form {head!r}")
 
     def agg_slot(self) -> Agg:
-        """``( COUNT ( [DISTINCT] ?v|* ) AS ?alias )``"""
+        """``( FN ( [DISTINCT] ?v|* ) AS ?alias )`` with FN ∈
+        COUNT/SUM/AVG/MIN/MAX (the SPARQL 1.1 set minus
+        GROUP_CONCAT/SAMPLE)."""
         self.expect("(")
         fn = self.next().lower()
-        if fn != "count":
+        if fn not in ("count", "sum", "avg", "min", "max"):
             raise ValueError(f"sparql: unsupported aggregate {fn!r} "
-                             "(only COUNT)")
+                             "(COUNT/SUM/AVG/MIN/MAX)")
         self.expect("(")
         distinct = False
         if self.peek() and self.peek().lower() == "distinct":
             self.next()
             distinct = True
+        if distinct and fn == "avg":
+            raise ValueError("sparql: AVG(DISTINCT) is not supported")
         t = self.next()
         if t == "*":
-            if distinct:
-                raise ValueError("sparql: COUNT(DISTINCT *) is not "
-                                 "supported")
+            if fn != "count" or distinct:
+                raise ValueError(f"sparql: {fn.upper()}"
+                                 f"({'DISTINCT ' if distinct else ''}*)"
+                                 " is not supported")
             var = None
         elif t.startswith("?"):
             var = t[1:]
         else:
-            raise ValueError(f"sparql: COUNT argument must be ?var or "
-                             f"*, got {t!r}")
+            raise ValueError(f"sparql: {fn.upper()} argument must be "
+                             f"?var or *, got {t!r}")
         self.expect(")")
         self.expect("as")
         alias = self.next()
         if not alias.startswith("?"):
             raise ValueError("sparql: aggregate alias must be a var")
         self.expect(")")
-        return Agg(var, distinct, alias[1:])
+        return Agg(var, distinct, alias[1:], fn)
 
     def modifiers(self, q: Query) -> None:
         """GROUP BY / ORDER BY / LIMIT / OFFSET after the WHERE group
@@ -1089,12 +1099,25 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
                              f"appear in GROUP BY: {ungrouped}")
         exprs = []
         for a in aggs:
-            if a.var is None:
-                e = F.count(F.lit(1))
-            elif a.distinct:
-                e = F.countDistinct(F.col(a.var))
+            if a.fn == "count":
+                if a.var is None:
+                    e = F.count(F.lit(1))
+                elif a.distinct:
+                    e = F.countDistinct(F.col(a.var))
+                else:
+                    e = F.count(F.col(a.var))
+            elif a.fn in ("min", "max"):
+                # terms are strings in this engine: MIN/MAX compare
+                # lexically (DISTINCT is a no-op for extrema)
+                e = (F.min if a.fn == "min" else F.max)(F.col(a.var))
             else:
-                e = F.count(F.col(a.var))
+                # SUM/AVG: numeric terms via try_cast; non-numeric
+                # terms become NULL and are ignored — the documented
+                # subset of SPARQL's error-dropping aggregation
+                num = F.col(a.var).try_cast("double")
+                e = (F.sum_distinct(num) if a.distinct
+                     and a.fn == "sum" else
+                     F.sum(num) if a.fn == "sum" else F.avg(num))
             exprs.append(e.alias(a.alias))
         grouped = (plan.df.groupBy(*q.group_by) if q.group_by
                    else plan.df.groupBy())

@@ -65,6 +65,30 @@ def dataset_summary(edges: DataFrame,
         .alias("n_classes"))
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the graph: ``(direction, degree,
+    n_nodes)`` with direction ∈ {out, in} — out-degree over subjects,
+    in-degree over IRI objects (literals are values, not nodes).  The
+    skew diagnostic: a heavy tail here is what forces salting /
+    AQE skew handling in the join-shaped operators downstream.
+
+    Two aggregations each over one shuffle of (node) then (degree) —
+    the second is histogram-sized.  Map-side combine absorbs the
+    hub-node skew the histogram exists to reveal."""
+    def hist(keyed: DataFrame, direction: str) -> DataFrame:
+        return (keyed.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .groupBy("degree")
+                .agg(F.count(F.lit(1)).alias("n_nodes"))
+                .select(F.lit(direction).alias("direction"),
+                        "degree", "n_nodes"))
+
+    out = hist(edges.select(F.col("subj").alias("node")), "out")
+    ind = hist(edges.filter(~F.col("obj_is_literal"))
+               .select(F.col("obj").alias("node")), "in")
+    return out.unionByName(ind)
+
+
 def void_triples(edges: DataFrame, dataset_uri: str,
                  type_pred: str = TYPE_PRED,
                  approximate: bool = False) -> DataFrame:

@@ -250,3 +250,17 @@ def test_check_guards_and_df_input(spark):
     assert out[0]["check_id"] == "d" and out[0]["passed"] is True
     out2 = prof.check(t, [("mx", "n", "max_at_most", 100)]).collect()
     assert out2[0]["passed"] is True
+
+
+def test_degree_histogram(spark):
+    e = _edges(spark)
+    got = {(r["direction"], r["degree"]): r["n_nodes"]
+           for r in voidstats.degree_histogram(e).collect()}
+    # out: d:1 has 4 triples, d:2 has 3, d:3 has 1
+    assert got[("out", 4)] == 1
+    assert got[("out", 3)] == 1
+    assert got[("out", 1)] == 1
+    # in over IRI objects only: ex:Doc 2, d:2 1, d:3 1, ex:Other 1
+    assert got[("in", 2)] == 1
+    assert got[("in", 1)] == 3
+    assert not any(d == "in" and n > 4 for (d, n) in got)

@@ -412,6 +412,45 @@ def test_count_star_and_distinct(spark):
                      "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }")
 
 
+def test_sum_avg_min_max_aggregates(spark):
+    """The full aggregate set: MIN/MAX lexical over string terms,
+    SUM/AVG numeric via try_cast (non-numeric terms ignored),
+    SUM(DISTINCT) deduplicates values."""
+    rows = [
+        ("A", "p:score", "2", True, None, None),
+        ("A", "p:score", "2", True, None, None),
+        ("A", "p:score", "3.5", True, None, None),
+        ("A", "p:score", "n/a", True, None, None),  # ignored by SUM/AVG
+        ("B", "p:score", "10", True, None, None),
+    ]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    q = """
+    SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+           (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (COUNT(?v) AS ?n)
+    WHERE { ?s p:score ?v . } GROUP BY ?s ORDER BY ?s
+    """
+    got = {r["s"]: r for r in sparql_query(edges, q).collect()}
+    assert got["A"]["total"] == 7.5
+    assert got["A"]["mean"] == 2.5          # 7.5 / 3 numeric terms
+    assert got["A"]["lo"] == "2"            # lexical min over strings
+    assert got["A"]["hi"] == "n/a"          # lexical max
+    assert got["A"]["n"] == 4               # COUNT keeps every term
+    assert got["B"]["total"] == 10.0
+    qd = ("SELECT ?s (SUM(DISTINCT ?v) AS ?t) WHERE "
+          "{ ?s p:score ?v . } GROUP BY ?s ORDER BY ?s")
+    dist = {r["s"]: r["t"] for r in sparql_query(edges, qd).collect()}
+    assert dist["A"] == 5.5                 # 2 + 3.5, dup dropped
+    with pytest.raises(ValueError, match="AVG.DISTINCT"):
+        sparql_query(edges, "SELECT (AVG(DISTINCT ?v) AS ?m) WHERE "
+                            "{ ?s p:score ?v . }")
+    with pytest.raises(ValueError, match="SUM"):
+        sparql_query(edges, "SELECT (SUM(*) AS ?m) WHERE "
+                            "{ ?s p:score ?v . }")
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        sparql_query(edges, "SELECT (MEDIAN(?v) AS ?m) WHERE "
+                            "{ ?s p:score ?v . }")
+
+
 def test_prefix_normalization(spark):
     """Full IRIs under engine vocabulary namespaces and CURIEs under
     query-declared alias prefixes both land on the stored CURIE
