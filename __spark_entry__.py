@@ -1194,6 +1194,8 @@ LIMIT 20
         return sparql_query(_kg_edges(spark, sf), """
 SELECT ?s (COUNT(?o) AS ?n) (MIN(?o) AS ?first) (MAX(?o) AS ?last)
        (SUM(?c) AS ?chapters) (AVG(?c) AS ?meanch)
+       (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=", ") AS ?refs)
+       (SAMPLE(?c) AS ?anych)
 WHERE {
   ?s dcterms:references ?o .
   ?s bibo:chapter ?c .
@@ -2976,9 +2978,11 @@ ch AS (SELECT subj AS s, obj AS c FROM golden
 j AS (SELECT r.s, r.o, ch.c FROM r JOIN ch USING (s)),
 a AS (SELECT s, count(o) AS n, min(o) AS "first", max(o) AS "last",
              sum(TRY_CAST(c AS DOUBLE)) AS chapters,
-             avg(TRY_CAST(c AS DOUBLE)) AS meanch
+             avg(TRY_CAST(c AS DOUBLE)) AS meanch,
+             string_agg(DISTINCT o, ', ' ORDER BY o) AS refs,
+             min(c) AS anych
       FROM j GROUP BY s)
-SELECT s, n, "first", "last", chapters, meanch
+SELECT s, n, "first", "last", chapters, meanch, refs, anych
 FROM a ORDER BY n DESC, s LIMIT 25
 """
 

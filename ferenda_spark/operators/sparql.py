@@ -24,9 +24,13 @@ Supported subset (everything the reference's .rq files exercise):
   of silently matching nothing.
 * ``SELECT [DISTINCT] ?v…`` (plain vars and ``(FN(?v) AS ?n)``
   aggregates, FN ∈ COUNT (incl. ``*`` and DISTINCT) / SUM / AVG /
-  MIN / MAX — MIN/MAX compare the engine's string terms lexically,
-  SUM/AVG coerce via try_cast and ignore non-numeric terms, the
-  documented subset of SPARQL's error-dropping aggregation),
+  MIN / MAX / SAMPLE / ``GROUP_CONCAT(?v; SEPARATOR="…")`` — the
+  full SPARQL 1.1 set.  MIN/MAX compare the engine's string terms
+  lexically; SUM/AVG coerce via try_cast and ignore non-numeric
+  terms (the documented subset of SPARQL's error-dropping
+  aggregation); SAMPLE picks the minimum and GROUP_CONCAT emits
+  SORTED order — both deliberately deterministic where the spec
+  leaves the choice open),
   ``CONSTRUCT { template }``, ``ASK`` (one boolean row) and
   ``DESCRIBE <uri>… / ?v… WHERE`` (concise bounded description:
   all stored triples of the described subjects, one semi-join)
@@ -181,11 +185,12 @@ class ExistsFilter:
 @dataclass(frozen=True)
 class Agg:
     """One ``(FN([DISTINCT] ?v|*) AS ?alias)`` projection slot,
-    FN ∈ COUNT/SUM/AVG/MIN/MAX."""
+    FN ∈ COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE."""
     var: str | None              # None for COUNT(*)
     distinct: bool
     alias: str
     fn: str = "count"
+    sep: str = " "               # GROUP_CONCAT separator
 
 
 @dataclass
@@ -388,13 +393,16 @@ class _Parser:
 
     def agg_slot(self) -> Agg:
         """``( FN ( [DISTINCT] ?v|* ) AS ?alias )`` with FN ∈
-        COUNT/SUM/AVG/MIN/MAX (the SPARQL 1.1 set minus
-        GROUP_CONCAT/SAMPLE)."""
+        COUNT/SUM/AVG/MIN/MAX/SAMPLE and
+        ``GROUP_CONCAT(?v; SEPARATOR="…")`` — the full SPARQL 1.1
+        aggregate set."""
         self.expect("(")
         fn = self.next().lower()
-        if fn not in ("count", "sum", "avg", "min", "max"):
+        if fn not in ("count", "sum", "avg", "min", "max",
+                      "group_concat", "sample"):
             raise ValueError(f"sparql: unsupported aggregate {fn!r} "
-                             "(COUNT/SUM/AVG/MIN/MAX)")
+                             "(COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/"
+                             "SAMPLE)")
         self.expect("(")
         distinct = False
         if self.peek() and self.peek().lower() == "distinct":
@@ -414,13 +422,25 @@ class _Parser:
         else:
             raise ValueError(f"sparql: {fn.upper()} argument must be "
                              f"?var or *, got {t!r}")
+        sep = " "
+        if fn == "group_concat" and self.peek() == ";":
+            self.next()
+            if self.next().lower() != "separator":
+                raise ValueError("sparql: expected SEPARATOR after "
+                                 "';' in GROUP_CONCAT")
+            self.expect("=")
+            s = self.next()
+            if not (s.startswith('"') and s.endswith('"')):
+                raise ValueError("sparql: GROUP_CONCAT separator must "
+                                 "be a string constant")
+            sep = s[1:-1].replace('\\"', '"')
         self.expect(")")
         self.expect("as")
         alias = self.next()
         if not alias.startswith("?"):
             raise ValueError("sparql: aggregate alias must be a var")
         self.expect(")")
-        return Agg(var, distinct, alias[1:], fn)
+        return Agg(var, distinct, alias[1:], fn, sep)
 
     def modifiers(self, q: Query) -> None:
         """GROUP BY / ORDER BY / LIMIT / OFFSET after the WHERE group
@@ -1110,6 +1130,17 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
                 # terms are strings in this engine: MIN/MAX compare
                 # lexically (DISTINCT is a no-op for extrema)
                 e = (F.min if a.fn == "min" else F.max)(F.col(a.var))
+            elif a.fn == "sample":
+                # SPARQL leaves SAMPLE's choice open; min is the
+                # deterministic pick (DISTINCT is a no-op)
+                e = F.min(F.col(a.var))
+            elif a.fn == "group_concat":
+                # SPARQL leaves concat order open; this engine pins
+                # SORTED order so results are deterministic and
+                # oracle-reproducible (string_agg ... ORDER BY)
+                lst = (F.collect_set(F.col(a.var)) if a.distinct
+                       else F.collect_list(F.col(a.var)))
+                e = F.array_join(F.array_sort(lst), a.sep)
             else:
                 # SUM/AVG: numeric terms via try_cast; non-numeric
                 # terms become NULL and are ignored — the documented

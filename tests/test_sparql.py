@@ -451,6 +451,33 @@ def test_sum_avg_min_max_aggregates(spark):
                             "{ ?s p:score ?v . }")
 
 
+def test_group_concat_and_sample(spark):
+    """GROUP_CONCAT emits sorted order with the declared separator
+    (deterministic where the spec leaves order open); SAMPLE is the
+    deterministic minimum; DISTINCT dedups the concat."""
+    rows = [
+        ("A", "p:tag", "x", True, None, None),
+        ("A", "p:tag", "m", True, None, None),
+        ("A", "p:tag", "m", True, None, None),
+        ("B", "p:tag", "z", True, None, None),
+    ]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    q = ('SELECT ?s (GROUP_CONCAT(?v; SEPARATOR=", ") AS ?tags) '
+         '(SAMPLE(?v) AS ?any) WHERE { ?s p:tag ?v . } '
+         'GROUP BY ?s ORDER BY ?s')
+    got = {r["s"]: (r["tags"], r["any"])
+           for r in sparql_query(edges, q).collect()}
+    assert got["A"] == ("m, m, x", "m")
+    assert got["B"] == ("z", "z")
+    qd = ('SELECT ?s (GROUP_CONCAT(DISTINCT ?v) AS ?tags) WHERE '
+          '{ ?s p:tag ?v . } GROUP BY ?s ORDER BY ?s')
+    dd = {r["s"]: r["tags"] for r in sparql_query(edges, qd).collect()}
+    assert dd["A"] == "m x"      # default separator is one space
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        sparql_query(edges, 'SELECT (GROUP_CONCAT(?v; SEP="x") AS ?t) '
+                            'WHERE { ?s p:tag ?v . }')
+
+
 def test_prefix_normalization(spark):
     """Full IRIs under engine vocabulary namespaces and CURIEs under
     query-declared alias prefixes both land on the stored CURIE
