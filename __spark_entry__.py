@@ -1201,6 +1201,7 @@ WHERE {
   ?s bibo:chapter ?c .
 }
 GROUP BY ?s
+HAVING (?n >= 2)
 ORDER BY DESC(?n) ?s
 LIMIT 25
 """)
@@ -2983,7 +2984,7 @@ a AS (SELECT s, count(o) AS n, min(o) AS "first", max(o) AS "last",
              min(c) AS anych
       FROM j GROUP BY s)
 SELECT s, n, "first", "last", chapters, meanch, refs, anych
-FROM a ORDER BY n DESC, s LIMIT 25
+FROM a WHERE n >= 2 ORDER BY n DESC, s LIMIT 25
 """
 
     # describe-with-subdocs.rq: referencers of the hub's fragments,

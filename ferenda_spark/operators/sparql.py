@@ -35,7 +35,10 @@ Supported subset (everything the reference's .rq files exercise):
   ``DESCRIBE <uri>… / ?v… WHERE`` (concise bounded description:
   all stored triples of the described subjects, one semi-join)
   forms.
-* Solution modifiers: ``GROUP BY ?v…``, ``ORDER BY ?v / ASC(?v) /
+* Solution modifiers: ``GROUP BY ?v…``, ``HAVING (alias|aggregate
+  OP int-or-string)…`` (each parenthesized comparison conjoined;
+  aggregate calls compile as hidden slots on the same single
+  aggregation pass), ``ORDER BY ?v / ASC(?v) /
   DESC(?v)``, ``LIMIT n``, ``OFFSET n`` — the reference's API-shaped
   queries sort and page results (wsgiapp.py:388-435,
   triplestore.py:138-152).  ``ORDER BY … LIMIT k`` compiles to
@@ -98,7 +101,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: prefix → namespace IRI for the vocabulary the edge builder emits
@@ -202,6 +205,8 @@ class Query:
     template: list | None        # list[Pattern] for construct
     where: Group
     group_by: list = field(default_factory=list)   # var names
+    having: list = field(default_factory=list)     # (lhs, op, value):
+                                 # lhs = alias/group var name or Agg
     order_by: list = field(default_factory=list)   # (var name, asc: bool)
     limit: int | None = None
     offset: int | None = None
@@ -245,6 +250,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<comment>\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<iri><[^>\s]*>)
+  | (?P<cmp>>=|<=|[<>])
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<num>\d+)
   | (?P<name>[A-Za-z_][\w.-]*(?::[\w./#-]*)?)
@@ -397,6 +403,17 @@ class _Parser:
         ``GROUP_CONCAT(?v; SEPARATOR="…")`` — the full SPARQL 1.1
         aggregate set."""
         self.expect("(")
+        var, distinct, fn, sep = self._agg_call()
+        self.expect("as")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise ValueError("sparql: aggregate alias must be a var")
+        self.expect(")")
+        return Agg(var, distinct, alias[1:], fn, sep)
+
+    def _agg_call(self) -> tuple:
+        """``FN ( [DISTINCT] ?v|* [; SEPARATOR="…"] )`` — shared by
+        projection slots and HAVING expressions."""
         fn = self.next().lower()
         if fn not in ("count", "sum", "avg", "min", "max",
                       "group_concat", "sample"):
@@ -435,12 +452,7 @@ class _Parser:
                                  "be a string constant")
             sep = s[1:-1].replace('\\"', '"')
         self.expect(")")
-        self.expect("as")
-        alias = self.next()
-        if not alias.startswith("?"):
-            raise ValueError("sparql: aggregate alias must be a var")
-        self.expect(")")
-        return Agg(var, distinct, alias[1:], fn, sep)
+        return var, distinct, fn, sep
 
     def modifiers(self, q: Query) -> None:
         """GROUP BY / ORDER BY / LIMIT / OFFSET after the WHERE group
@@ -452,6 +464,33 @@ class _Parser:
                 q.group_by.append(self.next()[1:])
             if not q.group_by:
                 raise ValueError("sparql: empty GROUP BY")
+        if self.peek() and self.peek().lower() == "having":
+            self.next()
+            while self.peek() == "(":
+                self.next()
+                t = self.peek()
+                if t.startswith("?"):
+                    lhs = self.next()[1:]
+                else:
+                    var, distinct, fn, sep = self._agg_call()
+                    lhs = Agg(var, distinct, "", fn, sep)
+                op = self.next()
+                if op not in ("=", "!=", ">", ">=", "<", "<="):
+                    raise ValueError(f"sparql: unsupported HAVING "
+                                     f"operator {op!r}")
+                vt = self.next()
+                if vt.startswith('"'):
+                    val: object = vt[1:-1].replace('\\"', '"')
+                elif vt.isdigit():
+                    val = int(vt)
+                else:
+                    raise ValueError("sparql: HAVING compares against "
+                                     "an integer or string constant, "
+                                     f"got {vt!r}")
+                self.expect(")")
+                q.having.append((lhs, op, val))
+            if not q.having:
+                raise ValueError("sparql: empty HAVING")
         if self.peek() and self.peek().lower() == "order":
             self.next()
             self.expect("by")
@@ -1098,6 +1137,38 @@ def _describe_out(edges: DataFrame, q: Query,
                     "obj_datatype", "obj_lang").distinct())
 
 
+def _agg_expr(a: Agg) -> Column:
+    """Compile one aggregate slot to a Spark aggregate expression."""
+    if a.fn == "count":
+        if a.var is None:
+            return F.count(F.lit(1))
+        if a.distinct:
+            return F.countDistinct(F.col(a.var))
+        return F.count(F.col(a.var))
+    if a.fn in ("min", "max"):
+        # terms are strings in this engine: MIN/MAX compare lexically
+        # (DISTINCT is a no-op for extrema)
+        return (F.min if a.fn == "min" else F.max)(F.col(a.var))
+    if a.fn == "sample":
+        # SPARQL leaves SAMPLE's choice open; min is the
+        # deterministic pick (DISTINCT is a no-op)
+        return F.min(F.col(a.var))
+    if a.fn == "group_concat":
+        # SPARQL leaves concat order open; this engine pins SORTED
+        # order so results are deterministic and oracle-reproducible
+        # (string_agg ... ORDER BY)
+        lst = (F.collect_set(F.col(a.var)) if a.distinct
+               else F.collect_list(F.col(a.var)))
+        return F.array_join(F.array_sort(lst), a.sep)
+    # SUM/AVG: numeric terms via try_cast; non-numeric terms become
+    # NULL and are ignored — the documented subset of SPARQL's
+    # error-dropping aggregation
+    num = F.col(a.var).try_cast("double")
+    if a.fn == "sum":
+        return F.sum_distinct(num) if a.distinct else F.sum(num)
+    return F.avg(num)
+
+
 def _select_out(plan: _Plan, q: Query) -> DataFrame:
     """Project a SELECT: plain vars and COUNT aggregates, then the
     solution modifiers.  ``ORDER BY … LIMIT k`` deliberately stays one
@@ -1112,48 +1183,41 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
     bad_group = [v for v in q.group_by if v not in plan.vars]
     if bad_group:
         raise ValueError(f"sparql: GROUP BY of unbound vars {bad_group}")
-    if aggs:
+    if aggs or q.having:
         ungrouped = [v for v in plain if v not in q.group_by]
         if ungrouped:
             raise ValueError("sparql: non-aggregate SELECT vars must "
                              f"appear in GROUP BY: {ungrouped}")
-        exprs = []
-        for a in aggs:
-            if a.fn == "count":
-                if a.var is None:
-                    e = F.count(F.lit(1))
-                elif a.distinct:
-                    e = F.countDistinct(F.col(a.var))
-                else:
-                    e = F.count(F.col(a.var))
-            elif a.fn in ("min", "max"):
-                # terms are strings in this engine: MIN/MAX compare
-                # lexically (DISTINCT is a no-op for extrema)
-                e = (F.min if a.fn == "min" else F.max)(F.col(a.var))
-            elif a.fn == "sample":
-                # SPARQL leaves SAMPLE's choice open; min is the
-                # deterministic pick (DISTINCT is a no-op)
-                e = F.min(F.col(a.var))
-            elif a.fn == "group_concat":
-                # SPARQL leaves concat order open; this engine pins
-                # SORTED order so results are deterministic and
-                # oracle-reproducible (string_agg ... ORDER BY)
-                lst = (F.collect_set(F.col(a.var)) if a.distinct
-                       else F.collect_list(F.col(a.var)))
-                e = F.array_join(F.array_sort(lst), a.sep)
+        # HAVING aggregate calls compile as hidden extra slots on the
+        # same groupBy (one aggregation pass), dropped after the filter
+        hidden: list[tuple[str, Agg]] = []
+        conds: list[tuple] = []
+        for i, (lhs, op, val) in enumerate(q.having):
+            if isinstance(lhs, Agg):
+                if lhs.var and lhs.var not in plan.vars:
+                    raise ValueError("sparql: HAVING over unbound var "
+                                     f"?{lhs.var}")
+                name = f"__having{i}"
+                hidden.append((name, lhs))
+                conds.append((name, op, val))
             else:
-                # SUM/AVG: numeric terms via try_cast; non-numeric
-                # terms become NULL and are ignored — the documented
-                # subset of SPARQL's error-dropping aggregation
-                num = F.col(a.var).try_cast("double")
-                e = (F.sum_distinct(num) if a.distinct
-                     and a.fn == "sum" else
-                     F.sum(num) if a.fn == "sum" else F.avg(num))
-            exprs.append(e.alias(a.alias))
+                conds.append((lhs, op, val))
+        exprs = [_agg_expr(a).alias(a.alias) for a in aggs]
+        exprs += [_agg_expr(a).alias(name) for name, a in hidden]
         grouped = (plan.df.groupBy(*q.group_by) if q.group_by
                    else plan.df.groupBy())
         out = grouped.agg(*exprs)
-        # restore the SELECT list's column order
+        bad_having = [n for n, _, _ in conds if n not in out.columns]
+        if bad_having:
+            raise ValueError("sparql: HAVING references undefined "
+                             f"names {bad_having} (projected aliases, "
+                             "group vars, or aggregate calls only)")
+        for name, op, val in conds:
+            ops = {"=": F.col(name) == val, "!=": F.col(name) != val,
+                   ">": F.col(name) > val, ">=": F.col(name) >= val,
+                   "<": F.col(name) < val, "<=": F.col(name) <= val}
+            out = out.filter(ops[op])
+        # restore the SELECT list's column order (drops hidden slots)
         out = out.select(*[v if not isinstance(v, Agg) else v.alias
                            for v in q.select_vars])
     elif q.group_by:

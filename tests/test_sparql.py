@@ -478,6 +478,45 @@ def test_group_concat_and_sample(spark):
                             'WHERE { ?s p:tag ?v . }')
 
 
+def test_having_clause(spark):
+    """HAVING over a projected alias, over a fresh aggregate call
+    (hidden slot, one aggregation pass), without any SELECT
+    aggregate, with conjoined constraints — and the error cases."""
+    edges = _edges(spark)
+    q = """
+    SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . }
+    GROUP BY ?p HAVING (?n >= 3) ORDER BY ?p
+    """
+    got = [(r["p"], r["n"]) for r in sparql_query(edges, q).collect()]
+    assert got == [("dcterms:references", 3), ("dcterms:title", 3)]
+    # aggregate call in HAVING, not projected
+    q2 = """
+    SELECT ?p WHERE { ?s ?p ?o . }
+    GROUP BY ?p HAVING (COUNT(DISTINCT ?s) > 2) ORDER BY ?p
+    """
+    got2 = [r["p"] for r in sparql_query(edges, q2).collect()]
+    assert got2 == ["dcterms:references", "dcterms:title"]
+    # conjunction of two parenthesized constraints
+    q3 = """
+    SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . }
+    GROUP BY ?p HAVING (?n >= 2) (MIN(?s) = "A#S1") ORDER BY ?p
+    """
+    got3 = [(r["p"], r["n"]) for r in sparql_query(edges, q3).collect()]
+    assert got3 == [("dcterms:isPartOf", 2)]
+    with pytest.raises(ValueError, match="undefined names"):
+        sparql_query(edges, "SELECT ?p (COUNT(?s) AS ?n) WHERE "
+                            "{ ?s ?p ?o . } GROUP BY ?p "
+                            "HAVING (?nope > 1)")
+    with pytest.raises(ValueError, match="empty HAVING"):
+        sparql_query(edges, "SELECT ?p (COUNT(?s) AS ?n) WHERE "
+                            "{ ?s ?p ?o . } GROUP BY ?p "
+                            "HAVING ORDER BY ?p")
+    with pytest.raises(ValueError, match="HAVING over unbound"):
+        sparql_query(edges, "SELECT ?p (COUNT(?s) AS ?n) WHERE "
+                            "{ ?s ?p ?o . } GROUP BY ?p "
+                            "HAVING (SUM(?ghost) > 1)")
+
+
 def test_prefix_normalization(spark):
     """Full IRIs under engine vocabulary namespaces and CURIEs under
     query-declared alias prefixes both land on the stored CURIE
