@@ -63,7 +63,9 @@ Supported subset (everything the reference's .rq files exercise):
   ``WITH RECURSIVE`` oracles); a bounded ``max_depth`` stays
   available for known-shallow hierarchies, and one ``sparql_query``
   compile computes at most ONE closure per (predicate, bound).
-* ``FILTER(…)`` with ``= != && || !``, ``?x IN (a, b)``,
+* ``FILTER(…)`` with ``= != > >= < <= && || !`` (range comparisons
+  are lexical over the engine's string terms — correct for
+  zero-padded date/identifier literals), ``?x IN (a, b)``,
   ``isUri(?v)``, ``strstarts(str(?v), "…")``, parentheses.
 * ``BIND(?x as ?y)``.
 * ``%(name)s`` parameter interpolation (the reference's convention,
@@ -672,7 +674,7 @@ class _Parser:
             return StrStarts(v, pfx.value)
         left = self.term()
         op = self.peek()
-        if op in ("=", "!="):
+        if op in ("=", "!=", ">", ">=", "<", "<="):
             self.next()
             return BinOp(op, left, self.term())
         if op and op.lower() == "in":
@@ -901,7 +903,13 @@ def _filter_col(expr, plan: _Plan):
             return _filter_col(expr.left, plan) | _filter_col(expr.right, plan)
         left = _value_col(expr.left, plan)
         right = _value_col(expr.right, plan)
-        return (left == right) if expr.op == "=" else (left != right)
+        # range comparisons are LEXICAL over the engine's string
+        # terms — correct for the zero-padded date/identifier
+        # literals the API queries range over, documented as such
+        cmps = {"=": left == right, "!=": left != right,
+                ">": left > right, ">=": left >= right,
+                "<": left < right, "<=": left <= right}
+        return cmps[expr.op]
     if isinstance(expr, Not):
         return ~_filter_col(expr.expr, plan)
     if isinstance(expr, InList):

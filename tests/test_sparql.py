@@ -478,6 +478,22 @@ def test_group_concat_and_sample(spark):
                             'WHERE { ?s p:tag ?v . }')
 
 
+def test_filter_range_comparisons(spark):
+    """FILTER > >= < <= compare lexically over string terms — the
+    zero-padded date range shape of the reference's API queries."""
+    edges = _edges(spark)
+    q = """
+    SELECT ?s ?d WHERE {
+      ?s dcterms:issued ?d .
+      FILTER(?d >= "2001-01" && ?d < "2002-01")
+    }
+    """
+    got = [(r["s"], r["d"]) for r in sparql_query(edges, q).collect()]
+    assert got == [("E", "2001-01")]
+    q2 = 'SELECT ?s WHERE { ?s dcterms:issued ?d . FILTER(?d > "2001-01") }'
+    assert sparql_query(edges, q2).collect() == []
+
+
 def test_having_clause(spark):
     """HAVING over a projected alias, over a fresh aggregate call
     (hidden slot, one aggregation pass), without any SELECT
