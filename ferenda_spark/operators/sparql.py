@@ -53,7 +53,14 @@ Supported subset (everything the reference's .rq files exercise):
   the keyword_dv.rq context shape), ``FILTER [NOT] EXISTS { … }``
   (left-semi / left-anti on the shared vars — negation without a
   row-multiplying join).
-* Property paths ``pred*`` / ``pred+`` (fixed predicate; var–var
+* Property paths ``pred*`` / ``pred+``, composed with sequence
+  ``p1 / p2``, alternative ``p1 | p2`` and inverse ``^p`` — each
+  desugars at parse time into the spec's own algebra translation
+  (fresh hidden vars / UNION / endpoint swap, SPARQL 1.1
+  §18.2.2.3), so the whole path surface rides the existing join
+  planner.  Path operators between CURIEs need surrounding
+  whitespace (an unspaced ``a:b/c:d`` fails loudly at tokenize
+  time, never silently).  (Fixed predicate for closures; var–var
   ``*`` takes its zero-length arm from the graph's node universe —
   compiled LAZILY: the node-universe distinct is semi-join-pruned to
   the domain of whatever side the pattern joins with, so the full
@@ -256,7 +263,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<num>\d+)
   | (?P<name>[A-Za-z_][\w.-]*(?::[\w./#-]*)?)
-  | (?P<op>&&|\|\||!=|[{}().;,=!*+])
+  | (?P<op>&&|\|\||!=|[{}().;,=!*+|^/])
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -282,6 +289,7 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.prefixes = prefixes
+        self._fresh = 0          # hidden-var counter for path steps
 
     def peek(self, k: int = 0) -> str | None:
         j = self.i + k
@@ -359,7 +367,7 @@ class _Parser:
             return q
         if head == "construct":
             self.expect("{")
-            template = self.pattern_list(stop="}")
+            template = self.pattern_list(stop="}", template=True)
             self.expect("}")
             self.expect("where")
             q = Query("construct", None, False, template, self.group())
@@ -597,9 +605,17 @@ class _Parser:
                 continue
             items.extend(self.pattern_list(stop="}"))
 
-    def pattern_list(self, stop: str) -> list[Pattern]:
-        """subject (pred-obj (';' pred-obj)*) '.' — until stop/FILTER/…"""
-        out: list[Pattern] = []
+    def pattern_list(self, stop: str, template: bool = False) -> list:
+        """subject (path-obj (';' path-obj)*) '.' — until stop/FILTER/…
+
+        Property-path expressions — sequence ``/``, alternative
+        ``|``, inverse ``^``, closures ``*``/``+`` — desugar HERE
+        into the spec's own algebra translation (SPARQL 1.1
+        §18.2.2.3): fresh hidden vars chain sequence steps, UNION
+        covers alternatives, inverse swaps the endpoints.  CONSTRUCT
+        templates (``template=True``) take plain triple patterns
+        only, loudly."""
+        out: list = []
         while True:
             t = self.peek()
             if (t is None or t == stop or t == "{"
@@ -608,12 +624,7 @@ class _Parser:
                 return out
             subj = self.term()
             while True:
-                pred = self.term()
-                path = None
-                if self.peek() in ("*", "+") and isinstance(pred, Term):
-                    path = self.next()
-                obj = self.term()
-                out.append(Pattern(subj, pred, obj, path))
+                out.extend(self._path_patterns(subj, template))
                 t = self.peek()
                 if t == ";":
                     self.next()
@@ -621,6 +632,62 @@ class _Parser:
                 if t == ".":
                     self.next()
                 break
+
+    def _path_patterns(self, subj, template: bool) -> list:
+        """One path-expression + object → desugared group items."""
+        seqs = [self._path_seq(template)]
+        while self.peek() == "|":
+            if template:
+                raise ValueError("sparql: property paths are not "
+                                 "allowed in a CONSTRUCT template")
+            self.next()
+            seqs.append(self._path_seq(template))
+        obj = self.term()
+        if len(seqs) == 1:
+            return self._seq_patterns(subj, seqs[0], obj)
+        return [Union([Group(self._seq_patterns(subj, sq, obj))
+                       for sq in seqs])]
+
+    def _path_seq(self, template: bool) -> list:
+        atoms = [self._path_atom(template)]
+        while self.peek() == "/":
+            if template:
+                raise ValueError("sparql: property paths are not "
+                                 "allowed in a CONSTRUCT template")
+            self.next()
+            atoms.append(self._path_atom(template))
+        return atoms
+
+    def _path_atom(self, template: bool) -> tuple:
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        pred = self.term()
+        mod = None
+        if self.peek() in ("*", "+") and isinstance(pred, Term):
+            mod = self.next()
+        if template and (inv or mod):
+            raise ValueError("sparql: property paths are not allowed "
+                             "in a CONSTRUCT template")
+        if inv and not isinstance(pred, Term):
+            raise ValueError("sparql: inverse path needs a constant "
+                             "predicate")
+        return (inv, pred, mod)
+
+    def _seq_patterns(self, subj, atoms, obj) -> list:
+        pats = []
+        cur = subj
+        for i, (inv, pred, mod) in enumerate(atoms):
+            if i == len(atoms) - 1:
+                nxt = obj
+            else:
+                self._fresh += 1
+                nxt = Var(f"__p{self._fresh}")
+            s, o = (nxt, cur) if inv else (cur, nxt)
+            pats.append(Pattern(s, pred, o, mod))
+            cur = nxt
+        return pats
 
     # -- filter expressions (precedence: ! > =/!=/in > && > ||) -----------
     def or_expr(self):

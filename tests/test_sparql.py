@@ -756,3 +756,48 @@ def test_describe_forms(spark):
     with _p.raises(ValueError, match="unbound"):
         sparql_query(edges,
                      "DESCRIBE ?zz WHERE { ?d rfc:updates <A> . }")
+
+
+def test_path_sequence_alternative_inverse(spark):
+    """Property-path composition per the spec's algebra translation:
+    sequence chains fresh vars, alternative is UNION, inverse swaps
+    endpoints, and closures compose inside sequences."""
+    edges = _edges(spark)
+    # sequence: who references something that isPartOf* A?
+    q = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:references / dcterms:isPartOf* <A> .
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q).collect()} == {"B"}
+    # inverse: <A> ^isPartOf ?x == ?x isPartOf A
+    q2 = "SELECT ?x WHERE { <A> ^dcterms:isPartOf ?x . }"
+    assert {r["x"] for r in sparql_query(edges, q2).collect()} == \
+        {"A#S1"}
+    # alternative: docs that obsolete OR update A
+    q3 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s rfc:obsoletes | rfc:updates <A> .
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q3).collect()} == \
+        {"C", "D"}
+    # inverse closure: everything under A via ^isPartOf*
+    q4 = "SELECT DISTINCT ?x WHERE { <A> ^dcterms:isPartOf* ?x . }"
+    assert {r["x"] for r in sparql_query(edges, q4).collect()} == \
+        {"A", "A#S1", "A#S1.1"}
+    # alternation of sequences, each arm its own fresh chain
+    q5 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:references / dcterms:isPartOf | rfc:obsoletes <A> .
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q5).collect()} == \
+        {"B", "C"}
+    # paths stay illegal in CONSTRUCT templates
+    with pytest.raises(ValueError, match="CONSTRUCT template"):
+        sparql_query(edges, "CONSTRUCT { ?s dcterms:references / "
+                            "dcterms:isPartOf ?o . } WHERE "
+                            "{ ?s ?p ?o . }")
+    with pytest.raises(ValueError, match="inverse path"):
+        sparql_query(edges, "SELECT ?s WHERE { ?s ^?p <A> . }")
