@@ -70,6 +70,11 @@ Supported subset (everything the reference's .rq files exercise):
   ``WITH RECURSIVE`` oracles); a bounded ``max_depth`` stays
   available for known-shallow hierarchies, and one ``sparql_query``
   compile computes at most ONE closure per (predicate, bound).
+* ``VALUES ?v { … }`` / ``VALUES (?v…) { (…)… }`` inline bindings —
+  a broadcast constant frame equi-joined like any pattern, so inline
+  bindings PRUNE the big side instead of rescanning it per value
+  (UNDEF refused loudly: its any-value join semantics do not map to
+  an equi-join).
 * ``FILTER(…)`` with ``= != > >= < <= && || !`` (range comparisons
   are lexical over the engine's string terms — correct for
   zero-padded date/identifier literals), ``?x IN (a, b)``,
@@ -164,6 +169,13 @@ class Filter:
 class Bind:
     src: object                  # Var
     dst: str                     # new var name
+
+
+@dataclass
+class InlineData:
+    """``VALUES`` inline bindings: var names + constant rows."""
+    names: list
+    rows: list                   # list[list[str]]
 
 
 @dataclass
@@ -568,6 +580,12 @@ class _Parser:
                 if self.peek() == ".":
                     self.next()
                 continue
+            if low == "values":
+                self.next()
+                items.append(self.values_clause())
+                if self.peek() == ".":
+                    self.next()
+                continue
             if low == "filter":
                 self.next()
                 nxt = self.peek()
@@ -620,7 +638,7 @@ class _Parser:
             t = self.peek()
             if (t is None or t == stop or t == "{"
                     or t.lower() in ("filter", "bind", "union",
-                                     "optional", "graph")):
+                                     "optional", "graph", "values")):
                 return out
             subj = self.term()
             while True:
@@ -632,6 +650,58 @@ class _Parser:
                 if t == ".":
                     self.next()
                 break
+
+    def values_clause(self) -> InlineData:
+        """``VALUES ?v { t… }`` / ``VALUES (?v…) { (t…)… }``.
+        UNDEF is refused loudly: its any-value join semantics do not
+        map to an equi-join."""
+        t = self.peek()
+        if t and t.startswith("?"):
+            names = [self.next()[1:]]
+            self.expect("{")
+            rows = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise ValueError("sparql: unterminated VALUES")
+                if t == "}":
+                    self.next()
+                    break
+                rows.append([self._values_term()])
+        elif t == "(":
+            self.next()
+            names = []
+            while self.peek() and self.peek().startswith("?"):
+                names.append(self.next()[1:])
+            self.expect(")")
+            self.expect("{")
+            rows = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise ValueError("sparql: unterminated VALUES")
+                if t == "}":
+                    self.next()
+                    break
+                self.expect("(")
+                row = [self._values_term() for _ in names]
+                self.expect(")")
+                rows.append(row)
+        else:
+            raise ValueError("sparql: VALUES needs ?var or (?var…)")
+        if not names or not rows:
+            raise ValueError("sparql: empty VALUES")
+        return InlineData(names, rows)
+
+    def _values_term(self) -> str:
+        t = self.peek()
+        if t and t.lower() == "undef":
+            raise ValueError("sparql: UNDEF in VALUES is not "
+                             "supported (any-value join semantics)")
+        term = self.term()
+        if not isinstance(term, Term):
+            raise ValueError("sparql: VALUES data must be constant")
+        return term.value
 
     def _path_patterns(self, subj, template: bool) -> list:
         """One path-expression + object → desugared group items."""
@@ -1054,6 +1124,15 @@ def _group_plan(edges: DataFrame, grp, max_depth,
             if plan is None:
                 raise ValueError("sparql: OPTIONAL cannot open a group")
             plan = _join(plan, sub, how="left")
+            continue
+        if isinstance(item, InlineData):
+            # VALUES: a tiny constant frame joined like any pattern —
+            # Spark broadcasts it, so inline bindings PRUNE the big
+            # side instead of scanning it per value
+            vdf = F.broadcast(edges.sparkSession.createDataFrame(
+                item.rows, ", ".join(f"{n} string" for n in item.names)))
+            sub = _Plan(vdf, set(item.names), set())
+            plan = sub if plan is None else _join(plan, sub)
             continue
         if isinstance(item, GraphScope):
             # named-graph scoping: a quad store carries a `graph`

@@ -801,3 +801,40 @@ def test_path_sequence_alternative_inverse(spark):
                             "{ ?s ?p ?o . }")
     with pytest.raises(ValueError, match="inverse path"):
         sparql_query(edges, "SELECT ?s WHERE { ?s ^?p <A> . }")
+
+
+def test_values_inline_data(spark):
+    """VALUES restricts solutions by equi-joining a tiny constant
+    frame (broadcast — inline bindings prune the scan); single-var
+    and multi-var forms; UNDEF and empty data are loud."""
+    edges = _edges(spark)
+    q = """
+    SELECT ?s ?o WHERE {
+      VALUES ?s { <B> <E> }
+      ?s dcterms:references ?o .
+    }
+    """
+    got = {(r["s"], r["o"]) for r in sparql_query(edges, q).collect()}
+    assert got == {("B", "A#S1"), ("E", "B")}
+    # multi-var rows: only matching (s, o) combinations survive
+    q2 = """
+    SELECT ?s ?o WHERE {
+      ?s dcterms:references ?o .
+      VALUES (?s ?o) { (<B> <A#S1>) (<E> <Z>) }
+    }
+    """
+    got2 = {(r["s"], r["o"]) for r in sparql_query(edges, q2).collect()}
+    assert got2 == {("B", "A#S1")}
+    # VALUES-only group unions into CONSTRUCT-style flows
+    q3 = 'SELECT ?x WHERE { VALUES ?x { "a" "b" } }'
+    assert {r["x"] for r in sparql_query(edges, q3).collect()} == \
+        {"a", "b"}
+    plan = (sparql_query(edges, q)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="UNDEF"):
+        sparql_query(edges, "SELECT ?s WHERE { VALUES ?s { UNDEF } "
+                            "?s ?p ?o . }")
+    with pytest.raises(ValueError, match="empty VALUES"):
+        sparql_query(edges, "SELECT ?s WHERE { VALUES ?s { } "
+                            "?s ?p ?o . }")
