@@ -173,9 +173,11 @@ class Bind:
 
 @dataclass
 class InlineData:
-    """``VALUES`` inline bindings: var names + constant rows."""
+    """``VALUES`` inline bindings: var names + constant rows of
+    (value, is_literal) — the kind travels with the value so a
+    literal ``"A"`` never matches the IRI ``<A>``."""
     names: list
-    rows: list                   # list[list[str]]
+    rows: list                   # list[list[tuple[str, bool]]]
 
 
 @dataclass
@@ -282,6 +284,18 @@ _TOKEN_RE = re.compile(r"""
 _PARAM_RE = re.compile(r"%\((\w+)\)s")
 
 
+def _unquote(tok: str) -> str:
+    """Strip a string token's quotes and unescape ``\\"``."""
+    return tok[1:-1].replace('\\"', '"')
+
+
+def _cmp_col(op: str, left, right):
+    """One comparison-operator table shared by FILTER and HAVING."""
+    return {"=": left == right, "!=": left != right,
+            ">": left > right, ">=": left >= right,
+            "<": left < right, "<=": left <= right}[op]
+
+
 def _tokenize(text: str) -> list[str]:
     toks, i = [], 0
     while i < len(text):
@@ -333,10 +347,15 @@ class _Parser:
         t = self.next()
         if t.startswith("?"):
             return Var(t[1:])
+        if t in ("<", ">", "<=", ">="):
+            # a bare comparison token reaching term position is a
+            # truncated IRI or a misplaced operator — fail loudly
+            # (Term("") would silently match nothing)
+            raise ValueError(f"sparql: expected a term, got {t!r}")
         if t.startswith("<"):
             return Term(self._contract(t[1:-1]))
         if t.startswith('"'):
-            return Term(t[1:-1].replace('\\"', '"'), is_literal=True)
+            return Term(_unquote(t), is_literal=True)
         if t == "a":                       # rdf:type shorthand
             return Term("rdf:type")
         if not t[0].isalpha() and t[0] != "_":
@@ -472,7 +491,7 @@ class _Parser:
             if not (s.startswith('"') and s.endswith('"')):
                 raise ValueError("sparql: GROUP_CONCAT separator must "
                                  "be a string constant")
-            sep = s[1:-1].replace('\\"', '"')
+            sep = _unquote(s)
         self.expect(")")
         return var, distinct, fn, sep
 
@@ -491,6 +510,8 @@ class _Parser:
             while self.peek() == "(":
                 self.next()
                 t = self.peek()
+                if t is None:
+                    raise ValueError("sparql: unterminated HAVING")
                 if t.startswith("?"):
                     lhs = self.next()[1:]
                 else:
@@ -502,7 +523,7 @@ class _Parser:
                                      f"operator {op!r}")
                 vt = self.next()
                 if vt.startswith('"'):
-                    val: object = vt[1:-1].replace('\\"', '"')
+                    val: object = _unquote(vt)
                 elif vt.isdigit():
                     val = int(vt)
                 else:
@@ -693,7 +714,7 @@ class _Parser:
             raise ValueError("sparql: empty VALUES")
         return InlineData(names, rows)
 
-    def _values_term(self) -> str:
+    def _values_term(self) -> tuple:
         t = self.peek()
         if t and t.lower() == "undef":
             raise ValueError("sparql: UNDEF in VALUES is not "
@@ -701,7 +722,7 @@ class _Parser:
         term = self.term()
         if not isinstance(term, Term):
             raise ValueError("sparql: VALUES data must be constant")
-        return term.value
+        return (term.value, term.is_literal)
 
     def _path_patterns(self, subj, template: bool) -> list:
         """One path-expression + object → desugared group items."""
@@ -1017,10 +1038,35 @@ def _join(a: _Plan, b: _Plan, how: str = "inner") -> _Plan:
     if isinstance(a, _StarPlan):
         a = a.resolve(b if how == "inner" and (a.vars & b.vars) else None)
     shared = sorted(a.vars & b.vars)
-    # drop duplicate hidden metadata from the right side
+    # RDF term identity is (value, kind): a literal "A" and the IRI
+    # <A> spell the same string but are DIFFERENT terms, so an inner
+    # join on a shared var must also agree on the literal flag.  Both
+    # sides carrying metadata → keep the right flag under a temp name
+    # and filter on null-safe equality; metadata on exactly one side
+    # with the other bound at subject/predicate position (an IRI by
+    # definition) → the metadata side must be non-literal.  Datatype/
+    # lang are NOT equated (RDF 1.1 folds plain and xsd:string).
+    # Left joins keep value-only matching: nulling the right side of
+    # a kind-mismatched optional row is not expressible as a filter.
+    both_meta = b.objvars & a.objvars & set(shared)
+    one_meta = []
+    if how == "inner":
+        for v in shared:
+            if v in a.objvars and v not in b.objvars:
+                one_meta.append(v)
+            elif v in b.objvars and v not in a.objvars:
+                one_meta.append(v)
     dup_meta = [c for v in (b.objvars & a.objvars)
-                for c in (f"__lit__{v}", f"__dt__{v}", f"__lang__{v}")]
+                for c in (f"__dt__{v}", f"__lang__{v}")]
     bdf = b.df.drop(*dup_meta) if dup_meta else b.df
+    kind_checks = []
+    if how == "inner":
+        for v in sorted(both_meta):
+            bdf = bdf.withColumnRenamed(f"__lit__{v}", f"__blit__{v}")
+            kind_checks.append(
+                F.col(f"__lit__{v}").eqNullSafe(F.col(f"__blit__{v}")))
+    else:
+        bdf = bdf.drop(*[f"__lit__{v}" for v in both_meta])
     if shared:
         df = a.df.join(bdf, shared, how)
     elif how == "left":
@@ -1029,6 +1075,12 @@ def _join(a: _Plan, b: _Plan, how: str = "inner") -> _Plan:
         df = a.df.join(bdf, F.lit(True), "left")
     else:
         df = a.df.crossJoin(bdf)
+    for chk in kind_checks:
+        df = df.filter(chk)
+    df = df.drop(*[f"__blit__{v}" for v in sorted(both_meta)])
+    for v in one_meta:
+        # subject/pred side is an IRI: drop literal-kind matches
+        df = df.filter(~F.coalesce(F.col(f"__lit__{v}"), F.lit(False)))
     return _Plan(df, a.vars | b.vars, a.objvars | b.objvars)
 
 
@@ -1043,10 +1095,7 @@ def _filter_col(expr, plan: _Plan):
         # range comparisons are LEXICAL over the engine's string
         # terms — correct for the zero-padded date/identifier
         # literals the API queries range over, documented as such
-        cmps = {"=": left == right, "!=": left != right,
-                ">": left > right, ">=": left >= right,
-                "<": left < right, "<=": left <= right}
-        return cmps[expr.op]
+        return _cmp_col(expr.op, left, right)
     if isinstance(expr, Not):
         return ~_filter_col(expr.expr, plan)
     if isinstance(expr, InList):
@@ -1128,10 +1177,21 @@ def _group_plan(edges: DataFrame, grp, max_depth,
         if isinstance(item, InlineData):
             # VALUES: a tiny constant frame joined like any pattern —
             # Spark broadcasts it, so inline bindings PRUNE the big
-            # side instead of scanning it per value
-            vdf = F.broadcast(edges.sparkSession.createDataFrame(
-                item.rows, ", ".join(f"{n} string" for n in item.names)))
-            sub = _Plan(vdf, set(item.names), set())
+            # side instead of scanning it per value.  Each value
+            # carries its term kind as objvar metadata, so the join
+            # keeps literal "A" and IRI <A> distinct.
+            flat = [[x for v, lit in row for x in (v, lit)]
+                    for row in item.rows]
+            ddl = ", ".join(f"{n} string, __lit__{n} boolean"
+                            for n in item.names)
+            vdf = edges.sparkSession.createDataFrame(flat, ddl)
+            for n in item.names:
+                vdf = (vdf.withColumn(f"__dt__{n}",
+                                      F.lit(None).cast("string"))
+                       .withColumn(f"__lang__{n}",
+                                   F.lit(None).cast("string")))
+            sub = _Plan(F.broadcast(vdf), set(item.names),
+                        set(item.names))
             plan = sub if plan is None else _join(plan, sub)
             continue
         if isinstance(item, GraphScope):
@@ -1358,6 +1418,11 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
                 conds.append((lhs, op, val))
         exprs = [_agg_expr(a).alias(a.alias) for a in aggs]
         exprs += [_agg_expr(a).alias(name) for name, a in hidden]
+        if not exprs:
+            # HAVING over only aliases/group vars: aggregation still
+            # happens — a hidden count gives agg() its required
+            # expression, dropped by the projection below
+            exprs = [F.count(F.lit(1)).alias("__having_dummy")]
         grouped = (plan.df.groupBy(*q.group_by) if q.group_by
                    else plan.df.groupBy())
         out = grouped.agg(*exprs)
@@ -1367,10 +1432,7 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
                              f"names {bad_having} (projected aliases, "
                              "group vars, or aggregate calls only)")
         for name, op, val in conds:
-            ops = {"=": F.col(name) == val, "!=": F.col(name) != val,
-                   ">": F.col(name) > val, ">=": F.col(name) >= val,
-                   "<": F.col(name) < val, "<=": F.col(name) <= val}
-            out = out.filter(ops[op])
+            out = out.filter(_cmp_col(op, F.col(name), F.lit(val)))
         # restore the SELECT list's column order (drops hidden slots)
         out = out.select(*[v if not isinstance(v, Agg) else v.alias
                            for v in q.select_vars])

@@ -838,3 +838,76 @@ def test_values_inline_data(spark):
     with pytest.raises(ValueError, match="empty VALUES"):
         sparql_query(edges, "SELECT ?s WHERE { VALUES ?s { } "
                             "?s ?p ?o . }")
+
+
+def test_values_term_kind_distinct(spark):
+    """A VALUES literal "A" and the IRI <A> are different RDF terms:
+    each matches only its own kind, and a literal never matches a
+    subject-position var."""
+    rows = [
+        ("S1", "p:rel", "A", False, None, None),   # IRI object
+        ("S2", "p:lbl", "A", True, None, None),    # literal object
+        ("S1", "p:x", "y", True, None, None),
+    ]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    q_iri = "SELECT ?s WHERE { VALUES ?o { <A> } ?s ?p ?o . }"
+    assert {r["s"] for r in sparql_query(edges, q_iri).collect()} == \
+        {"S1"}
+    q_lit = 'SELECT ?s WHERE { VALUES ?o { "A" } ?s ?p ?o . }'
+    assert {r["s"] for r in sparql_query(edges, q_lit).collect()} == \
+        {"S2"}
+    # subject position: IRIs match, string literals never do
+    q_subj = 'SELECT ?p WHERE { VALUES ?x { <S1> } ?x ?p ?o . }'
+    assert sparql_query(edges, q_subj).count() == 2
+    q_subj_lit = 'SELECT ?p WHERE { VALUES ?x { "S1" } ?x ?p ?o . }'
+    assert sparql_query(edges, q_subj_lit).count() == 0
+
+
+def test_obj_obj_join_respects_term_kind(spark):
+    """Two patterns sharing an object var: a literal "A" in one and
+    the IRI A in the other are different terms and must not join."""
+    rows = [
+        ("S1", "p:rel", "A", False, None, None),
+        ("S2", "p:lbl", "A", True, None, None),
+        ("S3", "p:rel", "B", False, None, None),
+        ("S4", "p:other", "B", False, None, None),
+    ]
+    edges = spark.createDataFrame(rows, SCHEMA)
+    q = """
+    SELECT ?a ?b WHERE {
+      ?a p:rel ?x .
+      ?b p:lbl ?x .
+    }
+    """
+    assert sparql_query(edges, q).count() == 0   # kinds differ
+    q2 = """
+    SELECT ?a ?b WHERE {
+      ?a p:rel ?x .
+      ?b p:other ?x .
+    }
+    """
+    got = {(r["a"], r["b"]) for r in sparql_query(edges, q2).collect()}
+    assert got == {("S3", "S4")}                 # both IRIs: joins
+
+
+def test_having_only_group_var(spark):
+    """HAVING over just a group var (no aggregate anywhere) still
+    aggregates — the hidden count expression is dropped."""
+    edges = _edges(spark)
+    q = """
+    SELECT ?p WHERE { ?s ?p ?o . }
+    GROUP BY ?p HAVING (?p = "dcterms:title") ORDER BY ?p
+    """
+    got = [r["p"] for r in sparql_query(edges, q).collect()]
+    assert got == ["dcterms:title"]
+    assert sparql_query(edges, q).columns == ["p"]
+
+
+def test_truncated_tokens_fail_loudly(spark):
+    """A bare comparison token in term position (truncated IRI) and a
+    truncated HAVING both raise parse errors, never silent empties."""
+    with pytest.raises(ValueError, match="expected a term"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p < . }")
+    with pytest.raises(ValueError, match="unterminated HAVING"):
+        parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . } "
+                     "HAVING (")
