@@ -70,6 +70,9 @@ Supported subset (everything the reference's .rq files exercise):
   ``WITH RECURSIVE`` oracles); a bounded ``max_depth`` stays
   available for known-shallow hierarchies, and one ``sparql_query``
   compile computes at most ONE closure per (predicate, bound).
+* ``MINUS { … }`` set-difference negation (§8.3): anti-join on the
+  shared vars; a disjoint-domain MINUS removes nothing — the spec
+  divergence from ``FILTER NOT EXISTS``, preserved.
 * ``VALUES ?v { … }`` / ``VALUES (?v…) { (…)… }`` inline bindings —
   a broadcast constant frame equi-joined like any pattern, so inline
   bindings PRUNE the big side instead of rescanning it per value
@@ -169,6 +172,15 @@ class Filter:
 class Bind:
     src: object                  # Var
     dst: str                     # new var name
+
+
+@dataclass
+class Minus:
+    """``MINUS { … }`` — set-difference negation (SPARQL 1.1 §8.3):
+    removes solutions compatible with the subgroup on their SHARED
+    vars; disjoint domains remove nothing (the spec behavior that
+    distinguishes MINUS from FILTER NOT EXISTS)."""
+    group: Group
 
 
 @dataclass
@@ -607,6 +619,12 @@ class _Parser:
                 if self.peek() == ".":
                     self.next()
                 continue
+            if low == "minus":
+                self.next()
+                items.append(Minus(self.group()))
+                if self.peek() == ".":
+                    self.next()
+                continue
             if low == "filter":
                 self.next()
                 nxt = self.peek()
@@ -659,7 +677,8 @@ class _Parser:
             t = self.peek()
             if (t is None or t == stop or t == "{"
                     or t.lower() in ("filter", "bind", "union",
-                                     "optional", "graph", "values")):
+                                     "optional", "graph", "values",
+                                     "minus")):
                 return out
             subj = self.term()
             while True:
@@ -1157,12 +1176,16 @@ def _group_plan(edges: DataFrame, grp, max_depth,
     filters = []
     binds = []
     exists = []
+    minuses = []
     for item in grp.items:
         if isinstance(item, Filter):
             filters.append(item)
             continue
         if isinstance(item, ExistsFilter):
             exists.append(item)
+            continue
+        if isinstance(item, Minus):
+            minuses.append(item)
             continue
         if isinstance(item, Bind):
             binds.append(item)
@@ -1246,6 +1269,17 @@ def _group_plan(edges: DataFrame, grp, max_depth,
             plan.df = plan.df.join(sub.df, shared, how)
         else:
             plan.df = plan.df.join(sub.df.limit(1), F.lit(True), how)
+    for m in minuses:
+        # MINUS (§8.3): anti-join on the SHARED vars; with disjoint
+        # domains no solution is compatible-and-overlapping, so MINUS
+        # removes NOTHING — the spec behavior that distinguishes it
+        # from FILTER NOT EXISTS (which would empty the result)
+        sub = _group_plan(edges, m.group, max_depth, clo_cache, scope)
+        if isinstance(sub, _StarPlan):
+            sub = sub.resolve(plan if plan.vars & sub.vars else None)
+        shared = sorted(plan.vars & sub.vars)
+        if shared:
+            plan.df = plan.df.join(sub.df, shared, "left_anti")
     return plan
 
 

@@ -911,3 +911,35 @@ def test_truncated_tokens_fail_loudly(spark):
     with pytest.raises(ValueError, match="unterminated HAVING"):
         parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . } "
                      "HAVING (")
+
+
+def test_minus_negation(spark):
+    """MINUS removes solutions compatible on shared vars; a
+    disjoint-domain MINUS removes nothing (8.3 — the divergence
+    from FILTER NOT EXISTS, which empties the result)."""
+    edges = _edges(spark)
+    q = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:title ?t .
+      MINUS { ?s dcterms:references ?o . }
+    }
+    """
+    got = {r["s"] for r in sparql_query(edges, q).collect()}
+    assert got == {"A"}            # B and C have references
+    # disjoint domains: MINUS is a no-op ...
+    q2 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:title ?t .
+      MINUS { ?x rfc:updates ?y . }
+    }
+    """
+    got2 = {r["s"] for r in sparql_query(edges, q2).collect()}
+    assert got2 == {"A", "B", "C"}
+    # ... where NOT EXISTS with the same subgroup empties the result
+    q3 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:title ?t .
+      FILTER NOT EXISTS { ?x rfc:updates ?y . }
+    }
+    """
+    assert sparql_query(edges, q3).count() == 0
