@@ -178,3 +178,46 @@ def stream_materialize_entailed(spark: SparkSession,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_decontaminate(spark: SparkSession, docs_stream: DataFrame,
+                         bench: DataFrame, store: GraphStore,
+                         checkpoint_dir: str,
+                         table: str = "contamination",
+                         text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 13):
+    """Daily-crawl decontamination as a stream: the benchmark's Bloom
+    filter is built ONCE (driver-side word collect, broadcast) and
+    every micro-batch probes the same filter map-side — the per-batch
+    cost is one Arrow probe over the batch's shingles plus the exact
+    verify join on its survivor trickle, never a rebuild of the
+    benchmark side.  One row per (doc, batch) appended with
+    ``batch_seq`` lineage.
+
+    Delivery: appends are at-least-once, but the report is
+    deterministic and row-idempotent, so the exactly-once OBSERVED
+    report is ``store.read(table).dropDuplicates(["id"])`` — replayed
+    rows are byte-identical (same contract as the RDFS maintainer
+    above)."""
+    from ferenda_spark.operators.dedup import (
+        build_shingle_bloom,
+        decontaminate_bloom,
+    )
+    bloom = build_shingle_bloom(bench, text_col=text_col, n=n)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        rep = decontaminate_bloom(batch, bench, bloom=bloom,
+                                  text_col=text_col, id_col=id_col,
+                                  bench_text_col=text_col, n=n)
+        store.append(
+            rep.withColumn("batch_seq", F.lit(batch_id).cast("long")),
+            table)
+
+    return (docs_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

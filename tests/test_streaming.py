@@ -281,3 +281,46 @@ def test_stream_materialize_entailed_matches_batch(spark, tmp_path):
     seqs = {r["batch_seq"] for r in
             store.read("entailed").select("batch_seq").collect()}
     assert len(seqs) >= 2 and all(s is not None for s in seqs)
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Two micro-batch drops of corpus docs probed against ONE
+    prebuilt benchmark Bloom must report, in union, exactly the
+    batch decontaminate over the whole corpus; the checkpoint
+    resumes drop 2 without redoing drop 1."""
+    from ferenda_spark.operators import dedup
+    from ferenda_spark.streaming.ingest import stream_decontaminate
+
+    gram = "one two three four five six seven eight nine ten " \
+           "eleven twelve thirteen"
+    rows = [(1, "lead " + gram + " tail"),
+            (2, "clean words without overlap " * 6),
+            (3, gram + " again here with more following words"),
+            (4, "another clean document entirely " * 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([("q " + gram + " a",)],
+                                  "text string")
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    store = GraphStore(spark, str(tmp_path / "graph"))
+
+    docs.filter(F.col("doc_id") <= 2).write.mode("append").parquet(in_dir)
+    mk = lambda: (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = stream_decontaminate(spark, mk(), bench, store, ckpt)
+    q.awaitTermination(120)
+    assert store.read("contamination").count() == 2
+
+    docs.filter(F.col("doc_id") > 2).write.mode("append").parquet(in_dir)
+    q = stream_decontaminate(spark, mk(), bench, store, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r["id"], r["n_hits"], r["contaminated"]) for r in
+           store.read("contamination")
+           .dropDuplicates(["id"]).collect()}
+    want = {tuple(r) for r in
+            dedup.decontaminate(docs, bench, n=13).collect()}
+    assert got == want
+    assert {i for i, _, c in got if c} == {1, 3}
