@@ -264,3 +264,55 @@ def test_degree_histogram(spark):
     assert got[("in", 2)] == 1
     assert got[("in", 1)] == 3
     assert not any(d == "in" and n > 4 for (d, n) in got)
+
+
+def test_curate_cli_chain(spark, tmp_path, capsys):
+    """tools/curate.py: rules -> exact dedup -> near-dup clusters ->
+    decontaminate -> shard export, with per-stage stats and the
+    empty-survivor error."""
+    import importlib.util
+    from pathlib import Path
+
+    cli_path = Path(__file__).resolve().parents[1] / "tools" / "curate.py"
+    spec = importlib.util.spec_from_file_location("curate", cli_path)
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    vocab = ["alpha", "bravo", "charli", "deltaa", "echoes", "foxtro",
+             "golfer", "hotelz", "indiaa", "juliet"]
+
+    def mk(i):
+        words = [vocab[(i * 7 + j) % 10] + str((i * 13 + j) % 97)
+                 for j in range(60)]
+        return "the " + " ".join(words) + " ends with the final words"
+
+    gram = "one two three four five six seven eight nine ten " \
+           "eleven twelve thirteen"
+    rows = [(i, mk(i)) for i in range(6)]
+    near = mk(0).split(" ")
+    near[30] = "swapped"                       # one word differs
+    rows.append((10, " ".join(near)))          # near-dup of doc 0
+    rows.append((11, mk(1)))                   # exact dup of doc 1
+    rows.append((12, "too short"))             # rules drop
+    rows.append((13, mk(13) + " " + gram))     # contaminated
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([("q " + gram + " a",)],
+                          "text string").write.parquet(bench)
+
+    out = str(tmp_path / "shards")
+    res = cli.run(spark, [src, out, "--bench", bench,
+                          "--budget", "2000"])
+    txt = capsys.readouterr().out
+    assert "stage=gopher_rules kept=9 dropped=1" in txt    # doc 12
+    assert "stage=exact_dedup kept=8 dropped=1" in txt     # doc 11
+    assert "stage=near_dup kept=7 dropped=1" in txt        # doc 10
+    assert "stage=decontaminate kept=6 dropped=1" in txt   # doc 13
+    assert res["out"] == 6 and res["shards"] >= 1
+    data = spark.read.parquet(out + "/data")
+    assert data.count() == 6
+    # nothing survives an all-contaminated corpus: loud exit
+    with pytest.raises(SystemExit, match="no documents"):
+        cli.run(spark, [src, str(tmp_path / "s2"), "--bench", src])
