@@ -943,3 +943,41 @@ def test_minus_negation(spark):
     }
     """
     assert sparql_query(edges, q3).count() == 0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_TOKENS = [
+    "SELECT", "DISTINCT", "WHERE", "CONSTRUCT", "ASK", "DESCRIBE",
+    "{", "}", "(", ")", ".", ";", ",", "FILTER", "UNION", "OPTIONAL",
+    "GRAPH", "VALUES", "MINUS", "BIND", "HAVING", "GROUP", "BY",
+    "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "AS", "NOT", "EXISTS",
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+    "SEPARATOR", "UNDEF", "IN", "a", "?s", "?p", "?o", "?n", "<a>",
+    "<http://x/y>", '"lit"', "dcterms:title", "p:x", "5", "*", "+",
+    "/", "|", "^", "=", "!=", ">", ">=", "<", "<=", "&&", "||", "!",
+    "isUri", "strstarts", "str",
+]
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.sampled_from(_FUZZ_TOKENS), max_size=30))
+def test_parser_fuzz_valueerror_only(toks):
+    """Any token soup either parses or raises ValueError — never
+    IndexError/AttributeError/TypeError (the fail-loudly contract
+    after the HAVING/path/VALUES parser additions)."""
+    try:
+        parse_sparql(" ".join(toks))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_fuzz_raw_text(txt):
+    """Raw garbage: tokenizer/parser raise ValueError or succeed."""
+    try:
+        parse_sparql(txt)
+    except ValueError:
+        pass
