@@ -108,7 +108,8 @@ _RESOURCE_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s\"]+$"
 
 
 def format_ntriples(triples: DataFrame,
-                    prefixes: dict[str, str] | None = None) -> DataFrame:
+                    prefixes: dict[str, str] | None = None,
+                    graph_col: str | None = None) -> DataFrame:
     """One N-Triples ``line`` per input triple.
 
     Input columns: ``subj``, ``pred``, ``obj``, plus (optionally)
@@ -153,9 +154,21 @@ def format_ntriples(triples: DataFrame,
               F.concat(F.lit("^^<"), dtype, F.lit(">")))
         .otherwise(F.lit("")))
     obj_term = F.when(is_lit, lit_term).otherwise(term(obj_res))
+    if graph_col is not None:
+        # N-Quads: the optional graph label before the terminator; a
+        # NULL graph row degrades to a plain triple statement (legal
+        # N-Quads — the default graph)
+        gc = F.col(graph_col)
+        if prefixes:
+            gc = expand_curies(gc, prefixes)
+        tail = F.when(gc.isNotNull(),
+                      F.concat(F.lit(" "), term(gc), F.lit(" ."))) \
+            .otherwise(F.lit(" ."))
+    else:
+        tail = F.lit(" .")
     return triples.select(
         F.concat(term(subj), F.lit(" "), term(pred), F.lit(" "),
-                 obj_term, F.lit(" .")).alias("line"))
+                 obj_term, tail).alias("line"))
 
 
 # blank-node labels per the N-Triples grammar (letters, digits,
@@ -168,11 +181,15 @@ _NT_O = (rf"(<[^>]*>|{_NT_BNODE}|"
          r'"((?:[^"\\]|\\.)*)"'
          r"(?:@([A-Za-z][A-Za-z0-9-]*))?(?:\^\^<([^>]*)>)?)")
 _NT_LINE = rf"^[ \t]*{_NT_S}[ \t]+{_NT_P}[ \t]+{_NT_O}[ \t]*\.[ \t\r]*$"
+# N-Quads: the same statement with an optional graph label (group 7)
+_NQ_LINE = (rf"^[ \t]*{_NT_S}[ \t]+{_NT_P}[ \t]+{_NT_O}"
+            rf"(?:[ \t]+(<[^>]*>|{_NT_BNODE}))?[ \t]*\.[ \t\r]*$")
 
 
 def parse_ntriples(lines: DataFrame,
                    prefixes: dict[str, str] | None = None,
-                   line_col: str = "line") -> DataFrame:
+                   line_col: str = "line",
+                   quads: bool = False) -> DataFrame:
     """Distributed N-Triples parser: one anchored regex classifies
     each line (column-side; no Python).  Comment / blank lines are
     dropped per spec; anything else that does not parse — including a
@@ -182,13 +199,18 @@ def parse_ntriples(lines: DataFrame,
     contracts parsed IRIs back to the store's CURIE vocabulary.
 
     Output: (subj, pred, obj, obj_is_literal, obj_lang, obj_datatype,
-    error).
+    error) — plus ``graph`` when ``quads=True``, which accepts the
+    N-Quads grammar (optional graph label per statement; a plain
+    triple line parses with a NULL graph).  With ``quads=False`` a
+    quad line is an error row, per the N-Triples grammar.
     """
     c = F.col(line_col)
-    g = [F.regexp_extract(c, _NT_LINE, i) for i in range(7)]
+    pattern = _NQ_LINE if quads else _NT_LINE
+    g = [F.regexp_extract(c, pattern, i)
+         for i in range(8 if quads else 7)]
     parsed = (lines
               .filter(~c.rlike(r"^[ \t]*(#|$)"))
-              .withColumn("_m", c.rlike(_NT_LINE))
+              .withColumn("_m", c.rlike(pattern))
               .withColumn("_s", g[1]).withColumn("_p", g[2])
               .withColumn("_o", g[3]).withColumn("_lit", g[4])
               .withColumn("_lang", g[5]).withColumn("_dt", g[6]))
@@ -210,7 +232,7 @@ def parse_ntriples(lines: DataFrame,
                  F.concat(F.lit("unparseable line: "), c)) \
         .when(bad_escape,
               F.concat(F.lit("unsupported escape: "), c))
-    return parsed.select(
+    out_cols = [
         F.when(err.isNull(), strip_iri(F.col("_s"))).alias("subj"),
         F.when(err.isNull(), strip_iri(F.col("_p"))).alias("pred"),
         F.when(err.isNull(), obj).alias("obj"),
@@ -219,7 +241,13 @@ def parse_ntriples(lines: DataFrame,
                F.col("_lang")).alias("obj_lang"),
         F.when(err.isNull() & (F.col("_dt") != ""),
                strip_iri(F.col("_dt"))).alias("obj_datatype"),
-        err.alias("error"))
+    ]
+    if quads:
+        parsed = parsed.withColumn("_g", g[7])
+        out_cols.append(
+            F.when(err.isNull() & (F.col("_g") != ""),
+                   strip_iri(F.col("_g"))).alias("graph"))
+    return parsed.select(*out_cols, err.alias("error"))
 
 
 def write_ntriples(triples: DataFrame, path: str,
@@ -242,6 +270,30 @@ def read_ntriples(spark: SparkSession, path: str,
     return parse_ntriples(
         spark.read.text(path).withColumnRenamed("value", "line"),
         prefixes)
+
+
+def write_nquads(quads: DataFrame, path: str,
+                 prefixes: dict[str, str] | None = None,
+                 graph_col: str = "graph",
+                 compression: str | None = None) -> None:
+    """N-Quads dump (RDF 1.1 N-Quads): the triple shape plus a
+    ``graph`` column; NULL-graph rows emit plain triple statements
+    (the default graph).  The quad-store interchange format the
+    reference's context-aware triplestores speak."""
+    w = format_ntriples(quads, prefixes,
+                        graph_col=graph_col).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_nquads(spark: SparkSession, path: str,
+                prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Load an N-Quads dump: N-Triples output columns plus ``graph``
+    (NULL for default-graph statements), per-line error capture."""
+    return parse_ntriples(
+        spark.read.text(path).withColumnRenamed("value", "line"),
+        prefixes, quads=True)
 
 
 # ------------------------------------------------------- Turtle (TBox)

@@ -298,3 +298,36 @@ def test_skolemize_scope_separates_sources(spark):
     # mismatched scope leaves the (foreign to it) IRI alone
     other = rs.deskolemize(ska, "https://ex.org", scope="dump-b")
     assert other.collect()[0]["subj"] == sa
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    """Quads (graph column, NULL = default graph) write as N-Quads
+    and parse back identically; the strict N-Triples parser rejects
+    quad lines; a triple dump parses under the quad grammar with a
+    NULL graph."""
+    rows = [
+        ("d:1", "p:cites", "d:2", False, None, None, "g:batch1"),
+        ("d:2", "p:title", 'say "hi"', True, None, "en", "g:batch2"),
+        ("d:3", "p:note", "plain", True, None, None, None),  # default
+    ]
+    ddl = TRIPLE_DDL + ", graph string"
+    quads = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "dump.nq")
+    rs.write_nquads(quads, path, prefixes=rs.STD_PREFIXES)
+    back = rs.read_nquads(spark, path, prefixes=rs.STD_PREFIXES)
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+            r["graph"]) for r in back.collect()}
+    assert got == {("d:1", "p:cites", "d:2", False, "g:batch1"),
+                   ("d:2", "p:title", 'say "hi"', True, "g:batch2"),
+                   ("d:3", "p:note", "plain", True, None)}
+    # strict N-Triples parser: quad lines are error rows, not data
+    strict = rs.read_ntriples(spark, path, prefixes=rs.STD_PREFIXES)
+    assert strict.filter(F.col("error").isNotNull()).count() == 2
+    # plain triple dump under the quad grammar: NULL graphs
+    t_path = str(tmp_path / "dump.nt")
+    rs.write_ntriples(quads.drop("graph"), t_path,
+                      prefixes=rs.STD_PREFIXES)
+    asq = rs.read_nquads(spark, t_path, prefixes=rs.STD_PREFIXES)
+    assert asq.filter(F.col("error").isNotNull()).count() == 0
+    assert asq.filter(F.col("graph").isNotNull()).count() == 0
