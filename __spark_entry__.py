@@ -1184,6 +1184,39 @@ LIMIT 20
 """)
     q["kg_sparql_topcited"] = kg_sparql_topcited
 
+    def kg_sparql_graph_scoped(spark, sf):
+        """Quad-store query: edges carry a graph column (derived:
+        standards vs reports partition of the KG), GRAPH <g> scopes a
+        pattern to one named graph, the second pattern spans the
+        whole store — counts differ, proving the scope bites.  The
+        quad table is exactly what read_nquads / the GraphScope
+        compiler consume."""
+        from ferenda_spark.operators.sparql import sparql_query
+        e = _kg_edges(spark, sf)
+        typed = (e.filter((F.col("pred") == "rdf:type")
+                          & F.col("obj").isin("bibo:Standard",
+                                              "bibo:Report"))
+                 .select(F.col("subj").alias("doc"),
+                         F.when(F.col("obj") == "bibo:Standard",
+                                "g:std").otherwise("g:other")
+                         .alias("graph")))
+        root = F.regexp_replace(F.col("subj"), "#.*", "")
+        quads = (e.withColumn("__root", root)
+                 .join(typed, F.col("__root") == typed["doc"], "left")
+                 .drop("doc", "__root")
+                 .withColumn("graph",
+                             F.coalesce(F.col("graph"),
+                                        F.lit("g:other"))))
+        return sparql_query(quads, """
+SELECT ?s (COUNT(?o) AS ?n_std_refs) WHERE {
+  GRAPH <g:std> { ?s dcterms:references ?o . }
+}
+GROUP BY ?s
+ORDER BY DESC(?n_std_refs) ?s
+LIMIT 20
+""")
+    q["kg_sparql_graph_scoped"] = kg_sparql_graph_scoped
+
     def kg_sparql_aggregates(spark, sf):
         """The full SPARQL 1.1 aggregate set minus
         GROUP_CONCAT/SAMPLE: COUNT + MIN/MAX (lexical over the
@@ -2967,6 +3000,26 @@ SELECT obj AS target, count(*) AS n
 FROM golden WHERE pred = 'dcterms:references'
 GROUP BY obj
 ORDER BY n DESC, target
+LIMIT 20
+"""
+
+    o["kg_sparql_graph_scoped"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cls AS (SELECT subj AS doc,
+               CASE WHEN obj = 'bibo:Standard' THEN 'g:std'
+                    ELSE 'g:other' END AS gg
+        FROM golden
+        WHERE pred = 'rdf:type'
+          AND obj IN ('bibo:Standard', 'bibo:Report')),
+quads AS (SELECT g.subj, g.pred, g.obj,
+                 coalesce(c.gg, 'g:other') AS graph
+          FROM golden g LEFT JOIN cls c
+            ON regexp_replace(g.subj, '#.*', '') = c.doc)
+SELECT subj AS s, count(obj) AS n_std_refs
+FROM quads
+WHERE graph = 'g:std' AND pred = 'dcterms:references'
+GROUP BY subj
+ORDER BY n_std_refs DESC, s
 LIMIT 20
 """
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "check_documents",
     "kg_sparql_aggregates",
     "kg_degree_histogram",
+    "kg_sparql_graph_scoped",
 ]
 
 
