@@ -675,6 +675,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return voidstats.property_partitions(_kg_edges(spark, sf))
     q["kg_void_description"] = kg_void_description
 
+    def kg_class_partitions(spark, sf):
+        """VoID class partitions: void:entities per rdf:type class."""
+        from ferenda_spark.operators import voidstats
+        return voidstats.class_partitions(_kg_edges(spark, sf))
+    q["kg_class_partitions"] = kg_class_partitions
+
     def kg_degree_histogram(spark, sf):
         """Degree distribution of the KG (out over subjects, in over
         IRI objects) — the skew diagnostic that tells a 100 TB job
@@ -2311,6 +2317,13 @@ SELECT pred, count(*) AS n_triples,
        CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
        CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
 FROM golden GROUP BY pred
+"""
+
+    o["kg_class_partitions"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE}
+SELECT obj AS rdf_class,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_entities
+FROM golden WHERE pred = 'rdf:type' GROUP BY obj
 """
 
     o["kg_degree_histogram"] = f"""

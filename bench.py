@@ -85,6 +85,7 @@ HEADLINE = [
     "kg_sparql_aggregates",
     "kg_degree_histogram",
     "kg_sparql_graph_scoped",
+    "kg_class_partitions",
 ]
 
 

@@ -316,3 +316,17 @@ def test_curate_cli_chain(spark, tmp_path, capsys):
     # nothing survives an all-contaminated corpus: loud exit
     with pytest.raises(SystemExit, match="no documents"):
         cli.run(spark, [src, str(tmp_path / "s2"), "--bench", src])
+
+
+def test_void_approximate_modes(spark):
+    """HLL mode across all three VoID statistics: same shape,
+    near-exact at toy scale (the 10^12-row path)."""
+    e = _edges(spark)
+    prop = {r["pred"]: r["n_subjects"] for r in
+            voidstats.property_partitions(e, approximate=True).collect()}
+    assert abs(prop["rdf:type"] - 3) <= 1
+    cls = {r["rdf_class"]: r["n_entities"] for r in
+           voidstats.class_partitions(e, approximate=True).collect()}
+    assert abs(cls["ex:Doc"] - 2) <= 1
+    s = voidstats.dataset_summary(e, approximate=True).collect()[0]
+    assert abs(s["n_subjects"] - 3) <= 1
