@@ -1192,11 +1192,12 @@ LIMIT 20
 
     def kg_sparql_graph_scoped(spark, sf):
         """Quad-store query: edges carry a graph column (derived:
-        standards vs reports partition of the KG), GRAPH <g> scopes a
-        pattern to one named graph, the second pattern spans the
-        whole store — counts differ, proving the scope bites.  The
-        quad table is exactly what read_nquads / the GraphScope
-        compiler consume."""
+        standards vs reports partition of the KG) and GRAPH <g>
+        scopes the pattern to one named graph.  The scope is checked
+        by the ORACLE's independent ``WHERE graph = 'g:std'`` filter —
+        a no-op GRAPH implementation would count the whole store and
+        hash-mismatch.  The quad table is exactly what read_nquads /
+        the GraphScope compiler consume."""
         from ferenda_spark.operators.sparql import sparql_query
         e = _kg_edges(spark, sf)
         typed = (e.filter((F.col("pred") == "rdf:type")

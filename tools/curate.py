@@ -54,6 +54,10 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
 
 def _stat(stage: str, kept: int, dropped: int) -> None:
     print(f"CURATE_STATS stage={stage} kept={kept} dropped={dropped}")
+    if kept == 0:
+        # fail at the stage that emptied the corpus — never run the
+        # LSH/components/Bloom machinery over zero documents
+        raise SystemExit(f"curate: no documents survived {stage}")
 
 
 def run(spark: SparkSession, argv: list[str]) -> dict:
@@ -74,6 +78,7 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
                 .filter(F.col("keep")).select("id"))
     docs1 = docs.join(keep_ids.withColumnRenamed("id", ic), ic).persist()
     n1 = docs1.count()
+    docs.unpersist()
     _stat("gopher_rules", n1, n0 - n1)
 
     # 2. exact dedup: one keeper per identical text
@@ -81,6 +86,7 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
                .select(F.col("keeper_id").alias(ic)))
     docs2 = docs1.join(keepers, ic).persist()
     n2 = docs2.count()
+    docs1.unpersist()
     _stat("exact_dedup", n2, n1 - n2)
 
     # 3. near-dup clusters: keep each cluster's min id
@@ -91,10 +97,13 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
             .select(F.col("id").alias(ic)))
     docs3 = docs2.join(drop, ic, "left_anti").persist()
     n3 = docs3.count()
+    docs2.unpersist()
     _stat("near_dup", n3, n2 - n3)
 
-    # 4. decontamination (optional)
+    # 4. decontamination — runs only with --bench; a skipped stage
+    # prints as skipped, never as ran-and-clean
     docs4: DataFrame = docs3
+    n4 = n3
     if args.bench:
         bench = spark.read.parquet(args.bench).select(tc)
         clean = (dedup.decontaminate_bloom(
@@ -102,11 +111,12 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
             .filter(~F.col("contaminated"))
             .select(F.col("id").alias(ic)))
         docs4 = docs3.join(clean, ic).persist()
-    n4 = docs4.count()
-    _stat("decontaminate", n4, n3 - n4)
-
-    if n4 == 0:
-        raise SystemExit("curate: no documents survived the chain")
+        n4 = docs4.count()
+        docs3.unpersist()
+        _stat("decontaminate", n4, n3 - n4)
+    else:
+        print("CURATE_STATS stage=decontaminate skipped=True "
+              "(no --bench)")
 
     # 5. deterministic shard export
     weighted = docs4.withColumn("__w", F.length(tc).cast("long"))
@@ -114,6 +124,7 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
                              weight_col="__w", key_col=ic)
     write_training_shards(assigned, args.out_dir, weight_col="__w",
                           key_col=ic)
+    docs4.unpersist()
     manifest = spark.read.parquet(args.out_dir + "/manifest")
     n_shards = manifest.count()
     print(f"CURATE_STATS stage=shards kept={n4} shards={n_shards} "
