@@ -313,6 +313,12 @@ def test_curate_cli_chain(spark, tmp_path, capsys):
     assert res["out"] == 6 and res["shards"] >= 1
     data = spark.read.parquet(out + "/data")
     assert data.count() == 6
+    # no --bench: the stage prints skipped, never ran-and-clean
+    capsys.readouterr()
+    cli.run(spark, [src, str(tmp_path / "s3")])
+    out2 = capsys.readouterr().out
+    assert "stage=decontaminate skipped=True" in out2
+    assert "stage=decontaminate kept=" not in out2
     # nothing survives an all-contaminated corpus: loud exit
     with pytest.raises(SystemExit, match="no documents"):
         cli.run(spark, [src, str(tmp_path / "s2"), "--bench", src])
