@@ -2132,6 +2132,15 @@ LIMIT 10
             ["doc_id", "text", "lang", "source", "n_chars"])
     q["profile_documents"] = profile_documents
 
+    def quantiles_documents(spark, sf):
+        """Exact interpolated percentiles (percentile_cont semantics)
+        per numeric column, one aggregation pass."""
+        from ferenda_spark.operators import profile as prof
+        return prof.numeric_quantiles(
+            _docs(spark, sf), ["doc_id", "n_chars"],
+            probs=(0.25, 0.5, 0.95))
+    q["quantiles_documents"] = quantiles_documents
+
     def check_documents(spark, sf):
         """Declarative constraint checks over one profile pass:
         uniqueness of the id, completeness of every column, value
@@ -3968,6 +3977,12 @@ SELECT '{c}' AS "column", count(*) AS n_rows,
        CAST(max({c}) AS VARCHAR) AS max_value
 FROM documents""" for c in _prof_cols)
     o["profile_documents"] = _prof_union
+
+    o["quantiles_documents"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", CAST({p} AS DOUBLE) AS p,
+round(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS value
+FROM documents"""
+        for c in ("doc_id", "n_chars") for p in (0.25, 0.5, 0.95))
 
     _checks_rows = ", ".join(
         f"('{cid}', '{col}', '{kind}', {thr})"

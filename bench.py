@@ -86,6 +86,7 @@ HEADLINE = [
     "kg_degree_histogram",
     "kg_sparql_graph_scoped",
     "kg_class_partitions",
+    "quantiles_documents",
 ]
 
 

@@ -87,6 +87,33 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         F.col("s.max_value").alias("max_value"))
 
 
+def numeric_quantiles(df: DataFrame, columns: list[str] | None = None,
+                      probs: tuple = (0.5, 0.95),
+                      approximate: bool = False) -> DataFrame:
+    """Per-numeric-column quantiles in one aggregation pass:
+    ``(column, p, value)``.  Exact linear-interpolated percentile by
+    default (SQL ``percentile_cont`` semantics, oracle-matchable);
+    ``approximate=True`` switches to ``percentile_approx`` — the
+    one-pass sketch a 10^12-row profile wants."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, NumericType)]
+    if not columns:
+        raise ValueError("numeric_quantiles: no numeric columns")
+    fn = F.percentile_approx if approximate else F.percentile
+    aggs = [fn(F.col(c).cast("double"), F.lit(p)).alias(f"{c}__{i}")
+            for c in columns for i, p in enumerate(probs)]
+    row = df.agg(*aggs)
+    per = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.lit(float(p)).alias("p"),
+                 F.col(f"{c}__{i}").alias("value"))
+        for c in columns for i, p in enumerate(probs)])
+    return (row.select(F.explode(per).alias("s"))
+            .select("s.column", "s.p",
+                    F.round("s.value", 6).alias("value")))
+
+
 def check(df: DataFrame, checks: list[tuple] | DataFrame,
           approximate: bool = False) -> DataFrame:
     """Evaluate declarative constraints against one profile pass:

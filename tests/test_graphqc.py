@@ -336,3 +336,21 @@ def test_void_approximate_modes(spark):
     assert abs(cls["ex:Doc"] - 2) <= 1
     s = voidstats.dataset_summary(e, approximate=True).collect()[0]
     assert abs(s["n_subjects"] - 3) <= 1
+
+
+def test_numeric_quantiles(spark):
+    """Exact interpolated percentiles per numeric column in one pass;
+    approximate mode returns the same shape."""
+    t = _table(spark)
+    q = {(r["column"], r["p"]): r["value"] for r in
+         prof.numeric_quantiles(t, probs=(0.5, 1.0)).collect()}
+    # n values sorted: [-5, 10, 20, 30] -> median = 15, max = 30
+    assert q[("n", 0.5)] == 15.0
+    assert q[("n", 1.0)] == 30.0
+    assert q[("doc_id", 1.0)] == 4.0
+    ap = {(r["column"], r["p"]): r["value"] for r in
+          prof.numeric_quantiles(t, ["n"], probs=(0.5,),
+                                 approximate=True).collect()}
+    assert ap[("n", 0.5)] in (10.0, 15.0, 20.0)  # sketch, any median
+    with pytest.raises(ValueError, match="no numeric"):
+        prof.numeric_quantiles(t.select("text"))
