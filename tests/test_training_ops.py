@@ -1235,3 +1235,28 @@ def test_components_driver_equals_distributed(spark):
         slow = {(r["id"], r["comp"])
                 for r in dedup.components(df, driver_max=0).collect()}
         assert fast == slow, pairs
+
+
+def test_gopher_rules_fuzz_consistency(spark):
+    """Arbitrary unicode text never crashes the rule projection, and
+    keep is exactly the conjunction of the per-rule booleans."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(max_size=120))
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    rows = textstats.gopher_rules(docs).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        rules = [v for k, v in r.asDict().items()
+                 if k.startswith("rule_")]
+        assert r["keep"] == all(rules)
