@@ -1262,6 +1262,23 @@ LIMIT 25
             pr, [("rank_micro", True), ("node", False)], 20)
     q["kg_pagerank"] = kg_pagerank
 
+    def kg_hits(spark, sf):
+        """Hubs-and-authorities over the citation graph: 2-iteration
+        integer HITS (L1-normalized, DECIMAL(38,0) renorm) — separates
+        survey/index pages (hubs) from canonical cited documents
+        (authorities), the split PageRank can't make.  Top-20 by
+        authority, deterministic tie-break."""
+        from ferenda_spark.operators.rank import hits
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        hs = hits(cites, iters=2)
+        return analytics.ranked_topk(
+            hs, [("auth_micro", True), ("hub_micro", True),
+                 ("node", False)], 20)
+    q["kg_hits"] = kg_hits
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -3142,6 +3159,51 @@ SELECT node, rank_micro, CAST(rn AS INT) AS rank FROM (
   SELECT node, CAST(r // 1000000 AS BIGINT) AS rank_micro,
          row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
   FROM it3)
+WHERE rn <= 20
+"""
+
+    # one HITS iteration: authority raw-sum + L1 renorm, then hub
+    # raw-sum + L1 renorm — integer semantics identical to rank.hits
+    # (sums exact, renorm = raw * 10^6 floor-div total in HUGEINT)
+    _hits_iter = """
+a{i}r AS (
+  SELECT n.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+  FROM hnodes n LEFT JOIN (
+    SELECT c.dst AS node, sum(h.h) AS a
+    FROM cites c JOIN h{prev} h ON c.src = h.node GROUP BY c.dst) s
+  ON s.node = n.node),
+a{i} AS (
+  SELECT node, CAST(CASE WHEN (SELECT sum(a) FROM a{i}r) > 0
+    THEN CAST(a AS HUGEINT) * 1000000 // (SELECT sum(a) FROM a{i}r)
+    ELSE 0 END AS BIGINT) AS a FROM a{i}r),
+h{i}r AS (
+  SELECT n.node, CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+  FROM hnodes n LEFT JOIN (
+    SELECT c.src AS node, sum(a.a) AS h
+    FROM cites c JOIN a{i} a ON c.dst = a.node GROUP BY c.src) s
+  ON s.node = n.node),
+h{i} AS (
+  SELECT node, CAST(CASE WHEN (SELECT sum(h) FROM h{i}r) > 0
+    THEN CAST(h AS HUGEINT) * 1000000 // (SELECT sum(h) FROM h{i}r)
+    ELSE 0 END AS BIGINT) AS h FROM h{i}r)"""
+    # MATERIALIZED: each iteration references cites/hnodes several
+    # times; without it DuckDB inlines the whole golden-triples CTE
+    # chain once per reference and exhausts file handles
+    o["kg_hits"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cites AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM golden
+  WHERE pred = 'dcterms:references'
+),
+hnodes AS MATERIALIZED (
+  SELECT src AS node FROM cites UNION SELECT dst FROM cites),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM hnodes),
+{_hits_iter.format(i=1, prev=0)},
+{_hits_iter.format(i=2, prev=1)}
+SELECT node, hub_micro, auth_micro, CAST(rn AS INT) AS rank FROM (
+  SELECT h.node, h.h AS hub_micro, a.a AS auth_micro,
+         row_number() OVER (ORDER BY a.a DESC, h.h DESC, h.node) AS rn
+  FROM h2 h JOIN a2 a ON h.node = a.node)
 WHERE rn <= 20
 """
 

@@ -106,3 +106,77 @@ def pagerank(edges: DataFrame, iters: int = 3,
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+#: HITS fixed-point scale: scores live in [0, 10^6] "micro" units
+HITS_SCALE = 10**6
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Hubs and authorities (Kleinberg HITS) over ``edges(src, dst)``.
+
+    Returns (node, hub_micro, auth_micro): the iteration-``iters``
+    mutually-reinforcing scores — a good *authority* is pointed to by
+    good hubs, a good *hub* points to good authorities.  On a web/
+    citation KG this separates survey/index pages (hubs) from the
+    canonical documents they point at (authorities), a split PageRank
+    cannot make (reference analog: the inbound-reference annotations
+    of documentrepository.py:1829-1891 are the one-hop authority
+    signal; HITS is its fixpoint generalization).
+
+    Engine-deterministic by construction, like :func:`pagerank`:
+
+    * L1 normalization (divide by the score *sum*, not the usual L2
+      norm) so every step is integer: raw sums are exact BIGINT
+      addition in any order; the normalize step is
+      ``raw * 10^6 DIV total`` carried out in DECIMAL(38,0) so the
+      multiply cannot overflow even at 10^12-edge raw sums;
+    * one shuffle per half-step (groupBy dst for authorities, groupBy
+      src for hubs) + a 1-row total broadcast — no driver round-trip;
+    * per-iteration localCheckpoint keeps lineage O(1) deep; inputs
+      unpersisted before returning.
+    """
+    from pyspark import StorageLevel
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
+        """raw(node, col) -> node, col = raw * SCALE DIV sum(raw)."""
+        tot = raw.agg(F.coalesce(F.sum(col), F.lit(0))
+                      .cast("decimal(38,0)").alias("tot"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.when(F.col("tot") > 0,
+                               F.expr(f"CAST((CAST({col} AS DECIMAL(38,0))"
+                                      f" * {HITS_SCALE}) DIV tot AS LONG)"))
+                        .otherwise(F.lit(0).cast("long")).alias(col)))
+
+    hub = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auth = nodes.withColumn("a", F.lit(0).cast("long"))
+    for _ in range(iters):
+        # authority step: a(v) = Σ h(u) over in-edges u→v, L1-renorm
+        a_raw = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("h").alias("a")))
+        auth = (nodes.join(a_raw, "node", "left")
+                .select("node", F.coalesce("a", F.lit(0))
+                        .cast("long").alias("a")))
+        auth = _l1_normalize(auth, "a").localCheckpoint(eager=False)
+        # hub step: h(u) = Σ a(v) over out-edges u→v, L1-renorm
+        h_raw = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("a").alias("h")))
+        hub = (nodes.join(h_raw, "node", "left")
+               .select("node", F.coalesce("h", F.lit(0))
+                       .cast("long").alias("h")))
+        hub = _l1_normalize(hub, "h").localCheckpoint(eager=False)
+    out = (hub.join(auth, "node")
+           .select("node", F.col("h").alias("hub_micro"),
+                   F.col("a").alias("auth_micro"))
+           .localCheckpoint(eager=True))
+    edges.unpersist()
+    nodes.unpersist()
+    return out

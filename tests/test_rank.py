@@ -77,3 +77,59 @@ def test_pagerank_dangling_mass_redistributed(spark):
     dropped = {r["node"]: r["rank_micro"]
                for r in pagerank(df, iters=4, dangling="drop").collect()}
     assert sum(dropped.values()) < sum(got.values())
+
+
+# ---- HITS ----------------------------------------------------------------
+
+from ferenda_spark.operators.rank import HITS_SCALE, hits  # noqa: E402
+
+
+def _hits_int(edges, iters):
+    """Pure-Python mirror of the integer L1-normalized HITS."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    h = {v: HITS_SCALE for v in nodes}
+    a = {v: 0 for v in nodes}
+
+    def norm(x):
+        tot = sum(x.values())
+        if tot <= 0:
+            return {v: 0 for v in x}
+        return {v: x[v] * HITS_SCALE // tot for v in x}
+
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        a = norm(a)
+        h = {v: 0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        h = norm(h)
+    return h, a
+
+
+def test_hits_matches_int_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits(df, iters=2).collect()}
+    h, a = _hits_int(EDGES, iters=2)
+    assert got == {v: (h[v], a[v]) for v in h}
+    # C is the strongest authority (3 in-links); A the strongest hub
+    # (points at both B and C)
+    assert got["C"][1] == max(v[1] for v in got.values())
+    assert got["A"][0] == max(v[0] for v in got.values())
+    # D points at C but nothing points at D: pure hub, zero authority
+    assert got["D"][1] == 0 and got["D"][0] > 0
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    df1 = spark.createDataFrame(EDGES, "src string, dst string").repartition(1)
+    df7 = spark.createDataFrame(EDGES, "src string, dst string").repartition(7)
+    r1 = sorted(map(tuple, hits(df1, iters=3).collect()))
+    r7 = sorted(map(tuple, hits(df7, iters=3).collect()))
+    assert r1 == r7
+
+
+def test_hits_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert hits(df, iters=2).count() == 0
