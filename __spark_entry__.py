@@ -1922,6 +1922,25 @@ LIMIT 10
             _docs(spark, sf).select("doc_id", "text")))
     q["quality_classifier_docs"] = quality_classifier_docs
 
+    def lm_perplexity_docs(spark, sf):
+        """CCNet-style LM quality split (operators/lmscore.py): fit an
+        add-one bigram LM on the trusted slice (lang='en', the
+        reference-corpus analog), score every document's Σ ln P, and
+        ntile into head/middle/tail buckets — the standard perplexity
+        filter between language-ID and dedup.  The bucket rank comes
+        from the two-phase global_rank (no single-partition window);
+        the LM joins broadcast."""
+        from ferenda_spark.operators.lmscore import (fit_bigram_lm,
+                                                     perplexity_buckets,
+                                                     score_perplexity)
+        docs = _docs(spark, sf).select("doc_id", "text", "lang")
+        lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"))
+        scored = score_perplexity(docs, lm, id_cols=["doc_id"])
+        out = perplexity_buckets(scored, n_buckets=3)
+        lm["bigram"].unpersist()
+        return _longify(out)
+    q["lm_perplexity_docs"] = lm_perplexity_docs
+
     def domain_stats_docs(spark, sf):
         """URL/domain-level curation (operators/webfilter.py): host +
         eTLD+1 extraction (incl. a multi-label public suffix) over
@@ -3879,6 +3898,59 @@ FROM d GROUP BY domain
     # hashed-feature linear quality scorer: per-token weight =
     # md5('qw-v1:'||token) folded to [0, 2^60) then mapped into
     # [-1000, 1000]; keep ⇔ sum·1000 ≥ 0·n (threshold 0)
+    # bigram-LM perplexity: the model arithmetic restated from
+    # scratch — add-one smoothing over the training vocab, unseen
+    # context scores 1/V; ntile(3) mirrors perplexity_buckets' exact
+    # equal-frequency closed form
+    o["lm_perplexity_docs"] = """
+WITH train_toks AS MATERIALIZED (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE lang = 'en'),
+vocab AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM train_toks)),
+train_bg AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+  FROM train_toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  GROUP BY 1, 2),
+ctx AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM train_bg GROUP BY 1),
+doc_toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+doc_bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM doc_toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g),
+scored AS (
+  SELECT d.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         CAST(floor(sum(ln(
+             (COALESCE(b.c12, 0) + 1)::DOUBLE
+             / (COALESCE(c.c1, 0) + (SELECT v FROM vocab)))) * 1000)
+           AS BIGINT) AS logprob_milli
+  FROM doc_bg d
+  LEFT JOIN train_bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx c ON d.w1 = c.w1
+  GROUP BY 1),
+filled AS (
+  SELECT dd.doc_id,
+         CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+         CAST(COALESCE(s.logprob_milli, 0) AS BIGINT) AS logprob_milli
+  FROM documents dd LEFT JOIN scored s ON dd.doc_id = s.doc_id)
+SELECT doc_id, n_bigrams, n_oov, logprob_milli,
+       CAST(ntile(3) OVER (
+         ORDER BY CASE WHEN n_bigrams > 0
+                       THEN CAST(floor(logprob_milli / n_bigrams)
+                                 AS BIGINT)
+                       ELSE -1000000000 END DESC, doc_id) AS BIGINT)
+         AS bucket
+FROM filled
+"""
+
     o["quality_classifier_docs"] = """
 WITH tk AS (
   SELECT doc_id,
