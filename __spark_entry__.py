@@ -1279,6 +1279,24 @@ LIMIT 25
                  ("node", False)], 20)
     q["kg_hits"] = kg_hits
 
+    def kg_triangles(spark, sf):
+        """Community structure of the citation graph: per-node
+        triangle counts + local clustering coefficient via the
+        degree-ordered (compact-forward) wedge join — the orientation
+        that keeps hub wedge-sets O(√E) under head-entity skew.
+        Graph = citations ∪ structure (isPartOf) ∪ RFC status links:
+        triangles close where a document's parts and its peers cite
+        the same targets."""
+        from ferenda_spark.operators.rank import triangles
+        e = _kg_edges(spark, sf)
+        preds = ["dcterms:references", "dcterms:isPartOf",
+                 "rfc:updates", "rfc:obsoletes"]
+        rel = (e.filter(F.col("pred").isin(preds))
+               .select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")))
+        return triangles(rel)
+    q["kg_triangles"] = kg_triangles
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -1940,6 +1958,31 @@ LIMIT 10
         lm["bigram"].unpersist()
         return _longify(out)
     q["lm_perplexity_docs"] = lm_perplexity_docs
+
+    def anchor_text_docs(spark, sf):
+        """Anchor-text enrichment (operators/anchors.py): pages with
+        deterministic doc_id-derived hyperlinks go through the REAL
+        HTML anchor parser (Arrow mapInPandas), root-relative hrefs
+        resolve against the source origin, and the per-target profile
+        (inlink counts + crowd-sourced top anchor) aggregates with a
+        keyed — never global — window.  The oracle restates the link
+        structure arithmetically, so a value match proves the whole
+        parse→resolve→aggregate chain."""
+        from ferenda_spark.operators.anchors import (anchor_pairs,
+                                                     anchor_profile,
+                                                     resolve_hrefs)
+        d = F.col("doc_id")
+        html = F.format_string(
+            '<html><body><p>See <a href="https://ex.org/doc/%d">'
+            'ref %d</a> and <a href="/rel/%d"><b>see</b>\n also %d'
+            '</a>.<a name="s%d">sec</a></p></body></html>',
+            d % 37, d % 5, d % 11, d % 3, d)
+        pages = _docs(spark, sf).select(
+            F.format_string("https://src.example/%d", d).alias("url"),
+            F.encode(html, "UTF-8").alias("html"))
+        pairs = resolve_hrefs(anchor_pairs(pages))
+        return _longify(anchor_profile(pairs))
+    q["anchor_text_docs"] = anchor_text_docs
 
     def domain_stats_docs(spark, sf):
         """URL/domain-level curation (operators/webfilter.py): host +
@@ -3949,6 +3992,69 @@ SELECT doc_id, n_bigrams, n_oov, logprob_milli,
                        ELSE -1000000000 END DESC, doc_id) AS BIGINT)
          AS bucket
 FROM filled
+"""
+
+    # triangles: the oracle enumerates each triangle a<b<c exactly
+    # once over the canonical undirected edge set — value-equal to
+    # the engine's degree-ordered enumeration
+    o["kg_triangles"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM golden
+  WHERE pred IN ('dcterms:references', 'dcterms:isPartOf',
+                 'rfc:updates', 'rfc:obsoletes')
+    AND subj <> obj),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri)
+  GROUP BY 1)
+SELECT p.node, d.degree, p.n_triangles,
+       (2000 * p.n_triangles) // (d.degree * (d.degree - 1))
+         AS coeff_milli
+FROM per_node p JOIN deg d ON p.node = d.node
+"""
+
+    # anchor profile: the synthesized link structure restated
+    # arithmetically — two links per doc, the named anchor ignored,
+    # "<b>see</b>\n also N" whitespace-normalized to "see also N",
+    # "/rel/K" origin-resolved
+    o["anchor_text_docs"] = """
+WITH p AS (
+  SELECT 'https://src.example/' || doc_id AS src,
+         'https://ex.org/doc/' || (doc_id % 37) AS h1,
+         'ref ' || (doc_id % 5) AS a1,
+         'https://src.example/rel/' || (doc_id % 11) AS h2,
+         'see also ' || (doc_id % 3) AS a2
+  FROM documents),
+pairs AS (
+  SELECT src, h1 AS href, a1 AS anchor FROM p
+  UNION ALL
+  SELECT src, h2 AS href, a2 AS anchor FROM p),
+by_anchor AS (
+  SELECT href, anchor, count(*) AS n FROM pairs GROUP BY 1, 2),
+top AS (
+  SELECT href, anchor AS top_anchor, n AS top_anchor_n FROM (
+    SELECT href, anchor, n,
+           row_number() OVER (PARTITION BY href
+                              ORDER BY n DESC, anchor) AS rn
+    FROM by_anchor) WHERE rn = 1),
+tot AS (
+  SELECT href, count(*) AS n_links, count(DISTINCT src) AS n_sources
+  FROM pairs GROUP BY 1)
+SELECT t.href, t.n_links, t.n_sources, x.top_anchor, x.top_anchor_n
+FROM tot t JOIN top x ON t.href = x.href
 """
 
     o["quality_classifier_docs"] = """

@@ -133,3 +133,71 @@ def test_hits_deterministic_across_partitionings(spark):
 def test_hits_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert hits(df, iters=2).count() == 0
+
+
+# ---- triangles -------------------------------------------------------------
+
+from itertools import combinations  # noqa: E402
+
+from ferenda_spark.operators.rank import triangles  # noqa: E402
+
+
+def _tri_ref(edges):
+    """Brute-force undirected triangle counts + coeff millis."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    t = {v: 0 for v in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                t[v] += 1
+    return {v: (len(adj[v]), t[v],
+                (2000 * t[v]) // (len(adj[v]) * (len(adj[v]) - 1)))
+            for v in adj if t[v] > 0}
+
+
+TRI_EDGES = [("A", "B"), ("B", "C"), ("C", "A"),      # triangle
+             ("C", "D"), ("D", "A"),                  # second: A C D
+             ("D", "E"),                              # dangling spoke
+             ("B", "A"),                              # reverse dup
+             ("E", "E")]                              # self-loop
+
+
+def test_triangles_matches_bruteforce(spark):
+    df = spark.createDataFrame(TRI_EDGES, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff_milli"])
+           for r in triangles(df).collect()}
+    assert got == _tri_ref(TRI_EDGES)
+    # A and C each close both triangles, B and D one each
+    assert got["A"][1] == 2 and got["C"][1] == 2
+    assert got["B"][1] == 1 and got["D"][1] == 1
+    # B's neighborhood is fully connected: coefficient 1.000
+    assert got["B"][2] == 1000
+    assert "E" not in got  # no triangle through E
+
+
+def test_triangles_skewed_hub(spark):
+    # hub H connects to 30 spokes; spokes i,i+1 connected pairwise:
+    # 29 triangles at H, degree-ordering keeps the hub's out-set tiny
+    edges = [("H", f"s{i:02d}") for i in range(30)] + \
+            [(f"s{i:02d}", f"s{i+1:02d}") for i in range(29)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangles(df).collect()}
+    assert got["H"] == 29
+    assert got["s00"] == 1 and got["s15"] == 2
+    ref = _tri_ref(edges)
+    full = {r["node"]: (r["degree"], r["n_triangles"], r["coeff_milli"])
+            for r in triangles(df).collect()}
+    assert full == ref
+
+
+def test_triangles_none(spark):
+    df = spark.createDataFrame([("A", "B"), ("B", "C")],
+                               "src string, dst string")
+    assert triangles(df).count() == 0
