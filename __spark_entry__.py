@@ -897,6 +897,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pagenum=2, pagelen=10))
     q["fulltext_api_page"] = fulltext_api_page
 
+    def fulltext_bm25_docs(spark, sf):
+        """Q1 with the ES scoring model: Okapi BM25 (the reference's
+        ElasticSearch backend default similarity) over the same
+        fielded index — length-normalized ranking in BIGINT
+        fixed-point (k1=1.2, b=0.75 carried as milli-integers, one
+        floor-DIV per posting), so long documents stop winning on
+        raw term frequency alone."""
+        from ferenda_spark.operators import fulltext as ft
+        d = _docs(spark, sf).select("doc_id", "text", "source")
+        idx = ft.fulltext_index(d, "doc_id", {"source": 4, "text": 1})
+        return _longify(ft.bm25_search(
+            idx, d.count(), ["table", "window", "spark"], k=20))
+    q["fulltext_bm25_docs"] = fulltext_bm25_docs
+
     def doc_versions_views(spark, sf):
         """J8 both halves in one gate: per document, the CURRENT
         version (archive latest view) and the version IN EFFECT on
@@ -2849,6 +2863,33 @@ FROM (SELECT id, score,
              row_number() OVER (ORDER BY score DESC, id) AS rank
       FROM shaped), total
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # BM25: same tokenizer/idf CTEs; dl/avgdl and the fixed-point
+    # formula restated with DuckDB's // (floor division, identical to
+    # Spark's div for positive BIGINTs)
+    o["fulltext_bm25_docs"] = f"""
+WITH {_ft_ctes},
+dl AS (SELECT id, field, CAST(sum(tf) AS BIGINT) AS dl
+       FROM tf GROUP BY 1, 2),
+avg AS (SELECT field, (sum(dl) * 1000) // count(*) AS avgdl_milli
+        FROM dl GROUP BY field),
+parts AS (
+  SELECT tf.id,
+         tf.boost * ((idf.idf_milli * tf.tf * 2200 * avg.avgdl_milli)
+           // ((tf.tf * 1000000 * avg.avgdl_milli
+                + 1200 * (250 * avg.avgdl_milli + 750 * dl.dl * 1000))
+               // 1000)) AS part
+  FROM tf JOIN idf USING (term)
+       JOIN dl ON tf.id = dl.id AND tf.field = dl.field
+       JOIN avg ON tf.field = avg.field
+  WHERE term IN ('table', 'window', 'spark')),
+hits AS (SELECT id, CAST(sum(part) AS BIGINT) AS score
+         FROM parts GROUP BY id)
+SELECT id, score, rank FROM (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id) AS rank
+  FROM hits) WHERE rank <= 20
 """
 
     o["fulltext_fielded"] = f"""

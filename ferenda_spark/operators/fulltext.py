@@ -121,6 +121,84 @@ def idf_milli(index: DataFrame, n_docs: int) -> DataFrame:
             ).cast("long").alias("idf_milli")))
 
 
+def doc_lengths(index: DataFrame) -> DataFrame:
+    """(id, field, dl) — per-document field lengths in tokens,
+    derived from the inverted index (dl = Σ tf).  At 100 TB this is
+    a precomputed table written alongside the index, co-bucketed on
+    id so BM25 scoring joins it without a shuffle; pass it to
+    ``bm25_search(doclens=...)`` instead of re-deriving per query."""
+    return (index.groupBy("id", "field")
+            .agg(F.sum("tf").cast("long").alias("dl")))
+
+
+def bm25_search(index: DataFrame, n_docs: int, query_terms: list[str],
+                k: int = 20, fields: list[str] | None = None,
+                k1_milli: int = 1200, b_milli: int = 750,
+                doclens: DataFrame | None = None,
+                idf: DataFrame | None = None) -> DataFrame:
+    """Okapi BM25 ranking: (id, score, rank), top-k.
+
+    The reference's ElasticSearch backend scores with BM25 (the ES
+    default similarity; fulltextindex.py:685+ delegates scoring to
+    the server) — this is that ranking function restated as a
+    DataFrame plan, with the same field-boost surface as
+    ``fulltext_search``.
+
+    Engine-deterministic integer arithmetic (Robertson/Zaragoza 2009
+    formula, k1/b carried in milli-units):
+
+        den  = tf·10^6·avgdl_milli
+               + k1_milli·((1000-b_milli)·avgdl_milli + b_milli·dl·1000)
+        part = boost · (idf_milli·tf·(k1_milli+1000)·avgdl_milli)
+                       DIV (den DIV 1000)
+
+    which equals boost·idf_milli·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    up to the two floor divisions — BIGINT end-to-end, no float
+    summation, so Spark and the SQL oracle agree bit-for-bit.  The
+    den DIV 1000 pre-shrink keeps the numerator within BIGINT at
+    book-length documents (dl ≲ 10^6 tokens).
+
+    Plan shape: the term IN-list prunes the index scan, idf is a
+    broadcast vocabulary table, doclens joins on the uniform
+    (id, field) key, and the per-field avgdl table (one row per
+    field) is broadcast.  Top-k is TakeOrdered — never a global
+    ranking window."""
+    terms = sorted({t for q in query_terms for t in q.lower().split()
+                    if t})
+    if not terms:
+        return (index.filter(F.lit(False))
+                .select("id", F.lit(0).cast("long").alias("score"),
+                        F.lit(0).cast("int").alias("rank")))
+    dl = doclens if doclens is not None else doc_lengths(index)
+    if fields is not None:
+        dl = dl.filter(F.col("field").isin(*fields))
+    # one row per field: exact integer milli average length
+    avgdl = (dl.groupBy("field")
+             .agg(F.expr("(sum(dl) * 1000) div count(1)")
+                  .alias("avgdl_milli")))
+    hits = index.filter(F.col("term").isin(*terms))
+    if fields is not None:
+        hits = hits.filter(F.col("field").isin(*fields))
+    if idf is None:
+        # per-term df is invariant under the term filter, so the idf
+        # of the pruned postings equals the full-vocabulary idf
+        hits = hits.persist()
+        idf = idf_milli(hits, n_docs)
+    k1p = int(k1_milli) + 1000
+    parts = (hits.join(F.broadcast(idf), "term")
+             .join(dl, ["id", "field"])
+             .join(F.broadcast(avgdl), "field")
+             .select("id", F.expr(
+                 f"boost * ((idf_milli * tf * {k1p} * avgdl_milli) div "
+                 f"((tf * 1000000 * avgdl_milli + {int(k1_milli)} * "
+                 f"(({1000 - int(b_milli)}) * avgdl_milli + "
+                 f"{int(b_milli)} * dl * 1000)) div 1000))")
+                 .cast("long").alias("part")))
+    scored = parts.groupBy("id").agg(F.sum("part").alias("score"))
+    from ferenda_spark.operators.analytics import ranked_topk
+    return ranked_topk(scored, [("score", True), ("id", False)], k)
+
+
 def fulltext_search(index: DataFrame, idf: DataFrame | None,
                     query_terms: list[str], k: int = 20,
                     fields: list[str] | None = None,

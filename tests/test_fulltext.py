@@ -149,3 +149,45 @@ def test_repo_boosts_excludes_and_paging(spark):
     import pytest
     with pytest.raises(ValueError, match="repos"):
         ft.fulltext_search(idx, idf, ["beta"], boost_repos={"ra": 2})
+
+
+def test_bm25_tracks_float_formula_and_length_norm(spark):
+    """The BIGINT fixed-point BM25 must track the float Okapi formula
+    (Robertson/Zaragoza 2009) within fixed-point truncation, and
+    length normalization must hold: equal tf, longer doc scores less."""
+    import math
+    rows = [
+        (1, "beta " + "filler " * 40, "t"),       # tf(beta)=1, long
+        (2, "beta unrelated words", "t"),         # tf(beta)=1, short
+        (3, "beta beta beta pad pad", "t"),       # tf(beta)=3
+        (4, "nothing matches here at all", "t"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    idx = ft.fulltext_index(d, "doc_id", {"text": 1})
+    out = {r["id"]: r["score"]
+           for r in ft.bm25_search(idx, 4, ["beta"], k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    # length normalization: same tf, shorter doc wins
+    assert out[2] > out[1]
+    # the float reference value, same idf scaling (floor 1000·ln);
+    # avgdl is over the WHOLE corpus (doc 4 included), per Okapi
+    dls = {1: 41, 2: 3, 3: 5}
+    avgdl = (41 + 3 + 5 + 5) / 4
+    idf = math.floor(1000 * math.log(4 / 3))
+    k1, b = 1.2, 0.75
+    for doc, tf in ((1, 1), (2, 1), (3, 3)):
+        want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[doc] / avgdl))
+        # integer plan: within 3 milli-units of the float formula
+        assert abs(out[doc] - want) <= 3, (doc, out[doc], want)
+
+
+def test_bm25_field_restriction_and_empty(spark):
+    d = _corpus(spark)
+    idx = ft.fulltext_index(d, "doc_id", {"title": 4, "text": 1})
+    # title-only: only docs with 'beta' in title (doc 3)
+    only = ft.bm25_search(idx, 4, ["beta"], fields=["title"]).collect()
+    assert [r["id"] for r in only] == [3]
+    # empty query: stable schema, zero rows
+    empty = ft.bm25_search(idx, 4, ["   "])
+    assert empty.count() == 0
+    assert empty.columns == ["id", "score", "rank"]
