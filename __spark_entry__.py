@@ -1763,6 +1763,17 @@ LIMIT 10
             d, {"en": 0.5, "zh": 0.2}, default_rate=0.05))
     q["sample_mixture_docs"] = sample_mixture_docs
 
+    def quota_sample_docs(spark, sf):
+        """Per-group document quota (the C4/RefinedWeb per-domain URL
+        cap): each source down-sampled to ~10 docs via the salted
+        integer-threshold draw — over-cap groups keep rows iff
+        u < cap·(2^60 DIV count), all-BIGINT, reproducible."""
+        from ferenda_spark.operators import sampling
+        d = _docs(spark, sf).select("doc_id", "source")
+        return _longify(sampling.quota_sample(
+            d, cap=10, group_col="source"))
+    q["quota_sample_docs"] = quota_sample_docs
+
     def training_shards_docs(spark, sf):
         """Deterministic training-shard packing: every document's
         shard under the salted-md5 global shuffle order + greedy
@@ -3885,6 +3896,16 @@ WHERE CAST(concat('0x', substr(md5('mix-v1:' ||
   < CASE lang WHEN 'en' THEN {rate_threshold(0.5)}
               WHEN 'zh' THEN {rate_threshold(0.2)}
               ELSE {rate_threshold(0.05)} END
+"""
+
+    o["quota_sample_docs"] = """
+WITH n AS (SELECT source, count(*) AS grp_n FROM documents GROUP BY 1)
+SELECT d.doc_id, d.source
+FROM documents d JOIN n ON d.source IS NOT DISTINCT FROM n.source
+WHERE n.grp_n <= 10
+   OR CAST(concat('0x', substr(md5('quota-v1:' ||
+        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < 10 * (1152921504606846976 // n.grp_n)
 """
 
     from ferenda_spark.operators.textstats import PII_PATTERNS

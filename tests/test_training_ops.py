@@ -900,6 +900,41 @@ def test_stratified_sample_null_keys_dropped_explicitly(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
 
 
+def test_quota_sample_cap_semantics(spark):
+    """Per-group quota: under-cap groups keep every row; over-cap
+    groups down-sample to ~cap deterministically; a new salt draws a
+    different sample; null keys drop, null groups participate."""
+    from ferenda_spark.operators import sampling
+    rows = spark.range(0, 10050).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10000, "big").otherwise(
+            F.when(F.col("id") < 10040, "mid")).alias("dom"))
+    out = sampling.quota_sample(rows, cap=50, group_col="dom",
+                                salt="q1")
+    by = {r["dom"]: r["count"]
+          for r in out.groupBy("dom").count().collect()}
+    # 'mid' (40 rows) and NULL group (10 rows) are under cap: all kept
+    assert by["mid"] == 40 and by[None] == 10
+    # 'big' (10000 rows) downsamples to ~50 (expected cap, binomial)
+    assert 25 <= by["big"] <= 85
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids_again = {r["doc_id"] for r in sampling.quota_sample(
+        rows, cap=50, group_col="dom", salt="q1").collect()}
+    assert ids1 == ids_again
+    ids2 = {r["doc_id"] for r in sampling.quota_sample(
+        rows, cap=50, group_col="dom", salt="q2").collect()}
+    assert ids1 != ids2
+    # cap=0 empties over-cap groups but keeps... nothing anywhere:
+    # every group with count>0 > cap keeps only u < 0 rows = none
+    assert sampling.quota_sample(rows, cap=0, group_col="dom").count() == 0
+    with pytest.raises(ValueError):
+        sampling.quota_sample(rows, cap=-1, group_col="dom")
+    # null keys dropped even in under-cap groups
+    nk = spark.createDataFrame([(1, "a"), (None, "a")],
+                               "doc_id long, dom string")
+    assert sampling.quota_sample(nk, cap=5, group_col="dom").count() == 1
+
+
 def test_redact_pii_counts_and_replacement(spark):
     """Counts reflect the ORIGINAL text; every pattern type is
     replaced by its token; clean text passes through untouched."""
