@@ -1311,6 +1311,23 @@ LIMIT 25
         return triangles(rel)
     q["kg_triangles"] = kg_triangles
 
+    def kg_linkpred(spark, sf):
+        """Missing-citation prediction: Resource-Allocation index
+        (Σ 10^6 DIV deg over common neighbors) for non-adjacent doc
+        pairs of the citation graph — hub intermediaries above
+        degree 50 excluded from candidate generation (their RA
+        weight is ≤ 20k micro anyway; the cap is what keeps the
+        wedge join subquadratic under head-entity skew).  Top-50."""
+        from ferenda_spark.operators.rank import link_prediction_ra
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        ra = link_prediction_ra(cites, max_hub_degree=50)
+        return analytics.ranked_topk(
+            ra, [("score_micro", True), ("u", False), ("v", False)], 50)
+    q["kg_linkpred"] = kg_linkpred
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -4086,6 +4103,36 @@ SELECT p.node, d.degree, p.n_triangles,
        (2000 * p.n_triangles) // (d.degree * (d.degree - 1))
          AS coeff_milli
 FROM per_node p JOIN deg d ON p.node = d.node
+"""
+
+    o["kg_linkpred"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM golden WHERE pred = 'dcterms:references' AND subj <> obj),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1),
+adj AS (SELECT u AS w, v AS n FROM und
+        UNION ALL SELECT v, u FROM und),
+mids AS (SELECT a.w, a.n, d.degree FROM adj a
+         JOIN deg d ON a.w = d.node WHERE d.degree <= 50),
+cand AS (
+  SELECT a1.n AS u, a2.n AS v, a1.degree
+  FROM mids a1 JOIN (SELECT w, n FROM mids) a2
+    ON a1.w = a2.w AND a1.n < a2.n),
+scored AS (
+  SELECT u, v, CAST(sum(1000000 // degree) AS BIGINT) AS score_micro,
+         count(*) AS n_common
+  FROM cand GROUP BY 1, 2),
+fresh AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.u = s.u AND und.v = s.v))
+SELECT u, v, score_micro, n_common, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, u, v)
+    AS rank FROM fresh) WHERE rank <= 50
 """
 
     # anchor profile: the synthesized link structure restated

@@ -249,3 +249,51 @@ def triangles(edges: DataFrame) -> DataFrame:
     deg.unpersist()
     lower_first.unpersist()
     return out
+
+
+def link_prediction_ra(edges: DataFrame, max_hub_degree: int = 1000
+                       ) -> DataFrame:
+    """Resource-Allocation link prediction over the undirected simple
+    graph of ``edges(src, dst)``: for every non-adjacent pair (u, v)
+    with at least one common neighbor, ``score_micro =
+    Σ_w 10^6 DIV deg(w)`` over common neighbors w, plus ``n_common``.
+
+    The RA index (Zhou/Lü/Zhang 2009, the strongest of the classic
+    local similarity indices) — here it predicts missing citations /
+    suggests related documents, the "documents you should also read"
+    join the reference's annotation layer never had.  Integer
+    reciprocals keep the score BIGINT-exact for the oracle.
+
+    Scale design: a common neighbor w of degree d generates
+    d·(d-1)/2 candidate pairs — quadratic in the head entity's
+    degree, the classic skew bomb.  ``max_hub_degree`` excludes
+    hub intermediaries from candidate GENERATION; this is the
+    standard LSH-style blocking compromise, and near-lossless for
+    RA specifically because an excluded hub's score contribution is
+    exactly ``10^6 DIV deg ≤ 10^6/max_hub_degree`` — the index
+    discounts exactly the neighbors the cap drops.  Three shuffles:
+    degree agg, the wedge self-join on w, the adjacency anti-join.
+    """
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+           .persist())
+    adj = (und.select(F.col("u").alias("w"), F.col("v").alias("n"))
+           .unionByName(
+               und.select(F.col("v").alias("w"), F.col("u").alias("n"))))
+    mids = (adj.join(deg.withColumnRenamed("node", "w"), "w")
+            .filter(F.col("degree") <= F.lit(int(max_hub_degree))))
+    a1 = mids.select("w", F.col("n").alias("u"), "degree")
+    a2 = mids.select("w", F.col("n").alias("v"))
+    cand = (a1.join(a2, "w").filter(F.col("u") < F.col("v")))
+    scored = (cand.groupBy("u", "v")
+              .agg(F.sum(F.expr("1000000 div degree"))
+                   .cast("long").alias("score_micro"),
+                   F.count(F.lit(1)).alias("n_common")))
+    fresh = scored.join(und, ["u", "v"], "left_anti")
+    deg.unpersist()
+    return fresh

@@ -201,3 +201,32 @@ def test_triangles_none(spark):
     df = spark.createDataFrame([("A", "B"), ("B", "C")],
                                "src string, dst string")
     assert triangles(df).count() == 0
+
+
+def test_link_prediction_ra_exact_and_hub_cap(spark):
+    """RA scores on a hand-checked graph: score = Σ 10^6 DIV deg(w)
+    over common neighbors; adjacent pairs excluded; a hub above the
+    degree cap stops generating candidates (and only loses its
+    ≤10^6/cap contribution)."""
+    from ferenda_spark.operators.rank import link_prediction_ra
+    # path graph a-w-b plus w-c: w has degree 3
+    # pairs via w: (a,b),(a,c),(b,c) each score 10^6 DIV 3 = 333333
+    edges = spark.createDataFrame(
+        [("w", "a"), ("w", "b"), ("w", "c")], "src string, dst string")
+    out = {(r["u"], r["v"]): (r["score_micro"], r["n_common"])
+           for r in link_prediction_ra(edges).collect()}
+    assert out == {("a", "b"): (333333, 1), ("a", "c"): (333333, 1),
+                   ("b", "c"): (333333, 1)}
+    # two common neighbors of degree 2 each: score = 2·500000
+    edges2 = spark.createDataFrame(
+        [("a", "w1"), ("w1", "b"), ("a", "w2"), ("w2", "b")],
+        "src string, dst string")
+    out2 = {(r["u"], r["v"]): (r["score_micro"], r["n_common"])
+            for r in link_prediction_ra(edges2).collect()}
+    assert out2[("a", "b")] == (1000000, 2)
+    # adjacent pair never predicted even with a common neighbor
+    edges3 = spark.createDataFrame(
+        [("a", "b"), ("a", "w"), ("w", "b")], "src string, dst string")
+    assert link_prediction_ra(edges3).count() == 0
+    # hub cap: w exceeds max_hub_degree -> no candidates at all
+    assert link_prediction_ra(edges, max_hub_degree=2).count() == 0
