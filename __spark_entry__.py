@@ -1328,6 +1328,19 @@ LIMIT 25
             ra, [("score_micro", True), ("u", False), ("v", False)], 50)
     q["kg_linkpred"] = kg_linkpred
 
+    def kg_communities(spark, sf):
+        """Citation-graph communities: 2 rounds of synchronous label
+        propagation (most-frequent neighbor label, min tie-break) —
+        splits the connected citation web into densely-linked groups
+        where components() sees only one blob."""
+        from ferenda_spark.operators.rank import label_propagation
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        return label_propagation(cites, iters=2)
+    q["kg_communities"] = kg_communities
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -4133,6 +4146,33 @@ fresh AS (
 SELECT u, v, score_micro, n_common, rank FROM (
   SELECT *, row_number() OVER (ORDER BY score_micro DESC, u, v)
     AS rank FROM fresh) WHERE rank <= 50
+"""
+
+    # LPA: both rounds restated with the general argmax form
+    # (cnt DESC, label ASC), labels initialized to the node id
+    o["kg_communities"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM golden WHERE pred = 'dcterms:references' AND subj <> obj),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v, u FROM und),
+c1 AS (SELECT a.node, a.nbr AS label, count(*) AS cnt
+       FROM adj a GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+  WHERE rn = 1),
+c2 AS (SELECT a.node, l1.label, count(*) AS cnt
+       FROM adj a JOIN l1 ON a.nbr = l1.node GROUP BY 1, 2),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+  WHERE rn = 1)
+SELECT node, label FROM l2
 """
 
     # anchor profile: the synthesized link structure restated

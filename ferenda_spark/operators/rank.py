@@ -297,3 +297,51 @@ def link_prediction_ra(edges: DataFrame, max_hub_degree: int = 1000
     fresh = scored.join(und, ["u", "v"], "left_anti")
     deg.unpersist()
     return fresh
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected simple graph of ``edges(src, dst)``: every node starts
+    as its own label; each round it adopts the most frequent label
+    among its neighbors (ties -> lexicographically smallest), all
+    nodes updating from the PREVIOUS round's labels simultaneously.
+
+    Raghavan et al. 2007 (near-linear community detection), made
+    engine-deterministic: integer counts + min-label tie-break and a
+    FIXED iteration count — synchronous LPA can oscillate on
+    bipartite structures, so the operator's contract is "the label
+    state after exactly N rounds", which the unrolled SQL oracle can
+    restate.  Complements ``dedup.components`` (connectivity):
+    LPA splits a connected graph into densely-linked groups.
+
+    One shuffle per round (neighbor-label count) + the argmax — the
+    per-round cost of PageRank with a groupBy key of (node, label).
+    Returns (node, label) for every node incident to an edge.
+    """
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionByName(
+               und.select(F.col("v").alias("node"),
+                          F.col("u").alias("nbr")))
+           .persist())
+    labels = (adj.select("node").distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(int(iters)):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr")
+        counts = (nbr_labels.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        # argmax by (cnt desc, label asc) without a window: min of
+        # (-cnt, label) struct is a map-side-combinable aggregate
+        new = (counts.groupBy("node")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                   F.col("label"))).alias("top"))
+               .select("node", F.col("top.label").alias("label")))
+        # localCheckpoint per round: truncates the growing lineage
+        # exactly as pagerank/components do
+        labels = new.localCheckpoint(eager=True)
+    adj.unpersist()
+    return labels

@@ -230,3 +230,36 @@ def test_link_prediction_ra_exact_and_hub_cap(spark):
     assert link_prediction_ra(edges3).count() == 0
     # hub cap: w exceeds max_hub_degree -> no candidates at all
     assert link_prediction_ra(edges, max_hub_degree=2).count() == 0
+
+
+def test_label_propagation_triangle_and_determinism(spark):
+    """Hand-traced synchronous LPA: a triangle converges to the min
+    id in 2 rounds; disjoint triangles get separate labels; the
+    result is identical across runs (pure integer/min arithmetic)."""
+    from ferenda_spark.operators.rank import label_propagation
+    tri = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(tri, "src string, dst string")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, iters=2).collect()}
+    # round 1: every node takes its min neighbor; round 2: majority
+    # (a sees b->"a", c->"a" => "a"; b sees a->"b", c->"a" => "a"...)
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
+    again = {r["node"]: r["label"]
+             for r in label_propagation(edges, iters=2).collect()}
+    assert out == again
+    # two triangles bridged by one edge: hand-trace of the exact
+    # 2-round synchronous state.  Round 1 minimums: a->b, b->a,
+    # c->a, x->c (the bridge pulls x to "c"), y->x, z->x.  Round 2:
+    # a/b/c majority-or-min-tie to "a"; x's own triangle outvotes
+    # the bridge (y,z both carry "x"); y and z each see {c,x} — a
+    # tie — and the min tie-break picks "c".  The a-triangle stays
+    # intact and never absorbs the x-triangle's core.
+    bridged = tri + [("c", "x")]
+    out2 = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame(bridged, "src string, dst string"),
+        iters=2).collect()}
+    assert {out2["a"], out2["b"], out2["c"]} == {"a"}
+    assert out2["x"] == "x"
+    assert {out2["y"], out2["z"]} == {"c"}
