@@ -2059,6 +2059,47 @@ LIMIT 10
         return _longify(domain_stats(docs))
     q["domain_stats_docs"] = domain_stats_docs
 
+    def robots_filter_docs(spark, sf):
+        """RFC 9309 robots admission (operators/robots.py): ten
+        synthetic hosts, even hosts carry a robots.txt (hosts 0,4,8
+        with an exact `ferendabot` group that overrides `*`
+        EXCLUSIVELY, hosts 2,6 with only the `*` group: /private/
+        disallow, /private/pub/ allow override, /*.tmp$ wildcard+
+        anchor), odd hosts have no robots row (spec: absence means
+        allow).  Urls take one of four path classes per doc_id.  The
+        oracle re-derives every (allowed, prec) decision purely
+        arithmetically from doc_id — group selection, longest-match
+        precedence and the missing-row default all have to agree."""
+        from ferenda_spark.operators.robots import (parse_robots,
+                                                    robots_decisions)
+        star = ("User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/pub/\nDisallow: /*.tmp$\n")
+        robots = spark.createDataFrame(
+            [("site%d.com" % h,
+              star + ("User-agent: ferendabot\nDisallow: /doc/\n"
+                      if h % 4 == 0 else ""))
+             for h in range(0, 10, 2)],
+            "domain string, robots_txt string")
+        did = F.col("doc_id")
+        path = (F.when(did % 4 == 0, F.concat(F.lit("/private/p"),
+                                              did.cast("string")))
+                .when(did % 4 == 1, F.concat(F.lit("/private/pub/p"),
+                                             did.cast("string")))
+                .when(did % 4 == 2, F.concat(F.lit("/p"),
+                                             did.cast("string"),
+                                             F.lit(".tmp")))
+                .otherwise(F.concat(F.lit("/doc/p"),
+                                    did.cast("string"))))
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("https://site"), (did % 10).cast("string"),
+                     F.lit(".com"), path).alias("url"))
+        rules = parse_robots(robots, agent="ferendabot")
+        return _longify(
+            robots_decisions(docs, rules)
+            .select("doc_id", "robots_allowed", "robots_prec"))
+    q["robots_filter_docs"] = robots_filter_docs
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4028,6 +4069,27 @@ WITH d AS (
 SELECT domain, count(*) AS n_docs,
        count(DISTINCT host) AS n_hosts
 FROM d GROUP BY domain
+"""
+
+    # robots decisions, re-derived arithmetically: host h = doc_id%10,
+    # path class pc = doc_id%4.  Odd h: no robots row -> allowed/NULL.
+    # h%4==0: the exact ferendabot group (Disallow /doc/, prec 5)
+    # governs EXCLUSIVELY -> only pc=3 denied.  h%4==2: the * group ->
+    # pc=0 denied by /private/ (prec 9), pc=1 allowed by the longer
+    # /private/pub/ (prec 13), pc=2 denied by /*.tmp$ (prec 7), pc=3
+    # unmatched -> allowed/NULL.
+    o["robots_filter_docs"] = """
+WITH u AS (
+  SELECT doc_id, doc_id % 10 AS h, doc_id % 4 AS pc FROM documents)
+SELECT doc_id,
+  CASE WHEN h % 2 = 1 THEN TRUE
+       WHEN h % 4 = 0 THEN pc <> 3
+       ELSE pc = 1 OR pc = 3 END AS robots_allowed,
+  CASE WHEN h % 2 = 1 THEN NULL
+       WHEN h % 4 = 0 THEN CASE WHEN pc = 3 THEN 5 END
+       ELSE CASE pc WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 7 END
+  END::BIGINT AS robots_prec
+FROM u
 """
 
     # hashed-feature linear quality scorer: per-token weight =

@@ -87,6 +87,16 @@ HEADLINE = [
     "kg_sparql_graph_scoped",
     "kg_class_partitions",
     "quantiles_documents",
+    # session-4/5 graph + text additions
+    "kg_hits",
+    "kg_triangles",
+    "kg_linkpred",
+    "kg_communities",
+    "lm_perplexity_docs",
+    "anchor_text_docs",
+    "fulltext_bm25_docs",
+    "quota_sample_docs",
+    "robots_filter_docs",
 ]
 
 

@@ -98,6 +98,27 @@ def url_host_col(url: Column) -> Column:
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
+def url_path(url: str) -> str:
+    """Path + optional ``?query`` of a URL, fragment stripped — the
+    string robots.txt rules match against (RFC 9309 §2.2.2 matches on
+    the path and optional query).  A URL with no path yields ``/``."""
+    no_frag = re.sub(r"#.*$", "", url or "")
+    m = re.search(_SCHEME_RE + r"[^/?#]*(/[^#]*)", no_frag)
+    if m:
+        return m.group(2)
+    # authority with no slash: a bare "?query" still matches rules
+    q = re.search(_SCHEME_RE + r"[^/?#]*(\?[^#]*)", no_frag)
+    return "/" + (q.group(2) if q else "")
+
+
+def url_path_col(url: Column) -> Column:
+    """Column twin of ``url_path`` (pure codegen)."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    path = F.regexp_extract(no_frag, _SCHEME_RE + r"[^/?#]*(/[^#]*)", 2)
+    query = F.regexp_extract(no_frag, _SCHEME_RE + r"[^/?#]*(\?[^#]*)", 2)
+    return F.when(path != "", path).otherwise(F.concat(F.lit("/"), query))
+
+
 def registered_domain(host: str) -> str | None:
     """eTLD+1 heuristic: the last two labels, or three when the suffix
     is a known multi-label public suffix (``MULTI_TLDS`` core set)."""
