@@ -2100,6 +2100,71 @@ LIMIT 10
             .select("doc_id", "robots_allowed", "robots_prec"))
     q["robots_filter_docs"] = robots_filter_docs
 
+    def sitemap_discovery(spark, sf):
+        """Sitemap frontier discovery (operators/sitemaps.py): per-host
+        urlset XML is assembled IN Spark from doc_id arithmetic (loc
+        always; lastmod always; changefreq only when doc_id%5==0;
+        priority 0.{doc_id%11} only when doc_id%3==0 — the %11==10 case
+        pins the two-digit-fraction parse), then parsed back by the
+        distributed Arrow reader.  The oracle restates every entry row
+        arithmetically — loc-through-priority must round-trip."""
+        from ferenda_spark.operators.sitemaps import parse_sitemaps
+        did = F.col("doc_id")
+        entry = F.concat(
+            F.lit("<url><loc>https://site"), (did % 7).cast("string"),
+            F.lit(".com/p"), did.cast("string"), F.lit("</loc>"),
+            F.lit("<lastmod>2024-01-"),
+            F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+            F.when(did % 5 == 0,
+                   F.lit("<changefreq>daily</changefreq>"))
+            .otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit("<priority>0."),
+                            (did % 11).cast("string"),
+                            F.lit("</priority>"))).otherwise(F.lit("")),
+            F.lit("</url>"))
+        maps = (_docs(spark, sf)
+                .select((F.col("doc_id") % 7).alias("h"), entry.alias("e"))
+                .groupBy("h")
+                .agg(F.concat(
+                    F.lit('<urlset xmlns="http://www.sitemaps.org/'
+                          'schemas/sitemap/0.9">'),
+                    F.concat_ws("", F.collect_list("e")),
+                    F.lit("</urlset>")).alias("xml"))
+                .select(F.concat(F.lit("https://site"),
+                                 F.col("h").cast("string"),
+                                 F.lit(".com/sitemap.xml")).alias("url"),
+                        "xml"))
+        return _longify(
+            parse_sitemaps(maps)
+            .select("loc", "lastmod", "changefreq", "priority_milli"))
+    q["sitemap_discovery"] = sitemap_discovery
+
+    def fetch_schedule_docs(spark, sf):
+        """Politeness scheduling (crawl.py::schedule_fetches composed
+        with robots.py crawl-delay parsing): 50 synthetic hosts, even
+        hosts publish `Crawl-delay: h%7` (h%7==0 pins the zero-delay
+        case), odd hosts have no robots row (default 1 req/s); each
+        host's queue is url-ordered.  The oracle restates the per-host
+        row_number and the slot arithmetic."""
+        from ferenda_spark.operators.crawl import schedule_fetches
+        from ferenda_spark.operators.robots import parse_robots
+        robots = spark.createDataFrame(
+            [("site%d.com" % h,
+              "User-agent: *\nCrawl-delay: %d\n" % (h % 7))
+             for h in range(0, 50, 2)],
+            "domain string, robots_txt string")
+        did = F.col("doc_id")
+        frontier = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("https://site"), (did % 50).cast("string"),
+                     F.lit(".com/p"), did.cast("string")).alias("url"))
+        out = schedule_fetches(frontier, parse_robots(robots))
+        return _longify(out.select("doc_id", "host", "fetch_seq",
+                                   "not_before_millis"))
+    q["fetch_schedule_docs"] = fetch_schedule_docs
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4090,6 +4155,42 @@ SELECT doc_id,
        ELSE CASE pc WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 7 END
   END::BIGINT AS robots_prec
 FROM u
+"""
+
+    # every sitemap entry restated arithmetically: loc/lastmod always,
+    # changefreq only when doc_id%5==0, priority only when doc_id%3==0
+    # (0.k -> k*100 except k=10 -> "0.10" = 100), spec default 500
+    o["sitemap_discovery"] = """
+SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+         || CAST(doc_id AS VARCHAR) AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+       CASE WHEN doc_id % 3 = 0 THEN
+         CASE WHEN doc_id % 11 = 10 THEN 100
+              ELSE (doc_id % 11) * 100 END
+       ELSE 500 END::BIGINT AS priority_milli
+FROM documents
+"""
+
+    # per-host url-ordered queue; even hosts delay (h%7) seconds from
+    # their robots record, odd hosts the 1 req/s default
+    o["fetch_schedule_docs"] = """
+WITH u AS (
+  SELECT doc_id, doc_id % 50 AS h,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+s AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY url)
+           AS fetch_seq
+  FROM u)
+SELECT doc_id, 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+       fetch_seq,
+       (fetch_seq - 1)
+         * (CASE WHEN h % 2 = 0 THEN (h % 7) * 1000 ELSE 1000 END)
+         AS not_before_millis
+FROM s
 """
 
     # hashed-feature linear quality scorer: per-token weight =

@@ -97,6 +97,8 @@ HEADLINE = [
     "fulltext_bm25_docs",
     "quota_sample_docs",
     "robots_filter_docs",
+    "sitemap_discovery",
+    "fetch_schedule_docs",
 ]
 
 

@@ -61,3 +61,56 @@ def crawl_frontier(links: DataFrame, seeds: DataFrame,
     if prev_frontier is not None:
         prev_frontier.unpersist()
     return visited
+
+
+def schedule_fetches(frontier: DataFrame, delays: DataFrame = None,
+                     default_delay_millis: int = 1000,
+                     url_col: str = "url",
+                     max_per_host: int = None,
+                     broadcast_delays: bool = True) -> DataFrame:
+    """Politeness scheduling: admitted frontier urls → per-host fetch
+    slots.  Adds ``host``, ``fetch_seq`` (1-based position in the
+    host's queue, deterministic url order) and ``not_before_millis``
+    = ``(fetch_seq-1) · delay`` — the earliest offset, relative to
+    the host queue's start, at which the fetch respects the host's
+    crawl delay.  A wave-based executor then runs slot t =
+    ``not_before_millis div wave_millis`` of every host in parallel.
+
+    ``delays`` is :func:`~ferenda_spark.operators.robots.parse_robots`
+    output (its ``crawl_delay_millis``; hosts without a record — or
+    the whole argument omitted — fall back to ``default_delay_millis``,
+    one polite request/second).  ``max_per_host`` caps each host's
+    queue per scheduling round (the head-host guard: a 10^8-url host
+    must not monopolize the round; the tail re-enters next round).
+
+    Scale shape: the per-host sequence is a window PARTITIONED BY
+    host — inherently so, politeness is a per-host total order; the
+    parallelism is across the ~10^8 hosts of a web corpus, and
+    ``max_per_host`` bounds the skew of any one partition.  The
+    delays side is one short row per domain: broadcast by default,
+    ``broadcast_delays=False`` lets AQE plan the join when the domain
+    table is itself huge.  No other shuffle."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.web import url_host_col
+
+    out = frontier.withColumn("host", url_host_col(F.col(url_col)))
+    if delays is not None:
+        d = delays.select(F.col("domain").alias("host"),
+                          "crawl_delay_millis")
+        if broadcast_delays:
+            d = F.broadcast(d)
+        out = out.join(d, "host", "left")
+    else:
+        out = out.withColumn("crawl_delay_millis",
+                             F.lit(None).cast("long"))
+    delay = F.coalesce(F.col("crawl_delay_millis"),
+                       F.lit(int(default_delay_millis)))
+    w = Window.partitionBy("host").orderBy(url_col)
+    out = (out.withColumn("fetch_seq", F.row_number().over(w))
+           .withColumn("not_before_millis",
+                       (F.col("fetch_seq") - 1).cast("long") * delay)
+           .drop("crawl_delay_millis"))
+    if max_per_host is not None:
+        out = out.filter(F.col("fetch_seq") <= int(max_per_host))
+    return out

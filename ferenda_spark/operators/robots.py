@@ -37,9 +37,14 @@ Two operators:
   has no robots row, an empty/unparseable robots file, or no
   matching rule are ALLOWED (RFC 9309 §2.3.1: absence means allow).
 
-Non-rule records (``sitemap``, ``crawl-delay``) are ignored and do
-not split a user-agent run; a rule line before any user-agent line
-is ignored (it belongs to no group).
+Non-rule records (``sitemap``) are ignored and do not split a
+user-agent run; a rule line before any user-agent line is ignored
+(it belongs to no group).  ``crawl-delay`` — non-standard but
+universally emitted — is read per the same group selection
+(:func:`parse_crawl_delay`; the max across the chosen groups, i.e.
+the politest reading) and carried on :func:`parse_robots` output as
+``crawl_delay_millis`` for crawl.py's :func:`~ferenda_spark.
+operators.crawl.schedule_fetches`.
 """
 
 from __future__ import annotations
@@ -51,7 +56,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
-                               StringType, StructField, StructType)
+                               LongType, StringType, StructField,
+                               StructType)
 
 from ferenda_spark.functions.web import url_host_col, url_path_col
 
@@ -77,13 +83,11 @@ def compile_robots_pattern(pattern: str) -> str:
     return "".join(out)
 
 
-def parse_robots_txt(text: str, agent: str = "*") -> list[dict]:
-    """Pure-Python twin of :func:`parse_robots`: the rule list of the
-    group governing ``agent`` as ``{pattern, regex, prec, is_allow}``
-    dicts, in file order.  Empty ``disallow:`` values are the
-    spec's allow-all marker, not a rule; comments strip at ``#``."""
-    agent = agent.lower()
-    groups: list[tuple[set, list]] = []
+def _parse_groups(text: str) -> list[tuple[set, list, list]]:
+    """robots.txt → ``(agents, rules, delays)`` per group, where
+    ``rules`` is ``[(pattern, is_allow)]`` and ``delays`` the group's
+    crawl-delay values in millis, all in file order."""
+    groups: list[tuple[set, list, list]] = []
     in_agent_run = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -94,26 +98,52 @@ def parse_robots_txt(text: str, agent: str = "*") -> list[dict]:
         value = value.strip()
         if field == "user-agent":
             if not in_agent_run:
-                groups.append((set(), []))
+                groups.append((set(), [], []))
             in_agent_run = True
             groups[-1][0].add(value.lower())
         elif field in ("allow", "disallow"):
             in_agent_run = False
             if groups and value:
                 groups[-1][1].append((value, field == "allow"))
-        # sitemap/crawl-delay/unknown: ignored, run not split
+        elif field == "crawl-delay":
+            in_agent_run = False
+            if groups:
+                try:
+                    millis = int(float(value) * 1000)
+                except ValueError:
+                    continue  # garbage delay: ignored
+                if millis >= 0:
+                    groups[-1][2].append(millis)
+        # sitemap/unknown: ignored, run not split
+    return groups
+
+
+def _chosen_groups(groups: list, agent: str) -> list:
+    agent = agent.lower()
+    exact = [g for g in groups if agent in g[0]]
+    return exact if exact else [g for g in groups if "*" in g[0]]
+
+
+def parse_robots_txt(text: str, agent: str = "*") -> list[dict]:
+    """Pure-Python twin of :func:`parse_robots`: the rule list of the
+    group governing ``agent`` as ``{pattern, regex, prec, is_allow}``
+    dicts, in file order.  Empty ``disallow:`` values are the
+    spec's allow-all marker, not a rule; comments strip at ``#``."""
     chosen: list[tuple[str, bool]] = []
-    exact = [rules for agents, rules in groups if agent in agents]
-    if exact:
-        for rules in exact:
-            chosen.extend(rules)
-    else:
-        for agents, rules in groups:
-            if "*" in agents:
-                chosen.extend(rules)
+    for _, rules, _ in _chosen_groups(_parse_groups(text), agent):
+        chosen.extend(rules)
     return [{"pattern": p, "regex": compile_robots_pattern(p),
              "prec": len(p.encode("utf-8")), "is_allow": a}
             for p, a in chosen]
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
+    """Pure-Python twin: the crawl delay in millis governing
+    ``agent`` — the MAX across the chosen groups' crawl-delay records
+    (the politest reading when several apply), NULL when none."""
+    delays = [d for _, _, ds in _chosen_groups(_parse_groups(text),
+                                               agent) for d in ds]
+    return max(delays) if delays else None
 
 
 def robots_allowed(path: str, rules: Iterable[dict]) -> bool:
@@ -131,13 +161,15 @@ def robots_allowed(path: str, rules: Iterable[dict]) -> bool:
 def parse_robots(robots: DataFrame, agent: str = "*",
                  domain_col: str = "domain",
                  txt_col: str = "robots_txt") -> DataFrame:
-    """``(domain, robots_txt)`` → ``(domain, rules: RULES_TYPE)`` for
-    ``agent`` — one Arrow batch pass, one output row per input row
-    (a domain with no applicable rules keeps an empty array, which
-    :func:`robots_decisions` reads as allow-all)."""
+    """``(domain, robots_txt)`` → ``(domain, rules: RULES_TYPE,
+    crawl_delay_millis)`` for ``agent`` — one Arrow batch pass, one
+    output row per input row (a domain with no applicable rules keeps
+    an empty array, which :func:`robots_decisions` reads as
+    allow-all; no crawl-delay record keeps NULL)."""
     out_schema = StructType([
         StructField("domain", StringType()),
         StructField("rules", RULES_TYPE),
+        StructField("crawl_delay_millis", LongType()),
     ])
 
     def parse_batches(batches: Iterator[pd.DataFrame]
@@ -150,6 +182,9 @@ def parse_robots(robots: DataFrame, agent: str = "*",
                       "is_allow": r["is_allow"]}
                      for r in parse_robots_txt(t, agent)]
                     for t in pdf[txt_col]],
+                "crawl_delay_millis": pd.array(
+                    [parse_crawl_delay(t, agent) for t in pdf[txt_col]],
+                    dtype="Int64"),
             })
 
     return robots.select(domain_col, txt_col).mapInPandas(
