@@ -2165,6 +2165,44 @@ LIMIT 10
                                    "not_before_millis"))
     q["fetch_schedule_docs"] = fetch_schedule_docs
 
+    def jsonld_extract_docs(spark, sf):
+        """schema.org JSON-LD harvest (structured_data.py): pages with
+        an ld+json block synthesized from doc_id arithmetic (typed
+        node, integer literal, two-element array, @id-less nested
+        Person) are fed through the Arrow extractor; the oracle
+        restates all eight triples per page — CURIE expansion, literal
+        datatyping, array fan-out and the deterministic skolem
+        fragment of the nested node must all agree."""
+        from ferenda_spark.operators.structured_data import (
+            jsonld_triples,
+        )
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://site"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".com/p"), did)
+        block = F.concat(
+            F.lit('{"@context":"https://schema.org","@id":"'), url,
+            F.lit('","@type":"Article","headline":"Doc '), did,
+            F.lit('","wordCount":'),
+            (F.col("doc_id") % 997).cast("string"),
+            F.lit(',"keywords":["k'),
+            (F.col("doc_id") % 7).cast("string"), F.lit('","k'),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+            F.lit('"],"author":{"@type":"Person","name":"Author '),
+            (F.col("doc_id") % 50).cast("string"), F.lit('"}}'))
+        pages = _docs(spark, sf).select(
+            url.alias("url"),
+            F.concat(F.lit('<html><head>'
+                           '<script type="application/ld+json">'),
+                     block,
+                     F.lit("</script></head><body></body></html>"))
+            .alias("html"))
+        return (jsonld_triples(pages)
+                .filter(F.col("error").isNull())
+                .select("subj", "pred", "obj", "obj_is_literal",
+                        "obj_datatype", "obj_lang"))
+    q["jsonld_extract_docs"] = jsonld_extract_docs
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4191,6 +4229,42 @@ SELECT doc_id, 'site' || CAST(h AS VARCHAR) || '.com' AS host,
          * (CASE WHEN h % 2 = 0 THEN (h % 7) * 1000 ELSE 1000 END)
          AS not_before_millis
 FROM s
+"""
+
+    # the eight JSON-LD triples per page, restated arm by arm
+    o["jsonld_extract_docs"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang FROM (
+  SELECT url AS subj, 'rdf:type' AS pred, 'schema:Article' AS obj,
+         FALSE AS obj_is_literal, NULL AS obj_datatype,
+         NULL AS obj_lang FROM u
+  UNION ALL
+  SELECT url, 'schema:headline', 'Doc ' || CAST(doc_id AS VARCHAR),
+         TRUE, NULL, NULL FROM u
+  UNION ALL
+  SELECT url, 'schema:wordCount', CAST(doc_id % 997 AS VARCHAR),
+         TRUE, 'xsd:integer', NULL FROM u
+  UNION ALL
+  SELECT url, 'schema:keywords', 'k' || CAST(doc_id % 7 AS VARCHAR),
+         TRUE, NULL, NULL FROM u
+  UNION ALL
+  SELECT url, 'schema:keywords',
+         'k' || CAST((doc_id + 1) % 7 AS VARCHAR), TRUE, NULL, NULL
+  FROM u
+  UNION ALL
+  SELECT url, 'schema:author', url || '#jsonld/0/author', FALSE,
+         NULL, NULL FROM u
+  UNION ALL
+  SELECT url || '#jsonld/0/author', 'rdf:type', 'schema:Person',
+         FALSE, NULL, NULL FROM u
+  UNION ALL
+  SELECT url || '#jsonld/0/author', 'schema:name',
+         'Author ' || CAST(doc_id % 50 AS VARCHAR), TRUE, NULL, NULL
+  FROM u)
 """
 
     # hashed-feature linear quality scorer: per-token weight =
