@@ -1341,6 +1341,19 @@ LIMIT 25
         return label_propagation(cites, iters=2)
     q["kg_communities"] = kg_communities
 
+    def kg_kcore(spark, sf):
+        """2-core of the citation graph after exactly 3 peel rounds
+        (rank.py::k_core): the dense nucleus left when pendant chains
+        and leaves are stripped — the corpus-quality slice a ranking
+        job runs on.  Oracle: 3 unrolled peel rounds."""
+        from ferenda_spark.operators.rank import k_core
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        return k_core(cites, k=2, iters=3)
+    q["kg_kcore"] = kg_kcore
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -4410,6 +4423,36 @@ l2 AS (
       PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
   WHERE rn = 1)
 SELECT node, label FROM l2
+"""
+
+    # three unrolled peel rounds (round = degree census -> keep >= 2
+    # -> edges with both endpoints kept); identity rounds harmless
+    o["kg_kcore"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM golden WHERE pred = 'dcterms:references' AND subj <> obj),
+k1 AS (SELECT node FROM (
+         SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+       GROUP BY node HAVING count(*) >= 2),
+e1 AS MATERIALIZED (
+  SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)
+                        AND v IN (SELECT node FROM k1)),
+k2 AS (SELECT node FROM (
+         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+       GROUP BY node HAVING count(*) >= 2),
+e2 AS MATERIALIZED (
+  SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)
+                        AND v IN (SELECT node FROM k2)),
+k3 AS (SELECT node FROM (
+         SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+       GROUP BY node HAVING count(*) >= 2),
+e3 AS MATERIALIZED (
+  SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k3)
+                        AND v IN (SELECT node FROM k3))
+SELECT node, count(*) AS degree FROM (
+  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+GROUP BY node
 """
 
     # anchor profile: the synthesized link structure restated

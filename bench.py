@@ -99,6 +99,8 @@ HEADLINE = [
     "robots_filter_docs",
     "sitemap_discovery",
     "fetch_schedule_docs",
+    "jsonld_extract_docs",
+    "kg_kcore",
 ]
 
 

@@ -345,3 +345,54 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
         labels = new.localCheckpoint(eager=True)
     adj.unpersist()
     return labels
+
+
+def k_core(edges: DataFrame, k: int, iters: int = 10) -> DataFrame:
+    """The k-core of the undirected simple graph of ``edges(src,
+    dst)``: (node, degree) after ``iters`` rounds of peeling — each
+    round removes every node whose degree in the CURRENT subgraph is
+    below ``k``, and the edges incident to it.
+
+    The k-core itself is unique and order-independent (Seidman 1983),
+    so peeling converges; rounds needed = the graph's peeling depth,
+    O(log n) on web-like graphs in practice.  As with
+    :func:`label_propagation`, the gate contract is the state after
+    exactly ``iters`` rounds (an unrolled-SQL-restatable statement);
+    the loop breaks early once a round removes nothing, which equals
+    the N-round state, so early exit never changes the result —
+    callers who need the true core pick ``iters`` ≥ peel depth and
+    check :func:`k_core` against a second call with ``iters+1`` (or
+    just pass a generous bound; converged rounds are free).
+
+    Cost per round: one degree aggregation + two left-semi joins that
+    drop the peeled endpoints (keep-set joins are hash joins on the
+    node key; AQE broadcasts the keep side once the core shrinks).
+    localCheckpoint per round keeps lineage O(1); degrees return as
+    BIGINT counts.
+    """
+    cur = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    n_edges = cur.count()
+    for _ in range(int(iters)):
+        if n_edges == 0:
+            break
+        deg = (cur.select(F.col("u").alias("node"))
+               .unionByName(cur.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.filter(F.col("deg") >= int(k)).select("node")
+        nxt = (cur.join(keep.withColumnRenamed("node", "u"), "u",
+                        "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v",
+                     "left_semi")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break  # fixpoint: further rounds are identity
+        cur, n_edges = nxt, n_next
+    return (cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))

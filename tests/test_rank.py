@@ -263,3 +263,34 @@ def test_label_propagation_triangle_and_determinism(spark):
     assert {out2["a"], out2["b"], out2["c"]} == {"a"}
     assert out2["x"] == "x"
     assert {out2["y"], out2["z"]} == {"c"}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """Hand-traced: a triangle with a pendant chain — the chain peels
+    off over two rounds, the triangle is the 2-core; a 4-clique
+    survives k=3 while everything else drops."""
+    from ferenda_spark.operators.rank import k_core
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),   # triangle
+             ("c", "d"), ("d", "e")]               # pendant chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # exactly-N-rounds contract: after ONE round only e is gone
+    # (e had degree 1; d still had degree 2 when peeled rounds start)
+    one = {r["node"]: r["degree"]
+           for r in k_core(df, k=2, iters=1).collect()}
+    assert one == {"a": 2, "b": 2, "c": 3, "d": 1}
+    # early-exit == generous-bound (identity rounds are free)
+    deep = {r["node"]: r["degree"]
+            for r in k_core(df, k=2, iters=50).collect()}
+    assert deep == out
+    # k=3: 4-clique with a pendant triangle attached at one vertex
+    clique = [(a, b) for i, a in enumerate("pqrs")
+              for b in "pqrs"[i + 1:]]
+    df3 = spark.createDataFrame(
+        clique + [("p", "t"), ("t", "u"), ("u", "p")],
+        "src string, dst string")
+    got3 = {r["node"]: r["degree"] for r in k_core(df3, k=3).collect()}
+    assert got3 == {"p": 3, "q": 3, "r": 3, "s": 3}
+    # empty core
+    assert k_core(df, k=5).count() == 0
