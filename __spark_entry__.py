@@ -2216,6 +2216,19 @@ LIMIT 10
                         "obj_datatype", "obj_lang"))
     q["jsonld_extract_docs"] = jsonld_extract_docs
 
+    def zorder_layout_docs(spark, sf):
+        """Z-order layout key (operators/layout.py): the Morton
+        interleave of two derived dimensions as one codegen BIGINT —
+        the multi-dim file-pruning sort key for the Iceberg graph
+        tables.  Oracle: the identical shift/mask spread chain in
+        DuckDB (both engines are signed-64 with the same &,|,<<)."""
+        from ferenda_spark.operators.layout import zorder_key2
+        did = F.col("doc_id")
+        return _docs(spark, sf).select(
+            "doc_id",
+            zorder_key2(did % 1024, (did * 37) % 1024).alias("zkey"))
+    q["zorder_layout_docs"] = zorder_layout_docs
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4453,6 +4466,24 @@ e3 AS MATERIALIZED (
 SELECT node, count(*) AS degree FROM (
   SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
 GROUP BY node
+"""
+
+    # the identical Morton spread chain (layout.py::_MASKS2), applied
+    # to both dimensions; clamps are no-ops here (dims < 2^31)
+    def _spread2_sql(col: str) -> str:
+        c = col
+        for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                      (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                      (1, 0x5555555555555555)):
+            c = f"(({c} | ({c} << {sh})) & {m})"
+        return c
+
+    o["zorder_layout_docs"] = f"""
+WITH d AS (SELECT doc_id, doc_id % 1024 AS x,
+                  (doc_id * 37) % 1024 AS y FROM documents)
+SELECT doc_id,
+       ({_spread2_sql('x')} | ({_spread2_sql('y')} << 1)) AS zkey
+FROM d
 """
 
     # anchor profile: the synthesized link structure restated

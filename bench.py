@@ -101,6 +101,7 @@ HEADLINE = [
     "fetch_schedule_docs",
     "jsonld_extract_docs",
     "kg_kcore",
+    "zorder_layout_docs",
 ]
 
 
