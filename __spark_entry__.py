@@ -1354,6 +1354,27 @@ LIMIT 25
         return k_core(cites, k=2, iters=3)
     q["kg_kcore"] = kg_kcore
 
+    def kg_cocitation(spark, sf):
+        """Co-citation + bibliographic coupling (rank.py): the two
+        classic relatedness signals over the citation graph, unioned
+        with a kind tag; wedge centers above the fanout cap are
+        excluded on BOTH sides (restated identically in the oracle)."""
+        from ferenda_spark.operators.rank import (
+            bibliographic_coupling, co_citation,
+        )
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        cc = (co_citation(cites, max_out_degree=50)
+              .select(F.lit("cocite").alias("kind"), "a", "b",
+                      F.col("n_cocited").alias("n")))
+        bc = (bibliographic_coupling(cites, max_in_degree=50)
+              .select(F.lit("couple").alias("kind"), "a", "b",
+                      F.col("n_shared").alias("n")))
+        return cc.unionByName(bc)
+    q["kg_cocitation"] = kg_cocitation
+
     def kg_publisher_stats(spark, sf):
         e = _kg_edges(spark, sf)
         return _longify(
@@ -4484,6 +4505,27 @@ WITH d AS (SELECT doc_id, doc_id % 1024 AS x,
 SELECT doc_id,
        ({_spread2_sql('x')} | ({_spread2_sql('y')} << 1)) AS zkey
 FROM d
+"""
+
+    # both wedge directions with the same 50-fanout center cap
+    o["kg_cocitation"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cites AS MATERIALIZED (
+  SELECT DISTINCT subj AS src, obj AS dst FROM golden
+  WHERE pred = 'dcterms:references'),
+oksrc AS (SELECT src FROM cites GROUP BY src HAVING count(*) <= 50),
+okdst AS (SELECT dst FROM cites GROUP BY dst HAVING count(*) <= 50),
+cs AS (SELECT c.src, c.dst FROM cites c
+       JOIN oksrc USING (src)),
+cd AS (SELECT c.src, c.dst FROM cites c
+       JOIN okdst USING (dst))
+SELECT 'cocite' AS kind, l.dst AS a, r.dst AS b, count(*) AS n
+FROM cs l JOIN cs r ON l.src = r.src AND l.dst < r.dst
+GROUP BY l.dst, r.dst
+UNION ALL
+SELECT 'couple', l.src, r.src, count(*)
+FROM cd l JOIN cd r ON l.dst = r.dst AND l.src < r.src
+GROUP BY l.src, r.src
 """
 
     # anchor profile: the synthesized link structure restated

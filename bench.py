@@ -102,6 +102,7 @@ HEADLINE = [
     "jsonld_extract_docs",
     "kg_kcore",
     "zorder_layout_docs",
+    "kg_cocitation",
 ]
 
 

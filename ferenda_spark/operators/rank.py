@@ -396,3 +396,47 @@ def k_core(edges: DataFrame, k: int, iters: int = 10) -> DataFrame:
     return (cur.select(F.col("u").alias("node"))
             .unionByName(cur.select(F.col("v").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+
+
+def _copair(edges: DataFrame, key: str, val: str,
+            max_fanout: int) -> DataFrame:
+    """Shared wedge join of :func:`co_citation` and
+    :func:`bibliographic_coupling`: pair up the ``val`` endpoints of
+    DISTINCT directed edges that share a ``key`` endpoint, excluding
+    wedge centers whose fanout exceeds ``max_fanout`` (a center of
+    fanout d yields d·(d-1)/2 pairs — quadratic in the head entity,
+    the same skew bomb link_prediction_ra caps)."""
+    e = edges.select(key, val).distinct()
+    fan = (e.groupBy(key).agg(F.count(F.lit(1)).alias("_fan"))
+           .filter(F.col("_fan") <= F.lit(int(max_fanout)))
+           .select(key))
+    bounded = e.join(fan, key, "left_semi")
+    lhs = bounded.withColumnRenamed(val, "a")
+    rhs = bounded.withColumnRenamed(val, "b")
+    return (lhs.join(rhs, key).filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+
+
+def co_citation(edges: DataFrame, max_out_degree: int = 1000
+                ) -> DataFrame:
+    """Co-citation pairs over directed ``edges(src, dst)``: (a, b,
+    n_cocited) for every target pair cited together by at least one
+    common source — the classic "related documents" signal (Small
+    1973); two papers co-cited often are topically close even when
+    neither cites the other.  Sources citing more than
+    ``max_out_degree`` targets are excluded from pair generation
+    (a review article citing 10^4 docs would emit 5·10^7 pairs)."""
+    return (_copair(edges, "src", "dst", max_out_degree)
+            .select("a", "b", F.col("n").alias("n_cocited")))
+
+
+def bibliographic_coupling(edges: DataFrame,
+                           max_in_degree: int = 1000) -> DataFrame:
+    """Bibliographic-coupling pairs over directed ``edges(src,
+    dst)``: (a, b, n_shared) for every source pair citing at least
+    one common target (Kessler 1963) — the transpose of
+    :func:`co_citation`; targets cited by more than ``max_in_degree``
+    sources are excluded (the head statute every document cites
+    couples everything to everything and carries no signal)."""
+    return (_copair(edges, "dst", "src", max_in_degree)
+            .select("a", "b", F.col("n").alias("n_shared")))

@@ -294,3 +294,29 @@ def test_k_core_peels_to_fixpoint(spark):
     assert got3 == {"p": 3, "q": 3, "r": 3, "s": 3}
     # empty core
     assert k_core(df, k=5).count() == 0
+
+
+def test_cocitation_and_coupling(spark):
+    """Hand-traced: s1 cites {t1,t2,t3}, s2 cites {t2,t3}, s3 cites
+    {t3} — co-citation counts common citers per target pair; coupling
+    counts shared references per source pair; caps drop hub centers."""
+    from ferenda_spark.operators.rank import (bibliographic_coupling,
+                                              co_citation)
+    edges = [("s1", "t1"), ("s1", "t2"), ("s1", "t3"),
+             ("s2", "t2"), ("s2", "t3"), ("s3", "t3"),
+             ("s2", "t3")]  # duplicate edge: ignored
+    df = spark.createDataFrame(edges, "src string, dst string")
+    cc = {(r["a"], r["b"]): r["n_cocited"]
+          for r in co_citation(df).collect()}
+    assert cc == {("t1", "t2"): 1, ("t1", "t3"): 1, ("t2", "t3"): 2}
+    bc = {(r["a"], r["b"]): r["n_shared"]
+          for r in bibliographic_coupling(df).collect()}
+    assert bc == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+    # cap: excluding sources with out-degree > 2 removes s1's wedges
+    cc2 = {(r["a"], r["b"]): r["n_cocited"]
+           for r in co_citation(df, max_out_degree=2).collect()}
+    assert cc2 == {("t2", "t3"): 1}
+    # cap on coupling: t3 (in-degree 3) excluded
+    bc2 = {(r["a"], r["b"]): r["n_shared"]
+           for r in bibliographic_coupling(df, max_in_degree=2).collect()}
+    assert bc2 == {("s1", "s2"): 1}
