@@ -2250,6 +2250,38 @@ LIMIT 10
             zorder_key2(did % 1024, (did * 37) % 1024).alias("zkey"))
     q["zorder_layout_docs"] = zorder_layout_docs
 
+    def kg_fused_metadata(spark, sf):
+        """Structured+unstructured fusion: schema.org blocks whose
+        pages declare ``"sameAs": {"@id": <stable doc uri>}`` (the
+        standard web-markup idiom for canonical identity) are
+        harvested by structured_data.py, then infer.py's sameAs
+        canonicalization rewrites every page-url-keyed triple onto
+        the stable uri — web metadata lands on the SAME nodes the
+        text pipeline mints, with identity links consumed rather
+        than left for query-time UNIONs.  The canonical spelling is
+        the cluster min (id.example.org < site*.com throughout)."""
+        from ferenda_spark.operators.infer import sameas_canonicalize
+        from ferenda_spark.operators.structured_data import (
+            jsonld_triples,
+        )
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://site"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".com/p"), did)
+        canon = F.concat(F.lit("https://id.example.org/doc/"), did)
+        block = F.concat(
+            F.lit('{"@context":"https://schema.org","@id":"'), url,
+            F.lit('","@type":"Article","headline":"Doc '), did,
+            F.lit('","sameAs":{"@id":"'), canon, F.lit('"}}'))
+        pages = _docs(spark, sf).select(
+            url.alias("url"),
+            F.concat(F.lit('<script type="application/ld+json">'),
+                     block, F.lit("</script>")).alias("html"))
+        t = (jsonld_triples(pages).filter(F.col("error").isNull())
+             .select("subj", "pred", "obj"))
+        return sameas_canonicalize(t, sameas_pred="schema:sameAs")
+    q["kg_fused_metadata"] = kg_fused_metadata
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4526,6 +4558,21 @@ UNION ALL
 SELECT 'couple', l.src, r.src, count(*)
 FROM cd l JOIN cd r ON l.dst = r.dst AND l.src < r.src
 GROUP BY l.src, r.src
+"""
+
+    # after canonicalization both harvested triples sit on the stable
+    # uri (the cluster min); the sameAs links themselves are dropped
+    o["kg_fused_metadata"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://id.example.org/doc/' || CAST(doc_id AS VARCHAR)
+           AS canon
+  FROM documents)
+SELECT canon AS subj, 'rdf:type' AS pred, 'schema:Article' AS obj
+FROM u
+UNION ALL
+SELECT canon, 'schema:headline', 'Doc ' || CAST(doc_id AS VARCHAR)
+FROM u
 """
 
     # anchor profile: the synthesized link structure restated

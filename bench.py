@@ -103,6 +103,7 @@ HEADLINE = [
     "kg_kcore",
     "zorder_layout_docs",
     "kg_cocitation",
+    "kg_fused_metadata",
 ]
 
 
