@@ -510,6 +510,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # still oracle-verified locally by tools/check_queries.py and
 # benchable via bench.py.
 GATE_ORDER = [
+    # --- round-4 session-5 rotation: ten never-driver-checked ops
+    # take their first rows.  Slots (each swap-out keeps its family
+    # covered in-gate and stays locally oracle-checked as an extra):
+    # atom_feeds_events (r2 row; feedsets_events stays, A4),
+    # grouped_agg_value_median (r2; fragments_udtf keeps §2.11),
+    # sim_ivf_topk (r2; sim_ann_topk + sim_semantic_dedup stay),
+    # kg_structure_tree (r2; visit_structure_docs keeps G7/G9 and
+    # kg_structure_closure stays an extra), pdf_margin_metrics (r3;
+    # pdf_style_metrics keeps A8/A9), url_canonical_dedup (r3;
+    # latest_fetch_docs runs canonical dedup inside), decontaminate_
+    # docs (r3; the Bloom path rotating IN states the same 13-gram
+    # rule), kg_pagerank (r3; kg_hits + kg_kcore keep rank.py
+    # in-gate), dedup_keepfirst_docs (r3; token-spans + incremental
+    # keep dedup), fulltext_fielded (r2+r3; bm25 + api_page keep Q1).
+    "robots_filter_docs", "jsonld_extract_docs", "kg_fused_metadata",
+    "kg_kcore", "kg_hits", "lm_perplexity_docs", "fulltext_bm25_docs",
+    "zorder_layout_docs", "decontaminate_bloom_docs",
+    "gopher_rules_docs",
+    # still never-driver-checked after this rotation — the round-5
+    # rotation pool: sitemap_discovery, fetch_schedule_docs,
+    # kg_triangles, kg_linkpred, kg_communities, anchor_text_docs,
+    # quota_sample_docs, kg_cocitation.
     # --- round-4 session-2 rotation.  The three ops added after the
     # last swap are never-driver-checked and lead for their first
     # rows.  Slots come from salted_join_suppliers (driver-green
@@ -531,9 +553,7 @@ GATE_ORDER = [
     "kg_sparql_describe", "kg_sparql_subdocs", "kg_sparql_topcited",
     "curation_pipeline_docs", "curation_pipeline_v3",
     # thin history (a single driver row ever, in r2) — refresh these
-    "kg_structure_tree", "feedsets_events", "atom_feeds_events",
-    "grouped_agg_value_median", "sim_ivf_topk",
-    # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
+    "feedsets_events", # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
     # fixpoint closures, lazy star zero-arm; BIGINT token-span keys;
     # classifier broadcast-weights path; closure memoization) — these
     # must carry a fresh driver row
@@ -553,9 +573,8 @@ GATE_ORDER = [
     # the DESCRIBE query form
     "sim_semantic_dedup", "fulltext_api_page", "kg_sparql_describe_form",
     # round-3 first-row gates that keep their slot (≤2 green rounds)
-    "entity_link_fuzzy", "pdf_margin_metrics", "pdf_style_metrics",
-    "fragments_udtf", "text_metrics", "url_canonical_dedup",
-    # round-4-late: deterministic training-shard packing (new operator
+    "entity_link_fuzzy", "pdf_style_metrics",
+    "fragments_udtf", "text_metrics", # round-4-late: deterministic training-shard packing (new operator
     # family — first driver row).  Takes the slot of
     # first_success_events (driver-green r1+r3; the W6 per-group-first
     # shape stays exercised inside doc_versions_views' current-version
@@ -566,8 +585,8 @@ GATE_ORDER = [
     # fulltext_search_docs (fulltext_fielded + fulltext_api_page stay),
     # media_meta (multimodal plumbing also pytest-covered by the new
     # real binary codecs) — each driver-green in two prior rounds.
-    "kg_pagerank", "dedup_keepfirst_docs", "domain_stats_docs",
-    "fulltext_fielded", "doc_versions_views",
+    "domain_stats_docs",
+    "doc_versions_views",
     "sim_ann_topk",
     # round-4-final: the last three never-driver-checked queries take
     # their first rows, so EVERY registered query now has at least one
@@ -603,7 +622,7 @@ GATE_ORDER = [
     # pytest coverage).  All three stay in extra_queries.
     "kg_sparql_entailed", "kg_owl_properties", "rdf_ntriples_roundtrip",
     # training-data ops with ≤2 green rounds
-    "decontaminate_docs", "sample_mixture_docs", "redact_pii_docs",
+    "sample_mixture_docs", "redact_pii_docs",
     "strip_boilerplate_docs",
     # Rotated OUT this round after THREE consecutive driver-green
     # rounds (r1+r2+r3), each with its operator family still holding a
@@ -4319,8 +4338,8 @@ WITH u AS (
   FROM documents)
 SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang FROM (
   SELECT url AS subj, 'rdf:type' AS pred, 'schema:Article' AS obj,
-         FALSE AS obj_is_literal, NULL AS obj_datatype,
-         NULL AS obj_lang FROM u
+         FALSE AS obj_is_literal, NULL::VARCHAR AS obj_datatype,
+         NULL::VARCHAR AS obj_lang FROM u
   UNION ALL
   SELECT url, 'schema:headline', 'Doc ' || CAST(doc_id AS VARCHAR),
          TRUE, NULL, NULL FROM u
