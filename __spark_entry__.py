@@ -2301,6 +2301,61 @@ LIMIT 10
         return sameas_canonicalize(t, sameas_pred="schema:sameAs")
     q["kg_fused_metadata"] = kg_fused_metadata
 
+    def _cdx_lines(spark, sf, capture: int):
+        """One synthetic CDXJ line per doc for capture 0 or 1."""
+        did = F.col("doc_id")
+        ds = did.cast("string")
+        if capture == 0:
+            ts, status = F.concat(F.lit("2023"), F.lpad(ds, 10, "0")), \
+                F.lit("200")
+            fname, off, ln = "w0.warc.gz", did * 10, 5
+        else:
+            ts = F.concat(F.lit("2024"), F.lpad(ds, 10, "0"))
+            status = F.when(did % 3 == 0, "500").otherwise("200")
+            fname, off, ln = "w1.warc.gz", did * 20, 7
+        return _docs(spark, sf).select(F.concat(
+            F.lit("com,site"), (did % 7).cast("string"), F.lit(")/p"),
+            ds, F.lit(" "), ts,
+            F.lit(' {"url": "https://site'), (did % 7).cast("string"),
+            F.lit(".com/p"), ds, F.lit('", "status": "'), status,
+            F.lit('", "mime": "text/html", "filename": "' + fname
+                  + '", "offset": "'), off.cast("string"),
+            F.lit('", "length": "%d"}' % ln)).alias("line"))
+
+    def cdx_latest_capture(spark, sf):
+        """CDXJ index parse + newest-OK-capture dedup (sources/
+        cdx.py): two synthetic crawls per url — the 2024 capture wins
+        except where its status is 500 (every third doc), which falls
+        back to the 2023 capture.  Oracle restates the winner
+        arithmetically."""
+        from ferenda_spark.sources.cdx import latest_capture, parse_cdxj
+        lines = (_cdx_lines(spark, sf, 0)
+                 .unionByName(_cdx_lines(spark, sf, 1)))
+        return latest_capture(parse_cdxj(lines)).select(
+            "surt", "ts", "url", "filename", "offset", "length")
+    q["cdx_latest_capture"] = cdx_latest_capture
+
+    def cdx_fetch_plan(spark, sf):
+        """Byte-range read planning over the parsed index: per WARC
+        file, records 80 bytes apart (gap 30 ≤ 32: merge) in runs of
+        four, then a 1000-byte jump (new segment) — the full
+        lines → parse → coalesced-ranges chain.  Oracle restates the
+        segment arithmetic."""
+        from ferenda_spark.sources.cdx import fetch_plan, parse_cdxj
+        did = F.col("doc_id")
+        r = F.expr("doc_id div 5")
+        offset = r * 80 + F.expr("(doc_id div 5) div 4") * 1000
+        lines = _docs(spark, sf).select(F.concat(
+            F.lit("com,site)/p"), did.cast("string"), F.lit(" 2024"),
+            F.lpad(did.cast("string"), 10, "0"),
+            F.lit(' {"url": "https://site.com/p'), did.cast("string"),
+            F.lit('", "status": "200", "filename": "w'),
+            (did % 5).cast("string"),
+            F.lit('.warc.gz", "offset": "'), offset.cast("string"),
+            F.lit('", "length": "50"}')).alias("line"))
+        return fetch_plan(parse_cdxj(lines), max_gap=32)
+    q["cdx_fetch_plan"] = cdx_fetch_plan
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4592,6 +4647,38 @@ FROM u
 UNION ALL
 SELECT canon, 'schema:headline', 'Doc ' || CAST(doc_id AS VARCHAR)
 FROM u
+"""
+
+    # the 2024 capture wins unless its status is 500 (doc_id%3==0),
+    # then the 2023 one; restated per column
+    o["cdx_latest_capture"] = """
+SELECT 'com,site' || CAST(doc_id % 7 AS VARCHAR) || ')/p'
+         || CAST(doc_id AS VARCHAR) AS surt,
+       CAST((CASE WHEN doc_id % 3 = 0 THEN '2023' ELSE '2024' END
+             || lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS BIGINT)
+         AS ts,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'w0.warc.gz'
+            ELSE 'w1.warc.gz' END AS filename,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id * 10
+            ELSE doc_id * 20 END AS offset,
+       CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 7 END::BIGINT AS length
+FROM documents
+"""
+
+    # runs of four 80-byte-spaced records merge (gap 30 <= 32), the
+    # 1000-byte jump starts the next segment
+    o["cdx_fetch_plan"] = """
+WITH g AS (
+  SELECT DISTINCT doc_id % 5 AS f, (doc_id // 5) // 4 AS grp
+  FROM documents)
+SELECT 'w' || CAST(f AS VARCHAR) || '.warc.gz' AS filename,
+       grp + 1 AS seg,
+       grp * 1320 AS range_start,
+       grp * 1320 + 290 AS range_end,
+       4::BIGINT AS n_records
+FROM g
 """
 
     # anchor profile: the synthesized link structure restated

@@ -104,6 +104,8 @@ HEADLINE = [
     "zorder_layout_docs",
     "kg_cocitation",
     "kg_fused_metadata",
+    "cdx_latest_capture",
+    "cdx_fetch_plan",
 ]
 
 
