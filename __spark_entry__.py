@@ -2356,6 +2356,74 @@ LIMIT 10
         return fetch_plan(parse_cdxj(lines), max_gap=32)
     q["cdx_fetch_plan"] = cdx_fetch_plan
 
+    def redirect_resolution(spark, sf):
+        """HTTP redirect-chain resolution (crawl.py
+        resolve_redirects): synthetic chains r(did) -> r(did-1)
+        ending at multiples of 5 (1-4 hops) plus one deliberate
+        2-cycle c1 <-> c2; pointer doubling (4 rounds = 16 hops)
+        resolves every chain and reports the cycle loudly as
+        resolved=false.  Oracle = hop-bounded recursive CTE with the
+        identical min(dst) capture collapse."""
+        from ferenda_spark.operators.crawl import resolve_redirects
+        did = F.col("doc_id")
+        r = F.lit("https://m.example.org/r")
+        chain = (_docs(spark, sf).filter(did % 5 != 0)
+                 .select(F.concat(r, did.cast("string")).alias("src"),
+                         F.concat(r, (did - 1).cast("string"))
+                         .alias("dst")))
+        c = F.lit("https://m.example.org/c")
+        cyc = (_docs(spark, sf).filter(did.isin(1, 2))
+               .select(F.concat(c, did.cast("string")).alias("src"),
+                       F.concat(c, (F.lit(3) - did).cast("string"))
+                       .alias("dst")))
+        return _longify(resolve_redirects(chain.unionByName(cyc),
+                                          rounds=4))
+    q["redirect_resolution"] = redirect_resolution
+
+    def kg_host_graph(spark, sf):
+        """Host-level webgraph projection (crawl.py host_graph): two
+        synthetic cross-site links per doc over a 7-host universe,
+        intra-host links dropped, weights = link count + distinct
+        source pages.  Oracle restates the host arithmetic and the
+        GROUP BY."""
+        from ferenda_spark.operators.crawl import host_graph
+        did = F.col("doc_id")
+        src = F.concat(F.lit("https://site"), (did % 7).cast("string"),
+                       F.lit(".com/p"), did.cast("string"))
+        e1 = _docs(spark, sf).select(
+            src.alias("src"),
+            F.concat(F.lit("https://site"), (did % 5).cast("string"),
+                     F.lit(".com/x"), did.cast("string")).alias("dst"))
+        e2 = _docs(spark, sf).select(
+            src.alias("src"),
+            F.concat(F.lit("https://site"),
+                     ((did + 3) % 7).cast("string"),
+                     F.lit(".com/y"),
+                     F.expr("doc_id div 2").cast("string"))
+            .alias("dst"))
+        return host_graph(e1.unionByName(e2))
+    q["kg_host_graph"] = kg_host_graph
+
+    def graph_random_walks(spark, sf):
+        """Graph-embedding walk corpus (rank.py random_walks): one
+        deterministic 3-step walk per node over the halving graph
+        n(did) -> n(did div 2) / n(did div 3) (did > 0; n0 is the
+        sink).  The oracle re-derives every hop: argmin of the
+        salted-md5 variate h('walk-v1':walk_id:t:v) over the
+        neighbors, the exact skip-gram input a re-run or another
+        engine must reproduce."""
+        from ferenda_spark.operators.rank import random_walks
+        did = F.col("doc_id")
+        docs = _docs(spark, sf).filter(did > 0)
+        n = lambda c: F.concat(F.lit("n"), c.cast("string"))
+        adj = (docs.select(n(did).alias("src"),
+                           n(F.expr("doc_id div 2")).alias("dst"))
+               .unionByName(
+                   docs.select(n(did).alias("src"),
+                               n(F.expr("doc_id div 3")).alias("dst"))))
+        return _longify(random_walks(adj, n_walks=1, length=3))
+    q["graph_random_walks"] = graph_random_walks
+
     def curation_pipeline_docs(spark, sf):
         """The round-3 curation toolkit composed end-to-end, the way
         a mixing job actually runs it: strip corpus-frequency
@@ -4679,6 +4747,90 @@ SELECT 'w' || CAST(f AS VARCHAR) || '.warc.gz' AS filename,
        grp * 1320 + 290 AS range_end,
        4::BIGINT AS n_records
 FROM g
+"""
+
+    # redirect chains restated as a hop-bounded recursive CTE: the
+    # pointer-doubled operator follows exactly min(chain, 2^4) hops,
+    # so the oracle walks to hops < 16 and takes the deepest row
+    o["redirect_resolution"] = """
+WITH RECURSIVE e AS (
+  SELECT 'https://m.example.org/r' || CAST(doc_id AS VARCHAR) AS src,
+         'https://m.example.org/r' || CAST(doc_id - 1 AS VARCHAR)
+           AS dst
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'https://m.example.org/c' || CAST(doc_id AS VARCHAR),
+         'https://m.example.org/c' || CAST(3 - doc_id AS VARCHAR)
+  FROM documents WHERE doc_id IN (1, 2)),
+m AS (SELECT src, min(dst) AS dst FROM e GROUP BY src),
+walk AS (
+  SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM m
+  UNION ALL
+  SELECT w.src, m.dst, w.hops + 1
+  FROM walk w JOIN m ON w.cur = m.src WHERE w.hops < 16),
+fin AS (
+  SELECT src, arg_max(cur, hops) AS final_url, max(hops) AS hops
+  FROM walk GROUP BY src)
+SELECT f.src, f.final_url, f.hops, (d.src IS NULL) AS resolved
+FROM fin f
+LEFT JOIN (SELECT DISTINCT src FROM m) d ON f.final_url = d.src
+"""
+
+    # the host projection restated arithmetically (the host of
+    # https://siteK.com/... is siteK.com by construction)
+    o["kg_host_graph"] = """
+WITH l AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_host,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS dst_host,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS src
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com',
+         'site' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.com',
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR)
+  FROM documents)
+SELECT src_host, dst_host, count(*) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+FROM l WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+    # every hop re-derived: argmin over out-neighbors of the salted
+    # md5 variate, total order (h, v) restated as min over
+    # lpad(h,19,'0') || v (h < 2^60 < 10^19, so zero-padded string
+    # order equals numeric order; the suffix is the struct tiebreak)
+    _WALK_PICK = ("min(lpad(CAST(CAST(concat('0x', substr(md5("
+                  "'walk-v1:' || {w} || ':{t}:' || a.dst), 1, 15)) "
+                  "AS BIGINT) AS VARCHAR), 19, '0') || a.dst)")
+    o["graph_random_walks"] = f"""
+WITH adj AS (
+  SELECT 'n' || CAST(doc_id AS VARCHAR) AS src,
+         'n' || CAST(doc_id // 2 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id > 0
+  UNION
+  SELECT 'n' || CAST(doc_id AS VARCHAR),
+         'n' || CAST(doc_id // 3 AS VARCHAR)
+  FROM documents WHERE doc_id > 0),
+nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
+s0 AS (SELECT node || '#0' AS walk_id, node FROM nodes),
+s1 AS (
+  SELECT s0.walk_id,
+         substr({_WALK_PICK.format(w="s0.walk_id", t=1)}, 20) AS node
+  FROM s0 JOIN adj a ON s0.node = a.src GROUP BY s0.walk_id),
+s2 AS (
+  SELECT s1.walk_id,
+         substr({_WALK_PICK.format(w="s1.walk_id", t=2)}, 20) AS node
+  FROM s1 JOIN adj a ON s1.node = a.src GROUP BY s1.walk_id),
+s3 AS (
+  SELECT s2.walk_id,
+         substr({_WALK_PICK.format(w="s2.walk_id", t=3)}, 20) AS node
+  FROM s2 JOIN adj a ON s2.node = a.src GROUP BY s2.walk_id)
+SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+UNION ALL SELECT walk_id, 1, node FROM s1
+UNION ALL SELECT walk_id, 2, node FROM s2
+UNION ALL SELECT walk_id, 3, node FROM s3
 """
 
     # anchor profile: the synthesized link structure restated

@@ -114,3 +114,110 @@ def schedule_fetches(frontier: DataFrame, delays: DataFrame = None,
     if max_per_host is not None:
         out = out.filter(F.col("fetch_seq") <= int(max_per_host))
     return out
+
+
+def resolve_redirects(redirects: DataFrame,
+                      rounds: int = 4) -> DataFrame:
+    """HTTP redirect chains → final-url map: ``redirects(src, dst)``
+    (one 3xx Location edge per captured source url) becomes
+    ``(src, final_url, hops, resolved)`` for every redirect source.
+
+    The reference follows redirects one GET at a time inside
+    ``requests`` (documentrepository.py:964-1040 ``download``); at
+    crawl scale the archive already *recorded* every hop as an index
+    row, so resolution is a graph problem: follow each chain to its
+    terminal url so that identity joins (dedup, linking, host graph)
+    see one canonical url per document.
+
+    Pointer doubling — ``rounds`` iterations of ``m := m ∘ m`` — so a
+    chain of length up to ``2**rounds`` resolves in ``rounds``
+    self-joins, not ``2**rounds`` sequential ones (the same
+    O(log diameter) idiom as dedup.components).  Each round is one
+    shuffle join on the composed key; the map is persisted per round
+    and the parent cache dropped.
+
+    Semantics (exactly restatable in SQL, and what the oracle pins):
+    every source follows exactly ``min(chain_length, 2**rounds)``
+    hops; ``resolved`` is true iff the reached url has no outgoing
+    redirect itself.  Cycles (a→b→a) and chains deeper than
+    ``2**rounds`` therefore come back ``resolved = false`` carrying
+    the partially-followed target — a loud, bounded answer, never an
+    unterminated loop.  Conflicting captures for one source collapse
+    deterministically to ``min(dst)`` first.
+    """
+    # each round is localCheckpoint'ed (the pagerank convention):
+    # lineage stays O(1) deep and the returned plan reads the final
+    # materialized map, never the recursive join chain
+    m = (redirects.select("src", "dst")
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .groupBy("src").agg(F.min("dst").alias("dst"))
+         .withColumn("hops", F.lit(1).cast("long"))
+         .localCheckpoint())
+    for _ in range(int(rounds)):
+        a, b = m.alias("a"), m.alias("b")
+        m = (a.join(b, F.col("a.dst") == F.col("b.src"), "left")
+             .select(F.col("a.src").alias("src"),
+                     F.coalesce(F.col("b.dst"), F.col("a.dst"))
+                     .alias("dst"),
+                     (F.col("a.hops")
+                      + F.coalesce(F.col("b.hops"), F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint())
+    # resolved ⇔ the final url is not itself a redirect source
+    domain = (redirects.select(F.col("src").alias("dst")).distinct()
+              .withColumn("_open", F.lit(True)))
+    return (m.join(domain, "dst", "left")
+            .select("src", F.col("dst").alias("final_url"), "hops",
+                    F.coalesce(~F.col("_open"), F.lit(True))
+                    .alias("resolved")))
+
+
+def rewrite_through_redirects(df: DataFrame, mapping: DataFrame,
+                              url_col: str = "url",
+                              broadcast_map: bool = False) -> DataFrame:
+    """Rewrite ``df[url_col]`` through a :func:`resolve_redirects`
+    map: resolved sources become their final url, everything else
+    (unresolved chains, urls that never redirected) passes through
+    unchanged.  One left join — broadcast it when the redirect map is
+    small relative to the corpus (it usually is: redirects are a few
+    percent of captures), otherwise let AQE plan it."""
+    m = (mapping.filter(F.col("resolved"))
+         .select(F.col("src").alias(url_col),
+                 F.col("final_url").alias("_final")))
+    if broadcast_map:
+        m = F.broadcast(m)
+    return (df.join(m, url_col, "left")
+            .withColumn(url_col, F.coalesce(F.col("_final"),
+                                            F.col(url_col)))
+            .drop("_final"))
+
+
+def host_graph(links: DataFrame, include_self: bool = False,
+               approximate: bool = False) -> DataFrame:
+    """Page-level ``links(src, dst)`` → the host-level weighted
+    webgraph ``(src_host, dst_host, n_links, n_src_pages)`` — the
+    Common-Crawl host-graph projection that host ranking, spam
+    scoring and politeness budgeting all consume.  Host extraction is
+    pure codegen in the scan (functions/web.url_host_col); the
+    projection is ONE groupBy shuffle with map-side partial
+    aggregation, so hub hosts (10^8-page domains) combine before the
+    exchange.  ``n_src_pages`` is an exact distinct at gate scale;
+    ``approximate=True`` switches to HLL ``approx_count_distinct``
+    for the 10^12-edge table (the voidstats.py convention).
+    Self-edges (intra-host links, the overwhelming majority of the
+    web) are dropped unless ``include_self``."""
+    from ferenda_spark.functions.web import url_host_col
+
+    h = links.select(
+        url_host_col(F.col("src")).alias("src_host"),
+        url_host_col(F.col("dst")).alias("dst_host"),
+        F.col("src"))
+    h = h.filter(F.col("src_host").isNotNull()
+                 & F.col("dst_host").isNotNull())
+    if not include_self:
+        h = h.filter(F.col("src_host") != F.col("dst_host"))
+    pages = (F.approx_count_distinct("src") if approximate
+             else F.countDistinct("src"))
+    return (h.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 pages.alias("n_src_pages")))

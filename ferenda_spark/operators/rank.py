@@ -440,3 +440,84 @@ def bibliographic_coupling(edges: DataFrame,
     couples everything to everything and carries no signal)."""
     return (_copair(edges, "dst", "src", max_in_degree)
             .select("a", "b", F.col("n").alias("n_shared")))
+
+
+def random_walks(edges: DataFrame, n_walks: int = 2,
+                 length: int = 3, max_degree: int = None,
+                 salt: str = "walk-v1") -> DataFrame:
+    """DeepWalk-style walk corpus over directed ``edges(src, dst)``:
+    ``n_walks`` walks of up to ``length`` steps from every node, as
+    ``(walk_id, step, node)`` rows — the training sequences a
+    skip-gram graph-embedding job consumes (Perozzi et al., DeepWalk,
+    KDD 2014).  The reference has no embedding trainer; this is the
+    corpus-construction half a 10^12-edge KG needs before one.
+
+    Engine-deterministic in place of RNG state (the stratified-
+    sampling convention): the walk at node ``u`` on step ``t`` moves
+    to the out-neighbor ``v`` minimizing the salted-md5 variate
+    ``h(salt:walk_id:t:v)`` — a per-walk, per-step pseudo-random
+    uniform choice that any ANSI engine reproduces exactly, ties
+    broken by ``v`` (min over ``struct(h, v)``).  A re-run, a resume,
+    or the SQL oracle derives the identical corpus.
+
+    Scale shape: per step, ONE join of the frontier against the
+    adjacency on the current node plus ONE map-side-combinable
+    ``min(struct)`` groupBy — no window, no collect; the frontier is
+    persisted per step and the parent cache dropped.  Hub skew is the
+    real hazard (every walk sitting on a hub joins against its full
+    adjacency), so ``max_degree`` caps adjacency per node BEFORE
+    walking: neighbor ``v`` of a node with out-degree ``d`` survives
+    iff ``h(salt:deg:u:v) % ceil(d / max_degree) == 0`` — an expected
+    ``max_degree``-sized deterministic subsample, no window, no
+    per-node sort.  Walks stop early at sinks (rows simply end).
+    """
+    from ferenda_spark.operators.sampling import sample_uniform
+
+    adj = (edges.select("src", "dst").distinct()
+           .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if max_degree is not None:
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep_mod = F.ceil(F.col("_deg") / F.lit(int(max_degree)))
+        hv = sample_uniform(
+            F.concat_ws(":", F.lit("deg"), F.col("src"), F.col("dst")),
+            salt)
+        adj = (adj.join(deg, "src")
+               .filter((F.col("_deg") <= F.lit(int(max_degree)))
+                       | (hv % keep_mod == 0))
+               .drop("_deg"))
+    adj = adj.persist()
+    nodes = (adj.select(F.col("src").alias("node"))
+             .unionByName(adj.select(F.col("dst").alias("node")))
+             .distinct())
+    start = (nodes.select(
+        "node",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_walks) - 1)))
+        .alias("_w"))
+        .select(F.concat_ws("#", "node", "_w").alias("walk_id"),
+                F.lit(0).alias("step"), F.col("node")))
+    # each step is localCheckpoint'ed (the pagerank convention): the
+    # final union reads materialized blocks, never recomputes the
+    # join chain, and lineage stays O(1) deep at any walk length
+    frontier = start.localCheckpoint()
+    out = [frontier]
+    for t in range(1, int(length) + 1):
+        cand = frontier.join(
+            adj, frontier["node"] == adj["src"]).select(
+            "walk_id",
+            F.struct(
+                sample_uniform(
+                    F.concat_ws(":", F.col("walk_id"),
+                                F.lit(str(t)), F.col("dst")), salt)
+                .alias("h"),
+                F.col("dst").alias("v")).alias("_c"))
+        frontier = (cand.groupBy("walk_id")
+                    .agg(F.min("_c").alias("_c"))
+                    .select("walk_id", F.lit(t).alias("step"),
+                            F.col("_c.v").alias("node"))
+                    .localCheckpoint())
+        out.append(frontier)
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionByName(part)
+    adj.unpersist()
+    return result

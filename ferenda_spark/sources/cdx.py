@@ -39,7 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CDX_JSON_SCHEMA = ("url string, status string, mime string, "
-                   "filename string, offset string, length string")
+                   "filename string, offset string, length string, "
+                   "redirect string")
 
 
 def parse_cdxj(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -66,6 +67,7 @@ def parse_cdxj(lines: DataFrame, line_col: str = "line") -> DataFrame:
                j["offset"].cast("long")).alias("offset"),
         F.when(j["length"].rlike(r"^\d+$"),
                j["length"].cast("long")).alias("length"),
+        j["redirect"].alias("redirect"),
         F.when(~F.col("_line").rlike(r"^\S+ \d{14} \{"),
                F.concat(F.lit("malformed line: "),
                         F.substring(F.col("_line"), 1, 80)))
@@ -74,7 +76,7 @@ def parse_cdxj(lines: DataFrame, line_col: str = "line") -> DataFrame:
     # a row with error keeps only (surt best-effort, error)
     keep = F.col("error").isNull()
     out_cols = ["ts", "url", "status", "mime", "filename", "offset",
-                "length"]
+                "length", "redirect"]
     return parsed.select(
         "surt",
         *[F.when(keep, F.col(c)).alias(c) for c in out_cols],
@@ -90,10 +92,12 @@ def latest_capture(cdx: DataFrame, ok_only: bool = True) -> DataFrame:
         src = src.filter(F.col("status") == "200")
     best = F.max(F.struct(
         F.col("ts"), F.col("url"), F.col("status"), F.col("mime"),
-        F.col("filename"), F.col("offset"), F.col("length"))).alias("b")
+        F.col("filename"), F.col("offset"), F.col("length"),
+        F.col("redirect"))).alias("b")
     return (src.groupBy("surt").agg(best)
             .select("surt", "b.ts", "b.url", "b.status", "b.mime",
-                    "b.filename", "b.offset", "b.length"))
+                    "b.filename", "b.offset", "b.length",
+                    "b.redirect"))
 
 
 def fetch_plan(captures: DataFrame, max_gap: int = 65536) -> DataFrame:
@@ -119,3 +123,16 @@ def fetch_plan(captures: DataFrame, max_gap: int = 65536) -> DataFrame:
                  F.max(F.col("offset") + F.col("length"))
                  .alias("range_end"),
                  F.count(F.lit(1)).alias("n_records")))
+
+
+def redirect_edges(cdx: DataFrame) -> DataFrame:
+    """Parsed captures → the redirect graph ``(src, dst)``: one edge
+    per 3xx capture that recorded its Location target (the CDXJ
+    ``redirect`` key).  Feed to
+    :func:`ferenda_spark.operators.crawl.resolve_redirects` to map
+    every moved url to its final home before identity joins."""
+    return (cdx.filter(F.col("error").isNull()
+                       & F.col("status").rlike(r"^3\d\d$")
+                       & F.col("redirect").isNotNull())
+            .select(F.col("url").alias("src"),
+                    F.col("redirect").alias("dst")))
