@@ -106,6 +106,10 @@ HEADLINE = [
     "kg_fused_metadata",
     "cdx_latest_capture",
     "cdx_fetch_plan",
+    # session-6 webgraph additions
+    "redirect_resolution",
+    "kg_host_graph",
+    "graph_random_walks",
 ]
 
 
