@@ -2404,6 +2404,37 @@ LIMIT 10
         return host_graph(e1.unionByName(e2))
     q["kg_host_graph"] = kg_host_graph
 
+    def kg_host_rank(spark, sf):
+        """Domain-authority ranking: the host-graph projection
+        (crawl.py host_graph) composed with integer PageRank
+        (rank.py pagerank) — the Common-Crawl-style host-rank signal
+        a web curation pipeline uses for seed prioritization and
+        quota weighting.  A wider 97/89-host universe than the
+        kg_host_graph gate so the rank vector has real structure;
+        the oracle re-derives the distinct host edges and unrolls
+        the same three BIGINT iterations."""
+        from ferenda_spark.operators.crawl import host_graph
+        from ferenda_spark.operators.rank import pagerank
+        did = F.col("doc_id")
+        src = F.concat(F.lit("https://site"), (did % 97).cast("string"),
+                       F.lit(".com/p"), did.cast("string"))
+        e1 = _docs(spark, sf).select(
+            src.alias("src"),
+            F.concat(F.lit("https://site"), (did % 89).cast("string"),
+                     F.lit(".com/x"), did.cast("string")).alias("dst"))
+        e2 = _docs(spark, sf).select(
+            src.alias("src"),
+            F.concat(F.lit("https://site"),
+                     ((did + 31) % 97).cast("string"),
+                     F.lit(".com/y"), did.cast("string")).alias("dst"))
+        hg = host_graph(e1.unionByName(e2))
+        pr = pagerank(hg.select(F.col("src_host").alias("src"),
+                                F.col("dst_host").alias("dst")),
+                      iters=3).withColumnRenamed("node", "host")
+        return analytics.ranked_topk(
+            pr, [("rank_micro", True), ("host", False)], 20)
+    q["kg_host_rank"] = kg_host_rank
+
     def graph_random_walks(spark, sf):
         """Graph-embedding walk corpus (rank.py random_walks): one
         deterministic 3-step walk per node over the halving graph
@@ -4795,6 +4826,39 @@ SELECT src_host, dst_host, count(*) AS n_links,
        CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
 FROM l WHERE src_host <> dst_host
 GROUP BY src_host, dst_host
+"""
+
+    # host_graph → pagerank composition: distinct host edges, then
+    # the same three unrolled BIGINT iterations as kg_pagerank
+    o["kg_host_rank"] = f"""
+WITH hl AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS src_host,
+         'site' || CAST(doc_id % 89 AS VARCHAR) || '.com' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com',
+         'site' || CAST((doc_id + 31) % 97 AS VARCHAR) || '.com'
+  FROM documents),
+cites AS MATERIALIZED (
+  SELECT DISTINCT src_host AS src, dst_host AS dst FROM hl
+  WHERE src_host <> dst_host),
+prnodes AS MATERIALIZED (
+  SELECT src AS node FROM cites UNION SELECT dst FROM cites),
+nn AS (SELECT count(*) AS n FROM prnodes),
+outd AS (SELECT src, count(*) AS outdeg FROM cites GROUP BY src),
+it0 AS (SELECT node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT)
+               AS r FROM prnodes),
+{_pr_iter.format(i=1, prev=0,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')},
+{_pr_iter.format(i=2, prev=1,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')},
+{_pr_iter.format(i=3, prev=2,
+                 base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')}
+SELECT host, rank_micro, CAST(rn AS INT) AS rank FROM (
+  SELECT node AS host, CAST(r // 1000000 AS BIGINT) AS rank_micro,
+         row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
+  FROM it3)
+WHERE rn <= 20
 """
 
     # every hop re-derived: argmin over out-neighbors of the salted
