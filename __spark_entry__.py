@@ -2435,6 +2435,32 @@ LIMIT 10
             pr, [("rank_micro", True), ("host", False)], 20)
     q["kg_host_rank"] = kg_host_rank
 
+    def crawl_churn_docs(spark, sf):
+        """Crawl-over-crawl change detection (crawl.py snapshot_churn
+        → host_churn): two synthetic snapshots of the same url space
+        — 1-in-7 urls new, 1-in-11 gone, 1-in-5 of the survivors
+        rehashed (modified) — classified per url by ONE full-outer
+        hash join, then profiled per host with integer per-mille
+        churn for recrawl budgeting.  Oracle restates the join and
+        every conditional count."""
+        from ferenda_spark.operators.crawl import (host_churn,
+                                                   snapshot_churn)
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        url = F.concat(F.lit("https://site"), (did % 13).cast("string"),
+                       F.lit(".com/d"), did.cast("string"))
+        old_text = F.when(did % 5 == 0,
+                          F.concat(F.col("text"), F.lit(":v1"))) \
+                    .otherwise(F.col("text"))
+        prev = d.filter(did % 7 != 3).select(
+            url.alias("url"),
+            F.md5(F.encode(old_text, "UTF-8")).alias("content_hash"))
+        curr = d.filter(did % 11 != 4).select(
+            url.alias("url"),
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash"))
+        return host_churn(snapshot_churn(prev, curr))
+    q["crawl_churn_docs"] = crawl_churn_docs
+
     def graph_random_walks(spark, sf):
         """Graph-embedding walk corpus (rank.py random_walks): one
         deterministic 3-step walk per node over the halving graph
@@ -4859,6 +4885,47 @@ SELECT host, rank_micro, CAST(rn AS INT) AS rank FROM (
          row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
   FROM it3)
 WHERE rn <= 20
+"""
+
+    # the full-outer hash join and every conditional count restated;
+    # churn_permille is the same BIGINT floor division
+    o["crawl_churn_docs"] = """
+WITH prev AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.com/d'
+           || CAST(doc_id AS VARCHAR) AS url,
+         md5(text || CASE WHEN doc_id % 5 = 0 THEN ':v1' ELSE '' END)
+           AS ph,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host
+  FROM documents WHERE doc_id % 7 <> 3),
+curr AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.com/d'
+           || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS ch,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host
+  FROM documents WHERE doc_id % 11 <> 4),
+j AS (
+  SELECT COALESCE(p.host, c.host) AS host,
+         CASE WHEN p.url IS NULL THEN 'new'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN p.ph = c.ch THEN 'unchanged'
+              ELSE 'modified' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url),
+g AS (
+  SELECT host,
+         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_gone,
+         CAST(sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_modified,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unchanged
+  FROM j GROUP BY host)
+SELECT host, n_new, n_gone, n_modified, n_unchanged,
+       CAST(1000 * (n_new + n_gone + n_modified)
+            // (n_new + n_gone + n_modified + n_unchanged)
+            AS BIGINT) AS churn_permille
+FROM g
 """
 
     # every hop re-derived: argmin over out-neighbors of the salted

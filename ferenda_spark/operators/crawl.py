@@ -221,3 +221,61 @@ def host_graph(links: DataFrame, include_self: bool = False,
     return (h.groupBy("src_host", "dst_host")
             .agg(F.count(F.lit(1)).alias("n_links"),
                  pages.alias("n_src_pages")))
+
+
+def snapshot_churn(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Crawl-over-crawl change detection: two snapshots of
+    ``(url, content_hash)`` → one row per url in either snapshot with
+    ``status`` ∈ {'new', 'gone', 'modified', 'unchanged'} — the
+    page-level signal recrawl scheduling and incremental regeneration
+    consume (the snapshot analog of the reference's per-document
+    conditional-GET change detection, documentrepository.py:1064-1132
+    ``download_if_needed``'s etag/last-modified checks, restated as a
+    set comparison over whole crawls).
+
+    Scale design: ONE full-outer shuffle join on url — a uniform
+    high-cardinality key, no skew funnel — comparing only the hashes
+    (content bytes never move); the status is a codegen CASE over
+    null-ness and hash equality.  At 10^12 urls the join is the
+    floor for any exact churn computation."""
+    p = prev.select(F.col("url"), F.col("content_hash").alias("_ph"))
+    c = curr.select(F.col("url"), F.col("content_hash").alias("_ch"))
+    j = p.join(c, "url", "full_outer")
+    status = (F.when(F.col("_ph").isNull(), F.lit("new"))
+              .when(F.col("_ch").isNull(), F.lit("gone"))
+              .when(F.col("_ph") == F.col("_ch"), F.lit("unchanged"))
+              .otherwise(F.lit("modified")))
+    return j.select("url", status.alias("status"))
+
+
+def host_churn(churn: DataFrame) -> DataFrame:
+    """Per-host churn profile over :func:`snapshot_churn` output:
+    ``(host, n_new, n_gone, n_modified, n_unchanged, churn_permille)``
+    where ``churn_permille = 1000 * (new+gone+modified) DIV total`` —
+    pure BIGINT arithmetic (engine-deterministic, the integer-rank
+    convention), ranking hosts for recrawl budget allocation: a host
+    whose pages churn every crawl earns a short revisit interval,
+    a static archive earns a long one.
+
+    Host extraction is codegen in the scan; the profile is ONE
+    groupBy with map-side partial counts (conditional sums combine
+    before the exchange), so a 10^8-page host is one reducer key fed
+    by partial aggregates, never by raw rows."""
+    from ferenda_spark.functions.web import url_host_col
+
+    def n(s: str):
+        return F.sum(F.when(F.col("status") == s, 1)
+                     .otherwise(0)).cast("long")
+
+    out = (churn
+           .select(url_host_col(F.col("url")).alias("host"), "status")
+           .filter(F.col("host").isNotNull())
+           .groupBy("host")
+           .agg(n("new").alias("n_new"),
+                n("gone").alias("n_gone"),
+                n("modified").alias("n_modified"),
+                n("unchanged").alias("n_unchanged")))
+    return out.withColumn(
+        "churn_permille",
+        F.expr("CAST(1000 * (n_new + n_gone + n_modified) DIV "
+               "(n_new + n_gone + n_modified + n_unchanged) AS BIGINT)"))

@@ -137,3 +137,57 @@ def test_random_walks_max_degree_caps_hubs(spark):
     step1 = {r["node"] for r in
              out.filter("walk_id = 'h#0' and step = 1").collect()}
     assert len(step1) == 1 and next(iter(step1)).startswith("n")
+
+
+# ---- snapshot churn --------------------------------------------------------
+
+@pytest.fixture()
+def snapshots(spark):
+    prev = spark.createDataFrame(
+        [("https://a.com/1", "h1"),     # unchanged
+         ("https://a.com/2", "h2"),     # modified
+         ("https://a.com/3", "h3"),     # gone
+         ("https://b.com/1", "h4")],    # unchanged
+        "url string, content_hash string")
+    curr = spark.createDataFrame(
+        [("https://a.com/1", "h1"),
+         ("https://a.com/2", "h2x"),
+         ("https://a.com/4", "h5"),     # new
+         ("https://b.com/1", "h4")],
+        "url string, content_hash string")
+    return prev, curr
+
+
+def test_snapshot_churn_statuses(snapshots):
+    from ferenda_spark.operators.crawl import snapshot_churn
+    got = {r["url"]: r["status"]
+           for r in snapshot_churn(*snapshots).collect()}
+    assert got == {"https://a.com/1": "unchanged",
+                   "https://a.com/2": "modified",
+                   "https://a.com/3": "gone",
+                   "https://a.com/4": "new",
+                   "https://b.com/1": "unchanged"}
+
+
+def test_host_churn_permille(snapshots):
+    from ferenda_spark.operators.crawl import host_churn, snapshot_churn
+    got = {r["host"]: r for r in
+           host_churn(snapshot_churn(*snapshots)).collect()}
+    a = got["a.com"]
+    # a.com: 1 new + 1 gone + 1 modified + 1 unchanged → 750‰
+    assert (a["n_new"], a["n_gone"], a["n_modified"],
+            a["n_unchanged"]) == (1, 1, 1, 1)
+    assert a["churn_permille"] == 750
+    b = got["b.com"]
+    assert b["churn_permille"] == 0 and b["n_unchanged"] == 1
+
+
+def test_host_churn_floor_division(spark):
+    # 1 changed of 3 total → floor(1000/3) = 333, engine-exact
+    from ferenda_spark.operators.crawl import host_churn
+    churn = spark.createDataFrame(
+        [("https://c.com/1", "modified"),
+         ("https://c.com/2", "unchanged"),
+         ("https://c.com/3", "unchanged")], "url string, status string")
+    [r] = host_churn(churn).collect()
+    assert r["churn_permille"] == 333
