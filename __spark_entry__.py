@@ -2256,6 +2256,42 @@ LIMIT 10
                         "obj_datatype", "obj_lang"))
     q["jsonld_extract_docs"] = jsonld_extract_docs
 
+    def microdata_extract_docs(spark, sf):
+        """HTML microdata harvest (structured_data.py
+        microdata_triples): the attribute-markup leg of the Web Data
+        Commons triad.  Pages carry an itemscope Product (itemid
+        subject, text / meta@content / a@href property kinds) with a
+        nested @id-less Offer whose subject is the deterministic
+        pre-order skolem ``#md/1``; the oracle restates all seven
+        triples per page arm by arm."""
+        from ferenda_spark.operators.structured_data import (
+            microdata_triples,
+        )
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://site"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".com/p"), did)
+        html = F.concat(
+            F.lit('<html><body><div itemscope '
+                  'itemtype="https://schema.org/Product" itemid="'),
+            url, F.lit('#prod"><span itemprop="name">Product '), did,
+            F.lit('</span><meta itemprop="sku" content="SKU-'),
+            (F.col("doc_id") % 997).cast("string"),
+            F.lit('"><a itemprop="url" href="https://site'),
+            (F.col("doc_id") % 7).cast("string"), F.lit(".com/buy/"),
+            did, F.lit('">buy</a><div itemprop="offers" itemscope '
+                       'itemtype="https://schema.org/Offer">'
+                       '<span itemprop="price">'),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("</span></div></div></body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        return (microdata_triples(pages)
+                .filter(F.col("error").isNull())
+                .select("subj", "pred", "obj", "obj_is_literal",
+                        "obj_datatype", "obj_lang"))
+    q["microdata_extract_docs"] = microdata_extract_docs
+
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
         interleave of two derived dimensions as one codegen BIGINT —
@@ -4543,6 +4579,43 @@ SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang FROM (
   SELECT url || '#jsonld/0/author', 'schema:name',
          'Author ' || CAST(doc_id % 50 AS VARCHAR), TRUE, NULL, NULL
   FROM u)
+"""
+
+    # the seven microdata triples restated arm by arm; the nested
+    # Offer's subject is the pre-order skolem ordinal 1 (the Product
+    # is item 0 even though its itemid overrides the subject)
+    o["microdata_extract_docs"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang FROM (
+  SELECT url || '#prod' AS subj, 'rdf:type' AS pred,
+         'schema:Product' AS obj, FALSE AS obj_is_literal,
+         NULL::VARCHAR AS obj_datatype, NULL::VARCHAR AS obj_lang
+  FROM u
+  UNION ALL
+  SELECT url || '#prod', 'schema:name',
+         'Product ' || CAST(doc_id AS VARCHAR), TRUE, NULL, NULL
+  FROM u
+  UNION ALL
+  SELECT url || '#prod', 'schema:sku',
+         'SKU-' || CAST(doc_id % 997 AS VARCHAR), TRUE, NULL, NULL
+  FROM u
+  UNION ALL
+  SELECT url || '#prod', 'schema:url',
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/buy/'
+           || CAST(doc_id AS VARCHAR), FALSE, NULL, NULL FROM u
+  UNION ALL
+  SELECT url || '#md/1', 'rdf:type', 'schema:Offer', FALSE, NULL,
+         NULL FROM u
+  UNION ALL
+  SELECT url || '#prod', 'schema:offers', url || '#md/1', FALSE,
+         NULL, NULL FROM u
+  UNION ALL
+  SELECT url || '#md/1', 'schema:price',
+         CAST(doc_id % 100 AS VARCHAR), TRUE, NULL, NULL FROM u)
 """
 
     # hashed-feature linear quality scorer: per-token weight =

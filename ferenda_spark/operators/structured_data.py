@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import re
+from html.parser import HTMLParser
 from typing import Iterator
 
 import pandas as pd
@@ -195,6 +196,226 @@ def jsonld_triples(pages: DataFrame, url_col: str = "url",
                 if isinstance(html, (bytes, bytearray, memoryview)):
                     html = bytes(html).decode("utf-8", errors="replace")
                 rows.extend(extract_jsonld(url, html))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(url_col, html_col).mapInPandas(
+        batches, schema=JSONLD_SCHEMA)
+
+
+# ---- HTML microdata (itemscope/itemprop) -------------------------------
+#
+# The second leg of the Web Data Commons triad (microdata, JSON-LD,
+# RDFa): schema.org markup embedded as element attributes rather than
+# script blocks.  Subset semantics (documented, fail-loud on the
+# rest), following the W3C microdata-to-RDF mapping:
+#
+# - an element with ``itemscope`` is an item; its ``itemtype`` IRIs
+#   (space-separated, absolute) each yield one ``rdf:type`` triple,
+#   contracted through CONTEXT_PREFIXES (schema.org → ``schema:``);
+# - subject = ``itemid`` when present, else the deterministic
+#   fragment ``<page-url>#md/<n>`` where n is the item's 0-based
+#   pre-order ordinal among the page's items — stable across
+#   partitions and replays (the skolemization contract shared with
+#   extract_jsonld);
+# - ``itemprop`` names expand under the item's vocabulary prefix
+#   (from its first itemtype); names containing ``:`` or absolute
+#   IRIs stay verbatim; multiple space-separated names fan out one
+#   triple each;
+# - property value by element kind: nested ``itemscope`` → edge to
+#   the child item; ``meta`` → @content; ``a``/``area``/``link`` →
+#   @href as a resource; ``img``/``audio``/``video``/``embed``/
+#   ``iframe``/``source``/``track`` → @src as a resource; ``time`` →
+#   @datetime else text; ``data``/``meter`` → @value; anything else →
+#   concatenated descendant text, whitespace-normalized (plain
+#   literal, no datatype — microdata values are strings);
+# - ``itemref`` is out of subset → ONE error row for the page
+#   element (never a task failure); an ``itemprop`` outside any open
+#   item likewise errors loudly instead of being guessed at.
+#
+# Same scan shape as jsonld_triples: one stateless Arrow pass over
+# (url, html), no shuffle — at 10^12 pages this shares the extract
+# scan's budget.
+
+_MD_RESOURCE_HREF = {"a", "area", "link"}
+_MD_RESOURCE_SRC = {"img", "audio", "video", "embed", "iframe",
+                    "source", "track"}
+_MD_VOID = {"meta", "link", "img", "br", "hr", "input", "area",
+            "base", "source", "track", "embed", "wbr", "col",
+            "param"}
+
+_VOCAB_PREFIXES = {
+    "https://schema.org/": "schema:",
+    "http://schema.org/": "schema:",
+}
+
+
+def _md_contract(iri: str) -> str:
+    for base, pre in _VOCAB_PREFIXES.items():
+        if iri.startswith(base) and len(iri) > len(base):
+            return pre + iri[len(base):]
+    return iri
+
+
+def _md_norm(text: str) -> str:
+    return " ".join(text.split())
+
+
+class _MicrodataParser(HTMLParser):
+    """One page's microdata items → edge-schema tuples + error rows."""
+
+    def __init__(self, url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.url = url
+        self.n_items = 0
+        # item stack frames: (subj, vocab_prefix_or_None)
+        self.items: list[tuple[str, str | None]] = []
+        # open text captures: [subj, pred_list, text_parts]
+        self.captures: list[list] = []
+        # per open element: (tag, pops_item, owns_capture)
+        self.frames: list[tuple[str, bool, bool]] = []
+        self.out: list[tuple] = []
+        self.errors: list[str] = []
+
+    # -- helpers ---------------------------------------------------------
+
+    def _emit(self, subj, pred, obj, is_lit):
+        self.out.append((subj, pred, obj, is_lit, None, None))
+
+    def _vocab_of(self, types: list[str]) -> str | None:
+        for t in types:
+            for base, pre in _VOCAB_PREFIXES.items():
+                if t.startswith(base):
+                    return pre
+        return None
+
+    def _expand_prop(self, name: str, prefix: str | None) -> str:
+        if prefix is None or ":" in name:
+            return name
+        return prefix + name
+
+    def _prop_value_attr(self, tag: str, a: dict) -> tuple | None:
+        """(obj, is_literal) for attribute-valued tags, else None."""
+        if tag == "meta":
+            return (a.get("content", ""), True)
+        if tag in _MD_RESOURCE_HREF:
+            return (a.get("href", ""), False)
+        if tag in _MD_RESOURCE_SRC:
+            return (a.get("src", ""), False)
+        if tag == "time" and a.get("datetime"):
+            return (a["datetime"], True)
+        if tag in ("data", "meter") and a.get("value") is not None:
+            return (a["value"], True)
+        return None
+
+    # -- tag events ------------------------------------------------------
+
+    def _start(self, tag: str, attrs, void: bool) -> None:
+        a = {k: (v if v is not None else "") for k, v in attrs}
+        if "itemref" in a:
+            self.errors.append(f"<{tag} itemref> out of subset")
+            if not void:
+                self.frames.append((tag, False, False))
+            return
+        is_item = "itemscope" in a
+        prop_attr = a.get("itemprop")
+        child_subj = None
+        if is_item:
+            subj = a.get("itemid") or f"{self.url}#md/{self.n_items}"
+            self.n_items += 1
+            types = [t for t in a.get("itemtype", "").split() if t]
+            prefix = self._vocab_of(types)
+            for t in types:
+                self._emit(subj, "rdf:type", _md_contract(t), False)
+            child_subj = subj
+        owns_capture = False
+        if prop_attr is not None:
+            names = [n for n in prop_attr.split() if n]
+            if not self.items:
+                self.errors.append(
+                    f"<{tag} itemprop={prop_attr!r}> outside any item")
+            elif names:
+                psubj, pprefix = self.items[-1]
+                preds = [self._expand_prop(n, pprefix) for n in names]
+                if is_item:
+                    for p in preds:
+                        self._emit(psubj, p, child_subj, False)
+                else:
+                    av = self._prop_value_attr(tag, a)
+                    if av is not None:
+                        obj, is_lit = av
+                        for p in preds:
+                            self._emit(psubj, p, obj, is_lit)
+                    elif not void:
+                        self.captures.append([psubj, preds, []])
+                        owns_capture = True
+        if is_item:
+            self.items.append((child_subj, self._vocab_of(
+                [t for t in a.get("itemtype", "").split() if t])))
+        if not void:
+            self.frames.append((tag, is_item, owns_capture))
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, void=tag in _MD_VOID)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, void=True)
+
+    def handle_endtag(self, tag):
+        if not any(f[0] == tag for f in self.frames):
+            return  # stray close tag: ignore, never crash
+        while self.frames:
+            ftag, pops_item, owns_capture = self.frames.pop()
+            if owns_capture:
+                subj, preds, parts = self.captures.pop()
+                text = _md_norm("".join(parts))
+                for p in preds:
+                    self._emit(subj, p, text, True)
+            if pops_item and self.items:
+                self.items.pop()
+            if ftag == tag:
+                break
+
+    def handle_data(self, data):
+        for cap in self.captures:
+            cap[2].append(data)
+
+
+def extract_microdata(url: str, html: str) -> list[dict]:
+    """Pure-Python twin: all microdata triples of one page,
+    JSONLD_SCHEMA keys; one error row per out-of-subset construct."""
+    parser = _MicrodataParser(url)
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception as exc:  # malformed HTML: loud row, no crash
+        parser.errors.append(f"parse: {exc}")
+
+    def row(subj=None, pred=None, obj=None, obj_is_literal=None,
+            obj_datatype=None, obj_lang=None, error=None) -> dict:
+        return {"src_url": url, "subj": subj, "pred": pred, "obj": obj,
+                "obj_is_literal": obj_is_literal,
+                "obj_datatype": obj_datatype, "obj_lang": obj_lang,
+                "error": error}
+
+    rows = [row(*t) for t in parser.out]
+    rows.extend(row(error=e) for e in parser.errors)
+    return rows
+
+
+def microdata_triples(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """pages(url, html) → JSONLD_SCHEMA triples from itemscope
+    markup — one stateless Arrow pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_url", "subj", "pred", "obj", "obj_is_literal",
+                "obj_datatype", "obj_lang", "error"]
+        for pdf in it:
+            rows: list[dict] = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rows.extend(extract_microdata(url, html))
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select(url_col, html_col).mapInPandas(
