@@ -2292,6 +2292,27 @@ LIMIT 10
                         "obj_datatype", "obj_lang"))
     q["microdata_extract_docs"] = microdata_extract_docs
 
+    def kg_scc(spark, sf):
+        """Strongly connected components (rank.py scc): FW/BW
+        min-label coloring over a deterministic 210-node webgraph —
+        21 ten-page link rings (the cycle structure components()
+        cannot see), one-way bridges between consecutive rings (a DAG
+        condensation), and five back chords that each merge two rings
+        into one 20-node SCC.  Oracle: recursive-CTE transitive
+        closure, comp = min over mutually-reachable ids."""
+        from ferenda_spark.operators.rank import scc
+        v = F.col("v")
+        d = (_docs(spark, sf)
+             .select((F.col("doc_id") % 210).alias("v")).distinct())
+        ring = d.select(v.alias("src"),
+                        (v - v % 10 + (v + 1) % 10).alias("dst"))
+        bridge = (d.filter((v % 10 == 0) & (v >= 10))
+                  .select(v.alias("src"), (v - 10).alias("dst")))
+        chord = (d.filter((v % 40 == 0) & (v <= 199))
+                 .select(v.alias("src"), (v + 10).alias("dst")))
+        return scc(ring.unionByName(bridge).unionByName(chord))
+    q["kg_scc"] = kg_scc
+
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
         interleave of two derived dimensions as one codegen BIGINT —
@@ -4791,6 +4812,32 @@ e3 AS MATERIALIZED (
 SELECT node, count(*) AS degree FROM (
   SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
 GROUP BY node
+"""
+
+    # SCC restated from first principles: reachability closure via
+    # recursive CTE, comp(v) = min id u with v->*u and u->*v (the
+    # node itself included via the rings' (a,a) closure rows and the
+    # coalesce for cycle-free nodes)
+    o["kg_scc"] = """
+WITH d AS (SELECT DISTINCT doc_id % 210 AS v FROM documents),
+e AS MATERIALIZED (
+  SELECT v AS src, v - (v % 10) + ((v + 1) % 10) AS dst FROM d
+  UNION
+  SELECT v, v - 10 FROM d WHERE v % 10 = 0 AND v >= 10
+  UNION
+  SELECT v, v + 10 FROM d WHERE v % 40 = 0 AND v <= 199),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src)
+  SELECT a, b FROM r),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+mutual AS (SELECT r1.a AS u, r1.b AS w FROM reach r1
+           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT n.id, least(n.id, coalesce(min(m.w), n.id)) AS comp
+FROM nodes n LEFT JOIN mutual m ON m.u = n.id
+GROUP BY n.id
 """
 
     # the identical Morton spread chain (layout.py::_MASKS2), applied

@@ -521,3 +521,206 @@ def random_walks(edges: DataFrame, n_walks: int = 2,
         result = result.unionByName(part)
     adj.unpersist()
     return result
+
+def _min_reach_pair(labels: DataFrame, edges: DataFrame,
+                    max_iters: int) -> DataFrame:
+    """Fixpoint of the PAIRED min-label propagation over ``labels(id,
+    lf, lb)``: ``lf(v)`` converges to the min id reachable FROM v
+    along ``edges(u, v)``, ``lb(v)`` to the min id that REACHES v —
+    both advanced in the same iteration so each round costs ONE
+    checkpoint and ONE driver action.
+
+    Each side uses a pointer-doubling shortcut: if ``lf(v) = u`` then
+    u is reachable from v, so everything reachable from u is too —
+    ``lf(v) ← min(lf(v), lf(lf(v)))`` only ever adopts genuinely
+    reachable ids and collapses propagation paths geometrically (the
+    components() doubling trick lifted to directed reachability; the
+    symmetric argument holds for ``lb``).  The doubling pointer is
+    read from the PREVIOUS generation (the checkpointed ``labels``,
+    not this iteration's half-built step), so one iteration is ONE
+    plan over one checkpointed scan — one localCheckpoint and one
+    driver action per iteration, never a recompute of the propagation
+    joins.  Labels are monotonically non-increasing, so the exact
+    fixpoint test is "Σ(lf + lb) stopped decreasing", one
+    DECIMAL(38,0) aggregate per round.
+    """
+    def _pair_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("lf").cast("decimal(38,0)")
+                            + F.col("lb").cast("decimal(38,0)"))).first()[0]
+
+    prev = _pair_sum(labels)
+    for _ in range(int(max_iters)):
+        succ = (edges.join(labels.select(F.col("id").alias("v"), "lf"), "v")
+                .groupBy("u").agg(F.min("lf").alias("s_lf")))
+        pred = (edges.join(labels.select(F.col("id").alias("u"), "lb"), "u")
+                .groupBy("v").agg(F.min("lb").alias("p_lb")))
+        fptr = labels.select(F.col("id").alias("f_id"),
+                             F.col("lf").alias("f_lf"))
+        bptr = labels.select(F.col("id").alias("b_id"),
+                             F.col("lb").alias("b_lb"))
+        stepped = (labels
+                   .join(succ, labels["id"] == succ["u"], "left")
+                   .join(pred, labels["id"] == pred["v"], "left")
+                   .join(fptr, labels["lf"] == fptr["f_id"], "left")
+                   .join(bptr, labels["lb"] == bptr["b_id"], "left")
+                   .select(labels["id"],
+                           F.least(labels["lf"],
+                                   F.coalesce(F.col("s_lf"),
+                                              labels["lf"]),
+                                   F.coalesce(F.col("f_lf"),
+                                              labels["lf"])).alias("lf"),
+                           F.least(labels["lb"],
+                                   F.coalesce(F.col("p_lb"),
+                                              labels["lb"]),
+                                   F.coalesce(F.col("b_lb"),
+                                              labels["lb"])).alias("lb"))
+                   .localCheckpoint(eager=True))
+        cur = _pair_sum(stepped)
+        labels = stepped
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        "scc: min-reach propagation did not converge in "
+        f"{max_iters} iterations — raise max_iters")
+
+
+def _scc_driver(pairs: list) -> dict:
+    """Iterative Kosaraju on the driver for the small-graph fast
+    path; returns {id: min id of its SCC}."""
+    from collections import defaultdict
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for u, v in pairs:
+        fwd[u].append(v)
+        bwd[v].append(u)
+        nodes.update((u, v))
+    order, seen = [], set()
+    for s in sorted(nodes):
+        if s in seen:
+            continue
+        seen.add(s)
+        stack = [(s, iter(fwd[s]))]
+        while stack:
+            x, it = stack[-1]
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    break
+            else:
+                order.append(x)
+                stack.pop()
+    comp: dict = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members, frontier = [s], [s]
+        comp[s] = s
+        while frontier:
+            x = frontier.pop()
+            for w in bwd[x]:
+                if w not in comp:
+                    comp[w] = s
+                    members.append(w)
+                    frontier.append(w)
+        m = min(members)
+        for x in members:
+            comp[x] = m
+    return comp
+
+
+def scc(edges: DataFrame, max_rounds: int = 15, max_iters: int = 30,
+        driver_max: int = 1_000_000) -> DataFrame:
+    """Strongly connected components of directed ``edges(src, dst)``:
+    ``(id, comp)`` for every node incident to a non-loop edge, where
+    ``comp`` is the MINIMUM id in the node's SCC — the cycle
+    structure of the webgraph (link farms, mutual-citation cliques,
+    redirect loops) that components() cannot see because it
+    symmetrizes.
+
+    Distributed algorithm: iterative forward/backward min-label
+    coloring (the Orzan coloring family).  Per outer round, over the
+    surviving subgraph one :func:`_min_reach_pair` fixpoint yields
+    ``lf(v)`` = min id reachable FROM v and ``lb(v)`` = min id that
+    REACHES v.  Then:
+
+    * ``lf(v) = lb(v) = c`` ⇔ c is reachable from v and c reaches
+      v — v ∈ SCC(c), and c is that SCC's minimum id (lf can't
+      exceed the min, and c ∈ SCC forces equality).  All such v are
+      emitted with ``comp = c``.
+    * two nodes of one SCC have identical reachable / reaching sets
+      (each includes the other), hence identical ``(lf, lb)`` pairs —
+      an SCC is NEVER split by pruning to same-pair edges, and an
+      edge crossing two different pairs can sit on no cycle.  The
+      next round runs on the same-pair subgraph only.
+
+    Progress guarantee: within each (lf, lb) class the class minimum
+    m has ``lf(m) = lb(m) = m`` in its pruned subgraph, so every
+    class retires ≥ 1 SCC per round; web-shaped graphs (one giant
+    SCC + shallow DAG periphery) finish in 2-3 rounds because the
+    pair partition shatters the condensation DAG immediately.  A
+    graph needing more than ``max_rounds`` raises loudly (the
+    components() non-convergence contract) rather than returning a
+    partial answer.
+
+    Scale shape: keyed equi-joins + min aggregates over (id, lf, lb)
+    rows — map-side-combinable, no windows, no crossJoin; every
+    generation is localCheckpoint'ed so lineage stays O(1) under the
+    doubling self-joins.  Ids are cast to BIGINT (the components()
+    convention) so the fixpoint test is an exact DECIMAL sum.
+    Self-loops are dropped up front (they never change SCC
+    membership); isolated nodes are absent (each trivially its own
+    SCC) — union them back at the call site if needed.  Below
+    ``driver_max`` materialized edges a collect + iterative Kosaraju
+    beats ~8 distributed jobs per doubling round by an order of
+    magnitude (the components() fast-path precedent); pass
+    ``driver_max=0`` to force the distributed path.
+    """
+    e0 = (edges.select(F.col("src").cast("long").alias("u"),
+                       F.col("dst").cast("long").alias("v"))
+          .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                  & (F.col("u") != F.col("v")))
+          .distinct()
+          .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    if e0.count() <= driver_max:
+        comp = _scc_driver([(r["u"], r["v"]) for r in e0.collect()])
+        return spark.createDataFrame(sorted(comp.items()),
+                                     "id long, comp long")
+    done = spark.createDataFrame([], "id long, comp long")
+    labels = (e0.select(F.col("u").alias("id"))
+              .unionByName(e0.select(F.col("v").alias("id")))
+              .distinct()
+              .select("id", F.col("id").alias("lf"),
+                      F.col("id").alias("lb"))
+              .localCheckpoint(eager=True))
+    cur_edges = e0
+    for _ in range(int(max_rounds)):
+        if labels.isEmpty():
+            return done
+        fixed = _min_reach_pair(labels, cur_edges, max_iters)
+        matched = (fixed.filter(F.col("lf") == F.col("lb"))
+                   .select("id", F.col("lf").alias("comp")))
+        done = done.unionByName(matched).localCheckpoint(eager=True)
+        rest = fixed.filter(F.col("lf") != F.col("lb"))
+        labels = (rest.select("id", F.col("id").alias("lf"),
+                              F.col("id").alias("lb"))
+                  .localCheckpoint(eager=True))
+        if labels.isEmpty():
+            return done
+        a = rest.select(F.col("id").alias("u"),
+                        F.col("lf").alias("a_lf"),
+                        F.col("lb").alias("a_lb"))
+        b = rest.select(F.col("id").alias("v"),
+                        F.col("lf").alias("b_lf"),
+                        F.col("lb").alias("b_lb"))
+        cur_edges = (cur_edges.join(a, "u").join(b, "v")
+                     .filter((F.col("a_lf") == F.col("b_lf"))
+                             & (F.col("a_lb") == F.col("b_lb")))
+                     .select("u", "v")
+                     .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"scc: {max_rounds} coloring rounds did not retire every "
+        "node — the condensation is deeper than expected; raise "
+        "max_rounds")

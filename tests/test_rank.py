@@ -320,3 +320,126 @@ def test_cocitation_and_coupling(spark):
     bc2 = {(r["a"], r["b"]): r["n_shared"]
            for r in bibliographic_coupling(df, max_in_degree=2).collect()}
     assert bc2 == {("s1", "s2"): 1}
+
+
+# ---------------------------------------------------------------- scc
+
+def _scc_local(edges):
+    """Independent reference: Kosaraju on the driver."""
+    from collections import defaultdict
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue  # operator contract: self-loop-only nodes absent
+        fwd[a].append(b)
+        bwd[b].append(a)
+        nodes.update((a, b))
+    order = []
+    seen = set()
+    for s in sorted(nodes):
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            adv = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(v)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members = [s]
+        comp[s] = None
+        while members:
+            v = members.pop()
+            comp[v] = s  # placeholder root; re-min below
+            for w in bwd[v]:
+                if w not in comp:
+                    comp[w] = s
+                    members.append(w)
+    # relabel each component by its min member (the operator contract)
+    groups = {}
+    for v, c in comp.items():
+        groups.setdefault(c, []).append(v)
+    out = {}
+    for mem in groups.values():
+        m = min(mem)
+        for v in mem:
+            out[v] = m
+    return out
+
+
+def _scc_spark(spark, edges, **kw):
+    from ferenda_spark.operators.rank import scc
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["comp"] for r in scc(df, **kw).collect()}
+
+
+def test_scc_rings_bridges_chord(spark):
+    # two 4-rings bridged one way -> separate SCCs; a back chord
+    # merges them; plus a DAG tail and a self-loop.  driver_max=0
+    # forces the DISTRIBUTED coloring path.
+    ring1 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    ring2 = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    edges = ring1 + ring2 + [(10, 0)] + [(20, 10), (21, 20), (5, 5)]
+    got = _scc_spark(spark, edges, driver_max=0)
+    want = _scc_local(edges)
+    assert got == want
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[13] == 10          # not merged: bridge is one-way
+    assert got[20] == 20 and got[21] == 21   # DAG tail: singletons
+    # now add the back chord 0 -> 10: one SCC of 8 (fast path)
+    edges2 = edges + [(0, 10)]
+    got2 = _scc_spark(spark, edges2)
+    assert got2 == _scc_local(edges2)
+    assert {got2[v] for v in (0, 1, 2, 3, 10, 11, 12, 13)} == {0}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    edges = [(i, i + 1) for i in range(8)] + [(0, 5), (2, 7)]
+    got = _scc_spark(spark, edges)
+    assert got == {v: v for v in range(9)}
+
+
+def test_scc_matches_kosaraju_on_random_graphs(spark):
+    import random
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(90)})
+        got = _scc_spark(spark, edges)
+        assert got == _scc_local(edges), seed
+    # one irregular graph through the distributed path too: pins the
+    # coloring algorithm (not just the fast path) against Kosaraju
+    # (kept small — every coloring round is several Spark jobs)
+    rng = random.Random(101)
+    edges = sorted({(rng.randrange(16), rng.randrange(16))
+                    for _ in range(36)})
+    assert _scc_spark(spark, edges, driver_max=0) == _scc_local(edges)
+
+
+def test_scc_nonconvergence_raises(spark):
+    import pytest
+    # a 16-chain of 2-cycles forms 16 SCCs in a 16-deep condensation
+    # path; with max_rounds=1 the periphery cannot retire
+    edges = []
+    for g in range(16):
+        a, b = 2 * g, 2 * g + 1
+        edges += [(a, b), (b, a)]
+        if g:
+            edges.append((a, a - 2))
+    ok = _scc_spark(spark, edges)        # fast path: converges
+    assert ok == _scc_local(edges)
+    with pytest.raises(RuntimeError, match="scc"):
+        _scc_spark(spark, edges, driver_max=0, max_rounds=1)
