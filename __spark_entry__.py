@@ -1295,6 +1295,28 @@ LIMIT 25
             pr, [("rank_micro", True), ("node", False)], 20)
     q["kg_pagerank"] = kg_pagerank
 
+    def kg_trustrank(spark, sf):
+        """Seed-personalized PageRank (rank.py trustrank, the VLDB
+        2004 TrustRank construction): trust teleports only to a seed
+        set — here the heavily-cited targets (in-degree ≥ 5), the
+        deterministic stand-in for a vetted whitelist — and flows
+        along citations, so documents unreachable from any seed score
+        exactly 0 (the spam-demotion property plain PageRank lacks).
+        Same BIGINT fixed-point arithmetic as kg_pagerank, so the
+        oracle unrolls the three iterations exactly."""
+        from ferenda_spark.operators.rank import trustrank
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        seeds = (cites.groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= 5)
+                 .select(F.col("dst").alias("node")))
+        tr = trustrank(cites, seeds, iters=3)
+        return analytics.ranked_topk(
+            tr, [("trust_micro", True), ("node", False)], 20)
+    q["kg_trustrank"] = kg_trustrank
+
     def kg_hits(spark, sf):
         """Hubs-and-authorities over the citation graph: 2-iteration
         integer HITS (L1-normalized, DECIMAL(38,0) renorm) — separates
@@ -3780,6 +3802,55 @@ it0 AS (SELECT node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT)
                  base='(SELECT 15 * (1000000000000 // n) // 100 FROM nn)')}
 SELECT node, rank_micro, CAST(rn AS INT) AS rank FROM (
   SELECT node, CAST(r // 1000000 AS BIGINT) AS rank_micro,
+         row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
+  FROM it3)
+WHERE rn <= 20
+"""
+
+    # one TrustRank iteration: kg_pagerank's arithmetic with the
+    # teleport personalized to the seed flag — base term and dangling
+    # share land ONLY on seeds (rank.py trustrank, VLDB 2004 scheme)
+    _tr_iter = """
+it{i} AS (
+  SELECT n.node, n.is_seed,
+         CAST(CASE WHEN n.is_seed THEN {base} ELSE 0 END
+              + (85 * (COALESCE(s.inc, 0) +
+                 CASE WHEN n.is_seed THEN
+                   (SELECT COALESCE(sum(r.r), 0) FROM it{prev} r
+                    WHERE r.node NOT IN (SELECT src FROM cites))
+                   // (SELECT s FROM ns)
+                 ELSE 0 END)) // 100 AS BIGINT) AS r
+  FROM trnodes n LEFT JOIN (
+    SELECT c.dst AS node, CAST(sum(r.r // o.outdeg) AS BIGINT) AS inc
+    FROM cites c JOIN it{prev} r ON c.src = r.node
+                 JOIN outd o ON c.src = o.src
+    GROUP BY c.dst) s ON s.node = n.node
+)"""
+    _tr_base = "(SELECT 15 * (1000000000000 // s) // 100 FROM ns)"
+    o["kg_trustrank"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cites AS (
+  SELECT subj AS src, obj AS dst FROM golden
+  WHERE pred = 'dcterms:references'
+),
+seeds AS (
+  SELECT dst AS node FROM cites GROUP BY dst HAVING count(*) >= 5
+),
+trnodes AS (
+  SELECT p.node, p.node IN (SELECT node FROM seeds) AS is_seed
+  FROM (SELECT src AS node FROM cites UNION SELECT dst FROM cites) p
+),
+ns AS (SELECT count(*) AS s FROM seeds),
+outd AS (SELECT src, count(*) AS outdeg FROM cites GROUP BY src),
+it0 AS (SELECT node, is_seed,
+               CAST(CASE WHEN is_seed THEN
+                 (SELECT 1000000000000 // s FROM ns) ELSE 0 END
+                 AS BIGINT) AS r FROM trnodes),
+{_tr_iter.format(i=1, prev=0, base=_tr_base)},
+{_tr_iter.format(i=2, prev=1, base=_tr_base)},
+{_tr_iter.format(i=3, prev=2, base=_tr_base)}
+SELECT node, trust_micro, CAST(rn AS INT) AS rank FROM (
+  SELECT node, CAST(r // 1000000 AS BIGINT) AS trust_micro,
          row_number() OVER (ORDER BY r // 1000000 DESC, node) AS rn
   FROM it3)
 WHERE rn <= 20

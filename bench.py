@@ -110,6 +110,12 @@ HEADLINE = [
     "redirect_resolution",
     "kg_host_graph",
     "graph_random_walks",
+    # session-7 additions
+    "kg_host_rank",
+    "crawl_churn_docs",
+    "microdata_extract_docs",
+    "kg_scc",
+    "kg_trustrank",
 ]
 
 

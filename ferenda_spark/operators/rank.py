@@ -108,6 +108,92 @@ def pagerank(edges: DataFrame, iters: int = 3,
     return out
 
 
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 3,
+              damping_pct: int = 85) -> DataFrame:
+    """(node, trust_micro) — seed-personalized PageRank (Gyöngyi,
+    Garcia-Molina & Pedersen, "Combating Web Spam with TrustRank",
+    VLDB 2004) over ``edges(src, dst)`` with trusted ``seeds(node)``.
+
+    The teleport vector is uniform over the SEED set instead of all
+    nodes: only seeds receive the ``(100-damping)/100`` base term,
+    only seeds receive redistributed dangling mass, and the rank
+    vector starts as ``1/|S|`` on seeds and 0 elsewhere.  Trust
+    therefore flows ONLY along links out of the seed neighborhood —
+    pages unreachable from any seed score exactly 0, which is the
+    spam-demotion property plain PageRank lacks (every page gets
+    teleport mass there).  Composed with :func:`pagerank` the gap
+    ``rank - trust`` is the classic "spam mass" estimate; composed
+    with ``crawl.host_graph`` it is domain-level trust for crawl
+    admission.  The reference has no transitive analog — its nearest
+    signal is one-hop inbound-reference counting
+    (documentrepository.py:1829-1891), same lineage as pagerank's.
+
+    Arithmetic is the :func:`pagerank` scheme verbatim — BIGINT floor
+    division at ``SCALE`` fixed point with the seed-uniform prior
+    ``SCALE // |S|`` — so results are bit-deterministic under any
+    partial-aggregation order and an unrolled-SQL oracle can compare
+    exactly.  Scale shape is pagerank's too: one shuffle per
+    iteration, map-side-combinable hub sums, O(1) lineage via
+    per-iteration localCheckpoint, inputs unpersisted on return; the
+    seed flag rides the rank vector (computed once, never re-joined).
+    """
+    from pyspark import StorageLevel
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .unionByName(seed_nodes)
+             .distinct()
+             .join(seed_nodes.withColumn("is_seed", F.lit(True)),
+                   "node", "left")
+             .select("node", F.coalesce("is_seed", F.lit(False))
+                     .alias("is_seed"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    s = nodes.filter("is_seed").count()
+    if s == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        raise ValueError("trustrank: empty seed set — trust has no "
+                         "source; pass at least one seed node")
+    unit = SCALE // s
+    base = (100 - damping_pct) * unit // 100
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    has_out = outdeg.select(F.col("src").alias("node"))
+
+    rank = nodes.withColumn(
+        "r", F.when(F.col("is_seed"), F.lit(unit)).otherwise(F.lit(0))
+        .cast("long"))
+    for _ in range(iters):
+        contribs = (edges
+                    .join(rank.select(F.col("node").alias("src"), "r"),
+                          "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r DIV outdeg").alias("c")))
+        incoming = contribs.groupBy("node").agg(F.sum("c").alias("inc"))
+        # dangling mass teleports per the PERSONALIZED vector: each
+        # seed gets dm DIV s, non-seeds get none (1-row broadcast)
+        dm = (rank.join(has_out, "node", "left_anti")
+              .agg(F.coalesce(F.sum("r"), F.lit(0))
+                   .cast("long").alias("dm")))
+        rank = (nodes.join(incoming, "node", "left")
+                .crossJoin(F.broadcast(dm))
+                .select("node", "is_seed",
+                        (F.when(F.col("is_seed"), F.lit(base))
+                         .otherwise(F.lit(0)).cast("long")
+                         + F.expr(
+                             f"({damping_pct} * (coalesce(inc, 0) + "
+                             f"if(is_seed, dm DIV {s}, 0))) DIV 100"))
+                        .alias("r"))
+                .localCheckpoint(eager=False))
+    out = rank.select("node",
+                      F.expr(f"r DIV {10**6}").cast("long")
+                      .alias("trust_micro")).localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
 #: HITS fixed-point scale: scores live in [0, 10^6] "micro" units
 HITS_SCALE = 10**6
 

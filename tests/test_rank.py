@@ -443,3 +443,76 @@ def test_scc_nonconvergence_raises(spark):
     assert ok == _scc_local(edges)
     with pytest.raises(RuntimeError, match="scc"):
         _scc_spark(spark, edges, driver_max=0, max_rounds=1)
+
+
+# ---------------------------------------------------------- trustrank
+
+def _trustrank_local(edges, seeds, iters=3, damping_pct=85):
+    """Exact integer mirror of rank.trustrank for small graphs."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges}
+                   | set(seeds))
+    seeds = set(seeds)
+    s = len(seeds)
+    unit = 10**12 // s
+    base = (100 - damping_pct) * unit // 100
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: (unit if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for u, v in edges:
+            inc[v] += r[u] // outdeg[u]
+        dm = sum(r[v] for v in nodes if v not in outdeg)
+        r = {v: ((base if v in seeds else 0)
+                 + damping_pct * (inc[v] + (dm // s if v in seeds else 0))
+                 // 100)
+             for v in nodes}
+    return {v: r[v] // 10**6 for v in nodes}
+
+
+def _trustrank_spark(spark, edges, seeds, **kw):
+    from ferenda_spark.operators.rank import trustrank
+    e = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {r["node"]: r["trust_micro"]
+            for r in trustrank(e, sdf, **kw).collect()}
+
+
+def test_trustrank_matches_integer_mirror(spark):
+    # chain + cycle + dangling sink, seeds on one side only
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "e"), ("x", "y")]
+    seeds = ["a", "x"]
+    got = _trustrank_spark(spark, edges, seeds)
+    assert got == _trustrank_local(edges, seeds)
+
+
+def test_trustrank_unreachable_scores_zero(spark):
+    # two disconnected components; seeds only in the first — the
+    # second must score exactly 0 (the spam-demotion property)
+    edges = [("a", "b"), ("b", "a"), ("p", "q"), ("q", "p")]
+    got = _trustrank_spark(spark, edges, ["a"])
+    assert got["p"] == 0 and got["q"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+    assert got == _trustrank_local(edges, ["a"])
+
+
+def test_trustrank_all_seeds_is_pagerank(spark):
+    # teleporting uniformly to EVERY node degenerates to pagerank
+    from ferenda_spark.operators.rank import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    nodes = sorted({u for e in edges for u in e})
+    got = _trustrank_spark(spark, edges, nodes)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    want = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
+    assert got == want
+
+
+def test_trustrank_empty_seeds_raises(spark):
+    import pytest
+    from ferenda_spark.operators.rank import trustrank
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sdf = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        trustrank(e, sdf)
