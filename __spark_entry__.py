@@ -2134,6 +2134,41 @@ LIMIT 10
         return _longify(domain_stats(docs))
     q["domain_stats_docs"] = domain_stats_docs
 
+    def url_templates_docs(spark, sf):
+        """URL-template mining (operators/webfilter.py::url_templates
+        over functions/web.py::url_template_col): urls synthesized
+        from doc_id in four shapes — /product/<id>, a dated
+        /<year>/<month>/post-<id> slug, a /u/<hex8>/Profile page, and
+        a /search?q=…&page=… query — collapse to their templates
+        ({d}/{x}/{a} segment classes, sorted query NAMES only); the
+        oracle reconstructs every expected template arithmetically
+        from doc_id, independent of the classifier code (incl. the
+        hex-that-happens-to-be-all-digits edge: such segments are
+        {d}, not {x})."""
+        from ferenda_spark.operators.webfilter import url_templates
+        did = F.col("doc_id")
+        host = F.concat(F.lit("site"), (did % 10).cast("string"),
+                        F.lit(".com"))
+        url = (F.when(did % 4 == 0,
+                      F.concat(F.lit("https://"), host,
+                               F.lit("/product/"), did.cast("string")))
+               .when(did % 4 == 1,
+                     F.concat(F.lit("https://"), host, F.lit("/"),
+                              (did % 5 + 2019).cast("string"),
+                              F.lit("/"), (did % 12 + 1).cast("string"),
+                              F.lit("/post-"), did.cast("string")))
+               .when(did % 4 == 2,
+                     F.concat(F.lit("https://"), host, F.lit("/u/"),
+                              F.lpad(F.lower(F.hex(did)), 8, "0"),
+                              F.lit("/Profile")))
+               .otherwise(
+                   F.concat(F.lit("https://"), host,
+                            F.lit("/search?q=term"), did.cast("string"),
+                            F.lit("&page="), (did % 7).cast("string"))))
+        docs = _docs(spark, sf).select("doc_id", url.alias("url"))
+        return _longify(url_templates(docs))
+    q["url_templates_docs"] = url_templates_docs
+
     def robots_filter_docs(spark, sf):
         """RFC 9309 robots admission (operators/robots.py): ten
         synthetic hosts, even hosts carry a robots.txt (hosts 0,4,8
@@ -4578,6 +4613,43 @@ WITH d AS (
 SELECT domain, count(*) AS n_docs,
        count(DISTINCT host) AS n_hosts
 FROM d GROUP BY domain
+"""
+
+    # every expected template reconstructed arithmetically from
+    # doc_id — the classifier never runs; the hex arm keeps the
+    # all-digits edge ({d}, not {x}) and 'Profile' lowercases
+    o["url_templates_docs"] = """
+WITH t AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host,
+         doc_id % 4 AS m,
+         lpad(lower(to_hex(doc_id)), 8, '0') AS hx
+  FROM documents),
+u AS (
+  SELECT
+    CASE m
+      WHEN 0 THEN 'https://' || host || '/product/'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'https://' || host || '/'
+                  || CAST(doc_id % 5 + 2019 AS VARCHAR) || '/'
+                  || CAST(doc_id % 12 + 1 AS VARCHAR) || '/post-'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://' || host || '/u/' || hx || '/Profile'
+      ELSE 'https://' || host || '/search?q=term'
+           || CAST(doc_id AS VARCHAR) || '&page='
+           || CAST(doc_id % 7 AS VARCHAR)
+    END AS url,
+    CASE m
+      WHEN 0 THEN host || '/product/{d}'
+      WHEN 1 THEN host || '/{d}/{d}/{a}'
+      WHEN 2 THEN host || '/u/'
+                  || CASE WHEN regexp_matches(hx, '^[0-9]+$')
+                          THEN '{d}' ELSE '{x}' END || '/profile'
+      ELSE host || '/search?page,q'
+    END AS template
+  FROM t)
+SELECT template, count(*) AS n_urls, min(url) AS sample_url
+FROM u GROUP BY template
 """
 
     # robots decisions, re-derived arithmetically: host h = doc_id%10,

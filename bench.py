@@ -116,6 +116,7 @@ HEADLINE = [
     "microdata_extract_docs",
     "kg_scc",
     "kg_trustrank",
+    "url_templates_docs",
 ]
 
 

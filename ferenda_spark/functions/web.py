@@ -172,3 +172,76 @@ def url_surt_col(url: Column) -> Column:
         h.isNull(), F.lit(None).cast("string")
     ).otherwise(F.concat(rev, F.lit(")"),
                          F.lower(url_path_col(url))))
+
+
+#: URL-template segment classes, most specific first (the order the
+#: classifier tests them in — a UUID is hex, hex is digit-bearing)
+_UUID_RE = (r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+            r"-[0-9a-f]{12}$")
+_HEX_RE = r"^[0-9a-f]{8,}$"
+
+
+def url_template(url: str) -> str | None:
+    """Pure-Python twin of :func:`url_template_col`.
+
+    Collapses a URL to its path TEMPLATE — the shape crawl-budget
+    control and trap detection aggregate on (a calendar trap is one
+    template with millions of urls; a product catalog is
+    ``/product/{d}``).  Host kept verbatim; each path segment
+    becomes ``{d}`` (all digits), ``{uuid}``, ``{x}`` (≥8 lowercase
+    hex), ``{a}`` (digit-bearing slug) or its lowercased literal;
+    query parameter NAMES survive sorted, values never do; fragments
+    drop.  None when the url has no host."""
+    host = url_host(url)
+    if host is None:
+        return None
+    path = url_path(url).split("?", 1)[0]
+    segs = []
+    for s in path.split("/"):
+        if not s:
+            continue
+        if re.fullmatch(r"[0-9]+", s):
+            segs.append("{d}")
+        elif re.fullmatch(_UUID_RE[1:-1], s):
+            segs.append("{uuid}")
+        elif re.fullmatch(_HEX_RE[1:-1], s):
+            segs.append("{x}")
+        elif re.search(r"[0-9]", s):
+            segs.append("{a}")
+        else:
+            segs.append(s.lower())
+    out = host + "/" + "/".join(segs)
+    m = re.search(r"\?([^#]*)", url)
+    if m and m.group(1):
+        names = sorted(p.split("=", 1)[0]
+                       for p in m.group(1).split("&") if p)
+        if names:
+            out += "?" + ",".join(names)
+    return out
+
+
+def url_template_col(url: Column) -> Column:
+    """Column twin of :func:`url_template` — pure codegen (split +
+    transform + regexp inside the scan; the groupBy on the template
+    is the only exchange in a template-mining job)."""
+    host = url_host_col(url)
+    path = F.substring_index(url_path_col(url), "?", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    cls = F.transform(
+        segs,
+        lambda s: (F.when(s.rlike(r"^[0-9]+$"), F.lit("{d}"))
+                   .when(s.rlike(_UUID_RE), F.lit("{uuid}"))
+                   .when(s.rlike(_HEX_RE), F.lit("{x}"))
+                   .when(s.rlike(r"[0-9]"), F.lit("{a}"))
+                   .otherwise(F.lower(s))))
+    base = F.concat(host, F.lit("/"), F.array_join(cls, "/"))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    names = F.array_sort(F.transform(
+        F.filter(F.split(query, "&"), lambda p: p != ""),
+        lambda p: F.substring_index(p, "=", 1)))
+    return F.when(
+        host.isNull(), F.lit(None).cast("string")
+    ).when(
+        F.size(names) > 0,
+        F.concat(base, F.lit("?"), F.array_join(names, ","))
+    ).otherwise(base)

@@ -105,3 +105,35 @@ def latest_fetch(fetches: DataFrame, url_col: str = "url",
             .withColumn("n_fetches", F.count(F.lit(1)).over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))
+
+
+def url_templates(docs: DataFrame, url_col: str = "url",
+                  min_count: int = 1) -> DataFrame:
+    """(template, n_urls, sample_url) — URL-template mining: collapse
+    every url to its path template (``functions/web.py::
+    url_template_col`` — digit/hex/uuid/slug segments classified,
+    query values dropped) and aggregate per template.
+
+    The crawl-budget signal Common-Crawl-style frontier control runs
+    on: a calendar trap or faceted-search explosion is ONE template
+    carrying millions of urls, a product catalog is ``/product/{d}``
+    — per-template quotas (compose with ``sampling.quota_sample``)
+    or a ``n_urls > budget`` cut prune them without any per-url
+    state.  Urls with no host (template NULL) are dropped — they
+    cannot be scheduled anyway.
+
+    Scale shape: the template is pure codegen in the scan; ONE
+    map-side-combinable groupBy on the template key is the job's only
+    exchange (hot templates pre-aggregate per partition); sample_url
+    = min(url) is exact and deterministic, never a collect.
+    """
+    from ferenda_spark.functions.web import url_template_col
+    t = (docs.select(url_template_col(F.col(url_col)).alias("template"),
+                     F.col(url_col).alias("u"))
+         .filter(F.col("template").isNotNull()))
+    out = (t.groupBy("template")
+           .agg(F.count(F.lit(1)).alias("n_urls"),
+                F.min("u").alias("sample_url")))
+    if min_count > 1:
+        out = out.filter(F.col("n_urls") >= min_count)
+    return out

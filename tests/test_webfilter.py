@@ -113,3 +113,56 @@ def test_latest_fetch_full_row_tiebreak_deterministic(spark):
     b = latest_fetch(df.repartition(7)).collect()
     assert len(a) == len(b) == 1
     assert a[0].html == b[0].html and a[0].n_fetches == 20
+
+
+# ------------------------------------------------------ url templates
+
+TEMPLATE_URLS = [
+    ("https://shop.example.com/product/12345", 
+     "shop.example.com/product/{d}"),
+    ("https://Example.com/2024/7/post-title-99?utm=x#frag",
+     "example.com/{d}/{d}/{a}?utm"),
+    ("https://a.io/u/deadbeef01/Profile", "a.io/u/{x}/profile"),
+    ("https://a.io/u/0123e567/x", "a.io/u/{x}/x"),
+    ("https://a.io/u/01234567/x", "a.io/u/{d}/x"),   # digits beat hex
+    ("https://b.net/item/f47ac10b-58cc-4372-a567-0e02b2c3d479",
+     "b.net/item/{uuid}"),
+    ("https://c.org/search?q=hello&page=2&q=dup",
+     "c.org/search?page,q,q"),
+    ("https://c.org//a///b/", "c.org/a/b"),          # empty segs drop
+    ("https://c.org", "c.org/"),
+    ("https://user:pw@c.org:8080/Dir/File", "c.org/dir/file"),
+    ("no-scheme/path", None),
+]
+
+
+def test_url_template_python_form():
+    from ferenda_spark.functions.web import url_template
+    for url, want in TEMPLATE_URLS:
+        assert url_template(url) == want, url
+
+
+def test_url_template_column_twin_equivalence(spark):
+    from ferenda_spark.functions.web import url_template, url_template_col
+    df = spark.createDataFrame([(u,) for u, _ in TEMPLATE_URLS],
+                               "url string")
+    got = {r["url"]: r["t"]
+           for r in df.select("url", url_template_col(F.col("url"))
+                              .alias("t")).collect()}
+    for url, _ in TEMPLATE_URLS:
+        assert got[url] == url_template(url), url
+
+
+def test_url_templates_aggregation(spark):
+    from ferenda_spark.operators.webfilter import url_templates
+    urls = ([f"https://s.com/product/{i}" for i in range(5)]
+            + ["https://s.com/about", "https://t.com/about",
+               "bad-url"])
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["template"]: (r["n_urls"], r["sample_url"])
+           for r in url_templates(df).collect()}
+    assert got["s.com/product/{d}"] == (5, "https://s.com/product/0")
+    assert got["s.com/about"] == (1, "https://s.com/about")
+    assert got["t.com/about"] == (1, "https://t.com/about")
+    assert len(got) == 3                     # bad-url dropped
+    assert url_templates(df, min_count=2).count() == 1
