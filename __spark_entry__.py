@@ -2358,6 +2358,12 @@ LIMIT 10
         into one 20-node SCC.  Oracle: recursive-CTE transitive
         closure, comp = min over mutually-reachable ids."""
         from ferenda_spark.operators.rank import scc
+        return scc(_scc_graph(spark, sf))
+    q["kg_scc"] = kg_scc
+
+    def _scc_graph(spark, sf):
+        """The deterministic 210-node ring/bridge/chord webgraph the
+        SCC-family gates share (see kg_scc docstring)."""
         v = F.col("v")
         d = (_docs(spark, sf)
              .select((F.col("doc_id") % 210).alias("v")).distinct())
@@ -2367,8 +2373,36 @@ LIMIT 10
                   .select(v.alias("src"), (v - 10).alias("dst")))
         chord = (d.filter((v % 40 == 0) & (v <= 199))
                  .select(v.alias("src"), (v + 10).alias("dst")))
-        return scc(ring.unionByName(bridge).unionByName(chord))
-    q["kg_scc"] = kg_scc
+        return ring.unionByName(bridge).unionByName(chord)
+
+    def kg_condensation(spark, sf):
+        """Condensation DAG + dependency layering (rank.py
+        condensation/topo_levels composed over scc): the 210-node
+        ring/bridge/chord webgraph collapses to a 16-component chain
+        (five chord-merged 20-node SCCs + eleven single rings);
+        bridges orient ring k → ring k-1, so the ring-20 component is
+        the unique level-0 source and the merged rings-0/1 component
+        the level-15 sink.  Output (comp, level, n_members) — the
+        processing order incremental regeneration would schedule.
+        Oracle: the kg_scc mutual-reachability CTE, comp-projected
+        distinct edges, longest-path levels via recursive CTE."""
+        from ferenda_spark.operators.rank import (condensation, scc,
+                                                  topo_levels)
+        edges = _scc_graph(spark, sf).localCheckpoint(eager=True)
+        comps = scc(edges)
+        dag = condensation(edges, comps)
+        lv = topo_levels(dag.select(F.col("csrc").alias("src"),
+                                    F.col("cdst").alias("dst")))
+        members = (comps.groupBy("comp")
+                   .agg(F.count(F.lit(1)).alias("n_members")))
+        return (members
+                .join(lv.withColumnRenamed("node", "comp"), "comp",
+                      "left")
+                .select("comp",
+                        F.coalesce("level", F.lit(0).cast("long"))
+                        .alias("level"),
+                        "n_members"))
+    q["kg_condensation"] = kg_condensation
 
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
@@ -4981,6 +5015,47 @@ mutual AS (SELECT r1.a AS u, r1.b AS w FROM reach r1
 SELECT n.id, least(n.id, coalesce(min(m.w), n.id)) AS comp
 FROM nodes n LEFT JOIN mutual m ON m.u = n.id
 GROUP BY n.id
+"""
+
+    # condensation layering from first principles: the kg_scc mutual-
+    # reachability comp labeling, comp-projected distinct DAG edges,
+    # longest-path level by enumerating all path lengths from the
+    # in-degree-0 sources (recursive CTE) and taking the max per comp
+    o["kg_condensation"] = """
+WITH d AS (SELECT DISTINCT doc_id % 210 AS v FROM documents),
+e AS MATERIALIZED (
+  SELECT v AS src, v - (v % 10) + ((v + 1) % 10) AS dst FROM d
+  UNION
+  SELECT v, v - 10 FROM d WHERE v % 10 = 0 AND v >= 10
+  UNION
+  SELECT v, v + 10 FROM d WHERE v % 40 = 0 AND v <= 199),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src)
+  SELECT a, b FROM r),
+gnodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+mutual AS (SELECT r1.a AS u, r1.b AS w FROM reach r1
+           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+comp AS MATERIALIZED (
+  SELECT n.id, least(n.id, coalesce(min(m.w), n.id)) AS comp
+  FROM gnodes n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT cs.comp AS csrc, cd.comp AS cdst
+  FROM e JOIN comp cs ON cs.id = e.src
+         JOIN comp cd ON cd.id = e.dst
+  WHERE cs.comp != cd.comp),
+lp AS (
+  WITH RECURSIVE p(c, l) AS (
+    SELECT csrc, CAST(0 AS BIGINT) FROM cedges
+    WHERE csrc NOT IN (SELECT cdst FROM cedges)
+    UNION
+    SELECT e2.cdst, p.l + 1 FROM p JOIN cedges e2 ON e2.csrc = p.c)
+  SELECT c, max(l) AS level FROM p GROUP BY c)
+SELECT m.comp, coalesce(lp.level, 0) AS level, m.n_members
+FROM (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp) m
+LEFT JOIN lp ON lp.c = m.comp
 """
 
     # the identical Morton spread chain (layout.py::_MASKS2), applied

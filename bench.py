@@ -117,6 +117,7 @@ HEADLINE = [
     "kg_scc",
     "kg_trustrank",
     "url_templates_docs",
+    "kg_condensation",
 ]
 
 

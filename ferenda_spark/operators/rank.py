@@ -810,3 +810,111 @@ def scc(edges: DataFrame, max_rounds: int = 15, max_iters: int = 30,
         f"scc: {max_rounds} coloring rounds did not retire every "
         "node — the condensation is deeper than expected; raise "
         "max_rounds")
+
+
+def condensation(edges: DataFrame, comps: DataFrame) -> DataFrame:
+    """Project ``edges(src, dst)`` through an SCC labeling
+    ``comps(id, comp)`` (the :func:`scc` output) onto the component
+    DAG: distinct ``(csrc, cdst)`` pairs with intra-component edges
+    dropped.  By the SCC construction the result is acyclic — the
+    condensation every DAG algorithm (topological scheduling,
+    longest-path layering) can then safely assume.  Two broadcast-able
+    equi-joins + one distinct; nodes missing from ``comps`` (isolated
+    in the scc contract) are treated as their own singleton
+    component."""
+    cm = comps.select("id", "comp")
+    out = (edges
+           .join(cm.select(F.col("id").alias("src"),
+                           F.col("comp").alias("csrc")), "src", "left")
+           .join(cm.select(F.col("id").alias("dst"),
+                           F.col("comp").alias("cdst")), "dst", "left")
+           .select(F.coalesce("csrc", F.col("src").cast("long"))
+                   .alias("csrc"),
+                   F.coalesce("cdst", F.col("dst").cast("long"))
+                   .alias("cdst"))
+           .filter(F.col("csrc") != F.col("cdst"))
+           .distinct())
+    return out
+
+
+def topo_levels(dag: DataFrame, max_iters: int = 50,
+                driver_max: int = 1_000_000) -> DataFrame:
+    """(node, level) for every node of the acyclic ``dag(src, dst)``:
+    ``level`` = length of the longest path from any source (in-degree
+    0 ⇒ level 0) — the dependency-scheduling layering: all nodes of
+    one level can be processed concurrently once every lower level is
+    done (composes with :func:`condensation` + ``regen.py`` for
+    ordering incremental regeneration over the citation DAG).
+
+    Distributed path: monotone max-propagation — ``level(v) ←
+    max(level(v), 1 + max over in-neighbors)`` — converging in
+    longest-path-length iterations (condensations of web graphs are
+    shallow; the giant SCC collapses to one node), one shuffle +
+    localCheckpoint per iteration, exact fixpoint via the BIGINT
+    level sum.  A CYCLIC input cannot converge (levels grow without
+    bound) and raises loudly at ``max_iters`` — feeding a non-DAG to
+    a topological layering is a caller bug, never silent.  Below
+    ``driver_max`` edges: collect + Kahn-style driver pass (the scc
+    fast-path precedent)."""
+    e0 = (dag.select(F.col("src").cast("long").alias("u"),
+                     F.col("dst").cast("long").alias("v"))
+          .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                  & (F.col("u") != F.col("v")))
+          .distinct()
+          .localCheckpoint(eager=True))
+    spark = dag.sparkSession
+    if e0.count() <= driver_max:
+        pairs = [(r["u"], r["v"]) for r in e0.collect()]
+        from collections import defaultdict
+        indeg: dict = defaultdict(int)
+        out: dict = defaultdict(list)
+        nodes = set()
+        for u, v in pairs:
+            indeg[v] += 1
+            out[u].append(v)
+            nodes.update((u, v))
+        level = {x: 0 for x in nodes if indeg[x] == 0}
+        frontier = sorted(level)
+        done = 0
+        while frontier:
+            nxt = []
+            for u in frontier:
+                done += 1
+                for v in out[u]:
+                    level[v] = max(level.get(v, 0), level[u] + 1)
+                    indeg[v] -= 1
+                    if indeg[v] == 0:
+                        nxt.append(v)
+            frontier = sorted(nxt)
+        if done != len(nodes):
+            raise ValueError("topo_levels: input contains a cycle — "
+                             "run scc()/condensation() first")
+        return spark.createDataFrame(sorted(level.items()),
+                                     "node long, level long")
+
+    def _lv_sum(df):
+        return df.agg(F.sum(F.col("level")
+                            .cast("decimal(38,0)"))).first()[0]
+
+    lv = (e0.select(F.col("u").alias("node"))
+          .unionByName(e0.select(F.col("v").alias("node")))
+          .distinct()
+          .withColumn("level", F.lit(0).cast("long"))
+          .localCheckpoint(eager=True))
+    prev = _lv_sum(lv)
+    for _ in range(int(max_iters)):
+        inc = (e0.join(lv.select(F.col("node").alias("u"), "level"), "u")
+               .groupBy("v").agg((F.max("level") + 1).alias("up")))
+        lv = (lv.join(inc, lv["node"] == inc["v"], "left")
+              .select("node",
+                      F.greatest("level", F.coalesce("up", F.col("level")))
+                      .alias("level"))
+              .localCheckpoint(eager=True))
+        cur = _lv_sum(lv)
+        if cur == prev:
+            return lv
+        prev = cur
+    raise ValueError(
+        f"topo_levels: no fixpoint in {max_iters} iterations — the "
+        "input contains a cycle (or a longer-than-expected path); "
+        "run scc()/condensation() first or raise max_iters")

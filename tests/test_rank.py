@@ -516,3 +516,40 @@ def test_trustrank_empty_seeds_raises(spark):
     sdf = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError, match="seed"):
         trustrank(e, sdf)
+
+
+# ---------------------------------------- condensation + topo levels
+
+def test_condensation_projects_scc_dag(spark):
+    from ferenda_spark.operators.rank import condensation, scc
+    # two 2-cycles chained, plus a lone DAG node feeding in
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3), (9, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    comps = scc(e)
+    dag = {(r["csrc"], r["cdst"])
+           for r in condensation(e, comps).collect()}
+    assert dag == {(1, 3), (9, 1)}
+
+
+def test_topo_levels_driver_and_distributed_agree(spark):
+    from ferenda_spark.operators.rank import topo_levels
+    # diamond + tail: longest path decides the level
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (9, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {0: 0, 9: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    got = {r["node"]: r["level"] for r in topo_levels(e).collect()}
+    assert got == want
+    dist = {r["node"]: r["level"]
+            for r in topo_levels(e, driver_max=0).collect()}
+    assert dist == want
+
+
+def test_topo_levels_cycle_raises(spark):
+    import pytest
+    from ferenda_spark.operators.rank import topo_levels
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                              "src long, dst long")
+    with pytest.raises(ValueError, match="cycle"):
+        topo_levels(e)
+    with pytest.raises(ValueError, match="cycle"):
+        topo_levels(e, driver_max=0, max_iters=10)
