@@ -1583,6 +1583,24 @@ LIMIT 25
                 .withColumn("variant", F.lit("capped"))))
     q["dedup_jaccard"] = dedup_jaccard
 
+    def containment_docs(spark, sf):
+        """Directed near-containment (dedup.containment_pairs): 120-
+        char excerpts of the first 60 documents join a 150-document
+        corpus — each excerpt's shingles sit almost wholly inside its
+        original (containment ≈ 1 toward the whole) while Jaccard
+        between the pair is small; threshold 0.7 keeps the boundary-
+        shingle fuzz in scope.  The default max_df=1000 cap is
+        non-binding at this corpus size, so the oracle restates the
+        exact uncapped set arithmetic."""
+        docs = (_docs(spark, sf).select("doc_id", "text")
+                .filter(F.col("doc_id") < 150))
+        excerpts = docs.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"))
+        return _longify(dedup.containment_pairs(
+            docs.unionByName(excerpts), threshold=0.7))
+    q["containment_docs"] = containment_docs
+
     def dedup_minhash_lsh(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
             (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
@@ -4154,6 +4172,36 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
 SELECT id_a, id_b, jaccard, 'default' AS variant FROM ({_jac_default})
 UNION ALL
 SELECT id_a, id_b, jaccard, 'capped' AS variant FROM ({_jac_capped})
+"""
+
+    # directed containment from the same shingle arithmetic: one a<b
+    # intersection, both directions divided by their own size (the
+    # max_df=1000 default is non-binding on this 210-doc corpus)
+    o["containment_docs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000000, substr(text, 1, 120)
+  FROM documents WHERE doc_id < 60
+),
+t AS (SELECT doc_id AS id, {_sh_expr(words_c)} AS sh FROM corpus),
+e AS (SELECT id, unnest(sh) AS shingle FROM t),
+sz AS (SELECT id, count(*) AS sz FROM e GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+bothdir AS (
+  SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter
+  JOIN sz sa ON sa.id = inter.id_a
+  JOIN sz sb ON sb.id = inter.id_b)
+SELECT id_part, id_whole, containment FROM (
+  SELECT id_a AS id_part, id_b AS id_whole,
+         round(n_inter / sz_a, 4) AS containment FROM bothdir
+  UNION ALL
+  SELECT id_b, id_a, round(n_inter / sz_b, 4) FROM bothdir)
+WHERE containment >= 0.7
 """
 
     sig_expr = (

@@ -118,6 +118,7 @@ HEADLINE = [
     "kg_trustrank",
     "url_templates_docs",
     "kg_condensation",
+    "containment_docs",
 ]
 
 

@@ -137,6 +137,53 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = 1000) -> DataFrame:
+    """Directed near-containment: ``(id_part, id_whole,
+    containment)`` for every ordered pair with ``|part ∩ whole| /
+    |part| ≥ threshold`` — the ASYMMETRIC overlap Jaccard misses: a
+    30-word quote inside a 3000-word page has near-zero Jaccard but
+    containment ≈ 1.  The quote/excerpt/superset detector (syndicated
+    article inside a portal page, abstract inside the paper, license
+    boilerplate inside everything) that decides which side of a
+    near-dup pair is the DERIVED one.
+
+    One shingle equi-join per UNORDERED pair (``a < b``) — both
+    directions are then emitted from the same intersection row, so
+    asymmetry costs nothing extra.  Same plan shape and hot-shingle
+    ``max_df`` skew guard as :func:`jaccard_pairs` (the cap bounds a
+    boilerplate shingle's m² join blow-up; sizes recomputed over the
+    capped universe keep containment a true set ratio there).
+    """
+    sh = shingle_rows(docs, text_col, id_col, n)
+    if max_df is not None:
+        sh = df_cap_shingles(sh, max_df)
+    sh = sh.repartition("shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(F.col("id_a").alias("id_part"),
+                      F.col("id_b").alias("id_whole"),
+                      F.round(F.col("n_inter") / F.col("sz_a"), 4)
+                      .alias("containment"))
+    rev = both.select(F.col("id_b").alias("id_part"),
+                      F.col("id_a").alias("id_whole"),
+                      F.round(F.col("n_inter") / F.col("sz_b"), 4)
+                      .alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold))
+
+
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h stays < 2^63
 
 

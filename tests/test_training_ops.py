@@ -1295,3 +1295,28 @@ def test_gopher_rules_fuzz_consistency(spark):
         rules = [v for k, v in r.asDict().items()
                  if k.startswith("rule_")]
         assert r["keep"] == all(rules)
+
+
+def test_containment_pairs_detects_quote(spark):
+    """A short quote inside a long page: Jaccard tiny, containment 1."""
+    from ferenda_spark.operators.dedup import (containment_pairs,
+                                               jaccard_pairs)
+    words = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40, 60))
+    df = spark.createDataFrame([(1, words), (2, quote),
+                                (3, "entirely different text here ok")],
+                               "doc_id long, text string")
+    got = {(r["id_part"], r["id_whole"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}          # quote ⊂ page, one direction
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_pairs_mutual_for_exact_copies(spark):
+    from ferenda_spark.operators.dedup import containment_pairs
+    t = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame([(1, t), (2, t)],
+                               "doc_id long, text string")
+    got = {(r["id_part"], r["id_whole"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
