@@ -1601,6 +1601,28 @@ LIMIT 25
             docs.unionByName(excerpts), threshold=0.7))
     q["containment_docs"] = containment_docs
 
+    def cms_heavy_hitters_docs(spark, sf):
+        """Count-Min sketch (operators/sketch.py): the d=4 × w=512
+        counter matrix over the first 200 documents' tokens, probed
+        at the 20 exactly-most-frequent tokens — output (key, exact,
+        est) where est is the sketch's one-sided estimate (est ≥
+        exact always; equality whenever no collision).  The oracle
+        rebuilds the identical counters in SQL (same md5 fold, same
+        universal-hash family), so the comparison is bit-exact on
+        the sketch arithmetic, not a tolerance check."""
+        from ferenda_spark.operators.sketch import cms_lookup, cms_sketch
+        toks = (_docs(spark, sf).filter(F.col("doc_id") < 200)
+                .select(F.explode(
+                    F.split(F.trim(F.col("text")), r"\s+")).alias("key"))
+                .filter(F.col("key") != ""))
+        sk = cms_sketch(toks, depth=4, width=512)
+        exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+        top = (exact.orderBy(F.desc("exact"), F.asc("key")).limit(20)
+               .localCheckpoint(eager=True))
+        est = cms_lookup(sk, top.select("key"), depth=4, width=512)
+        return top.join(est, "key").select("key", "exact", "est")
+    q["cms_heavy_hitters_docs"] = cms_heavy_hitters_docs
+
     def dedup_minhash_lsh(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
             (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
@@ -4202,6 +4224,41 @@ SELECT id_part, id_whole, containment FROM (
   UNION ALL
   SELECT id_b, id_a, round(n_inter / sz_b, 4) FROM bothdir)
 WHERE containment >= 0.7
+"""
+
+    # the identical Count-Min arithmetic (sketch.py): md5 fold mod
+    # the Mersenne prime, the (a_i·h + b_i) mod p mod w family,
+    # min-of-d-counters estimate — bit-exact counters, no tolerance
+    o["cms_heavy_hitters_docs"] = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS.format(c='text')}) AS key
+  FROM documents WHERE doc_id < 200),
+h AS (
+  SELECT key,
+         CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT)
+         % 2147483647 AS h60
+  FROM toks),
+cells AS (
+  SELECT g.r AS row,
+         ((((2654435761 * (g.r + 1)) % 2147483647) * h60
+           + (40503 * (g.r + 1) + 17) % 2147483647)
+          % 2147483647) % 512 AS col
+  FROM h, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS r) g),
+sketch AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (SELECT key, count(*) AS exact FROM toks GROUP BY key),
+top AS (SELECT key, exact FROM exact ORDER BY exact DESC, key LIMIT 20),
+pos AS (
+  SELECT t.key, t.exact, g.r AS row,
+         ((((2654435761 * (g.r + 1)) % 2147483647)
+           * (CAST(concat('0x', substr(md5(t.key), 1, 15)) AS BIGINT)
+              % 2147483647)
+           + (40503 * (g.r + 1) + 17) % 2147483647)
+          % 2147483647) % 512 AS col
+  FROM top t,
+       (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS r) g)
+SELECT p.key, p.exact, min(coalesce(s.cnt, 0)) AS est
+FROM pos p LEFT JOIN sketch s ON s.row = p.row AND s.col = p.col
+GROUP BY p.key, p.exact
 """
 
     sig_expr = (

@@ -119,6 +119,7 @@ HEADLINE = [
     "url_templates_docs",
     "kg_condensation",
     "containment_docs",
+    "cms_heavy_hitters_docs",
 ]
 
 
