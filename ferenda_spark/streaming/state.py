@@ -111,3 +111,89 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30,
     return (events.groupBy(user_col).applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append",
         GroupStateTimeout.EventTimeTimeout))
+
+
+FIRST_SEEN_OUT = "key string, first_ts timestamp"
+FIRST_SEEN_STATE = "best long, emitted boolean"
+
+
+def stateful_first_seen(stream: DataFrame, key_col: str = "key",
+                        ts_col: str = "ts",
+                        horizon_minutes: int = 60) -> DataFrame:
+    """Streaming first-occurrence dedup with BATCH-PARITY semantics:
+    for every key, emit exactly one ``(key, first_ts)`` row carrying
+    the MINIMUM event time — the same winner ``exact_dedup``'s
+    min-struct keeper picks in batch — and suppress every other
+    occurrence.
+
+    Spark's built-in streaming ``dropDuplicates`` keeps the
+    first-ARRIVED row, so under watermark-legal reordering the stream
+    and the batch job disagree about which capture of a url is "the
+    first" (a determinism break the engine's replay-stable contract
+    forbids).  This operator instead buffers a key's current minimum
+    until the WATERMARK passes it — at that point no admissible event
+    can precede it, so the minimum is final — then emits once and
+    holds a tombstone that swallows later duplicates.
+
+    State per key is two scalars, and the tombstone expires
+    ``horizon_minutes`` after the emitted timestamp (event-time
+    timeout), so state is bounded by the key-arrival horizon exactly
+    like ``dropDuplicatesWithinWatermark``: a duplicate arriving
+    AFTER its key's tombstone expired re-emits, the documented
+    horizon trade every bounded-state streaming dedup makes.  Scale
+    shape: groupBy(key) is the stream's one stateful exchange; the
+    Arrow batch per key touches only that key's new events.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_ms = horizon_minutes * 60 * 1000
+
+    def fn(key, pdfs, state):
+        k = key[0]
+
+        def out(ms):
+            return pd.DataFrame(
+                [{"key": k, "first_ts": pd.Timestamp(ms, unit="ms")}])
+
+        if state.hasTimedOut:
+            best, emitted = state.get
+            if emitted:
+                # tombstone expired: forget the key (a later dup
+                # would re-emit — the documented horizon trade)
+                state.remove()
+                return
+            # watermark passed `best` unseen-since: the min is final
+            state.update((best, True))
+            state.setTimeoutTimestamp(
+                max(best + horizon_ms, state.getCurrentWatermarkMs() + 1))
+            yield out(best)
+            return
+
+        ts = pd.concat([pd.to_datetime(pdf[ts_col]) for pdf in pdfs])
+        ms = (ts.astype("int64") // _MS).min()
+        best, emitted = state.get if state.exists else (None, False)
+        if emitted:
+            # duplicates while the tombstone lives: swallow, keep the
+            # tombstone's own expiry (do not extend on duplicates —
+            # a hot key would otherwise pin state forever)
+            state.update((best, True))
+            state.setTimeoutTimestamp(
+                max(best + horizon_ms, state.getCurrentWatermarkMs() + 1))
+            return
+        best = int(ms) if best is None else min(int(ms), best)
+        wm = state.getCurrentWatermarkMs()
+        if wm > best:
+            # nothing admissible can precede best: emit immediately
+            state.update((best, True))
+            state.setTimeoutTimestamp(
+                max(best + horizon_ms, state.getCurrentWatermarkMs() + 1))
+            yield out(best)
+        else:
+            # still inside the reorder window: wait for the watermark
+            # (timeout fires the moment wm passes best)
+            state.update((best, False))
+            state.setTimeoutTimestamp(max(wm + 1, best + 1))
+
+    return (stream.groupBy(key_col).applyInPandasWithState(
+        fn, FIRST_SEEN_OUT, FIRST_SEEN_STATE, "append",
+        GroupStateTimeout.EventTimeTimeout))

@@ -324,3 +324,43 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
             dedup.decontaminate(docs, bench, n=13).collect()}
     assert got == want
     assert {i for i, _, c in got if c} == {1, 3}
+
+
+def test_stateful_first_seen_batch_parity_under_reorder(spark, tmp_path):
+    """Streaming first-occurrence dedup must pick the MIN event time
+    (the batch exact-dedup winner) even when a smaller-ts event
+    arrives in a LATER microbatch — the arrival-order built-in would
+    pick the wrong capture."""
+    from ferenda_spark.streaming.state import stateful_first_seen
+
+    src = str(tmp_path / "fs_in")
+    ckpt = str(tmp_path / "fs_ckpt")
+
+    def drop(rows):
+        spark.createDataFrame(rows, "key string, ts timestamp").coalesce(
+            1).write.mode("append").parquet(src)
+
+    t0 = 1704067200
+    # batch 1: url A at t0+300 (NOT its true first), B at t0
+    drop([("A", _ts(t0 + 300)), ("B", _ts(t0))])
+    # batch 2: A's EARLIER capture (legal: watermark is 10 min) +
+    # duplicates of both
+    drop([("A", _ts(t0 + 60)), ("A", _ts(t0 + 500)),
+          ("B", _ts(t0 + 120))])
+    # flusher key pushes the watermark far past everything
+    drop([("Z", _ts(t0 + 90000))])
+
+    stream = (spark.readStream.schema("key string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "10 minutes"))
+    out = stateful_first_seen(stream, horizon_minutes=60)
+    q = (out.writeStream.format("memory").queryName("first_seen")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["key"], r["first_ts"].timestamp())
+           for r in spark.sql(
+               "SELECT * FROM first_seen WHERE key <> 'Z'").collect()}
+    # one row per key, carrying the MINIMUM ts across batches
+    assert got == {("A", t0 + 60), ("B", t0)}
