@@ -2209,6 +2209,43 @@ LIMIT 10
         return _longify(url_templates(docs))
     q["url_templates_docs"] = url_templates_docs
 
+    def template_budget_docs(spark, sf):
+        """Composed crawl-budget enforcement: url_templates'
+        classifier keys each url by its TEMPLATE, then quota_sample
+        caps every template at ~12 urls with the deterministic
+        salted-threshold draw — the whole trap-pruning chain a
+        frontier runs (a calendar trap's template is down-sampled to
+        the budget; rare templates pass untouched).  The oracle
+        recomposes both stages independently: templates rebuilt
+        arithmetically from doc_id, the quota threshold restated in
+        BIGINT."""
+        from ferenda_spark.functions.web import url_template_col
+        from ferenda_spark.operators import sampling
+        did = F.col("doc_id")
+        host = F.concat(F.lit("site"), (did % 10).cast("string"),
+                        F.lit(".com"))
+        url = (F.when(did % 4 == 0,
+                      F.concat(F.lit("https://"), host,
+                               F.lit("/product/"), did.cast("string")))
+               .when(did % 4 == 1,
+                     F.concat(F.lit("https://"), host, F.lit("/"),
+                              (did % 5 + 2019).cast("string"),
+                              F.lit("/"), (did % 12 + 1).cast("string"),
+                              F.lit("/post-"), did.cast("string")))
+               .when(did % 4 == 2,
+                     F.concat(F.lit("https://"), host, F.lit("/u/"),
+                              F.lpad(F.lower(F.hex(did)), 8, "0"),
+                              F.lit("/Profile")))
+               .otherwise(
+                   F.concat(F.lit("https://"), host,
+                            F.lit("/search?q=term"), did.cast("string"),
+                            F.lit("&page="), (did % 7).cast("string"))))
+        docs = (_docs(spark, sf).select("doc_id", url.alias("url"))
+                .withColumn("template", url_template_col(F.col("url"))))
+        kept = sampling.quota_sample(docs, cap=12, group_col="template")
+        return _longify(kept.select("doc_id", "template"))
+    q["template_budget_docs"] = template_budget_docs
+
     def robots_filter_docs(spark, sf):
         """RFC 9309 robots admission (operators/robots.py): ten
         synthetic hosts, even hosts carry a robots.txt (hosts 0,4,8
@@ -4789,6 +4826,35 @@ u AS (
   FROM t)
 SELECT template, count(*) AS n_urls, min(url) AS sample_url
 FROM u GROUP BY template
+"""
+
+    # both composition stages restated independently: the template
+    # arithmetic above + quota_sample's BIGINT threshold draw
+    o["template_budget_docs"] = """
+WITH t AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host,
+         doc_id % 4 AS m,
+         lpad(lower(to_hex(doc_id)), 8, '0') AS hx
+  FROM documents),
+u AS (
+  SELECT doc_id,
+    CASE m
+      WHEN 0 THEN host || '/product/{d}'
+      WHEN 1 THEN host || '/{d}/{d}/{a}'
+      WHEN 2 THEN host || '/u/'
+                  || CASE WHEN regexp_matches(hx, '^[0-9]+$')
+                          THEN '{d}' ELSE '{x}' END || '/profile'
+      ELSE host || '/search?page,q'
+    END AS template
+  FROM t),
+n AS (SELECT template, count(*) AS grp_n FROM u GROUP BY 1)
+SELECT u.doc_id, u.template
+FROM u JOIN n ON u.template = n.template
+WHERE n.grp_n <= 12
+   OR CAST(concat('0x', substr(md5('quota-v1:' ||
+        CAST(u.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < 12 * (1152921504606846976 // n.grp_n)
 """
 
     # robots decisions, re-derived arithmetically: host h = doc_id%10,

@@ -120,6 +120,7 @@ HEADLINE = [
     "kg_condensation",
     "containment_docs",
     "cms_heavy_hitters_docs",
+    "template_budget_docs",
 ]
 
 

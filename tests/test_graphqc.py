@@ -354,3 +354,33 @@ def test_numeric_quantiles(spark):
     assert ap[("n", 0.5)] in (10.0, 15.0, 20.0)  # sketch, any median
     with pytest.raises(ValueError, match="no numeric"):
         prof.numeric_quantiles(t.select("text"))
+
+
+# ------------------------------------------------- distinct sketches
+
+def test_distinct_sketches_merge_law_and_accuracy(spark):
+    """HLL lineage metrics: per-group sketches union into the same
+    estimate a direct global sketch gives, and estimates sit within
+    HLL tolerance of exact."""
+    from ferenda_spark.operators.profile import (distinct_sketches,
+                                                 merge_sketches)
+    from pyspark.sql import functions as F
+    rows = [(f"p{i % 4}", f"s{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "pred string, subj string")
+    per = distinct_sketches(df, ["pred"], "subj")
+    assert per.count() == 4
+    exact_per = {r["pred"]: r["n"] for r in
+                 df.groupBy("pred")
+                 .agg(F.countDistinct("subj").alias("n")).collect()}
+    for r in per.collect():
+        assert abs(r["n_distinct_est"] - exact_per[r["pred"]]) \
+            <= 0.05 * exact_per[r["pred"]] + 2
+    rolled = merge_sketches(per).collect()[0]["n_distinct_est"]
+    direct = distinct_sketches(
+        df.withColumn("g", F.lit(1)), ["g"], "subj"
+    ).collect()[0]["n_distinct_est"]
+    # DataSketches unions may land in a different register mode than
+    # a direct sketch (HLL_4 sparse vs dense promotion), so the two
+    # estimates agree to tolerance, not bit-exactly
+    assert abs(rolled - direct) <= 0.02 * direct + 2
+    assert abs(rolled - 700) <= 0.05 * 700
