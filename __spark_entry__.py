@@ -1623,6 +1623,18 @@ LIMIT 25
         return top.join(est, "key").select("key", "exact", "est")
     q["cms_heavy_hitters_docs"] = cms_heavy_hitters_docs
 
+    def winnow_fingerprints_docs(spark, sf):
+        """Winnowed fingerprints (dedup.winnow_fingerprints, SIGMOD
+        2003): per 4-window of 5-gram hashes keep the minimum hash at
+        its RIGHTMOST tie position — every (id, pos, fp) row for the
+        first 80 documents; the oracle replays the identical
+        selection (same md5 60-bit fold, list_min + reversed
+        list_position tie rule) in SQL."""
+        from ferenda_spark.operators.dedup import winnow_fingerprints
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 80)
+        return _longify(winnow_fingerprints(docs, k=5, window=4))
+    q["winnow_fingerprints_docs"] = winnow_fingerprints_docs
+
     def dedup_minhash_lsh(spark, sf):
         corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
             (F.col("doc_id") < 150) | (F.col("doc_id") >= _COPY_OFFSET))
@@ -4296,6 +4308,35 @@ pos AS (
 SELECT p.key, p.exact, min(coalesce(s.cnt, 0)) AS est
 FROM pos p LEFT JOIN sketch s ON s.row = p.row AND s.col = p.col
 GROUP BY p.key, p.exact
+"""
+
+    # the winnowing selection replayed exactly: 5-gram md5 60-bit
+    # hashes, window-of-4 minimum, rightmost tie via reversed
+    # list_position (k=5, w=4 mirror of winnow_fingerprints)
+    o["winnow_fingerprints_docs"] = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents WHERE doc_id < 80),
+hashed AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 5 THEN
+           [CAST(concat('0x', substr(md5(
+                array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+            for i in generate_series(1, len(toks) - 4)]
+         ELSE [] END AS h
+  FROM base),
+sel AS (
+  SELECT id,
+         [{'pos': CAST(j + (4 - list_position(
+               list_reverse(h[j:j+3]), list_min(h[j:j+3])) + 1)
+               - 1 AS BIGINT),
+           'fp': list_min(h[j:j+3])}
+          for j in generate_series(1, len(h) - 3)] AS fps
+  FROM hashed WHERE len(h) >= 4)
+SELECT DISTINCT id, s.pos AS pos, s.fp AS fp
+FROM (SELECT id, unnest(fps) AS s FROM sel)
 """
 
     sig_expr = (

@@ -121,6 +121,7 @@ HEADLINE = [
     "containment_docs",
     "cms_heavy_hitters_docs",
     "template_budget_docs",
+    "winnow_fingerprints_docs",
 ]
 
 

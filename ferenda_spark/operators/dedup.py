@@ -1037,3 +1037,84 @@ def read_minhash_index(spark, path: str, k: int = 16, bands: int = 4,
             f"read requested k={k} bands={bands} n={n} — "
             "collisions would silently never match")
     return spark.read.parquet(path).select("id", "band", "band_key")
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): ``(id, pos, fp)`` — in every sliding window of
+    ``window`` consecutive k-gram hashes, select the MINIMUM hash
+    (rightmost occurrence on ties, the paper's position-robust rule).
+
+    The selection guarantee: any verbatim match of at least
+    ``window + k - 1`` tokens shares at least one fingerprint, while
+    only ~``2/(window+1)`` of all k-grams are kept — the density-
+    bounded local fingerprinting that plagiarism/mirror detection
+    runs where full shingle sets (jaccard_pairs) are too heavy and
+    banded MinHash (whole-document signatures) is too coarse to
+    LOCALIZE the shared passage: a fingerprint carries its token
+    position, so matches point at the overlapping span itself.
+
+    Scale shape: hashes and window minima are pure per-document
+    codegen over the token array (slice + array_min + reverse-
+    position for the rightmost tie — no shuffle, no UDF); the
+    ``array_distinct`` collapse of overlapping windows that picked
+    the same k-gram happens inside the row.  The only exchange is
+    whatever the consumer does with the (id, pos, fp) rows.
+    """
+    src = _spread(docs.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("text")), "id")
+    toks = tokens(F.lower(F.col("text")))
+    base = src.select("id", toks.alias("toks"),
+                      F.size(toks).alias("n"))
+    h = F.when(
+        F.col("n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - (k - 1)),
+            lambda i: F.conv(F.substring(F.md5(F.encode(
+                F.array_join(F.slice(F.col("toks"), i, k), " "),
+                "UTF-8")), 1, 15), 16, 10).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = base.select("id", h.alias("h"), F.size(h).alias("m"))
+
+    def pick(j):
+        win = F.slice(F.col("h"), j, window)
+        minv = F.array_min(win)
+        # rightmost occurrence of the min within the window
+        right = (F.lit(window)
+                 - F.array_position(F.reverse(win), minv) + 1)
+        return F.struct((j + right - 1).cast("long").alias("pos"),
+                        minv.alias("fp"))
+
+    sel = F.when(
+        F.col("m") >= window,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.col("m") - (window - 1)),
+                        pick))
+    ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    return (hashed.select("id", F.explode(sel).alias("s"))
+            .select("id", F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp")))
+
+
+def winnow_candidate_pairs(fps: DataFrame,
+                           max_df: int = 1000) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing winnowed
+    fingerprints, ranked by how many they share.  The fingerprint
+    equi-join is the sparse analog of the shingle join (≈2/(w+1) the
+    keys); fingerprints appearing in more than ``max_df`` documents
+    (license boilerplate — the m² skew point) are dropped under the
+    same explicit-cap contract as ``jaccard_pairs``."""
+    d = fps.select("id", "fp").distinct()
+    if max_df is not None:
+        hot = (d.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df).select("fp"))
+        d = d.join(F.broadcast(hot), "fp", "left_anti")
+    a = d.alias("a")
+    b = d.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared")))

@@ -1320,3 +1320,50 @@ def test_containment_pairs_mutual_for_exact_copies(spark):
     got = {(r["id_part"], r["id_whole"]): r["containment"]
            for r in containment_pairs(df, threshold=0.9).collect()}
     assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def _winnow_local(text, k=5, window=4):
+    """Pure-Python mirror of winnow_fingerprints (same md5 fold,
+    rightmost-tie rule)."""
+    import hashlib
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < k:
+        return set()
+    h = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+             .hexdigest()[:15], 16) for i in range(len(toks) - k + 1)]
+    if len(h) < window:
+        return set()
+    out = set()
+    for j in range(len(h) - window + 1):
+        win = h[j:j + window]
+        mv = min(win)
+        right = max(x for x in range(window) if win[x] == mv)
+        out.add((j + right + 1, mv))   # 1-based pos like the operator
+    return out
+
+
+def test_winnow_matches_python_mirror_and_guarantee(spark):
+    from ferenda_spark.operators.dedup import (winnow_candidate_pairs,
+                                               winnow_fingerprints)
+    common = " ".join(f"shared{i}" for i in range(12))
+    t1 = "alpha beta gamma " + common + " delta epsilon zeta eta"
+    t2 = "one two three four five " + common + " six seven"
+    t3 = " ".join(f"unrelated{i}" for i in range(25))
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)],
+                               "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    got = {}
+    for r in fps.collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    assert got[1] == _winnow_local(t1)
+    assert got[2] == _winnow_local(t2)
+    assert got[3] == _winnow_local(t3)
+    # guarantee: a shared run of >= window+k-1 = 8 tokens (here 12)
+    # must put at least one common fingerprint in both documents
+    shared = {f for _, f in got[1]} & {f for _, f in got[2]}
+    assert shared
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_candidate_pairs(fps).collect()}
+    assert set(pairs) == {(1, 2)}      # doc 3 shares nothing
+    # density: far fewer fingerprints than k-grams
+    assert len(got[3]) < len(t3.split()) - 4
