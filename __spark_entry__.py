@@ -510,6 +510,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # still oracle-verified locally by tools/check_queries.py and
 # benchable via bench.py.
 GATE_ORDER = [
+    # --- round-4 session-7 rotation: seventeen never-driver-checked
+    # ops take their first rows — the session-7 additions (TrustRank,
+    # SCC, condensation, URL templates + budget chain, containment,
+    # Count-Min, winnowing) and the session-5/6 webgraph/CDX family.
+    # Slots come from seventeen single-green-round gates (all stay
+    # locally oracle-checked as extras; families remain in-gate):
+    # feedsets_events (r2; atom_feeds extra), kg_sparql_annotations
+    # (r3; describe/subdocs/topcited/describe_form all in-window),
+    # dedup_token_spans_docs + quality_classifier_docs (r3 rows for
+    # the round-3 rewrites, code unchanged since), entity_link_fuzzy
+    # (r1+r3), pdf_style_metrics (r3; margin metrics has r3 too),
+    # fragments_udtf + text_metrics (r3), domain_stats_docs (r3; the
+    # webfilter family returns via url_templates + template_budget),
+    # doc_versions_views (r3), sim_ann_topk (r3; sim_semantic_dedup
+    # stays), visit_structure_docs + keyword_termset_docs +
+    # render_xhtml_docs (r3), sample_mixture_docs (r3; the sampling
+    # draw is re-exercised inside template_budget_docs),
+    # redact_pii_docs + strip_boilerplate_docs (r3).
+    "kg_trustrank", "kg_scc", "kg_condensation",
+    "url_templates_docs", "template_budget_docs", "containment_docs",
+    "cms_heavy_hitters_docs", "winnow_fingerprints_docs",
+    "microdata_extract_docs", "crawl_churn_docs", "kg_host_graph",
+    "kg_host_rank", "graph_random_walks", "redirect_resolution",
+    "cdx_latest_capture", "cdx_fetch_plan", "sitemap_discovery",
+    # never-driver-checked pool left for the round-5 rotation:
+    # kg_void_description, kg_class_partitions, kg_degree_histogram,
+    # kg_shacl_violations, kg_sparql_graph_scoped,
+    # kg_sparql_aggregates, kg_triangles, kg_linkpred,
+    # kg_communities, kg_cocitation, quota_sample_docs,
+    # anchor_text_docs, fetch_schedule_docs, profile_documents,
+    # quantiles_documents, check_documents.
     # --- round-4 session-5 rotation: ten never-driver-checked ops
     # take their first rows.  Slots (each swap-out keeps its family
     # covered in-gate and stays locally oracle-checked as an extra):
@@ -553,12 +584,10 @@ GATE_ORDER = [
     "kg_sparql_describe", "kg_sparql_subdocs", "kg_sparql_topcited",
     "curation_pipeline_docs", "curation_pipeline_v3",
     # thin history (a single driver row ever, in r2) — refresh these
-    "feedsets_events", # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
+    # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
     # fixpoint closures, lazy star zero-arm; BIGINT token-span keys;
     # classifier broadcast-weights path; closure memoization) — these
     # must carry a fresh driver row
-    "kg_sparql_annotations", "dedup_token_spans_docs",
-    "quality_classifier_docs",
     # round-4-late: the ingest-to-export chain (crawl snapshots →
     # canonical dedup → extract → quality floor → training shards).
     # Takes the slot of kg_closure (driver-green r1+r2+r3; the J3
@@ -573,8 +602,7 @@ GATE_ORDER = [
     # the DESCRIBE query form
     "sim_semantic_dedup", "fulltext_api_page", "kg_sparql_describe_form",
     # round-3 first-row gates that keep their slot (≤2 green rounds)
-    "entity_link_fuzzy", "pdf_style_metrics",
-    "fragments_udtf", "text_metrics", # round-4-late: deterministic training-shard packing (new operator
+    # round-4-late: deterministic training-shard packing (new operator
     # family — first driver row).  Takes the slot of
     # first_success_events (driver-green r1+r3; the W6 per-group-first
     # shape stays exercised inside doc_versions_views' current-version
@@ -585,9 +613,6 @@ GATE_ORDER = [
     # fulltext_search_docs (fulltext_fielded + fulltext_api_page stay),
     # media_meta (multimodal plumbing also pytest-covered by the new
     # real binary codecs) — each driver-green in two prior rounds.
-    "domain_stats_docs",
-    "doc_versions_views",
-    "sim_ann_topk",
     # round-4-final: the last three never-driver-checked queries take
     # their first rows, so EVERY registered query now has at least one
     # historical driver row.  Slots come from kg_structure_closure
@@ -603,7 +628,6 @@ GATE_ORDER = [
     # curation_survivors (driver-green r1+r2+r3; the v2 and v3
     # curation chains keep the composed-pipeline family in-gate).
     "warc_extract_text",
-    "visit_structure_docs", "keyword_termset_docs", "render_xhtml_docs",
     # flagship KG gates (the north-rule invariants: byte-identical
     # extracted text per url, exact triple multiset) — never rotated
     "kg_extract_text", "kg_edges",
@@ -622,8 +646,6 @@ GATE_ORDER = [
     # pytest coverage).  All three stay in extra_queries.
     "kg_sparql_entailed", "kg_owl_properties", "rdf_ntriples_roundtrip",
     # training-data ops with ≤2 green rounds
-    "sample_mixture_docs", "redact_pii_docs",
-    "strip_boilerplate_docs",
     # Rotated OUT this round after THREE consecutive driver-green
     # rounds (r1+r2+r3), each with its operator family still holding a
     # driver row: kg_nodes (graph materialize: kg_edges stays),
@@ -2492,6 +2514,28 @@ LIMIT 10
                         .alias("level"),
                         "n_members"))
     q["kg_condensation"] = kg_condensation
+
+    def kg_landmark_dist(spark, sf):
+        """Landmark BFS distances (rank.py landmark_distances): exact
+        hop distance from every node to landmarks {0, 7} over a
+        60-node doubling graph (v → v+1 mod 60 and v → 2v mod 60 —
+        log-diameter, the expander shape real webgraphs have); all
+        landmarks advance in ONE iterated frontier join.  Oracle:
+        recursive-CTE path enumeration bounded at depth 15, min per
+        (node, landmark)."""
+        from ferenda_spark.operators.rank import landmark_distances
+        v = F.col("v")
+        d = (_docs(spark, sf)
+             .select((F.col("doc_id") % 60).alias("v")).distinct())
+        edges = (d.select(v.alias("src"), ((v + 1) % 60).alias("dst"))
+                 .unionByName(
+                     d.select(v.alias("src"), ((v * 2) % 60).alias("dst"))))
+        lms = spark.createDataFrame([(0,), (7,)], "node long")
+        out = landmark_distances(edges, lms, max_depth=15)
+        return out.select(F.col("node").cast("long").alias("node"),
+                          F.col("landmark").cast("long").alias("landmark"),
+                          "dist")
+    q["kg_landmark_dist"] = kg_landmark_dist
 
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
@@ -5268,6 +5312,29 @@ lp AS (
 SELECT m.comp, coalesce(lp.level, 0) AS level, m.n_members
 FROM (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp) m
 LEFT JOIN lp ON lp.c = m.comp
+"""
+
+    # landmark shortest-path distances from first principles: every
+    # (node, landmark, dist) path of depth <= 15 enumerated by a
+    # recursive CTE walking edges BACKWARD from the landmarks, then
+    # min(dist) per pair — matches BFS first-discovery distances
+    o["kg_landmark_dist"] = """
+WITH dd AS (SELECT DISTINCT doc_id % 60 AS v FROM documents),
+e AS MATERIALIZED (
+  SELECT v AS src, (v + 1) % 60 AS dst FROM dd
+  UNION
+  SELECT v, (v * 2) % 60 FROM dd),
+walk AS (
+  WITH RECURSIVE w(node, landmark, dist) AS (
+    SELECT CAST(v AS BIGINT), CAST(v AS BIGINT), CAST(0 AS BIGINT)
+    FROM (VALUES (0), (7)) lm(v)
+    UNION
+    SELECT CAST(e.src AS BIGINT), w.landmark, w.dist + 1
+    FROM w JOIN e ON e.dst = w.node
+    WHERE w.dist < 15)
+  SELECT node, landmark, dist FROM w)
+SELECT node, landmark, min(dist) AS dist
+FROM walk GROUP BY node, landmark
 """
 
     # the identical Morton spread chain (layout.py::_MASKS2), applied

@@ -122,6 +122,7 @@ HEADLINE = [
     "cms_heavy_hitters_docs",
     "template_budget_docs",
     "winnow_fingerprints_docs",
+    "kg_landmark_dist",
 ]
 
 

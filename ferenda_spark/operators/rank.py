@@ -918,3 +918,60 @@ def topo_levels(dag: DataFrame, max_iters: int = 50,
         f"topo_levels: no fixpoint in {max_iters} iterations — the "
         "input contains a cycle (or a longer-than-expected path); "
         "run scc()/condensation() first or raise max_iters")
+
+
+def landmark_distances(edges: DataFrame, landmarks: DataFrame,
+                       max_depth: int = 12) -> DataFrame:
+    """(node, landmark, dist) — exact shortest-path hop distance from
+    every node TO each landmark along ``edges(src, dst)`` (only
+    reachable pairs appear; a landmark is at distance 0 from itself).
+
+    The landmark/pivot scheme every web-scale distance estimate rides
+    (closeness/harmonic centrality sampling, Bourgain-style distance
+    sketches): exact all-pairs BFS is Θ(V·E), but k landmark columns
+    cost k simultaneous BFS frontiers — run here as ONE iterated
+    join, all landmarks advancing together, so the work per round is
+    a single (node, landmark)-keyed frontier expansion + anti-join
+    against the seen set (semi-naive: no pair re-derived, cycles
+    terminate).  ``dist(u, L)`` then upper-bounds ``dist(u, v)`` via
+    any shared landmark — the triangle-inequality estimate served at
+    query time without touching the graph.
+
+    Scale shape: frontier and seen are (node, landmark, dist) rows —
+    keyed equi-joins and one distinct per round, localCheckpoint
+    lineage, O(diameter) rounds; a hub's frontier rows pre-aggregate
+    map-side.  Landmarks with no in-edges simply stay singleton.
+    ``max_depth`` bounds the walk loudly (frontier still non-empty at
+    the bound raises, never a silent truncation)."""
+    lm = landmarks.select(F.col("node").alias("landmark")).distinct()
+    rev = edges.select(F.col("src").cast("string").alias("u"),
+                       F.col("dst").cast("string").alias("v"))
+    seen = (lm.select(F.col("landmark").cast("string").alias("node"),
+                      F.col("landmark").cast("string").alias("landmark"))
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    frontier = seen
+    for d in range(1, int(max_depth) + 1):
+        step = (frontier
+                .join(rev, frontier["node"] == rev["v"])
+                .select(F.col("u").alias("node"), "landmark",
+                        F.lit(d).cast("long").alias("dist"))
+                .dropDuplicates(["node", "landmark"]))
+        nxt = (step.join(seen, ["node", "landmark"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            return seen
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not (frontier
+            .join(rev, frontier["node"] == rev["v"])
+            .join(seen.select("node", "landmark"),
+                  [rev["u"] == seen["node"],
+                   frontier["landmark"] == seen["landmark"]],
+                  "left_anti")
+            .isEmpty()):
+        raise ValueError(
+            f"landmark_distances: frontier still live at max_depth="
+            f"{max_depth} — raise the bound (silent truncation would "
+            "understate distances)")
+    return seen

@@ -553,3 +553,47 @@ def test_topo_levels_cycle_raises(spark):
         topo_levels(e)
     with pytest.raises(ValueError, match="cycle"):
         topo_levels(e, driver_max=0, max_iters=10)
+
+
+# ----------------------------------------------- landmark distances
+
+def test_landmark_distances_match_bfs(spark):
+    from collections import deque
+    from ferenda_spark.operators.rank import landmark_distances
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (9, 0),
+             (5, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lms = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {(int(r["node"]), int(r["landmark"])): r["dist"]
+           for r in landmark_distances(e, lms).collect()}
+
+    def bfs_to(target):
+        rev = {}
+        for u, v in edges:
+            rev.setdefault(v, []).append(u)
+        dist = {target: 0}
+        q = deque([target])
+        while q:
+            x = q.popleft()
+            for u in rev.get(x, []):
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    q.append(u)
+        return dist
+    want = {}
+    for lm in (0, 4):
+        for n, d in bfs_to(lm).items():
+            want[(n, lm)] = d
+    assert got == want
+
+
+def test_landmark_distances_truncation_raises(spark):
+    import pytest
+    from ferenda_spark.operators.rank import landmark_distances
+    chain = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    lms = spark.createDataFrame([(6,)], "node long")
+    with pytest.raises(ValueError, match="max_depth"):
+        landmark_distances(e, lms, max_depth=3)
+    full = landmark_distances(e, lms, max_depth=6)
+    assert full.count() == 7
