@@ -704,6 +704,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
     q["warc_extract_text"] = warc_extract_text
 
+    def wet_roundtrip_docs(spark, sf):
+        """The WET (extracted-text) distribution layer: documents →
+        WARC ``conversion`` records (one gzip-member WET segment per
+        partition) → parsed back by the same WARC reader → text
+        decoded.  Oracle is the identity over (doc_id-derived url,
+        second-truncated ts, md5(text)): passing proves the WET
+        writer/parser round-trips every text byte — the layer a
+        text-only consumer reads INSTEAD of the raw-HTML archive."""
+        from ferenda_spark.sources.warc import docs_roundtrip_wet
+        did = F.col("doc_id")
+        docs = _docs(spark, sf).select(
+            F.concat(F.lit("https://w.example/doc/"),
+                     did.cast("string")).alias("url"),
+            (F.lit("2024-03-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=(did % 86400).cast("double")))
+            .alias("warc_ts"),
+            "text")
+        back = docs_roundtrip_wet(docs)
+        return back.select(
+            "url", F.col("warc_ts").cast("string").alias("ts"),
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+    q["wet_roundtrip_docs"] = wet_roundtrip_docs
+
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
     q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
 
@@ -3151,6 +3174,18 @@ SELECT url, md5({_EXPECTED_TEXT}) AS text_md5 FROM f
     # the WARC roundtrip must reproduce the identical per-url text:
     # same oracle as the direct extract gate
     o["warc_extract_text"] = o["kg_extract_text"]
+
+    # WET roundtrip: identity — url/ts/text reconstructed from
+    # documents exactly as the gate synthesized them (second-precision
+    # ts is preserved by the WARC date format)
+    o["wet_roundtrip_docs"] = """
+SELECT 'https://w.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2024-03-01 00:00:00'
+                + to_seconds(doc_id % 86400), '%Y-%m-%d %H:%M:%S')
+         AS ts,
+       md5(text) AS text_md5
+FROM documents
+"""
 
     o["kg_edges"] = f"""
 WITH {_F_CTE}, {_TRIPLES_CTE}

@@ -123,6 +123,7 @@ HEADLINE = [
     "template_budget_docs",
     "winnow_fingerprints_docs",
     "kg_landmark_dist",
+    "wet_roundtrip_docs",
 ]
 
 

@@ -353,7 +353,14 @@ def parse_warc(data: bytes, source: str = "") -> Iterator[dict]:
                                http_content_type=ctype, body=body)
                 except ValueError as exc:
                     row["error"] = "http: %s" % exc
-            # non-response payload bytes intentionally not copied out
+            elif rec_type == "conversion":
+                # WET conversion records carry the extracted payload
+                # bare (no HTTP message) — keep it verbatim
+                row.update(
+                    http_content_type=headers.get("content-type"),
+                    body=payload)
+            # other non-response payload bytes intentionally not
+            # copied out
             rows.append(row)
         if pos:
             del buf[:pos]
@@ -540,3 +547,104 @@ def html_lang_col(html) -> "F.Column":
         r"""(?i)<html[^>]*\blang=["']([A-Za-z]{1,8}(?:-[A-Za-z0-9]{1,8})*)""",
         1)
     return F.nullif(raw, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records — the Common Crawl WET layer)
+# ---------------------------------------------------------------------------
+
+def build_conversion_record(url: str, ts, text: str,
+                            refers_to: str | None = None) -> bytes:
+    """One WARC ``conversion`` record (the WET convention: extracted
+    plain text of a page as ``Content-Type: text/plain``, bare body,
+    no HTTP message; ``WARC-Refers-To`` links back to the source
+    response record when known)."""
+    url = _header_safe(url, "url")
+    ts_s = format_warc_ts(ts)
+    body = text.encode("utf-8")
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: " + _record_id("conv:" + url, ts_s).encode(),
+        b"WARC-Date: " + ts_s.encode(),
+        b"WARC-Target-URI: " + url.encode(),
+    ]
+    if refers_to:
+        headers.append(b"WARC-Refers-To: "
+                       + _header_safe(refers_to, "refers_to").encode())
+    headers += [
+        b"Content-Type: text/plain",
+        ("Content-Length: %d" % len(body)).encode(),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def wet_segments_from_docs(docs: DataFrame,
+                           gzip_members: bool = True) -> DataFrame:
+    """docs(url, warc_ts, text) → one WET segment blob per input
+    partition: warcinfo + a ``conversion`` record per document — the
+    extracted-text distribution layer (Common Crawl's .wet.gz files)
+    that lets a text-only consumer skip the raw-HTML archive
+    entirely.  Same shape as :func:`warc_segments_from_pages`: each
+    task serializes its partition, no shuffle, loud NULL refusal."""
+    import pandas as pd
+
+    src = docs.select("url", "warc_ts", "text")
+
+    def to_segments(batches):
+        import pandas as _pd
+        out = io.BytesIO()
+        wrote = False
+
+        def emit(raw: bytes):
+            if gzip_members:
+                out.write(gzip.compress(raw, mtime=0))
+            else:
+                out.write(raw)
+
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["text"]):
+                if url is None or text is None or ts is None or (
+                        isinstance(ts, float) or _pd.isna(ts)):
+                    raise ValueError(
+                        "wet export: NULL url/warc_ts/text for "
+                        "url=%r — filter or repair upstream" % (url,))
+                if not wrote:
+                    emit(build_warcinfo_record("segment.warc.wet"))
+                    wrote = True
+                emit(build_conversion_record(url, ts, str(text)))
+        if wrote:
+            yield pd.DataFrame({"segment": [out.getvalue()]})
+
+    return src.mapInPandas(to_segments, schema="segment binary")
+
+
+def docs_from_wet(records: DataFrame) -> DataFrame:
+    """Parsed WARC record rows → (url, warc_ts, text): the
+    ``conversion`` records decoded back to text (UTF-8, the WET
+    contract), error rows and non-conversion records dropped."""
+    return (records
+            .filter((F.col("record_type") == "conversion")
+                    & F.col("error").isNull()
+                    & F.col("url").isNotNull()
+                    & F.col("body").isNotNull())
+            .select("url", "warc_ts",
+                    F.decode(F.col("body"), "UTF-8").alias("text")))
+
+
+def docs_roundtrip_wet(docs: DataFrame) -> DataFrame:
+    """docs → WET segments → parsed back to docs: the self-validating
+    roundtrip (equality iff writer and parser agree byte-for-byte,
+    second-truncated warc_ts)."""
+    segs = wet_segments_from_docs(docs)
+
+    def parse_batches(batches):
+        def rows():
+            for pdf in batches:
+                for blob in pdf["segment"]:
+                    yield from parse_warc(bytes(blob), source="roundtrip")
+        yield from _batched_pdfs(rows())
+
+    recs = segs.mapInPandas(parse_batches, schema=WARC_RECORD_SCHEMA)
+    return docs_from_wet(recs)

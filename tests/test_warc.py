@@ -271,3 +271,42 @@ def test_writer_rejects_header_injection_and_null_fields(spark):
         "url string, warc_ts timestamp, html binary")
     with pytest.raises(Exception, match="NULL url/warc_ts/html"):
         warc_segments_from_pages(df).collect()
+
+
+# ----------------------------------------------------------- WET layer
+
+def test_wet_roundtrip_and_record_shape(spark):
+    from datetime import datetime
+    from ferenda_spark.sources.warc import (build_conversion_record,
+                                            docs_roundtrip_wet,
+                                            parse_warc)
+    rows = [("https://a.example/1", datetime(2024, 3, 1, 12, 0, 5),
+             "först text with åäö"),
+            ("https://a.example/2", datetime(2024, 3, 2, 0, 0, 0),
+             "plain\nmultiline\ntext")]
+    docs = spark.createDataFrame(rows,
+                                 "url string, warc_ts timestamp, "
+                                 "text string")
+    back = {(r["url"], r["warc_ts"], r["text"])
+            for r in docs_roundtrip_wet(docs).collect()}
+    assert back == set(rows)
+    # raw record shape: conversion type, text/plain, bare utf-8 body
+    raw = build_conversion_record("https://a.example/1",
+                                  datetime(2024, 3, 1, 12, 0, 5),
+                                  "hej åäö", refers_to="<urn:uuid:x>")
+    rec = [r for r in parse_warc(raw)][0]
+    assert rec["record_type"] == "conversion"
+    assert rec["error"] is None
+    assert rec["http_content_type"] == "text/plain"
+    assert bytes(rec["body"]).decode("utf-8") == "hej åäö"
+    assert b"WARC-Refers-To: <urn:uuid:x>" in raw
+
+
+def test_wet_export_refuses_nulls(spark):
+    import pytest
+    from ferenda_spark.sources.warc import wet_segments_from_docs
+    docs = spark.createDataFrame(
+        [("https://a.example/1", None, "t")],
+        "url string, warc_ts timestamp, text string")
+    with pytest.raises(Exception, match="wet export"):
+        wet_segments_from_docs(docs).collect()
