@@ -2560,6 +2560,20 @@ LIMIT 10
                           "dist")
     q["kg_landmark_dist"] = kg_landmark_dist
 
+    def kg_assortativity(spark, sf):
+        """Degree assortativity (rank.py degree_assortativity) of the
+        citation graph: Pearson correlation of endpoint degrees over
+        distinct undirected edges — exact BIGINT sums, one double
+        expression, so the oracle reproduces r bit-for-bit.  Webgraphs
+        run disassortative; a positive r flags link-farm structure."""
+        from ferenda_spark.operators.rank import degree_assortativity
+        e = _kg_edges(spark, sf)
+        cites = (e.filter(F.col("pred") == "dcterms:references")
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        return degree_assortativity(cites)
+    q["kg_assortativity"] = kg_assortativity
+
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
         interleave of two derived dimensions as one codegen BIGINT —
@@ -5371,6 +5385,39 @@ walk AS (
 SELECT node, landmark, min(dist) AS dist
 FROM walk GROUP BY node, landmark
 """
+
+    # assortativity from first principles: distinct undirected edges,
+    # integer degree sums, the identical final double expression
+    o["kg_assortativity"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+cites AS (
+  SELECT subj AS src, obj AS dst FROM golden
+  WHERE pred = 'dcterms:references'
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM cites WHERE src <> dst),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n),
+j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+s AS (
+  SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+         CAST(sum(2 * da * db) AS BIGINT) AS sxy,
+         CAST(sum(da + db) AS BIGINT) AS sx,
+         CAST(sum(da * da + db * db) AS BIGINT) AS sx2
+  FROM j)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, sxy, sx, sx AS sy,
+       sx2, sx2 AS sy2,
+       round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+             / (CAST(m2 AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx),
+             6) AS r
+FROM s
+"""
+
 
     # the identical Morton spread chain (layout.py::_MASKS2), applied
     # to both dimensions; clamps are no-ops here (dims < 2^31)

@@ -124,6 +124,7 @@ HEADLINE = [
     "winnow_fingerprints_docs",
     "kg_landmark_dist",
     "wet_roundtrip_docs",
+    "kg_assortativity",
 ]
 
 

@@ -975,3 +975,56 @@ def landmark_distances(edges: DataFrame, landmarks: DataFrame,
             f"{max_depth} — raise the bound (silent truncation would "
             "understate distances)")
     return seen
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row — ``(n_edges, sxy, sx, sy, sx2, sy2, r)`` — the degree
+    assortativity of the UNDIRECTED graph under ``edges(src, dst)``:
+    Pearson correlation of endpoint degrees over distinct undirected
+    edges (Newman, PRL 2002).  Webgraphs are famously DISassortative
+    (hubs link to leaves, r < 0); a strongly assortative subcorpus is
+    a link-farm / mutual-promotion signature, so r is the one-number
+    diagnostic crawl QA tracks per snapshot beside the degree
+    histogram.
+
+    Determinism: every Σ is an exact BIGINT (degree products and
+    squares of integers) accumulated by integer addition — partial
+    aggregation order cannot perturb them — and ``r`` is ONE double
+    expression over those exact sums, so the oracle reproduces it
+    bit-for-bit.  Shape: one distinct, one degree groupBy, two
+    broadcast-able degree joins, one global aggregate; each endpoint
+    contributes symmetrically (x=a,y=b AND x=b,y=a — the undirected
+    convention) without materializing both orientations.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    j = (und.join(deg.select(F.col("n").alias("a"),
+                             F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("n").alias("b"),
+                          F.col("d").alias("db")), "b"))
+    # each undirected edge contributes both orientations to the
+    # correlation: fold the symmetric sums directly (Σx = Σy = da+db)
+    agg = j.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        F.sum(2 * F.col("da") * F.col("db")).cast("long").alias("sxy"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(F.col("da") * F.col("da")
+              + F.col("db") * F.col("db")).cast("long").alias("sx2"))
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "sxy", "sx", F.col("sx").alias("sy"), "sx2",
+        F.col("sx2").alias("sy2"),
+        F.round(
+            # exact-BIGINT sums promoted to double BEFORE the final
+            # products (n·Σxy at web scale overflows int64); identical
+            # expression in the oracle ⇒ identical IEEE result
+            (F.col("m2").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sx"))
+            / (F.col("m2").cast("double") * F.col("sx2")
+               - F.col("sx").cast("double") * F.col("sx")),
+            6).alias("r"))

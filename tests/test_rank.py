@@ -597,3 +597,31 @@ def test_landmark_distances_truncation_raises(spark):
         landmark_distances(e, lms, max_depth=3)
     full = landmark_distances(e, lms, max_depth=6)
     assert full.count() == 7
+
+
+# -------------------------------------------------- assortativity
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from ferenda_spark.operators.rank import degree_assortativity
+    # star: hub degree n, leaves degree 1 — maximally disassortative
+    star = [(0, i) for i in range(1, 8)]
+    r_star = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert r_star["n_edges"] == 7
+    assert r_star["r"] < 0                       # hub→leaf mixing
+    # two cliques of different sizes: within-clique degrees equal —
+    # perfectly assortative (r = 1)
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique += [(a, b) for a in range(10, 16) for b in range(10, 16)
+               if a < b]
+    r_cl = degree_assortativity(
+        spark.createDataFrame(clique, "src long, dst long")
+    ).collect()[0]
+    assert r_cl["r"] == 1.0
+    # direction + duplicates don't matter (undirected distinct)
+    both = clique + [(b, a) for a, b in clique]
+    r_b = degree_assortativity(
+        spark.createDataFrame(both, "src long, dst long")
+    ).collect()[0]
+    assert (r_b["n_edges"], r_b["r"]) == (r_cl["n_edges"], r_cl["r"])
