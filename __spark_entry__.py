@@ -1935,6 +1935,23 @@ LIMIT 10
         return _longify(dedup.component_clusters(pairs))
     q["dedup_components"] = dedup_components
 
+    def canonical_docs(spark, sf):
+        """Quality-aware canonical selection (dedup.select_canonical):
+        the dedup_components clusters re-keyed to keep the LONGEST
+        member (score = text length, min id on ties) instead of the
+        min-id keeper — of N mirrors keep the best copy.  Oracle:
+        the same recursive-CTE components + a row_number winner per
+        cluster."""
+        corpus = _dup_corpus(spark, sf, 100, mutate=True).filter(
+            (F.col("doc_id") < 100) | (F.col("doc_id") >= _COPY_OFFSET))
+        pairs = dedup.simhash_near_pairs(
+            corpus, bits=32, max_hamming=6, bands=4)
+        clusters = dedup.component_clusters(pairs).select("id", "comp")
+        scored = corpus.withColumn("score", F.length("text"))
+        return _longify(dedup.select_canonical(scored, clusters,
+                                               score_col="score"))
+    q["canonical_docs"] = canonical_docs
+
     def decontaminate_docs(spark, sf):
         """Train/eval decontamination: every doc sharing any word
         13-gram with the benchmark slice (doc_id % 50 == 0) is
@@ -4731,6 +4748,46 @@ sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
 SELECT CAST(c.id AS BIGINT) AS id, c.comp, s.csize
 FROM comp c JOIN sizes s USING (comp)
 """
+
+    # canonical selection: the identical component closure, score =
+    # text length, winner per comp by (score DESC, id ASC); docs
+    # outside every cluster are their own singleton comp
+    o["canonical_docs"] = f"""
+WITH RECURSIVE {_near_corpus_100},
+t AS (SELECT doc_id AS id, {th_expr} AS th FROM corpus),
+sigs AS (SELECT id, CAST({sh_bit_terms} AS BIGINT) AS simhash FROM t),
+banded AS (
+  SELECT id, simhash, g.b AS band,
+         (simhash >> (g.b * 8)) & 255 AS block
+  FROM sigs, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS b) g),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.block = b.block AND a.id < b.id
+  WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 6),
+edges AS (SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+ccomp AS (SELECT id, CAST(min(r) AS BIGINT) AS comp
+          FROM reach GROUP BY id),
+member AS (
+  SELECT CAST(c.doc_id AS BIGINT) AS id,
+         CAST(length(c.text) AS BIGINT) AS score,
+         coalesce(ccomp.comp, c.doc_id) AS comp
+  FROM corpus c LEFT JOIN ccomp ON ccomp.id = c.doc_id),
+win AS (
+  SELECT comp, id AS keeper_id FROM (
+    SELECT comp, id, row_number() OVER (
+      PARTITION BY comp ORDER BY score DESC, id ASC) AS rn
+    FROM member) WHERE rn = 1)
+SELECT m.id, m.comp, m.score, w.keeper_id,
+       m.id = w.keeper_id AS is_keeper
+FROM member m JOIN win w USING (comp)
+"""
+
 
     from ferenda_spark.operators.sampling import rate_threshold
     # shard packing restated as ONE global window (the semantics the

@@ -125,6 +125,7 @@ HEADLINE = [
     "kg_landmark_dist",
     "wet_roundtrip_docs",
     "kg_assortativity",
+    "canonical_docs",
 ]
 
 

@@ -1118,3 +1118,45 @@ def winnow_candidate_pairs(fps: DataFrame,
             .groupBy(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def select_canonical(docs: DataFrame, clusters: DataFrame,
+                     score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters:
+    ``(id, comp, score, keeper_id, is_keeper)`` for every document —
+    the cluster representative is the member with the HIGHEST
+    ``score_col`` (minimum id on ties), and unclustered documents are
+    their own singleton keepers.
+
+    This replaces position-blind keepers (``component_clusters``'s
+    min-id, ``dedup_units_keepfirst``'s first occurrence) with the
+    curation policy real pipelines want: of N mirrors keep the
+    highest-quality copy (longest text, best classifier score,
+    highest PageRank host), drop the rest — then ``filter(is_keeper)``
+    is the deduplicated corpus.
+
+    Determinism and scale: the winner per cluster is ONE map-side-
+    combinable ``max(struct(score, -id))`` aggregate (no window, no
+    per-cluster funnel beyond the aggregate's own combine), joined
+    back broadcast-or-shuffle by AQE; ids must be integral (the
+    engine's doc_id convention) so the tie-break rides the same
+    struct.  ``clusters`` is ``(id, comp)`` — any membership table,
+    e.g. ``component_clusters`` output."""
+    scored = docs.select(F.col(id_col).cast("long").alias("id"),
+                         F.col(score_col).cast("long").alias("score"))
+    member = (scored
+              .join(clusters.select(F.col("id").cast("long").alias("id"),
+                                    F.col("comp").cast("long")
+                                    .alias("comp")),
+                    "id", "left")
+              .select("id", "score",
+                      F.coalesce("comp", F.col("id")).alias("comp")))
+    winners = (member.groupBy("comp")
+               .agg(F.max(F.struct(F.col("score"),
+                                   (-F.col("id")).alias("ni")))
+                    .alias("w"))
+               .select("comp", (-F.col("w.ni")).alias("keeper_id")))
+    return (member.join(winners, "comp")
+            .select("id", "comp", "score", "keeper_id",
+                    (F.col("id") == F.col("keeper_id"))
+                    .alias("is_keeper")))

@@ -1367,3 +1367,21 @@ def test_winnow_matches_python_mirror_and_guarantee(spark):
     assert set(pairs) == {(1, 2)}      # doc 3 shares nothing
     # density: far fewer fingerprints than k-grams
     assert len(got[3]) < len(t3.split()) - 4
+
+
+def test_select_canonical_prefers_score_then_min_id(spark):
+    from ferenda_spark.operators.dedup import select_canonical
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, comp long")
+    got = {r["id"]: (r["comp"], r["keeper_id"], r["is_keeper"])
+           for r in select_canonical(docs, clusters, "score").collect()}
+    # cluster {1,2,3}: 2 and 3 tie on score 30 — min id 2 wins
+    assert got[1] == (1, 2, False)
+    assert got[2] == (1, 2, True)
+    assert got[3] == (1, 2, False)
+    # 4 and 9 unclustered: their own singleton keepers
+    assert got[4] == (4, 4, True)
+    assert got[9] == (9, 9, True)
