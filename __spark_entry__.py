@@ -727,6 +727,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
     q["wet_roundtrip_docs"] = wet_roundtrip_docs
 
+    def wat_links_docs(spark, sf):
+        """The WAT (metadata) layer: synthetic two-anchor pages →
+        WARC ``metadata`` records with a sorted-keys JSON envelope
+        (url, title, links) → parsed back → link edges via JVM-side
+        from_json.  Oracle reconstructs every (src, dst) edge
+        arithmetically from doc_id — passing proves the WAT writer,
+        the streaming parser and the JSON envelope agree, i.e. the
+        webgraph can be built off the ~20×-smaller WAT layer."""
+        from ferenda_spark.sources.warc import links_roundtrip_wat
+        did = F.col("doc_id")
+        base = F.lit("https://example.org/res/doc/")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), did.cast("string"),
+            F.lit('</title></head><body><a href="'), base,
+            ((did * 7) % 499 + 1).cast("string"),
+            F.lit('">a</a><p>x</p><a class="r" href="'), base,
+            ((did * 13) % 499 + 1).cast("string"),
+            F.lit('">b</a></body></html>'))
+        pages = _docs(spark, sf).select(
+            F.concat(base, did.cast("string")).alias("url"),
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            .alias("warc_ts"),
+            F.encode(html, "UTF-8").alias("html"))
+        return links_roundtrip_wat(pages)
+    q["wat_links_docs"] = wat_links_docs
+
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
     q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
 
@@ -3215,6 +3241,19 @@ SELECT 'https://w.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
                 + to_seconds(doc_id % 86400), '%Y-%m-%d %H:%M:%S')
          AS ts,
        md5(text) AS text_md5
+FROM documents
+"""
+
+    # WAT link edges rebuilt arithmetically: two anchors per page
+    o["wat_links_docs"] = """
+SELECT 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR) AS src,
+       'https://example.org/res/doc/'
+         || CAST(doc_id * 7 % 499 + 1 AS VARCHAR) AS dst
+FROM documents
+UNION ALL
+SELECT 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR),
+       'https://example.org/res/doc/'
+         || CAST(doc_id * 13 % 499 + 1 AS VARCHAR)
 FROM documents
 """
 

@@ -126,6 +126,7 @@ HEADLINE = [
     "wet_roundtrip_docs",
     "kg_assortativity",
     "canonical_docs",
+    "wat_links_docs",
 ]
 
 

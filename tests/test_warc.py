@@ -310,3 +310,34 @@ def test_wet_export_refuses_nulls(spark):
         "url string, warc_ts timestamp, text string")
     with pytest.raises(Exception, match="wet export"):
         wet_segments_from_docs(docs).collect()
+
+
+# ----------------------------------------------------------- WAT layer
+
+def test_wat_envelope_and_link_extraction(spark):
+    from datetime import datetime
+    from ferenda_spark.sources.warc import (links_roundtrip_wat,
+                                            parse_warc,
+                                            wat_segments_from_pages)
+    html = (b'<html><head><title> My Page </title></head><body>'
+            b'<a href="https://x.example/a">a</a>'
+            b"<a class='z' href='https://x.example/b'>b</a>"
+            b'<a href="#frag">skipped</a>'
+            b'<a name="no-href">skipped</a></body></html>')
+    pages = spark.createDataFrame(
+        [("https://x.example/", datetime(2024, 3, 1), bytearray(html))],
+        "url string, warc_ts timestamp, html binary")
+    got = {(r["src"], r["dst"])
+           for r in links_roundtrip_wat(pages).collect()}
+    assert got == {("https://x.example/", "https://x.example/a"),
+                   ("https://x.example/", "https://x.example/b")}
+    # the raw record: metadata type, json envelope, sorted keys, title
+    blob = wat_segments_from_pages(pages, gzip_members=False) \
+        .collect()[0]["segment"]
+    recs = [r for r in parse_warc(bytes(blob))
+            if r["record_type"] == "metadata"]
+    assert len(recs) == 1
+    import json
+    env = json.loads(bytes(recs[0]["body"]).decode("utf-8"))
+    assert env["title"] == "My Page"
+    assert list(env) == sorted(env)
