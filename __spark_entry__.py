@@ -753,6 +753,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return links_roundtrip_wat(pages)
     q["wat_links_docs"] = wat_links_docs
 
+    def unicode_norm_docs(spark, sf):
+        """Unicode canonicalization (functions/text.py nfc_col /
+        strip_accents_col, Arrow pandas UDFs): every document gets a
+        mixed pre/decomposed suffix (combining acute U+0301,
+        precomposed é U+00E9, combining ring U+030A) — NFC must fold
+        both spellings to one byte sequence, accent folding must drop
+        the marks; oracle = DuckDB's utf8proc nfc_normalize /
+        strip_accents over the identically-constructed text, compared
+        by md5."""
+        from ferenda_spark.functions.text import (nfc_col,
+                                                  strip_accents_col)
+        t = F.concat(F.col("text"),
+                     F.lit(" cafe\u0301 \u00e9 a\u030agang"))
+        docs = _docs(spark, sf).select("doc_id", t.alias("text"))
+        return docs.select(
+            "doc_id",
+            F.md5(F.encode(nfc_col(F.col("text")), "UTF-8"))
+            .alias("nfc_md5"),
+            F.md5(F.encode(strip_accents_col(F.col("text")), "UTF-8"))
+            .alias("folded_md5"))
+    q["unicode_norm_docs"] = unicode_norm_docs
+
     q["kg_edges"] = lambda spark, sf: _kg_edges(spark, sf)
     q["kg_edges_modular"] = lambda spark, sf: _kg_edges_modular(spark, sf)
 
@@ -3255,6 +3277,21 @@ SELECT 'https://example.org/res/doc/' || CAST(doc_id AS VARCHAR),
        'https://example.org/res/doc/'
          || CAST(doc_id * 13 % 499 + 1 AS VARCHAR)
 FROM documents
+"""
+
+    # unicode canonicalization via DuckDB's utf8proc: identical
+    # injected suffix (combining acute, precomposed e-acute,
+    # combining ring), md5 over the UTF-8 bytes both sides
+    o["unicode_norm_docs"] = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' ' || chr(233)
+              || ' a' || chr(778) || 'gang' AS text
+  FROM documents)
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS nfc_md5,
+       md5(strip_accents(text)) AS folded_md5
+FROM t
 """
 
     o["kg_edges"] = f"""

@@ -127,6 +127,7 @@ HEADLINE = [
     "kg_assortativity",
     "canonical_docs",
     "wat_links_docs",
+    "unicode_norm_docs",
 ]
 
 

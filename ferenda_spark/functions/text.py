@@ -242,3 +242,59 @@ def sanitize_term_col(c: Column, min_len: int = 2, max_len: int = 100,
           & ~F.substring(t, 1, 1).isin(*list(invalid_start))
           & ~t.substr(F.length(t), F.lit(1)).isin(*list(invalid_end)))
     return F.when(ok, t)
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (NFC canonical form + accent folding) — the
+# text-cleaning pass open-web corpora need before hashing/dedup/match:
+# the SAME visible string arrives both precomposed (é U+00E9) and
+# decomposed (e + U+0301) from different sites, so exact dedup,
+# shingles and equi-joins silently miss equal texts until every
+# document is in ONE canonical form.
+
+def nfc(s: str | None) -> str | None:
+    """Pure-Python twin of :func:`nfc_col`: Unicode NFC."""
+    import unicodedata
+    return None if s is None else unicodedata.normalize("NFC", s)
+
+
+def strip_accents(s: str | None) -> str | None:
+    """Pure-Python twin of :func:`strip_accents_col`: NFD decompose,
+    drop combining marks (matches DuckDB/utf8proc ``strip_accents``
+    — verified char-for-char on Latin, dotted, and kana samples)."""
+    import unicodedata
+    if s is None:
+        return None
+    d = unicodedata.normalize("NFD", s)
+    return "".join(c for c in d if not unicodedata.combining(c))
+
+
+def nfc_col(c: Column) -> Column:
+    """Unicode NFC canonicalization as an Arrow-vectorized pandas
+    UDF (Spark has no built-in normalizer; a batch of strings per
+    call keeps this off the row-at-a-time path)."""
+    import unicodedata
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _nfc(col):
+        return col.map(lambda s: None if s is None
+                       else unicodedata.normalize("NFC", s))
+    return pandas_udf(_nfc, "string", PandasUDFType.SCALAR)(c)
+
+
+def strip_accents_col(c: Column) -> Column:
+    """Accent folding (NFD − combining marks) as an Arrow-vectorized
+    pandas UDF — the fuzzy-match/key-folding companion to
+    :func:`nfc_col`."""
+    import unicodedata
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _strip(col):
+        def one(s):
+            if s is None:
+                return None
+            d = unicodedata.normalize("NFD", s)
+            return "".join(ch for ch in d
+                           if not unicodedata.combining(ch))
+        return col.map(one)
+    return pandas_udf(_strip, "string", PandasUDFType.SCALAR)(c)

@@ -76,3 +76,25 @@ def test_sanitize_term_pair(spark):
     assert sanitize_term("a" * 101) is None
     assert sanitize_term(".dot") is None
     assert sanitize_term("end,") is None
+
+
+# ------------------------------------------------ unicode normalization
+
+def test_nfc_and_strip_accents_twins(spark):
+    from pyspark.sql import functions as F
+    from ferenda_spark.functions.text import (nfc, nfc_col,
+                                              strip_accents,
+                                              strip_accents_col)
+    samples = ["cafe\u0301", "caf\u00e9", "a\u030agang", "\u00e5",
+               "nai\u0308ve \u00f8 \u00df", "plain ascii", None]
+    # decomposed and precomposed spell the SAME NFC string
+    assert nfc(samples[0]) == nfc(samples[1]) == "café"
+    assert strip_accents(samples[0]) == "cafe"
+    assert strip_accents("åäö") == "aao"
+    assert nfc(None) is None and strip_accents(None) is None
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = df.select(nfc_col(F.col("t")).alias("n"),
+                    strip_accents_col(F.col("t")).alias("f")).collect()
+    for row, s in zip(got, samples):
+        assert row["n"] == nfc(s)
+        assert row["f"] == strip_accents(s)
