@@ -246,3 +246,52 @@ def test_dedup_against_index_streams_the_index(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in plan
+
+
+# ------------------------------------------ session-7 plan guarantees
+
+def test_url_template_stays_in_codegen(spark):
+    """The template key is pure Column work — no Python eval, no
+    exchange before the one aggregation."""
+    from ferenda_spark.operators.webfilter import url_templates
+    df = spark.createDataFrame(
+        [(f"https://s{i%3}.com/p/{i}",) for i in range(50)],
+        "url string")
+    plan = _plan(url_templates(df))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # exactly the aggregation exchange, nothing upstream of it
+    assert plan.count("Exchange") <= 2  # partial/final agg split + AQE
+
+
+def test_cms_sketch_single_aggregate_no_python(spark):
+    from ferenda_spark.operators.sketch import cms_sketch
+    df = spark.createDataFrame([(f"k{i%7}",) for i in range(100)],
+                               "key string")
+    plan = _plan(cms_sketch(df, depth=4, width=64))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_select_canonical_no_window(spark):
+    from ferenda_spark.operators.dedup import select_canonical
+    docs = spark.createDataFrame([(i, i * 2) for i in range(20)],
+                                 "doc_id long, score long")
+    cl = spark.createDataFrame([(i, i % 3) for i in range(10)],
+                               "id long, comp long")
+    plan = _plan(select_canonical(docs, cl, "score"))
+    assert "Window" not in plan          # winner is a plain aggregate
+
+
+def test_winnow_selection_per_row_no_shuffle(spark):
+    """Fingerprint selection happens inside the row: the plan up to
+    the output has no aggregation exchange and no Python."""
+    from ferenda_spark.operators.dedup import winnow_fingerprints
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j+i}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(df))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan.split("Generate")[0]
