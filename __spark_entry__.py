@@ -2639,6 +2639,17 @@ LIMIT 10
         return degree_assortativity(cites)
     q["kg_assortativity"] = kg_assortativity
 
+    def kg_class_links(spark, sf):
+        """Class-link matrix (voidstats.class_links): per (subject
+        class, predicate, object class) triple/distinct counts over
+        the KG — the VoID-linkset schema summary; multi-typed
+        entities count under min(class) (deterministic single class),
+        untyped endpoints under NULL so the matrix partitions the
+        non-type triples exactly."""
+        from ferenda_spark.operators.voidstats import class_links
+        return _longify(class_links(_kg_edges(spark, sf)))
+    q["kg_class_links"] = kg_class_links
+
     def zorder_layout_docs(spark, sf):
         """Z-order layout key (operators/layout.py): the Morton
         interleave of two derived dimensions as one codegen BIGINT —
@@ -5549,6 +5560,25 @@ SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, sxy, sx, sx AS sy,
              / (CAST(m2 AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx),
              6) AS r
 FROM s
+"""
+
+    # class-link matrix from first principles over the same golden
+    # triples: one deterministic class per typed entity (min), NULL
+    # for untyped, grouped counts over the non-type triples
+    o["kg_class_links"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+types AS (
+  SELECT subj AS n, min(obj) AS cls FROM golden
+  WHERE pred = 'rdf:type' GROUP BY subj),
+rest AS (SELECT * FROM golden WHERE pred <> 'rdf:type')
+SELECT ts.cls AS subj_class, r.pred, tob.cls AS obj_class,
+       count(*) AS n_triples,
+       count(DISTINCT r.subj) AS n_subjects,
+       count(DISTINCT r.obj) AS n_objects
+FROM rest r
+LEFT JOIN types ts ON ts.n = r.subj
+LEFT JOIN types tob ON tob.n = r.obj
+GROUP BY 1, 2, 3
 """
 
 

@@ -128,6 +128,7 @@ HEADLINE = [
     "canonical_docs",
     "wat_links_docs",
     "unicode_norm_docs",
+    "kg_class_links",
 ]
 
 

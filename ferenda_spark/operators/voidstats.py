@@ -50,6 +50,40 @@ def class_partitions(edges: DataFrame,
             .agg(nd("subj").alias("n_entities")))
 
 
+def class_links(edges: DataFrame,
+                type_pred: str = TYPE_PRED,
+                approximate: bool = False) -> DataFrame:
+    """The class-link matrix: ``(subj_class, pred, obj_class,
+    n_triples, n_subjects, n_objects)`` — how instances of one class
+    point at instances of another, per predicate (the schema-level
+    summary VoID models as linksets between class partitions; the KG
+    "shape" a consumer reads before writing a query).
+
+    Untyped endpoints aggregate under class NULL so the matrix stays
+    a PARTITION of the non-type triples (row sums reconcile with
+    property_partitions — the audit the VoID export relies on).
+    Plan: the type table is derived once and joined twice (typed
+    subjects are a fraction of triples — AQE broadcasts when small);
+    one combinable groupBy; ``approximate`` swaps exact distincts for
+    HLL at web scale."""
+    nd = F.approx_count_distinct if approximate else F.countDistinct
+    types = (edges.filter(F.col("pred") == type_pred)
+             .groupBy(F.col("subj").alias("n"))
+             .agg(F.min("obj").alias("cls")))
+    rest = edges.filter(F.col("pred") != type_pred)
+    j = (rest
+         .join(types.select(F.col("n").alias("subj"),
+                            F.col("cls").alias("subj_class")),
+               "subj", "left")
+         .join(types.select(F.col("n").alias("obj"),
+                            F.col("cls").alias("obj_class")),
+               "obj", "left"))
+    return (j.groupBy("subj_class", "pred", "obj_class")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 nd("subj").alias("n_subjects"),
+                 nd("obj").alias("n_objects")))
+
+
 def dataset_summary(edges: DataFrame,
                     type_pred: str = TYPE_PRED,
                     approximate: bool = False) -> DataFrame:

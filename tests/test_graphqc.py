@@ -384,3 +384,28 @@ def test_distinct_sketches_merge_law_and_accuracy(spark):
     # estimates agree to tolerance, not bit-exactly
     assert abs(rolled - direct) <= 0.02 * direct + 2
     assert abs(rolled - 700) <= 0.05 * 700
+
+
+def test_class_links_partitions_nontype_triples(spark):
+    from pyspark.sql import functions as F
+    from ferenda_spark.operators.voidstats import class_links
+    rows = [
+        ("a", "rdf:type", "T1"), ("b", "rdf:type", "T2"),
+        ("b", "rdf:type", "T1"),          # multi-typed: min -> T1
+        ("a", "cites", "b"), ("a", "cites", "x"),  # x untyped
+        ("x", "cites", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(s, p, o, False, None, None) for s, p, o in rows],
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string")
+    got = {(r["subj_class"], r["pred"], r["obj_class"]):
+           (r["n_triples"], r["n_subjects"], r["n_objects"])
+           for r in class_links(df).collect()}
+    assert got == {
+        ("T1", "cites", "T1"): (1, 1, 1),   # a -> b (b folds to T1)
+        ("T1", "cites", None): (1, 1, 1),   # a -> x untyped
+        (None, "cites", "T1"): (1, 1, 1),   # x -> a
+    }
+    # partition property: matrix triple count == non-type triples
+    assert sum(v[0] for v in got.values()) == 3
