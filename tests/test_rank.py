@@ -625,3 +625,42 @@ def test_degree_assortativity_star_vs_clique(spark):
         spark.createDataFrame(both, "src long, dst long")
     ).collect()[0]
     assert (r_b["n_edges"], r_b["r"]) == (r_cl["n_edges"], r_cl["r"])
+
+
+def test_pagerank_warm_start_reconverges(spark):
+    """Warm start is exact power iteration from the given vector:
+    seeding the uniform prior reproduces the cold run bit-for-bit,
+    seeding converged ranks is idempotent on the unchanged graph, and
+    after an edge delta a short warm run tracks the long cold run."""
+    from pyspark.sql import functions as F
+    from ferenda_spark.operators.rank import SCALE, pagerank
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "c")]
+    e0 = spark.createDataFrame(base, "src string, dst string")
+    # seeding the uniform prior == cold start, exactly
+    nodes = sorted({x for e in base for x in e})
+    uniform = spark.createDataFrame(
+        [(v, SCALE // len(nodes) // 10**6) for v in nodes],
+        "node string, rank_micro long")
+    cold3 = sorted(map(tuple, pagerank(e0, iters=3).collect()))
+    warm3 = sorted(map(tuple,
+                       pagerank(e0, iters=3, init=uniform).collect()))
+    assert cold3 == warm3
+    # converged ranks re-fed on the unchanged graph stay put
+    prior = pagerank(e0, iters=60)
+    conv = {r["node"]: r["rank_micro"] for r in prior.collect()}
+    again = {r["node"]: r["rank_micro"]
+             for r in pagerank(e0, iters=1, init=prior).collect()}
+    for v, want in conv.items():
+        assert abs(again[v] - want) <= max(2, want // 500), \
+            (v, again[v], want)
+    # after a delta, a SHORT warm run lands within the damping
+    # envelope of a LONG cold run (0.85^6 of the perturbation)
+    e1 = spark.createDataFrame(base + [("a", "d")],
+                               "src string, dst string")
+    cold = {r["node"]: r["rank_micro"]
+            for r in pagerank(e1, iters=60).collect()}
+    warm = {r["node"]: r["rank_micro"]
+            for r in pagerank(e1, iters=8, init=prior).collect()}
+    for v, want in cold.items():
+        assert abs(warm[v] - want) <= max(2, want // 10), (v, warm[v],
+                                                           want)
