@@ -2855,6 +2855,34 @@ LIMIT 10
         return host_churn(snapshot_churn(prev, curr))
     q["crawl_churn_docs"] = crawl_churn_docs
 
+    def revisit_schedule_docs(spark, sf):
+        """Recrawl scheduling (crawl.py revisit_schedule over the
+        crawl_churn_docs fixture): per host the Cho & Garcia-Molina
+        bias-corrected change-rate estimate λ̂ = -ln((n-X+.5)/(n+.5))/Δ
+        over surviving pages (Δ = 7 days between the snapshots) and
+        the 1/λ̂ revisit interval clamped to [1h, 30d] — churning
+        hosts earn short intervals.  Exact-integer counts, one double
+        expression, oracle bit-identical."""
+        from ferenda_spark.operators.crawl import (host_churn,
+                                                   revisit_schedule,
+                                                   snapshot_churn)
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        url = F.concat(F.lit("https://site"), (did % 13).cast("string"),
+                       F.lit(".com/d"), did.cast("string"))
+        old_text = F.when(did % 5 == 0,
+                          F.concat(F.col("text"), F.lit(":v1"))) \
+                    .otherwise(F.col("text"))
+        prev = d.filter(did % 7 != 3).select(
+            url.alias("url"),
+            F.md5(F.encode(old_text, "UTF-8")).alias("content_hash"))
+        curr = d.filter(did % 11 != 4).select(
+            url.alias("url"),
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash"))
+        prof = host_churn(snapshot_churn(prev, curr))
+        return revisit_schedule(prof, interval_s=7 * 86400)
+    q["revisit_schedule_docs"] = revisit_schedule_docs
+
     def graph_random_walks(spark, sf):
         """Graph-embedding walk corpus (rank.py random_walks): one
         deterministic 3-step walk per node over the halving graph
@@ -5789,6 +5817,51 @@ SELECT host, n_new, n_gone, n_modified, n_unchanged,
             AS BIGINT) AS churn_permille
 FROM g
 """
+
+    # Cho & Garcia-Molina revisit intervals over the same churn
+    # arithmetic: λ̂ and 1/λ̂ as ONE double expression over the exact
+    # integer counts (Δ = 604800 s, clamp [3600, 2592000])
+    o["revisit_schedule_docs"] = """
+WITH prev AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.com/d'
+           || CAST(doc_id AS VARCHAR) AS url,
+         md5(text || CASE WHEN doc_id % 5 = 0 THEN ':v1' ELSE '' END)
+           AS ph,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host
+  FROM documents WHERE doc_id % 7 <> 3),
+curr AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.com/d'
+           || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS ch,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host
+  FROM documents WHERE doc_id % 11 <> 4),
+j AS (
+  SELECT COALESCE(p.host, c.host) AS host,
+         CASE WHEN p.url IS NULL THEN 'new'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN p.ph = c.ch THEN 'unchanged'
+              ELSE 'modified' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url),
+g AS (
+  SELECT host,
+         CAST(sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN status IN ('modified', 'unchanged')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM j GROUP BY host),
+lam AS (
+  SELECT host, n AS n_pages,
+         -ln((CAST(n AS DOUBLE) - CAST(x AS DOUBLE) + 0.5)
+             / (CAST(n AS DOUBLE) + 0.5)) / 604800.0 AS l
+  FROM g WHERE n > 0)
+SELECT host, n_pages,
+       CAST(floor(l * 1000000) AS BIGINT) AS lambda_micro,
+       CAST(floor(greatest(least(
+         CASE WHEN l > 0 THEN 1.0 / l ELSE 2592000.0 END,
+         2592000.0), 3600.0)) AS BIGINT) AS revisit_s
+FROM lam
+"""
+
 
     # every hop re-derived: argmin over out-neighbors of the salted
     # md5 variate, total order (h, v) restated as min over

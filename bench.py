@@ -129,6 +129,7 @@ HEADLINE = [
     "wat_links_docs",
     "unicode_norm_docs",
     "kg_class_links",
+    "revisit_schedule_docs",
 ]
 
 

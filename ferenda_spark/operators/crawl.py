@@ -279,3 +279,48 @@ def host_churn(churn: DataFrame) -> DataFrame:
         "churn_permille",
         F.expr("CAST(1000 * (n_new + n_gone + n_modified) DIV "
                "(n_new + n_gone + n_modified + n_unchanged) AS BIGINT)"))
+
+
+def revisit_schedule(profile: DataFrame, interval_s: int,
+                     min_interval_s: int = 3600,
+                     max_interval_s: int = 30 * 86400) -> DataFrame:
+    """Per-host recrawl intervals from a :func:`host_churn` profile:
+    ``(host, n_pages, lambda_micro, revisit_s)``.
+
+    The change-rate estimator is Cho & Garcia-Molina's bias-corrected
+    repeated-access form (TOIT 2003, "Estimating frequency of
+    change"): with ``n`` surviving pages observed across two crawls
+    ``interval_s`` apart and ``X = n_modified`` of them changed,
+
+        λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / interval_s
+
+    — the MLE for Poisson page change with the +0.5 correction that
+    keeps an all-changed host finite.  ``revisit_s`` = 1/λ̂ clamped
+    to the [min, max] interval band: the uniform-freshness revisit
+    policy (revisit about as often as the host changes — churning
+    hosts earn short intervals, static archives long ones), the
+    scheduling signal ``fetch_schedule``'s politeness layer then
+    spreads over time.
+
+    Determinism: counts are exact BIGINTs and λ̂/revisit are ONE
+    double expression over them (the assortativity convention), so
+    the oracle reproduces both bit-for-bit.  new/gone pages carry no
+    change observation and are excluded from n by construction
+    (only modified+unchanged pages were seen in both crawls).
+    """
+    n = (F.col("n_modified") + F.col("n_unchanged")).cast("long")
+    x = F.col("n_modified").cast("long")
+    lam = (-F.log((n.cast("double") - x.cast("double") + 0.5)
+                  / (n.cast("double") + 0.5))
+           / F.lit(float(interval_s)))
+    raw = F.when(lam > 0, (1.0 / lam)).otherwise(
+        F.lit(float(max_interval_s)))
+    return (profile
+            .filter(n > 0)
+            .select("host", n.alias("n_pages"),
+                    F.floor(lam * 1_000_000).cast("long")
+                    .alias("lambda_micro"),
+                    F.floor(F.greatest(
+                        F.least(raw, F.lit(float(max_interval_s))),
+                        F.lit(float(min_interval_s))))
+                    .cast("long").alias("revisit_s")))

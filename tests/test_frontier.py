@@ -143,3 +143,33 @@ def test_schedule_fetches(spark):
     assert "BroadcastHashJoin" in plan
     bare = schedule_fetches(frontier.limit(1)).collect()
     assert bare[0]["not_before_millis"] == 0
+
+
+def test_revisit_schedule_monotone_in_churn(spark):
+    """More observed change → larger λ̂ → shorter revisit; clamping
+    holds at both ends; all-unchanged hosts get a finite small λ̂."""
+    import math
+    from ferenda_spark.operators.crawl import revisit_schedule
+    prof = spark.createDataFrame(
+        [("hot.example", 0, 0, 90, 10),
+         ("warm.example", 0, 0, 10, 90),
+         ("cold.example", 0, 0, 0, 100),
+         ("empty.example", 5, 2, 0, 0)],   # no surviving pages: drop
+        "host string, n_new long, n_gone long, n_modified long, "
+        "n_unchanged long")
+    day = 86400
+    got = {r["host"]: r for r in
+           revisit_schedule(prof, interval_s=7 * day).collect()}
+    assert "empty.example" not in got
+    lam_hot = -math.log((100 - 90 + 0.5) / 100.5) / (7 * day)
+    assert got["hot.example"]["lambda_micro"] == int(lam_hot * 1e6)
+    assert (got["hot.example"]["revisit_s"]
+            < got["warm.example"]["revisit_s"]
+            <= got["cold.example"]["revisit_s"])
+    # cold host: tiny λ̂ clamps to the 30-day ceiling
+    assert got["cold.example"]["revisit_s"] == 30 * day
+    # ultra-hot host with a tight band clamps to the floor
+    tight = revisit_schedule(prof, interval_s=7 * day,
+                             min_interval_s=10 ** 6).collect()
+    m = {r["host"]: r["revisit_s"] for r in tight}
+    assert m["hot.example"] == 10 ** 6
