@@ -2883,6 +2883,26 @@ LIMIT 10
         return revisit_schedule(prof, interval_s=7 * 86400)
     q["revisit_schedule_docs"] = revisit_schedule_docs
 
+    def script_mix_docs(spark, sf):
+        """Unicode script profile (textstats.script_mix): per doc_id
+        class a Cyrillic / CJK / Greek suffix is injected (class 0
+        mixes Latin WITH Cyrillic — the homograph-spoofing shape);
+        counts per script family, dominant script by fixed-order
+        strict-max, and the latin_cyrillic_mix flag.  Oracle: the
+        identical ranges (imported from the operator) via
+        regexp_extract_all + the same CASE cascade."""
+        from ferenda_spark.operators.textstats import script_mix
+        did = F.col("doc_id")
+        t = F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, " раураl сайт")
+            .when(did % 4 == 1, " 漢字テスト文書")
+            .when(did % 4 == 2, " ελληνικά γράμματα")
+            .otherwise(""))
+        docs = _docs(spark, sf).select("doc_id", t.alias("text"))
+        return script_mix(docs)
+    q["script_mix_docs"] = script_mix_docs
+
     def graph_random_walks(spark, sf):
         """Graph-embedding walk corpus (rank.py random_walks): one
         deterministic 3-step walk per node over the halving graph
@@ -5860,6 +5880,40 @@ SELECT host, n_pages,
          CASE WHEN l > 0 THEN 1.0 / l ELSE 2592000.0 END,
          2592000.0), 3600.0)) AS BIGINT) AS revisit_s
 FROM lam
+"""
+
+    # script-mix counts with the operator's OWN ranges (imported, so
+    # both engines run the literally identical character classes) and
+    # the same fixed-order strict-max dominant cascade
+    from ferenda_spark.operators.textstats import SCRIPT_RANGES
+    _scr_counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng}]')) AS BIGINT)"
+        f" AS n_{name}" for name, rng in SCRIPT_RANGES)
+    _dom = "'none'"
+    _best = "CAST(0 AS BIGINT)"
+    for _name, _ in SCRIPT_RANGES:
+        _dom = (f"CASE WHEN n_{_name} > {_best} THEN '{_name}' "
+                f"ELSE {_dom} END")
+        _best = (f"CASE WHEN n_{_name} > {_best} THEN n_{_name} "
+                 f"ELSE {_best} END")
+    o["script_mix_docs"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' раураl сайт'
+           WHEN doc_id % 4 = 1 THEN ' 漢字テスト文書'
+           WHEN doc_id % 4 = 2 THEN ' ελληνικά γράμματα'
+           ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+       {_scr_counts}
+  FROM t)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+       n_hangul,
+       {_dom} AS dominant_script,
+       n_latin > 0 AND n_cyrillic > 0 AS latin_cyrillic_mix
+FROM c
 """
 
 

@@ -130,6 +130,7 @@ HEADLINE = [
     "unicode_norm_docs",
     "kg_class_links",
     "revisit_schedule_docs",
+    "script_mix_docs",
 ]
 
 

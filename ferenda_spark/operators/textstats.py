@@ -324,3 +324,49 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     for name, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     return docs.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+#: Unicode script ranges for the mix profile (BMP core blocks — the
+#: ranges that separate the major script families; pure regex so both
+#: engines count identically)
+SCRIPT_RANGES = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿぀-ヿ"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힯"),
+]
+
+
+def script_mix(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script profile: one count column per
+    major script family, the dominant script, and a homograph flag —
+    all pure codegen (``regexp_count`` per range in the scan, zero
+    shuffle).
+
+    Two curation signals ride this: (1) script mix backs language-ID
+    — a Cyrillic-dominant page can't be English however its n-grams
+    score; (2) ``latin_cyrillic_mix`` marks pages mixing Latin with
+    Cyrillic IN THE SAME DOCUMENT, the homograph-spoofing signature
+    (раypal.com-style confusables) phishing/spam filtering keys on.
+    ``dominant_script`` breaks count ties by the fixed family order
+    (deterministic; 'none' when no scripted character occurs).
+    """
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(f"[{rng}]")).cast("long")
+              for name, rng in SCRIPT_RANGES}
+    cols = [counts[n].alias(f"n_{n}") for n, _ in SCRIPT_RANGES]
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, _ in SCRIPT_RANGES:
+        c = F.col(f"n_{name}")
+        dom = F.when(c > best, F.lit(name)).otherwise(dom)
+        best = F.when(c > best, c).otherwise(best)
+    out = docs.select(F.col(id_col), *cols)
+    return out.select(
+        id_col, *[f"n_{n}" for n, _ in SCRIPT_RANGES],
+        dom.alias("dominant_script"),
+        ((F.col("n_latin") > 0) & (F.col("n_cyrillic") > 0))
+        .alias("latin_cyrillic_mix"))

@@ -166,3 +166,21 @@ def test_url_templates_aggregation(spark):
     assert got["t.com/about"] == (1, "https://t.com/about")
     assert len(got) == 3                     # bad-url dropped
     assert url_templates(df, min_count=2).count() == 1
+
+
+def test_script_mix_profiles_and_homograph_flag(spark):
+    from ferenda_spark.operators.textstats import script_mix
+    rows = [(1, "plain ascii text"),
+            (2, "paypal vs раураl"),       # latin + cyrillic
+            (3, "漢字だけ"),          # cjk only
+            (4, "Αθήνα abc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_mix(df).collect()}
+    assert got[1]["dominant_script"] == "latin"
+    assert not got[1]["latin_cyrillic_mix"]
+    assert got[2]["latin_cyrillic_mix"]
+    assert got[2]["n_cyrillic"] == 5
+    assert got[3]["dominant_script"] == "cjk"
+    assert got[3]["n_latin"] == 0
+    assert got[4]["n_greek"] == 5 and got[4]["n_latin"] == 3
+    assert got[4]["dominant_script"] == "greek"
