@@ -2903,6 +2903,24 @@ LIMIT 10
         return script_mix(docs)
     q["script_mix_docs"] = script_mix_docs
 
+    def sim_pq_topk(spark, sf):
+        """Product-quantization ANN (similarity.pq_topk, the Jégou
+        ADC construction): 64-dim embeddings → 8 sub-space codes
+        (codebooks = sub-slices of the 16 lowest-id vectors, the IVF
+        seed convention), queries scored via per-query distance
+        tables over the codes only — the compressed-domain search
+        that turns 10^12×64 floats into 8-byte codes.  Exact int64
+        milli-quantized metric throughout, so the oracle replays
+        every code assignment, table cell and rank."""
+        from ferenda_spark.operators.similarity import pq_topk
+        embs = load_table(spark, sf, "embeddings")
+        queries = (embs.filter(F.col("vec_id") < 10)
+                   .select(F.col("vec_id").alias("query_id"),
+                           "embedding"))
+        return _longify(pq_topk(embs, queries, dim=64, k=5,
+                                m=8, ksub=16))
+    q["sim_pq_topk"] = sim_pq_topk
+
     def graph_random_walks(spark, sf):
         """Graph-embedding walk corpus (rank.py random_walks): one
         deterministic 3-step walk per node over the halving graph
@@ -5914,6 +5932,48 @@ SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
        {_dom} AS dominant_script,
        n_latin > 0 AND n_cyrillic > 0 AS latin_cyrillic_mix
 FROM c
+"""
+
+    # PQ/ADC replayed exactly: milli-floored components, per-subspace
+    # argmin codes (ties -> lower code), per-query distance tables,
+    # summed lookup, rank by (adist, item)
+    o["sim_pq_topk"] = """
+WITH it AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                  AS BIGINT)) AS q
+  FROM embeddings),
+cent AS (
+  SELECT q AS cv,
+         row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM it WHERE vec_id IN (
+    SELECT vec_id FROM it ORDER BY vec_id LIMIT 16)),
+subdist AS (
+  SELECT i.vec_id AS item_id, g.s, c.code,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [(i.q[g.s * 8 + x] - c.cv[g.s * 8 + x])
+            * (i.q[g.s * 8 + x] - c.cv[g.s * 8 + x])
+            for x in generate_series(1, 8)]), (a, b) -> a + b) AS dd
+  FROM it i
+  CROSS JOIN cent c
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS s) g),
+codes AS (
+  SELECT item_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY item_id, s
+                                 ORDER BY dd, code) AS rn
+    FROM subdist) WHERE rn = 1),
+qtab AS (SELECT item_id AS query_id, s, code, dd AS dv
+         FROM subdist WHERE item_id < 10),
+scored AS (
+  SELECT q.query_id, c.item_id, CAST(sum(q.dv) AS BIGINT) AS adist
+  FROM codes c JOIN qtab q ON q.s = c.s AND q.code = c.code
+  WHERE c.item_id <> q.query_id
+  GROUP BY 1, 2)
+SELECT query_id, item_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, item_id) AS rank
+  FROM scored) WHERE rank <= 5
 """
 
 

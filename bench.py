@@ -131,6 +131,7 @@ HEADLINE = [
     "kg_class_links",
     "revisit_schedule_docs",
     "script_mix_docs",
+    "sim_pq_topk",
 ]
 
 

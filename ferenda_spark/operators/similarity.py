@@ -402,3 +402,116 @@ def semantic_dedup(items: DataFrame, dim: int, threshold: float = 0.95,
             .select(F.col("id").alias(id_col),
                     grp.alias("group"),
                     (grp == F.col("id")).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011): ANN in the
+# COMPRESSED domain — each vector stored as m sub-space codes (one
+# byte-scale int per sub-space instead of dim floats), queries scored
+# by asymmetric distance (ADC): per-query lookup tables over the
+# codebooks, approx distance = Σ_s T[s][code_s].  This is the memory
+# side of the ANN story IVF/LSH don't cover: 10^12 embeddings at
+# 64×float32 = 256 TB, as 8-byte PQ codes = 8 TB — scannable.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(items: DataFrame, dim: int, m: int = 8,
+                 ksub: int = 16, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list:
+    """Per-sub-space codebooks: the ``ksub`` lowest-id vectors'
+    sub-slices (the IVF seed convention — deterministic, bounded
+    collect, SQL-restatable; Lloyd-refine per sub-space via
+    ``lloyd_refine`` on slices when recall matters more than oracle
+    exactness).  Returns ``m`` lists of ``ksub`` centroids of
+    ``dim/m`` components each."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    d = dim // m
+    rows = (items.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+            .orderBy("id").limit(ksub).collect())
+    vecs = [list(r["v"]) for r in sorted(rows, key=lambda r: r["id"])]
+    return [[v[s * d:(s + 1) * d] for v in vecs] for s in range(m)]
+
+
+def pq_encode_udf(codebooks: list):
+    """Arrow-vectorized PQ encoder: vec → array<int> of ``m`` codes,
+    one exact-int64 milli-quantized argmin per sub-space (ties → the
+    lower code, numpy stable argmin ≡ ORDER BY dist, code)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.floor(np.asarray(cb, dtype=np.float64) * 1000.0)
+         .astype(np.int64) for cb in codebooks]          # m × (k, d)
+    d = C[0].shape[1]
+    m = len(C)
+
+    def f(vecs):
+        import pandas as pd
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray(vecs.tolist(), dtype=np.float64)
+        Q = np.floor(M * 1000.0).astype(np.int64)
+        codes = np.empty((len(Q), m), dtype=np.int32)
+        for s in range(m):
+            Qs = Q[:, s * d:(s + 1) * d]
+            Cs = C[s]
+            dist = ((Qs * Qs).sum(axis=1)[:, None]
+                    - 2 * (Qs @ Cs.T)
+                    + (Cs * Cs).sum(axis=1)[None, :])
+            codes[:, s] = dist.argmin(axis=1)            # stable first-min
+        return pd.Series(codes.tolist())
+
+    return pandas_udf(f, "array<int>")
+
+
+def pq_topk(items: DataFrame, queries: DataFrame, dim: int,
+            k: int = 5, m: int = 8, ksub: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id") -> DataFrame:
+    """PQ/ADC approximate top-k: ``(query_id, item_id, adist, rank)``
+    — rank by ascending asymmetric distance (ties → lower item id).
+
+    The corpus is touched ONLY through its codes: items encode once
+    (one Arrow pass, no shuffle), each query builds its m×ksub
+    distance table against the codebooks (driver-side numpy — Q·m·k
+    integers), and scoring is a broadcast lookup-join of the exploded
+    (item, subspace, code) rows against the table followed by one
+    map-side-combinable sum per (query, item).  All distances are the
+    exact int64 milli-quantized metric of the IVF family, so the SQL
+    oracle reproduces every table cell and every rank bit-for-bit.
+    """
+    import numpy as np
+
+    cbs = pq_codebooks(items, dim, m, ksub, id_col, vec_col)
+    d = dim // m
+    enc = pq_encode_udf(cbs)
+    codes = (items.select(F.col(id_col).alias("item_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+             .select("item_id", F.posexplode(enc(F.col("v")))
+                     .alias("s", "code")))
+    qrows = (queries.select(F.col(query_id_col).alias("query_id"),
+                            _as_double(F.col(vec_col)).alias("v"))
+             .collect())
+    C = [np.floor(np.asarray(cb, dtype=np.float64) * 1000.0)
+         .astype(np.int64) for cb in cbs]
+    table = []
+    for r in qrows:
+        q = np.floor(np.asarray(list(r["v"]), dtype=np.float64)
+                     * 1000.0).astype(np.int64)
+        for s in range(m):
+            qs = q[s * d:(s + 1) * d]
+            dist = ((C[s] - qs[None, :]) ** 2).sum(axis=1)
+            for code, dv in enumerate(dist):
+                table.append((r["query_id"], s, int(code), int(dv)))
+    spark = items.sparkSession
+    tdf = spark.createDataFrame(
+        table, "query_id long, s int, code int, dv long")
+    scored = (codes.join(F.broadcast(tdf), ["s", "code"])
+              .filter(F.col("item_id") != F.col("query_id"))
+              .groupBy("query_id", "item_id")
+              .agg(F.sum("dv").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "adist", "rank"))

@@ -1385,3 +1385,42 @@ def test_select_canonical_prefers_score_then_min_id(spark):
     # 4 and 9 unclustered: their own singleton keepers
     assert got[4] == (4, 4, True)
     assert got[9] == (9, 9, True)
+
+
+def test_pq_topk_adc_recall_and_determinism(spark):
+    """PQ/ADC nearest neighbors track exact L2 nearest neighbors on
+    a clustered fixture, codes are partition-independent, and the
+    asymmetric distance of a vector to ITS OWN cluster twin is far
+    below cross-cluster distances."""
+    import numpy as np
+    dim = 16
+    rows = []
+    for i in range(60):
+        base = np.array([((i % 6) * 17 + j * 5 + 1) % 11 - 5.0
+                         for j in range(dim)])
+        v = base + 0.01 * ((i * 7) % 13)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["rank"]): r["item_id"]
+           for r in similarity.pq_topk(emb, qs, dim, k=3,
+                                       m=4, ksub=8).collect()}
+    # quantization collapses within-cluster offsets (same codes →
+    # identical adist), so the PQ recall notion is CLUSTER-level:
+    # every rank-1 answer must come from the query's own cluster,
+    # at asymmetric distance strictly below any cross-cluster item
+    adist = {(r["query_id"], r["item_id"]): r["adist"]
+             for r in similarity.pq_topk(emb, qs, dim, k=3,
+                                         m=4, ksub=8).collect()}
+    for q in range(5):
+        top1 = got[(q, 1)]
+        assert top1 % 6 == q % 6, (q, top1)
+        same = adist[(q, top1)]
+        cross = [v for (qq, it), v in adist.items()
+                 if qq == q and it % 6 != q % 6]
+        assert all(same < c for c in cross), (q, same, cross)
+    got2 = {(r["query_id"], r["rank"]): r["item_id"]
+            for r in similarity.pq_topk(emb.repartition(7), qs, dim,
+                                        k=3, m=4, ksub=8).collect()}
+    assert got == got2
