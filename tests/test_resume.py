@@ -468,3 +468,29 @@ def test_partition_spec_prunes_and_preserves(spark, tmp_path):
     assert specless.read("edge").count() == 180 + 30
     assert {(r["subj"], r["pred"], r["obj"])
             for r in specless.read("edge").collect()} == all_rows
+
+
+def test_snapshot_metrics_per_commit_and_rollup(spark, tmp_path):
+    """Every committed snapshot gets one metrics row (count + HLL
+    sketch), and unioning the sketches answers a cross-snapshot
+    distinct count without rescanning the table."""
+    from ferenda_spark.operators.graph import GraphStore, snapshot_metrics
+    from ferenda_spark.operators.profile import merge_sketches
+    store = GraphStore(spark, str(tmp_path / "g"))
+    rows1 = [(f"s{i % 20}", "p", f"o{i}") for i in range(100)]
+    rows2 = [(f"s{i % 30}", "p", f"o{i}") for i in range(50)]
+    sch = "subj string, pred string, obj string"
+    store.append(spark.createDataFrame(rows1, sch), "edge")
+    store.append(spark.createDataFrame(rows2, sch), "edge")
+    m = snapshot_metrics(store, "edge")
+    got = sorted((r["snapshot_id"], r["n_rows"], r["n_distinct_est"])
+                 for r in m.collect())
+    assert len(got) == 2
+    assert got[0][1] == 100 and got[1][1] == 50
+    assert abs(got[0][2] - 20) <= 1 and abs(got[1][2] - 30) <= 1
+    rolled = merge_sketches(m).collect()[0]["n_distinct_est"]
+    # distinct subjects across BOTH snapshots = 30 (s0..s29)
+    assert abs(rolled - 30) <= 2
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        snapshot_metrics(store, "nope")
