@@ -936,6 +936,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return render_xhtml_pages(meta, nodes, langs=langs)
     q["render_xhtml_docs"] = render_xhtml_docs
 
+    def rdfa_roundtrip_docs(spark, sf):
+        """RDFa write→read roundtrip — the identity the reference
+        itself relies on (render_xhtml at documentrepository.py:1456
+        writes XHTML+RDFa that parse_metadata_from_soup at :1277
+        reads back): the rendered act pages from render_xhtml_docs
+        are fed through the RDFa-Lite reader
+        (structured_data.rdfa_triples), which must recover exactly
+        the five head metadata triples per act (title literal with
+        the page's xml:lang, rdf:type / dcterms:publisher links,
+        language / extent literals) plus one rdf:type triple per
+        statute tree node (the body divs' about/typeof).  The oracle
+        restates both arms from the doc_id arithmetic — NOT from the
+        rendered bytes — so a reader that mis-unescapes, drops lang
+        inheritance, or mis-scopes about/typeof diverges."""
+        from ferenda_spark.operators.structured_data import (
+            rdfa_triples,
+        )
+        pages = render_xhtml_docs(spark, sf)
+        return rdfa_triples(pages, url_col="url",
+                            html_col="xhtml").select(
+            "src_url", "subj", "pred", "obj", "obj_is_literal",
+            "obj_datatype", "obj_lang")
+    q["rdfa_roundtrip_docs"] = rdfa_roundtrip_docs
+
     def kg_structure_closure(spark, sf):
         """Transitive ancestor closure over the statute tree — the
         isPartOf* closure (J3) at its real depth (5 levels), not the
@@ -3648,6 +3672,30 @@ SELECT h.url,
   ' version="XHTML+RDFa 1.1" xml:lang="' || h.lang || '">' ||
   h.head_xml || b.body_xml || '</html>' AS xhtml
 FROM heads h JOIN body b ON b.url = h.url
+"""
+
+    o["rdfa_roundtrip_docs"] = f"""
+WITH {_struct_ctes},
+nodes AS ({_struct_select}),
+meta AS (
+  SELECT 'https://example.org/res/act/' || CAST(doc_id AS VARCHAR)
+           AS url, lang, t.pred, t.obj
+  FROM documents, LATERAL (SELECT * FROM (VALUES
+    ('dcterms:title', 'Act ' || CAST(doc_id AS VARCHAR)),
+    ('rdf:type', 'https://example.org/ontology/rfc#Act'),
+    ('dcterms:publisher', 'https://example.org/org/' || source),
+    ('dcterms:language', lang),
+    ('dcterms:extent', CAST(n_chars AS VARCHAR))) v(pred, obj)) t)
+SELECT url AS src_url, url AS subj, pred, obj,
+       NOT regexp_matches(obj, '^https?://') AS obj_is_literal,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CASE WHEN NOT regexp_matches(obj, '^https?://') THEN lang
+            END AS obj_lang
+FROM meta
+UNION ALL
+SELECT url, url || '#' || node_id, 'rdf:type', kind, FALSE,
+       NULL, NULL
+FROM nodes
 """
 
     o["kg_structure_closure"] = f"""

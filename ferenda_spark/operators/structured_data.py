@@ -420,3 +420,288 @@ def microdata_triples(pages: DataFrame, url_col: str = "url",
 
     return pages.select(url_col, html_col).mapInPandas(
         batches, schema=JSONLD_SCHEMA)
+
+
+# ---- RDFa-Lite reader ---------------------------------------------------
+#
+# The third leg of the Web Data Commons triad, and the one the
+# reference itself round-trips through: ferenda serializes document
+# metadata INTO XHTML+RDFa (documentrepository.py:1456-1680
+# ``render_xhtml``) and parses it back out
+# (documentrepository.py:1277-1317 ``parse_metadata_from_soup``,
+# rdflib's RDFa plugin).  operators/render.py is this engine's
+# writer; ``rdfa_triples`` below is the reader, so
+# ``rdfa_triples(render_xhtml_pages(t, n)) == t ∪ types(n)`` is a
+# testable identity (the rdfa_roundtrip_docs gate).
+#
+# Subset semantics (RDFa-Lite 1.1 + the handful of full-RDFa
+# features the writer emits; documented, fail-loud on the rest):
+#
+# - attributes handled: ``about``, ``resource``, ``href``/``src``
+#   (object IRIs, resolved against the page url), ``typeof``,
+#   ``property``, ``rel``, ``content``, ``datatype``, ``vocab``,
+#   ``prefix`` (``p: iri`` pairs) and legacy ``xmlns:p`` declarations,
+#   ``lang``/``xml:lang`` (innermost wins; plain literals carry it);
+# - the initial subject is the page url (the RDFa base); ``about``
+#   sets the subject for its element and subtree; a bare ``resource``
+#   (no property/rel) likewise re-roots the subtree;
+# - ``property`` takes its object from ``content`` (literal,
+#   ``datatype`` respected), else ``resource``/``href``/``src``
+#   (IRI), else — when ``typeof`` opens a new node here — the chained
+#   blank node, else the element's EXACT text content (no whitespace
+#   normalization: XHTML+RDFa is a precise serialization, unlike
+#   scraped microdata, and exactness is what makes the write→read
+#   roundtrip byte-faithful);
+# - ``rel`` requires an IRI object on the same element
+#   (``href``/``resource``/``src``); a hanging ``rel`` (incomplete
+#   triple) is out of subset → ONE error row;
+# - ``typeof`` types the element's subject — ``about`` if present,
+#   the chained blank node under ``property``, the ``resource``
+#   object, else a fresh deterministic blank node
+#   ``<page-url>#rdfa/<n>`` (pre-order ordinal; the skolemization
+#   contract shared with extract_jsonld/extract_microdata) which
+#   also becomes the subtree's subject;
+# - term resolution: absolute IRIs contract through
+#   CONTEXT_PREFIXES (schema.org → ``schema:``); CURIEs whose prefix
+#   is declared (``prefix``/``xmlns:``) stay verbatim — the engine's
+#   CURIE edge convention; an UNDECLARED CURIE prefix is an error
+#   row (fail loud, never guessed); bare terms expand under the
+#   in-scope ``vocab`` when one is set, else stay verbatim (the
+#   writer's body ``typeof`` rides plain node-kind terms — the
+#   reference's elements.py class names — with no vocab);
+# - ``rev`` and ``inlist`` are out of subset → ONE error row each.
+#
+# Same scan shape as the other two readers: one stateless Arrow
+# ``mapInPandas`` pass over (url, html), no shuffle.
+
+_PREFIX_DECL_RE = re.compile(r"([A-Za-z][\w.-]*):\s+(\S+)")
+
+
+class _RdfaParser(HTMLParser):
+    """One page's RDFa-Lite markup → edge-schema tuples + error rows."""
+
+    def __init__(self, url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.url = url
+        self.prefixes: dict[str, str] = {}
+        self.n_bnodes = 0
+        self.subjects: list[str] = [url]
+        self.langs: list = [None]
+        self.vocabs: list = [None]
+        # open text captures: [subj, preds, datatype, lang, parts]
+        self.captures: list[list] = []
+        # per open element: (tag, pops_subj, pops_lang, pops_vocab,
+        #                    owns_capture)
+        self.frames: list[tuple] = []
+        self.out: list[tuple] = []
+        self.errors: list[str] = []
+
+    def _emit(self, subj, pred, obj, is_lit, dt=None, lang=None):
+        self.out.append((subj, pred, obj, is_lit, dt, lang))
+
+    def _resolve(self, ref: str) -> str:
+        from urllib.parse import urljoin
+        return urljoin(self.url, ref)
+
+    def _bnode(self) -> str:
+        s = f"{self.url}#rdfa/{self.n_bnodes}"
+        self.n_bnodes += 1
+        return s
+
+    def _terms(self, value: str, what: str) -> list[str]:
+        """Space-separated term list → engine names; undeclared CURIE
+        prefixes error instead of being guessed at."""
+        names = []
+        for t in value.split():
+            if "://" in t:
+                names.append(_md_contract(t))
+            elif ":" in t:
+                if t.split(":", 1)[0] in self.prefixes:
+                    names.append(t)
+                else:
+                    self.errors.append(
+                        f"{what}={t!r}: undeclared CURIE prefix")
+            else:
+                vocab = self.vocabs[-1]
+                names.append(_md_contract(vocab + t) if vocab else t)
+        return names
+
+    def _start(self, tag: str, attrs, void: bool) -> None:
+        a = {k: (v if v is not None else "") for k, v in attrs}
+        for k, v in a.items():
+            if k.startswith("xmlns:"):
+                self.prefixes[k[6:]] = v
+        for m in _PREFIX_DECL_RE.finditer(a.get("prefix", "")):
+            self.prefixes[m.group(1)] = m.group(2)
+
+        bad = [k for k in ("rev", "inlist") if k in a]
+        if bad:
+            self.errors.append(f"<{tag} {bad[0]}> out of subset")
+            if not void:
+                self.frames.append((tag, False, False, False, False))
+            return
+
+        pops_vocab = "vocab" in a
+        if pops_vocab:
+            self.vocabs.append(a["vocab"].strip() or None)
+        lang_attr = a.get("xml:lang", a.get("lang"))
+        pops_lang = lang_attr is not None
+        if pops_lang:
+            self.langs.append(lang_attr or None)
+
+        about = a.get("about")
+        res_ref = None
+        for k in ("resource", "href", "src"):
+            if a.get(k):
+                res_ref = a[k]
+                break
+        props = self._terms(a["property"], "property") \
+            if "property" in a else []
+        rels = self._terms(a["rel"], "rel") if "rel" in a else []
+        types = self._terms(a["typeof"], "typeof") \
+            if "typeof" in a else []
+
+        stmt_subj = self._resolve(about) if about is not None \
+            else self.subjects[-1]
+        dt = None
+        if a.get("datatype"):
+            dts = self._terms(a["datatype"], "datatype")
+            dt = dts[0] if dts else None
+
+        chained_bnode = None
+        owns_capture = False
+        if rels:
+            if res_ref is None:
+                self.errors.append(
+                    f"<{tag} rel> without an object IRI (hanging rel) "
+                    "out of subset")
+            else:
+                for r in rels:
+                    self._emit(stmt_subj, r, self._resolve(res_ref),
+                               False)
+        if props:
+            if "content" in a:
+                lang = None if dt else self.langs[-1]
+                for p in props:
+                    self._emit(stmt_subj, p, a["content"], True, dt,
+                               lang)
+            elif res_ref is not None and not rels:
+                for p in props:
+                    self._emit(stmt_subj, p, self._resolve(res_ref),
+                               False)
+            elif types and about is None:
+                chained_bnode = self._bnode()
+                for p in props:
+                    self._emit(stmt_subj, p, chained_bnode, False)
+            elif not void:
+                self.captures.append(
+                    [stmt_subj, props, dt,
+                     None if dt else self.langs[-1], []])
+                owns_capture = True
+
+        new_subj = None
+        if about is not None:
+            new_subj = self._resolve(about)
+        elif chained_bnode is not None:
+            new_subj = chained_bnode
+        elif types:
+            if res_ref is not None:
+                new_subj = self._resolve(res_ref)
+            else:
+                new_subj = self._bnode()
+        elif res_ref is not None and not props and not rels \
+                and "resource" in a:
+            new_subj = self._resolve(a["resource"])
+
+        if types:
+            tsubj = new_subj if new_subj is not None else stmt_subj
+            for t in types:
+                self._emit(tsubj, "rdf:type", t, False)
+
+        pops_subj = new_subj is not None
+        if pops_subj:
+            self.subjects.append(new_subj)
+
+        if void:
+            # void elements close immediately: unwind pushed scopes
+            if pops_subj:
+                self.subjects.pop()
+            if pops_lang:
+                self.langs.pop()
+            if pops_vocab:
+                self.vocabs.pop()
+        else:
+            self.frames.append((tag, pops_subj, pops_lang, pops_vocab,
+                                owns_capture))
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, void=tag in _MD_VOID)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, void=True)
+
+    def handle_endtag(self, tag):
+        if not any(f[0] == tag for f in self.frames):
+            return  # stray close tag: ignore, never crash
+        while self.frames:
+            ftag, pops_subj, pops_lang, pops_vocab, owns_capture = \
+                self.frames.pop()
+            if owns_capture:
+                subj, preds, dt, lang, parts = self.captures.pop()
+                text = "".join(parts)
+                for p in preds:
+                    self._emit(subj, p, text, True, dt, lang)
+            if pops_subj:
+                self.subjects.pop()
+            if pops_lang:
+                self.langs.pop()
+            if pops_vocab:
+                self.vocabs.pop()
+            if ftag == tag:
+                break
+
+    def handle_data(self, data):
+        for cap in self.captures:
+            cap[4].append(data)
+
+
+def extract_rdfa(url: str, html: str) -> list[dict]:
+    """Pure-Python twin: all RDFa-Lite triples of one page,
+    JSONLD_SCHEMA keys; one error row per out-of-subset construct."""
+    parser = _RdfaParser(url)
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception as exc:  # malformed HTML: loud row, no crash
+        parser.errors.append(f"parse: {exc}")
+
+    def row(subj=None, pred=None, obj=None, obj_is_literal=None,
+            obj_datatype=None, obj_lang=None, error=None) -> dict:
+        return {"src_url": url, "subj": subj, "pred": pred, "obj": obj,
+                "obj_is_literal": obj_is_literal,
+                "obj_datatype": obj_datatype, "obj_lang": obj_lang,
+                "error": error}
+
+    rows = [row(*t) for t in parser.out]
+    rows.extend(row(error=e) for e in parser.errors)
+    return rows
+
+
+def rdfa_triples(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """pages(url, html) → JSONLD_SCHEMA triples from RDFa-Lite
+    markup — one stateless Arrow pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_url", "subj", "pred", "obj", "obj_is_literal",
+                "obj_datatype", "obj_lang", "error"]
+        for pdf in it:
+            rows: list[dict] = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rows.extend(extract_rdfa(url, html))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(url_col, html_col).mapInPandas(
+        batches, schema=JSONLD_SCHEMA)

@@ -196,3 +196,150 @@ def test_microdata_triples_spark(spark):
     twin = extract_microdata("https://x.com/p", MD_PAGE)
     assert _triples([r.asDict() for r in rows]) == _triples(twin)
     assert sum(1 for r in rows if r["error"]) == 0
+
+
+# ---- RDFa-Lite reader ---------------------------------------------------
+
+from ferenda_spark.operators.structured_data import (extract_rdfa,  # noqa: E402
+                                                     rdfa_triples)
+
+RDFA_PAGE = (
+    '<html xmlns:dcterms="http://purl.org/dc/terms/" xml:lang="en">'
+    '<head about="https://a.com/doc">'
+    '<title property="dcterms:title">T &amp; 1</title>'
+    '<link rel="dcterms:publisher" href="https://a.com/org/x"/>'
+    '<meta property="dcterms:extent" content="42"/>'
+    '</head><body about="https://a.com/doc">'
+    '<div about="https://a.com/doc#K1" typeof="chapter"><p>General</p>'
+    '<div about="https://a.com/doc#K1P1" typeof="section">'
+    '<p>Sec</p></div></div></body></html>')
+
+
+def test_rdfa_writer_shape_roundtrip_semantics():
+    got = _triples(extract_rdfa("https://a.com/doc", RDFA_PAGE))
+    assert got == {
+        # exact text (entity unescaped), xml:lang inherited
+        ("https://a.com/doc", "dcterms:title", "T & 1", True, None, "en"),
+        ("https://a.com/doc", "dcterms:publisher", "https://a.com/org/x",
+         False, None, None),
+        ("https://a.com/doc", "dcterms:extent", "42", True, None, "en"),
+        ("https://a.com/doc#K1", "rdf:type", "chapter", False, None, None),
+        ("https://a.com/doc#K1P1", "rdf:type", "section", False, None,
+         None),
+    }
+
+
+def test_rdfa_vocab_prefix_chaining_and_resolution():
+    page = ('<html prefix="og: https://ogp.me/ns#"><head>'
+            '<meta property="og:title" content="Hello"/>'
+            '<link rel="canonical" href="/canon"/>'
+            '</head><body vocab="https://schema.org/">'
+            '<div typeof="Article">'
+            '<span property="headline">Big news</span>'
+            '<div property="author" typeof="Person">'
+            '<span property="name">Ada</span></div>'
+            '<a property="url" href="rel/path">x</a>'
+            '</div></body></html>')
+    got = _triples(extract_rdfa("https://s.com/a/b", page))
+    assert got == {
+        # base subject = the page url; declared CURIE stays verbatim
+        ("https://s.com/a/b", "og:title", "Hello", True, None, None),
+        # bare rel term, href resolved against the page url
+        ("https://s.com/a/b", "canonical", "https://s.com/canon",
+         False, None, None),
+        # vocab expands bare terms, then contracts to schema:
+        ("https://s.com/a/b#rdfa/0", "rdf:type", "schema:Article",
+         False, None, None),
+        ("https://s.com/a/b#rdfa/0", "schema:headline", "Big news",
+         True, None, None),
+        # property+typeof chains through a deterministic blank node
+        ("https://s.com/a/b#rdfa/0", "schema:author",
+         "https://s.com/a/b#rdfa/1", False, None, None),
+        ("https://s.com/a/b#rdfa/1", "rdf:type", "schema:Person",
+         False, None, None),
+        ("https://s.com/a/b#rdfa/1", "schema:name", "Ada", True, None,
+         None),
+        # property with href → IRI object, resolved relative
+        ("https://s.com/a/b#rdfa/0", "schema:url",
+         "https://s.com/a/rel/path", False, None, None),
+    }
+    # bnode ordinals are pre-order + replay-stable
+    again = _triples(extract_rdfa("https://s.com/a/b", page))
+    assert again == got
+
+
+def test_rdfa_datatype_lang_scoping_and_exact_text():
+    page = ('<html xmlns:xsd="http://www.w3.org/2001/XMLSchema#"'
+            ' xml:lang="en"><body about="urn:d">'
+            '<span property="a" datatype="xsd:integer" content="7"/>'
+            '<p property="b" xml:lang="sv">  hej  da  </p>'
+            '<p property="c"></p></body></html>')
+    got = _triples(extract_rdfa("https://x.com/", page))
+    # datatype suppresses lang; inner xml:lang overrides outer;
+    # text is EXACT (no whitespace normalization); empty stays empty
+    assert ("urn:d", "a", "7", True, "xsd:integer", None) in got
+    assert ("urn:d", "b", "  hej  da  ", True, None, "sv") in got
+    assert ("urn:d", "c", "", True, None, "en") in got
+
+
+def test_rdfa_fail_loud_rows():
+    # undeclared CURIE prefix: loud, never guessed
+    rows = extract_rdfa("u", '<p property="bad:x">v</p>')
+    assert len(rows) == 1 and "undeclared" in rows[0]["error"]
+    # hanging rel (incomplete triple): out of subset
+    rows = extract_rdfa("u", '<a rel="next">v</a>')
+    assert len(rows) == 1 and "hanging rel" in rows[0]["error"]
+    # rev / inlist: out of subset
+    for frag in ('<a rev="x" href="h">v</a>',
+                 '<a inlist="" property="p" href="h">v</a>'):
+        rows = extract_rdfa("u", frag)
+        assert len(rows) == 1 and "out of subset" in rows[0]["error"]
+    # malformed / stray tags: no crash, no phantom triples
+    assert extract_rdfa("u", "</div></div><p unclosed") == []
+    assert extract_rdfa("u", None) == []
+
+
+def test_rdfa_triples_spark_matches_twin(spark):
+    pages = spark.createDataFrame(
+        [("https://a.com/doc", RDFA_PAGE.encode("utf-8")),
+         ("https://a.com/empty", b"<p>nothing here</p>")],
+        "url string, html binary")
+    rows = rdfa_triples(pages).collect()
+    twin = extract_rdfa("https://a.com/doc", RDFA_PAGE)
+    assert _triples([r.asDict() for r in rows]) == _triples(twin)
+    assert sum(1 for r in rows if r["error"]) == 0
+    # one stateless Arrow pass: no Exchange in the plan
+    plan = rdfa_triples(pages)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+def test_rdfa_render_roundtrip_identity(spark):
+    """rdfa_triples(render_xhtml_pages(meta, nodes)) recovers meta ∪
+    node types — the reference's render/parse_metadata_from_soup
+    identity, on a hand-built two-node act."""
+    from ferenda_spark.operators.render import render_xhtml_pages
+    url = "https://ex.org/res/act/1"
+    meta = spark.createDataFrame(
+        [(url, "dcterms:title", "Act <1> & co"),
+         (url, "rdf:type", "https://ex.org/onto#Act"),
+         (url, "dcterms:extent", "99")],
+        "subj string, pred string, obj string")
+    nodes = spark.createDataFrame(
+        [(url, "K1", "chapter", "1", None, 1, 'Ch "one"'),
+         (url, "K1P1", "section", "1", "K1", 2, "Sec 1")],
+        "url string, node_id string, kind string, ordinal string, "
+        "parent_id string, depth int, text string")
+    langs = spark.createDataFrame([(url, "sv")], "url string, lang string")
+    pages = render_xhtml_pages(meta, nodes, langs=langs, max_depth=2)
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+            r["obj_lang"])
+           for r in rdfa_triples(pages, html_col="xhtml").collect()
+           if r["error"] is None}
+    assert got == {
+        (url, "dcterms:title", "Act <1> & co", True, "sv"),
+        (url, "rdf:type", "https://ex.org/onto#Act", False, None),
+        (url, "dcterms:extent", "99", True, "sv"),
+        (url + "#K1", "rdf:type", "chapter", False, None),
+        (url + "#K1P1", "rdf:type", "section", False, None),
+    }
