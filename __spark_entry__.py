@@ -2119,6 +2119,72 @@ LIMIT 10
             "n_fetches")
     q["latest_fetch_docs"] = latest_fetch_docs
 
+    def head_meta_docs(spark, sf):
+        """Page-head metadata harvest (structured_data.head_meta):
+        title, OpenGraph og:title, meta description, an hreflang
+        alternate, and — on two of every three pages — a
+        rel=canonical link whose RELATIVE href must resolve against
+        the page url.  The oracle restates every harvested row,
+        including document-order positions and the ../-resolution
+        arithmetic."""
+        from ferenda_spark.operators.structured_data import head_meta
+        did = F.col("doc_id").cast("string")
+        site = F.concat(F.lit("https://news"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example"))
+        url = F.concat(site, F.lit("/a/"), did)
+        leader = (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+        canon_tag = F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit('<link rel="canonical" href="../art/'),
+                     leader, F.lit('">'))).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit("<html><head><title> Story  "), did,
+            F.lit(" </title><meta property=\"og:title\" content=\"OG "),
+            did, F.lit('"/><meta name="Description" content="D'),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit('"><link rel="alternate" href="/sv/'), did,
+            F.lit('" hreflang="sv">'), canon_tag,
+            F.lit("</head><body>x</body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        return head_meta(pages)
+    q["head_meta_docs"] = head_meta_docs
+
+    def canonical_declared_dedup(spark, sf):
+        """Declared-canonical snapshot dedup (webfilter.
+        declared_canonical_fetch): every group of three consecutive
+        doc_ids fetches three distinct mirror urls that all declare
+        ONE rel=canonical target, except doc_id%4==0 pages which
+        declare nothing and fall back to their own normalized url —
+        the operator must collapse each declaring group to its
+        newest fetch and leave the silent pages alone.  Oracle: the
+        same grouping + arg_max restated."""
+        from ferenda_spark.operators.webfilter import (
+            declared_canonical_fetch,
+        )
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://m.site/a/"), did)
+        leader = (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+        html = F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(F.lit('<html><head><link rel="canonical" '
+                           'href="https://site.example/art/'),
+                     leader,
+                     F.lit('"></head><body>b</body></html>'))
+        ).otherwise(F.lit("<html><body>no declaration</body></html>"))
+        fetches = _docs(spark, sf).select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(1704067200)
+                                + F.col("doc_id") * 7).alias("warc_ts"),
+            html.alias("html"))
+        out = declared_canonical_fetch(fetches)
+        return out.select(
+            "canonical_url", F.col("url").alias("winner_url"),
+            F.col("warc_ts").cast("long").alias("latest_epoch"),
+            "declared", "n_fetches")
+    q["canonical_declared_dedup"] = canonical_declared_dedup
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5049,6 +5115,54 @@ SELECT url AS canonical_url,
          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
        AS BIGINT) AS n_fetches
 FROM f
+"""
+
+    o["head_meta_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+    'https://news' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      AS site,
+    'https://news' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CAST(doc_id AS VARCHAR) AS did,
+    CAST(doc_id - doc_id % 3 AS VARCHAR) AS leader
+  FROM documents)
+SELECT url AS src_url, 'title' AS kind, '' AS key,
+       'Story ' || did AS value, CAST(NULL AS VARCHAR) AS hreflang,
+       0 AS pos
+FROM d
+UNION ALL
+SELECT url, 'meta', 'og:title', 'OG ' || did, NULL, 1 FROM d
+UNION ALL
+SELECT url, 'meta', 'description',
+       'D' || CAST(doc_id % 11 AS VARCHAR), NULL, 2 FROM d
+UNION ALL
+SELECT url, 'link', 'alternate', site || '/sv/' || did, 'sv', 3
+FROM d
+UNION ALL
+SELECT url, 'link', 'canonical', site || '/art/' || leader, NULL, 4
+FROM d WHERE doc_id % 3 <> 0
+"""
+
+    o["canonical_declared_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+    'https://m.site/a/' || CAST(doc_id AS VARCHAR) AS url,
+    1704067200 + doc_id * 7 AS epoch,
+    doc_id % 4 <> 0 AS declares,
+    doc_id - doc_id % 3 AS leader
+  FROM documents),
+k AS (
+  SELECT *, CASE WHEN declares
+    THEN 'https://site.example/art/' || CAST(leader AS VARCHAR)
+    ELSE url END AS canon
+  FROM d)
+SELECT canon AS canonical_url,
+       arg_max(url, epoch) AS winner_url,
+       max(epoch) AS latest_epoch,
+       arg_max(declares, epoch) AS declared,
+       count(*) AS n_fetches
+FROM k GROUP BY 1
 """
 
     o["curation_pipeline_v4"] = f"""

@@ -705,3 +705,115 @@ def rdfa_triples(pages: DataFrame, url_col: str = "url",
 
     return pages.select(url_col, html_col).mapInPandas(
         batches, schema=JSONLD_SCHEMA)
+
+
+# ---- page-head metadata harvest -----------------------------------------
+#
+# The lightweight signals nearly every real web page carries even
+# when it has no JSON-LD/microdata/RDFa markup: ``<title>``,
+# ``<meta name=/property= content=>`` (description, robots,
+# OpenGraph ``og:*`` / ``twitter:*`` cards), and ``<link rel=>``
+# (``canonical`` — the page-DECLARED dedup key webfilter.py's
+# declared_canonical_fetch consumes — plus ``alternate`` hreflang
+# clusters, feeds, ``amphtml``).  The reference mines page heads the
+# same way during parse (documentrepository.py:1277-1317 reads the
+# serialized head; lagen.nu's scrapers read titles/links from soup).
+#
+# Lenient by design — this is wild-HTML harvesting, not the RDFa
+# reader's precise-serialization contract: tags missing their value
+# attribute are skipped silently, the harvest runs over the whole
+# document (real pages misplace meta tags into <body>), text is
+# whitespace-normalized, and a ``<base href>`` (first one wins, per
+# HTML spec) rebases relative link resolution.  One stateless Arrow
+# pass, no shuffle.
+
+HEADMETA_SCHEMA = ("src_url string, kind string, key string, "
+                   "value string, hreflang string, pos int")
+
+
+class _HeadMetaParser(HTMLParser):
+    def __init__(self, url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.url = url
+        self.base = url
+        self.base_set = False
+        self.out: list[tuple] = []   # (kind, key, value, hreflang, pos)
+        self.pos = 0
+        self.title_parts: list[str] | None = None
+        self.done_title = False
+
+    def _row(self, kind, key, value, hreflang=None):
+        self.out.append((kind, key, value, hreflang, self.pos))
+        self.pos += 1
+
+    def _start(self, tag, attrs):
+        a = {k: (v if v is not None else "") for k, v in attrs}
+        if tag == "base" and not self.base_set and a.get("href"):
+            from urllib.parse import urljoin
+            self.base = urljoin(self.url, a["href"])
+            self.base_set = True
+        elif tag == "title" and not self.done_title:
+            self.title_parts = []
+        elif tag == "meta":
+            key = a.get("property") or a.get("name") \
+                or a.get("http-equiv")
+            if key and "content" in a:
+                self._row("meta", key.strip().lower(), a["content"])
+        elif tag == "link":
+            href = a.get("href")
+            if href and a.get("rel"):
+                from urllib.parse import urljoin
+                resolved = urljoin(self.base, href)
+                for rel in a["rel"].split():
+                    self._row("link", rel.lower(), resolved,
+                              a.get("hreflang") or None)
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self.title_parts is not None:
+            self._row("title", "", _md_norm("".join(self.title_parts)))
+            self.title_parts = None
+            self.done_title = True
+
+    def handle_data(self, data):
+        if self.title_parts is not None:
+            self.title_parts.append(data)
+
+
+def extract_head_meta(url: str, html: str) -> list[dict]:
+    """Pure-Python twin: one page's head metadata, HEADMETA_SCHEMA
+    keys; ``pos`` is the tag's document-order ordinal (what makes
+    "FIRST rel=canonical wins" deterministic downstream)."""
+    parser = _HeadMetaParser(url)
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass  # lenient: keep whatever was harvested before the break
+    return [{"src_url": url, "kind": k, "key": key, "value": v,
+             "hreflang": hl, "pos": p}
+            for (k, key, v, hl, p) in parser.out]
+
+
+def head_meta(pages: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """pages(url, html) → HEADMETA_SCHEMA rows (title / meta / link
+    harvest) — one stateless Arrow pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_url", "kind", "key", "value", "hreflang", "pos"]
+        for pdf in it:
+            rows: list[dict] = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rows.extend(extract_head_meta(url, html))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(url_col, html_col).mapInPandas(
+        batches, schema=HEADMETA_SCHEMA)

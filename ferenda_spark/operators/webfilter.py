@@ -137,3 +137,65 @@ def url_templates(docs: DataFrame, url_col: str = "url",
     if min_count > 1:
         out = out.filter(F.col("n_urls") >= min_count)
     return out
+
+
+def declared_canonical_fetch(fetches: DataFrame, url_col: str = "url",
+                             ts_col: str = "warc_ts",
+                             html_col: str = "html") -> DataFrame:
+    """Crawl-snapshot dedup keyed by the PAGE-DECLARED canonical.
+
+    ``latest_fetch`` collapses *syntactic* url variants; this
+    operator additionally honors ``<link rel="canonical">`` — the
+    page's own statement that N distinct urls (mobile mirrors,
+    tracking-parameter variants, pagination aliases, syndicated
+    copies on the same host) are one resource.  A Common-Crawl-style
+    corpus shrinks measurably further under declared canonicals than
+    under normalization alone, and downstream near-dup never has to
+    rediscover what the pages already said.
+
+    Key per fetch: the FIRST ``rel=canonical`` href in document
+    order (structured_data.head_meta carries ``pos`` for exactly
+    this), normalized through canonical_url_col; pages declaring
+    nothing fall back to their own normalized url — so the operator
+    strictly refines latest_fetch.  Winner per key: newest
+    ``ts_col``, ties broken by raw url then a full-row hash (the
+    latest_fetch total order), emitted with ``canonical_url`` (the
+    dedup key), ``declared`` (whether it came from a rel=canonical)
+    and ``n_fetches``.
+
+    Plan: ONE Arrow scan for the head harvest, one min(struct)
+    aggregate per url (map-side combinable; a page has few link
+    tags), one url-keyed join back, then the keyed window — all keys
+    uniform (url / canonical url), no driver state.  Self-canonical
+    declarations cost nothing extra; a hot canonical target (every
+    listing page of a big site declaring the same hub) concentrates
+    its group exactly as the data says it should.
+    """
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.web import canonical_url_col
+    from ferenda_spark.operators.structured_data import head_meta
+
+    declared = (
+        head_meta(fetches, url_col=url_col, html_col=html_col)
+        .filter((F.col("kind") == "link")
+                & (F.col("key") == "canonical"))
+        .groupBy(F.col("src_url").alias(url_col))
+        .agg(F.min(F.struct("pos", "value")).alias("_first"))
+        .select(url_col, F.col("_first.value").alias("_declared")))
+
+    keyed = (fetches.join(declared, url_col, "left")
+             .withColumn("declared", F.col("_declared").isNotNull())
+             .withColumn(
+                 "canonical_url",
+                 canonical_url_col(F.coalesce(F.col("_declared"),
+                                              F.col(url_col))))
+             .drop("_declared"))
+    w = Window.partitionBy("canonical_url")
+    wo = w.orderBy(F.col(ts_col).desc(), F.col(url_col),
+                   F.xxhash64(*[F.col(c) for c in fetches.columns]))
+    return (keyed
+            .withColumn("_rn", F.row_number().over(wo))
+            .withColumn("n_fetches", F.count(F.lit(1)).over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

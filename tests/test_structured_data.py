@@ -343,3 +343,57 @@ def test_rdfa_render_roundtrip_identity(spark):
         (url + "#K1", "rdf:type", "chapter", False, None),
         (url + "#K1P1", "rdf:type", "section", False, None),
     }
+
+
+# ---- page-head metadata harvest -----------------------------------------
+
+from ferenda_spark.operators.structured_data import (extract_head_meta,  # noqa: E402
+                                                     head_meta)
+
+
+def test_head_meta_harvest_kinds_base_and_leniency():
+    page = ('<html><head><base href="https://cdn.x.com/a/">'
+            '<title> My  Page </title>'
+            '<meta property="og:title" content="OG"/>'
+            '<meta name="Description" content="d">'
+            '<meta http-equiv="refresh" content="30">'
+            '<meta name="nocontent">'          # skipped: no content
+            '<link rel="canonical" href="../canon">'
+            '<link rel="alternate feed" href="f.xml" hreflang="sv">'
+            '<link rel="next">'                # skipped: no href
+            '</head><body><meta name="late" content="y"></body>')
+    rows = extract_head_meta("https://x.com/p?b=1", page)
+    got = {(r["kind"], r["key"], r["value"], r["hreflang"])
+           for r in rows}
+    assert got == {
+        ("title", "", "My Page", None),      # whitespace-normalized
+        ("meta", "og:title", "OG", None),
+        ("meta", "description", "d", None),  # name lowercased
+        ("meta", "refresh", "30", None),
+        # base rebasing: ../canon against https://cdn.x.com/a/
+        ("link", "canonical", "https://cdn.x.com/canon", None),
+        # multi-rel fans out, hreflang carried
+        ("link", "alternate", "https://cdn.x.com/a/f.xml", "sv"),
+        ("link", "feed", "https://cdn.x.com/a/f.xml", "sv"),
+        ("meta", "late", "y", None),         # body meta harvested
+    }
+    # pos is document order (first-canonical-wins determinism)
+    pos = {(r["kind"], r["key"]): r["pos"] for r in rows
+           if (r["kind"], r["key"]) != ("link", "feed")}
+    assert pos[("title", "")] == 0
+    assert pos[("link", "canonical")] == 4
+    # wild garbage: never crashes, returns what it got
+    assert extract_head_meta("u", None) == []
+    assert extract_head_meta("u", "<head><title>t") == []
+
+
+def test_head_meta_spark_matches_twin(spark):
+    page = ('<head><title>T</title>'
+            '<link rel="canonical" href="/c"></head>')
+    pages = spark.createDataFrame(
+        [("https://a.com/x", page.encode())], "url string, html binary")
+    rows = [r.asDict() for r in head_meta(pages).collect()]
+    assert rows == extract_head_meta("https://a.com/x", page)
+    plan = head_meta(pages)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan

@@ -184,3 +184,51 @@ def test_script_mix_profiles_and_homograph_flag(spark):
     assert got[3]["n_latin"] == 0
     assert got[4]["n_greek"] == 5 and got[4]["n_latin"] == 3
     assert got[4]["dominant_script"] == "greek"
+
+
+def test_declared_canonical_fetch_collapse_and_fallback(spark):
+    from ferenda_spark.operators.webfilter import (
+        declared_canonical_fetch, latest_fetch)
+
+    def pg(canon):
+        return (f'<html><head><link rel="canonical" href="{canon}">'
+                "</head></html>").encode() if canon else b"<html/>"
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # three mirrors declaring one canonical: newest wins
+        ("https://m.a.com/p1", ts(1), pg("https://a.com/art/1")),
+        ("https://a.com/p1?utm=x", ts(3), pg("https://a.com/art/1")),
+        ("https://a.com/art/1", ts(2), pg("https://a.com/art/1")),
+        # silent page: falls back to its own normalized url
+        ("https://b.com/q#frag", ts(5), pg(None)),
+        # first-canonical-wins inside one page
+        ("https://c.com/r", ts(6),
+         b'<head><link rel="canonical" href="https://c.com/first">'
+         b'<link rel="canonical" href="https://c.com/second"></head>'),
+    ]
+    fetches = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    out = {r["canonical_url"]: r
+           for r in declared_canonical_fetch(fetches).collect()}
+    assert set(out) == {"https://a.com/art/1", "https://b.com/q",
+                        "https://c.com/first"}
+    grp = out["https://a.com/art/1"]
+    assert grp["url"] == "https://a.com/p1?utm=x"  # newest fetch
+    assert grp["n_fetches"] == 3 and grp["declared"]
+    silent = out["https://b.com/q"]
+    assert silent["n_fetches"] == 1 and not silent["declared"]
+    assert out["https://c.com/first"]["declared"]
+
+    # refinement property: without declarations the operator equals
+    # latest_fetch's keying exactly
+    silent_only = fetches.filter("url like 'https://b.com%'")
+    a = {(r["canonical_url"], r["url"])
+         for r in declared_canonical_fetch(silent_only).collect()}
+    b = {(r["canonical_url"], r["url"])
+         for r in latest_fetch(silent_only).collect()}
+    assert a == b
