@@ -106,6 +106,14 @@ def build_triples_from_extracted(ext: DataFrame, spark: SparkSession):
 
 _COPY_OFFSET = 10_000_000
 
+# fixed merge table for the bpe_encode_docs gate: the QUERY runs the
+# production Arrow encoder under these ranked merges; the ORACLE
+# replays them as a chain of literal replaces over the
+# chr(31)-delimited symbol string (tokenize.bpe_apply_merges_col's
+# exact shape) — one source list, two independent engines
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                     ("an", "d"), ("e", "r"), ("o", "n"), ("in", "g")]
+
 # tiny literal TBox for the kg_rdfs_entailed gate (query + oracle):
 # two subclass chains, a three-deep subproperty chain, domain/range
 # reachable only through the chain; es/zh lang classes deliberately
@@ -2184,6 +2192,40 @@ LIMIT 10
             F.col("warc_ts").cast("long").alias("latest_epoch"),
             "declared", "n_fetches")
     q["canonical_declared_dedup"] = canonical_declared_dedup
+
+    def bpe_train_docs(spark, sf):
+        """Distributed BPE tokenizer training (tokenize.bpe_train):
+        four merge rounds over the corpus's distinct-word table —
+        ONE corpus pass for word counts, then per round one
+        map-side-combinable pair-count groupBy, a deterministic
+        argmax (count desc, lexicographic tiebreak) and a
+        pure-column greedy merge fold.  The oracle unrolls the same
+        four rounds in SQL (window-lead pair counts, ORDER BY
+        argmax, delimiter-string replace merges), so argmax ties,
+        fold semantics and count arithmetic are all checked."""
+        from ferenda_spark.operators.tokenize import (bpe_train,
+                                                      merges_df)
+        merges = bpe_train(_docs(spark, sf), 4, min_pair_freq=2)
+        return merges_df(spark, merges).select(
+            "rank", F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"), "freq")
+    q["bpe_train_docs"] = bpe_train_docs
+
+    def bpe_encode_docs(spark, sf):
+        """BPE encoding under a fixed ranked merge table
+        (tokenize.bpe_encode): the broadcast-merges Arrow encoder
+        tokenizes every document; output is the per-doc token count
+        and an md5 over the space-joined token sequence, so ORDER,
+        boundaries and merge application are all pinned.  Oracle:
+        the identical merge chain as literal replaces over
+        chr(31)-delimited symbol strings per pre-token."""
+        from ferenda_spark.operators.tokenize import bpe_encode
+        enc = bpe_encode(_docs(spark, sf), _BPE_FIXED_MERGES,
+                         id_cols=("doc_id",))
+        return enc.select(
+            "doc_id", "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tokens_md5"))
+    q["bpe_encode_docs"] = bpe_encode_docs
 
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
@@ -5163,6 +5205,66 @@ SELECT canon AS canonical_url,
        arg_max(declares, epoch) AS declared,
        count(*) AS n_fetches
 FROM k GROUP BY 1
+"""
+
+    # BPE training: four unrolled merge rounds.  Each round: symbol
+    # pairs via window-lead over the unnested symbol strings, argmax
+    # with the (cnt DESC, l, r) total order, then the merge applied
+    # as ONE literal replace over the chr(31)-delimited string —
+    # provably the same greedy leftmost pass as the engine's fold.
+    _bpe_round = """p{k} AS (
+  SELECT l, r, sum(wcount) AS cnt FROM (
+    SELECT wcount, sym AS l,
+           lead(sym) OVER (PARTITION BY word ORDER BY i) AS r
+    FROM (SELECT word, wcount,
+                 unnest(string_split(trim(s, chr(31)),
+                                     chr(31) || chr(31))) AS sym,
+                 generate_subscripts(string_split(trim(s, chr(31)),
+                     chr(31) || chr(31)), 1) AS i
+          FROM w{j})) WHERE r IS NOT NULL GROUP BY 1, 2),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+w{k} AS (SELECT word, wcount,
+  replace(s,
+          chr(31) || b{k}.l || chr(31) || chr(31) || b{k}.r || chr(31),
+          chr(31) || b{k}.l || b{k}.r || chr(31)) AS s
+  FROM w{j}, b{k})"""
+    _bpe_rounds = ",\n".join(
+        _bpe_round.format(k=k, j=k - 1) for k in (1, 2, 3, 4))
+    o["bpe_train_docs"] = f"""
+WITH w0 AS (
+  SELECT word, count(*) AS wcount,
+         chr(31) || array_to_string(regexp_extract_all(word, '.'),
+                                    chr(31) || chr(31)) || chr(31) AS s
+  FROM (SELECT unnest(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents)
+  GROUP BY 1),
+{_bpe_rounds}
+SELECT 0 AS rank, l AS left_sym, r AS right_sym,
+       CAST(cnt AS BIGINT) AS freq FROM b1
+UNION ALL SELECT 1, l, r, CAST(cnt AS BIGINT) FROM b2
+UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM b3
+UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM b4
+"""
+
+    _bpe_w = ("chr(31) || array_to_string(regexp_extract_all(w, '.'), "
+              "chr(31) || chr(31)) || chr(31)")
+    for _l, _r in _BPE_FIXED_MERGES:
+        _bpe_w = (f"replace({_bpe_w}, chr(31) || '{_l}' || chr(31) || "
+                  f"chr(31) || '{_r}' || chr(31), "
+                  f"chr(31) || '{_l}{_r}' || chr(31))")
+    o["bpe_encode_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text),
+      '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS words
+  FROM documents),
+e AS (
+  SELECT doc_id, flatten(list_transform(words, w ->
+    string_split(trim({_bpe_w}, chr(31)),
+                 chr(31) || chr(31)))) AS toks
+  FROM t)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS tokens_md5
+FROM e
 """
 
     o["curation_pipeline_v4"] = f"""
