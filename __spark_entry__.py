@@ -1102,6 +1102,73 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  title_col="title", ts_col="ts")
     q["atom_feeds_events"] = atom_feeds_events
 
+    def atom_roundtrip_events(spark, sf):
+        """Feed write→read roundtrip: the Atom documents from the
+        feedsets writer (with the entry-link hook) fed back through
+        sources/feeds.py's reader must recover every (feed,
+        entry_id, title, link, updated) — the discovery consumer
+        and the publisher agree on the wire format.  Oracle: the
+        top-10-per-feed selection restated, entry fields rebuilt
+        from the event arithmetic (never from the XML)."""
+        from ferenda_spark.operators import render
+        from ferenda_spark.sources.feeds import feed_entries
+        e = load_table(spark, sf, "events").select(
+            "event_id", "event_type", "ts")
+        top = (analytics.feedsets(
+            e, "event_type", "ts", feed_size=10,
+            tiebreak_col="event_id")
+            .withColumn("title",
+                        F.concat(F.col("event_type"), F.lit(" #"),
+                                 F.col("event_id")))
+            .withColumn("link",
+                        F.concat(F.lit("https://ev.example/e/"),
+                                 F.col("event_id").cast("string"))))
+        feeds = render.atom_feeds(top, feed_col="feed",
+                                  id_col="event_id",
+                                  title_col="title", ts_col="ts",
+                                  link_col="link")
+        ent = feed_entries(feeds, url_col="feed", xml_col="atom_xml")
+        return ent.select(
+            F.col("src_url").alias("feed"), "format", "feed_title",
+            "entry_id", "title", "link",
+            F.col("updated").cast("long").alias("updated_epoch"))
+    q["atom_roundtrip_events"] = atom_roundtrip_events
+
+    def rss_discovery_docs(spark, sf):
+        """RSS 2.0 discovery parse (sources/feeds.py): per doc one
+        synthesized channel with a guid+pubDate item and a
+        guid-less, date-less RELATIVE-link item — the reader must
+        parse RFC 822 dates, fall back to the resolved link as the
+        entry id, and resolve hrefs against the feed url.  Oracle:
+        both items restated from the doc_id arithmetic."""
+        from ferenda_spark.sources.feeds import feed_entries
+        did = F.col("doc_id").cast("string")
+        site = F.concat(F.lit("https://news"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example"))
+        feed_url = F.concat(site, F.lit("/feed/"), did)
+        pub = F.date_format(
+            F.timestamp_seconds(F.lit(1704067200)
+                                + F.col("doc_id") * 97),
+            "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+        xml = F.concat(
+            F.lit('<rss version="2.0"><channel><title>Site '),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("</title><item><guid>urn:d:"), did,
+            F.lit("</guid><title>Story "), did,
+            F.lit("</title><pubDate>"), pub,
+            F.lit("</pubDate><link>"), site, F.lit("/a/"), did,
+            F.lit("</link></item><item><title>Comments "), did,
+            F.lit("</title><link>/a/"), did,
+            F.lit("/comments</link></item></channel></rss>"))
+        feeds = _docs(spark, sf).select(feed_url.alias("url"),
+                                        xml.alias("xml"))
+        ent = feed_entries(feeds)
+        return ent.select(
+            "src_url", "format", "feed_title", "entry_id", "title",
+            "link", F.col("updated").cast("long").alias("updated_epoch"))
+    q["rss_discovery_docs"] = rss_discovery_docs
+
     def grouped_agg_value_median(spark, sf):
         """§2.11 GROUPED_AGG pandas UDF surface: per-type median event
         value via an Arrow-batched grouped aggregate."""
@@ -3884,6 +3951,44 @@ SELECT feed,
   || string_agg(xml, '' ORDER BY ts DESC, event_id)
   || '</feed>' AS atom_xml
 FROM ent GROUP BY feed
+"""
+
+    o["atom_roundtrip_events"] = """
+WITH tagged AS (
+  SELECT event_id, event_type, ts, feed
+  FROM events, unnest([event_type, 'All']) AS t(feed)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY feed
+                               ORDER BY ts DESC, event_id) AS rank
+  FROM tagged)
+SELECT feed, 'atom' AS format, feed AS feed_title,
+       'urn:entry:' || event_id AS entry_id,
+       event_type || ' #' || event_id AS title,
+       'https://ev.example/e/' || event_id AS link,
+       CAST(floor(epoch(ts)) AS BIGINT) AS updated_epoch
+FROM ranked WHERE rank <= 10
+"""
+
+    o["rss_discovery_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+    'https://news' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      AS site,
+    CAST(doc_id AS VARCHAR) AS did
+  FROM documents)
+SELECT site || '/feed/' || did AS src_url, 'rss' AS format,
+       'Site ' || CAST(doc_id % 5 AS VARCHAR) AS feed_title,
+       'urn:d:' || did AS entry_id, 'Story ' || did AS title,
+       site || '/a/' || did AS link,
+       1704067200 + doc_id * 97 AS updated_epoch
+FROM d
+UNION ALL
+SELECT site || '/feed/' || did, 'rss',
+       'Site ' || CAST(doc_id % 5 AS VARCHAR),
+       site || '/a/' || did || '/comments', 'Comments ' || did,
+       site || '/a/' || did || '/comments',
+       CAST(NULL AS BIGINT)
+FROM d
 """
 
     o["grouped_agg_value_median"] = """

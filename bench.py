@@ -132,6 +132,12 @@ HEADLINE = [
     "revisit_schedule_docs",
     "script_mix_docs",
     "sim_pq_topk",
+    # session-8 additions
+    "rdfa_roundtrip_docs",
+    "head_meta_docs",
+    "canonical_declared_dedup",
+    "bpe_train_docs",
+    "bpe_encode_docs",
 ]
 
 

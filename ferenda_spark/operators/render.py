@@ -58,22 +58,30 @@ def _as_utc(entries: DataFrame, ts_col: str) -> Column:
 
 def atom_feeds(entries: DataFrame, feed_col: str = "feed",
                id_col: str = "entry_id", title_col: str = "title",
-               ts_col: str = "ts") -> DataFrame:
+               ts_col: str = "ts",
+               link_col: str | None = None) -> DataFrame:
     """(feed, atom_xml): one Atom document per feed, entries
     newest-first (ties: lower id first), feed ``updated`` = newest
-    entry timestamp. Caller bounds entries-per-feed beforehand."""
+    entry timestamp. Caller bounds entries-per-feed beforehand.
+    ``link_col`` (optional) adds ``<link rel="alternate" href>`` per
+    entry — the discovery hook sources/feeds.py's reader consumes;
+    omitted, the emitted bytes are unchanged."""
     tsu = _as_utc(entries, ts_col)
     # cast covers TIMESTAMP_NTZ inputs (unix_micros wants TIMESTAMP)
     key = F.struct(
         (-F.unix_micros(tsu.cast("timestamp"))).alias("negus"),
         F.col(id_col).alias("id"))
+    link_xml = F.lit("") if link_col is None else F.concat(
+        F.lit('<link rel="alternate" href="'),
+        escape_attr(F.col(link_col)), F.lit('"/>'))
     item = F.struct(key.alias("k"),
                     F.concat(
                         F.lit("<entry><id>urn:entry:"),
                         F.col(id_col).cast("string"),
                         F.lit("</id><title>"),
                         escape_xml(F.col(title_col)),
-                        F.lit("</title><updated>"),
+                        F.lit("</title>"), link_xml,
+                        F.lit("<updated>"),
                         rfc3339(tsu),
                         F.lit("</updated></entry>")).alias("xml"))
     agg = entries.groupBy(feed_col).agg(
