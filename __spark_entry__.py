@@ -2294,6 +2294,38 @@ LIMIT 10
             F.md5(F.array_join("tokens", " ")).alias("tokens_md5"))
     q["bpe_encode_docs"] = bpe_encode_docs
 
+    def main_content_docs(spark, sf):
+        """Main-content extraction (content.main_content): chrome-
+        laden synthetic pages — head+script, a nav rail, a
+        related-links block (≈100% link density), a sub-threshold
+        'tiny' block and a footer — must reduce to exactly the two
+        prose paragraphs, one of which carries an inline anchor that
+        stays UNDER the 1/3 link-density bound.  The oracle restates
+        the surviving content string and every audit counter from
+        the doc_id arithmetic."""
+        from ferenda_spark.operators.content import main_content
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://wild.example/p/"), did)
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title><script>t();</script></head><body>"
+                  '<nav><a href="/">Home</a> <a href="/s">Sections'
+                  "</a></nav><div><p>Paragraph one of document "),
+            did,
+            F.lit(" discusses the protocol at considerable length"
+                  " for testing.</p><p>tiny</p>"
+                  "<p>Second paragraph of document "), did,
+            F.lit(' has one <a href="/x">inline reference</a> but'
+                  " remains mostly prose.</p></div>"
+                  '<div><a href="/r1">Related item one for '), did,
+            F.lit('</a> <a href="/r2">Related item two for '), did,
+            F.lit("</a></div><footer>Copyright 2024 site "), did,
+            F.lit("</footer></body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        return main_content(pages)
+    q["main_content_docs"] = main_content_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5370,6 +5402,28 @@ e AS (
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        md5(array_to_string(toks, ' ')) AS tokens_md5
 FROM e
+"""
+
+    o["main_content_docs"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did FROM documents),
+b AS (
+  SELECT did,
+    'Paragraph one of document ' || did ||
+      ' discusses the protocol at considerable length for testing.'
+      AS p1,
+    'Second paragraph of document ' || did ||
+      ' has one inline reference but remains mostly prose.' AS p2,
+    'Related item one for ' || did || ' Related item two for '
+      || did AS rel
+  FROM d)
+SELECT 'https://wild.example/p/' || did AS url,
+       p1 || chr(10) || p2 AS content,
+       2 AS n_kept, 2 AS n_dropped,
+       CAST(len(p1) + len(p2) AS BIGINT) AS content_chars,
+       CAST(len(p1) + len(p2) + len('tiny') + len(rel) AS BIGINT)
+         AS total_chars
+FROM b
 """
 
     o["curation_pipeline_v4"] = f"""

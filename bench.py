@@ -138,6 +138,9 @@ HEADLINE = [
     "canonical_declared_dedup",
     "bpe_train_docs",
     "bpe_encode_docs",
+    "main_content_docs",
+    "rss_discovery_docs",
+    "atom_roundtrip_events",
 ]
 
 
