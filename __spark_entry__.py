@@ -2326,6 +2326,80 @@ LIMIT 10
         return main_content(pages)
     q["main_content_docs"] = main_content_docs
 
+    def curation_pipeline_v5(spark, sf):
+        """The session-8 ingest story end-to-end: a two-snapshot
+        wild crawl whose refetch variants (?utm urls, extra chrome
+        in the bytes) declare the SAME rel=canonical →
+        declared_canonical_fetch collapses them → main_content
+        strips nav/related/footer chrome (so the byte-different
+        refetch yields the IDENTICAL content) → BPE token counting
+        under the fixed merge table → a 170-token floor (only the
+        docs carrying the bonus paragraph clear it) → deterministic
+        shard packing at a 2000-token budget.  The oracle
+        recomposes every arm: winner selection, the surviving
+        content string, the replace-chain token count, the floor,
+        and the hkey-cumsum shard arithmetic."""
+        from ferenda_spark.operators.content import main_content
+        from ferenda_spark.operators.shards import assign_shards
+        from ferenda_spark.operators.tokenize import bpe_encode
+        from ferenda_spark.operators.webfilter import (
+            declared_canonical_fetch,
+        )
+        d = _docs(spark, sf)
+        did = F.col("doc_id").cast("string")
+        base_url = F.concat(F.lit("https://wild.example/p/"), did)
+
+        def page_html(extra_chrome):
+            bonus = F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("<p>Bonus paragraph for document "),
+                         did,
+                         F.lit(" adds enough extra prose to clear"
+                               " the token floor comfortably.</p>"))
+            ).otherwise(F.lit(""))
+            return F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                base_url,
+                F.lit('"><title>Doc '), did,
+                F.lit("</title></head><body><nav>"
+                      '<a href="/">Home</a></nav>'
+                      "<div><p>Paragraph one of document "), did,
+                F.lit(" discusses the protocol at considerable"
+                      " length for testing.</p><p>tiny</p>"
+                      "<p>Second paragraph of document "), did,
+                F.lit(" has one inline reference but remains mostly"
+                      " prose.</p>"), bonus,
+                F.lit('</div><div><a href="/r1">Related one for '),
+                did, F.lit("</a></div>"), extra_chrome,
+                F.lit("<footer>Copyright 2024</footer>"
+                      "</body></html>"))
+
+        ts0 = F.timestamp_seconds(F.lit(1704067200)
+                                  + F.col("doc_id") * 7)
+        base = d.select(base_url.alias("url"), ts0.alias("warc_ts"),
+                        page_html(F.lit("")).alias("html"))
+        variant = (d.filter(F.col("doc_id") % 5 == 0).select(
+            F.concat(base_url, F.lit("?utm=1")).alias("url"),
+            (ts0 + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            page_html(F.concat(
+                F.lit('<div><a href="/promo">Promoted content for '),
+                did, F.lit("</a></div>"))).alias("html")))
+        winners = declared_canonical_fetch(base.unionByName(variant))
+        pages = winners.select(F.col("canonical_url").alias("url"),
+                               "html")
+        content = main_content(pages)
+        enc = bpe_encode(content, _BPE_FIXED_MERGES,
+                         text_col="content", id_cols=("url",))
+        kept = (enc.select("url",
+                           F.col("n_tokens").cast("long").alias("w"))
+                .filter(F.col("w") >= 170)
+                .localCheckpoint(eager=False))
+        a = assign_shards(kept, budget=2000, weight_col="w",
+                          key_col="url")
+        return a.select("url", "shard",
+                        F.col("w").alias("n_tokens"))
+    q["curation_pipeline_v5"] = curation_pipeline_v5
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5402,6 +5476,44 @@ e AS (
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        md5(array_to_string(toks, ' ')) AS tokens_md5
 FROM e
+"""
+
+    o["curation_pipeline_v5"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+         doc_id % 3 = 0 AS bonus
+  FROM documents),
+c AS (
+  SELECT 'https://wild.example/p/' || did AS url,
+    'Paragraph one of document ' || did ||
+      ' discusses the protocol at considerable length for testing.'
+    || chr(10) ||
+    'Second paragraph of document ' || did ||
+      ' has one inline reference but remains mostly prose.'
+    || CASE WHEN bonus THEN chr(10)
+         || 'Bonus paragraph for document ' || did
+         || ' adds enough extra prose to clear the token floor'
+         || ' comfortably.'
+       ELSE '' END AS content
+  FROM d),
+tok AS (
+  SELECT url, CAST(len(flatten(list_transform(
+      regexp_extract_all(lower(content),
+                         '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+      w -> string_split(trim({_bpe_w}, chr(31)),
+                        chr(31) || chr(31))))) AS BIGINT) AS n_tokens
+  FROM c),
+kept AS (SELECT * FROM tok WHERE n_tokens >= 170),
+t AS (SELECT url, n_tokens,
+        CAST(concat('0x', substr(md5('shard-v1:' || url), 1, 15))
+             AS BIGINT) AS hkey
+      FROM kept),
+cs AS (SELECT url, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY hkey, url
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - n_tokens AS prev
+       FROM t)
+SELECT url, CAST(prev // 2000 AS BIGINT) AS shard, n_tokens FROM cs
 """
 
     o["main_content_docs"] = """

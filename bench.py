@@ -141,6 +141,7 @@ HEADLINE = [
     "main_content_docs",
     "rss_discovery_docs",
     "atom_roundtrip_events",
+    "curation_pipeline_v5",
 ]
 
 
