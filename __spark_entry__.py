@@ -2400,6 +2400,25 @@ LIMIT 10
                         F.col("w").alias("n_tokens"))
     q["curation_pipeline_v5"] = curation_pipeline_v5
 
+    def nb_classifier_docs(spark, sf):
+        """TRAINED quality classifier end-to-end (classify.
+        train_nb_weights → quality_score): Naive Bayes log-odds
+        learned distributedly over hashed buckets with English docs
+        as the positive class, then the whole corpus scored with
+        the trained table.  The oracle replays training AND scoring
+        — bucket counts, the floor(1000·lnΔ+0.5) weight arithmetic,
+        per-doc sums and the integer keep rule — from scratch in
+        SQL."""
+        from ferenda_spark.operators.classify import (quality_score,
+                                                      train_nb_weights)
+        d = _docs(spark, sf)
+        labeled = d.select((F.col("lang") == "en").alias("label"),
+                           "text")
+        w = train_nb_weights(labeled, n_buckets=512)
+        return quality_score(d, weights=w, n_buckets=512,
+                             threshold_milli=0)
+    q["nb_classifier_docs"] = nb_classifier_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5514,6 +5533,37 @@ cs AS (SELECT url, n_tokens,
              AS BIGINT) - n_tokens AS prev
        FROM t)
 SELECT url, CAST(prev // 2000 AS BIGINT) AS shard, n_tokens FROM cs
+"""
+
+    o["nb_classifier_docs"] = """
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+ex AS (
+  SELECT doc_id, lang = 'en' AS y,
+         CAST(concat('0x', substr(md5('qw-v1:' || u.t), 1, 15))
+              AS BIGINT) % 512 AS b
+  FROM tk, unnest(toks) AS u(t)),
+c AS (
+  SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM ex GROUP BY b),
+tot AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM c),
+w AS (
+  SELECT b, CAST(floor(1000 * (ln(pos + 1) - ln(neg + 1)
+             + ln((nt + 512) * 1.0 / (pt + 512))) + 0.5) AS BIGINT)
+           AS wt
+  FROM c, tot),
+sc AS (
+  SELECT doc_id, count(*) AS n, sum(wt) AS s
+  FROM ex JOIN w USING (b) GROUP BY doc_id)
+SELECT tk.doc_id AS id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS score_sum_milli,
+       CASE WHEN len(tk.toks) = 0 THEN TRUE
+            ELSE coalesce(sc.s, 0) * 1000 >= 0 END AS keep
+FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id
 """
 
     o["main_content_docs"] = """

@@ -142,6 +142,7 @@ HEADLINE = [
     "rss_discovery_docs",
     "atom_roundtrip_events",
     "curation_pipeline_v5",
+    "nb_classifier_docs",
 ]
 
 

@@ -142,3 +142,57 @@ def quality_score(docs: DataFrame, text_col: str = "text",
                    >= F.lit(int(threshold_milli)).cast("long")
                    * F.col("n_tokens").cast("long"))
     return base.withColumn("keep", keep)
+
+
+def train_nb_weights(labeled: DataFrame, label_col: str = "label",
+                     text_col: str = "text", salt: str = "qw-v1",
+                     n_buckets: int = 4096) -> list[int]:
+    """TRAIN the quality classifier: multinomial Naive Bayes
+    log-odds per hashed bucket, from a labeled corpus (CCNet's
+    recipe — label wiki-like seeds positive, raw crawl negative,
+    keep what scores wiki-ish).
+
+    Distributed shape: one explode of the token arrays into ONE
+    map-side-combinable ``groupBy(bucket)`` — the shuffle moves at
+    most ``n_buckets`` aggregated rows per partition, never the
+    corpus — then a bounded ``collect()`` of ≤ ``n_buckets`` count
+    rows (the model artifact has to reach the driver anyway; at
+    fastText-scale 2^21 buckets that is a ~16 MB table, and scoring
+    ships it back per-executor through quality_score's broadcast
+    path).
+
+    Weight math (engine-portable, replayed exactly by the
+    nb_classifier_docs oracle): with add-one smoothing,
+
+        w_b = floor(1000·(ln(pos_b+1) − ln(neg_b+1)
+                          + ln((NEG+B)/(POS+B))) + 0.5)
+
+    — ``floor(x+0.5)`` instead of ``round`` because banker's
+    rounding differs between Python and SQL; buckets no training
+    token touched get the smoothing-only constant.  Fails loudly on
+    a single-class corpus (nothing to contrast)."""
+    import math
+
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = labeled.select(
+        F.col(label_col).cast("boolean").alias("y"),
+        F.explode(toks).alias("t"))
+    counts = (ex.select(
+        "y", token_bucket(F.col("t"), salt, n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+             F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("neg")))
+    rows = counts.collect()
+    pos_tot = sum(r["pos"] for r in rows)
+    neg_tot = sum(r["neg"] for r in rows)
+    if pos_tot == 0 or neg_tot == 0:
+        raise ValueError(
+            f"train_nb_weights: single-class corpus (pos={pos_tot}, "
+            f"neg={neg_tot}) — both labels must have tokens")
+    base = math.log((neg_tot + n_buckets) / (pos_tot + n_buckets))
+    fill = math.floor(1000 * base + 0.5)
+    weights = [fill] * n_buckets
+    for r in rows:
+        val = (math.log(r["pos"] + 1) - math.log(r["neg"] + 1) + base)
+        weights[r["b"]] = math.floor(1000 * val + 0.5)
+    return weights

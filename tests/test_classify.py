@@ -123,3 +123,39 @@ def test_large_model_broadcast_no_literal_plan(spark):
     # scores are real gathered weights: bounded by n_tokens * max |w|
     assert abs(out[1]["score_sum_milli"]) <= 3 * 1000
     assert abs(out[2]["score_sum_milli"]) <= 2 * 1000
+
+
+def test_train_nb_weights_discriminates(spark):
+    from ferenda_spark.operators.classify import train_nb_weights
+    rows = [(True, "excellent prose excellent prose insight"),
+            (True, "insight excellent careful prose"),
+            (False, "spam spam winner click spam"),
+            (False, "click winner spam click")]
+    labeled = spark.createDataFrame(rows, "label boolean, text string")
+    w = train_nb_weights(labeled, n_buckets=256)
+    assert len(w) == 256
+    scored = {r["id"]: r for r in quality_score(
+        spark.createDataFrame(
+            [(1, "excellent insight prose"), (2, "spam click winner")],
+            "doc_id long, text string"),
+        weights=w, n_buckets=256, threshold_milli=0).collect()}
+    # trained log-odds separate the classes with the right signs
+    assert scored[1]["score_sum_milli"] > 0 and scored[1]["keep"]
+    assert scored[2]["score_sum_milli"] < 0 and not scored[2]["keep"]
+    # deterministic replay
+    assert train_nb_weights(labeled, n_buckets=256) == w
+    # untouched buckets share the smoothing-only constant
+    import collections
+    fill = collections.Counter(w).most_common(1)[0][0]
+    touched = [i for i, v in enumerate(w) if v != fill]
+    assert 0 < len(touched) <= 7   # ≤ distinct training tokens
+
+
+def test_train_nb_weights_single_class_raises(spark):
+    import pytest as _pytest
+
+    from ferenda_spark.operators.classify import train_nb_weights
+    labeled = spark.createDataFrame(
+        [(True, "only positive text here")], "label boolean, text string")
+    with _pytest.raises(ValueError, match="single-class"):
+        train_nb_weights(labeled, n_buckets=64)
