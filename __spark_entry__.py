@@ -2419,6 +2419,56 @@ LIMIT 10
                              threshold_milli=0)
     q["nb_classifier_docs"] = nb_classifier_docs
 
+    def strip_paragraphs_docs(spark, sf):
+        """Intra-document repeated-paragraph removal
+        (dedup.strip_repeated_paragraphs): pagination-echo texts —
+        A/B/A/C/B for every third doc, A/A/A stutter for the next
+        class — must collapse to first occurrences in order, with
+        exact removal counts.  Oracle: the three text classes and
+        their counters restated arm by arm."""
+        from ferenda_spark.operators.dedup import (
+            strip_repeated_paragraphs,
+        )
+        did = F.col("doc_id").cast("string")
+        a = F.concat(F.lit("Alpha paragraph of doc "), did,
+                     F.lit(" with unique content."))
+        b = F.concat(F.lit("Beta paragraph shared text for "), did,
+                     F.lit("."))
+        c = F.concat(F.lit("Gamma closing paragraph "), did,
+                     F.lit("."))
+        nl = F.lit("\n")
+        text = (F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(a, nl, b, nl, a, nl, c, nl, b))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.concat(a, nl, a, nl, a))
+                .otherwise(F.concat(a, nl, b, nl, c)))
+        synth = _docs(spark, sf).select("doc_id", text.alias("text"))
+        return strip_repeated_paragraphs(synth)
+    q["strip_paragraphs_docs"] = strip_paragraphs_docs
+
+    def noindex_filter_docs(spark, sf):
+        """Robots-meta opt-out (webfilter.noindex_filter): pages
+        declaring noindex (doc_id%4==0) or a mixed-case padded NONE
+        via the googlebot variant (doc_id%7==1) must drop; the
+        explicit index,follow declarations and undeclared pages
+        stay.  Oracle: the arithmetic complement."""
+        from ferenda_spark.operators.webfilter import noindex_filter
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://idx.example/p/"), did)
+        robots = (F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<meta name="robots" content="noindex, follow">'))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.lit('<meta name="GoogleBot" content=" NONE ">'))
+            .otherwise(
+                F.lit('<meta name="robots" content="index, follow">')))
+        html = F.concat(F.lit("<html><head>"), robots,
+                        F.lit("</head><body>x</body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        return noindex_filter(pages).select("url")
+    q["noindex_filter_docs"] = noindex_filter_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5564,6 +5614,32 @@ SELECT tk.doc_id AS id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
        CASE WHEN len(tk.toks) = 0 THEN TRUE
             ELSE coalesce(sc.s, 0) * 1000 >= 0 END AS keep
 FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id
+"""
+
+    o["strip_paragraphs_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+    'Alpha paragraph of doc ' || CAST(doc_id AS VARCHAR)
+      || ' with unique content.' AS a,
+    'Beta paragraph shared text for ' || CAST(doc_id AS VARCHAR)
+      || '.' AS b,
+    'Gamma closing paragraph ' || CAST(doc_id AS VARCHAR) || '.' AS c
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN a || chr(10) || b || chr(10) || c
+       WHEN doc_id % 3 = 1 THEN a
+       ELSE a || chr(10) || b || chr(10) || c END AS text,
+  CASE WHEN doc_id % 3 = 0 THEN 5
+       WHEN doc_id % 3 = 1 THEN 3 ELSE 3 END AS n_paras,
+  CASE WHEN doc_id % 3 = 0 THEN 2
+       WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS n_removed
+FROM d
+"""
+
+    o["noindex_filter_docs"] = """
+SELECT 'https://idx.example/p/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents
+WHERE NOT (doc_id % 4 = 0 OR doc_id % 7 = 1)
 """
 
     o["main_content_docs"] = """

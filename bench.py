@@ -143,6 +143,8 @@ HEADLINE = [
     "atom_roundtrip_events",
     "curation_pipeline_v5",
     "nb_classifier_docs",
+    "strip_paragraphs_docs",
+    "noindex_filter_docs",
 ]
 
 

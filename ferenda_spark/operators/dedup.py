@@ -1160,3 +1160,42 @@ def select_canonical(docs: DataFrame, clusters: DataFrame,
             .select("id", "comp", "score", "keeper_id",
                     (F.col("id") == F.col("keeper_id"))
                     .alias("is_keeper")))
+
+
+def strip_repeated_paragraphs(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              sep: str = "\n") -> DataFrame:
+    """INTRA-document exact-paragraph dedup: keep the first
+    occurrence of each paragraph within one document, preserving
+    order.
+
+    The crawl artifact this removes is different from cross-corpus
+    boilerplate (strip_boilerplate's df-threshold units): templated
+    CMS pages and scraper loops repeat the SAME paragraph inside one
+    page (pagination echoes, "read more" duplicated teasers,
+    infinite-scroll stutter), which inflates token counts and skews
+    the Gopher repetition signals without ever crossing documents.
+
+    Shape: one pure-column ``aggregate`` fold over the split
+    paragraph array — first-occurrence-keeping is order-defined, so
+    no engine's ``array_distinct`` ordering contract is trusted —
+    zero shuffle, runs in the scan.  Cost is O(k²) `array_contains`
+    probes per document over k paragraphs: fine at real page sizes
+    (tens of blocks); a million-paragraph adversarial doc belongs to
+    the length filters upstream, not this operator.
+
+    Output: id, cleaned ``text``, ``n_paras`` (before),
+    ``n_removed``.
+    """
+    import re as _re
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.aggregate(
+        paras,
+        F.array().cast("array<string>"),
+        lambda acc, p: F.when(F.array_contains(acc, p), acc)
+        .otherwise(F.concat(acc, F.array(p))))
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        F.size(paras).alias("n_paras"),
+        (F.size(paras) - F.size(kept)).alias("n_removed"))

@@ -199,3 +199,38 @@ def declared_canonical_fetch(fetches: DataFrame, url_col: str = "url",
             .withColumn("n_fetches", F.count(F.lit(1)).over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))
+
+
+def noindex_filter(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Drop pages whose ``<meta name="robots">`` (or the
+    Google/Bing-specific variants) declares ``noindex`` or ``none``
+    — the page-level opt-out that complements robots.txt's
+    path-level admission (operators/robots.py): a crawler may FETCH
+    the page, but its content asked to stay out of any index or
+    derived corpus, and an honest curation pipeline honors that
+    before text ever reaches training shards.
+
+    Directive parsing per the robots-meta convention:
+    comma-separated tokens, case-insensitive, surrounding
+    whitespace ignored; ``none`` ≡ ``noindex, nofollow``.  All
+    robots-meta rows of a page are combined conservatively — ONE
+    noindex anywhere opts the page out.
+
+    Plan: the head harvest's Arrow scan, one per-url
+    map-side-combinable aggregate over the (few) robots rows, then
+    a LEFT ANTI join back — pages carry no verdict column because
+    absence means indexable (the spec default).
+    """
+    from ferenda_spark.operators.structured_data import head_meta
+
+    meta = head_meta(pages, url_col=url_col, html_col=html_col)
+    opted_out = (
+        meta.filter((F.col("kind") == "meta")
+                    & F.col("key").isin("robots", "googlebot",
+                                        "bingbot"))
+        .select(F.col("src_url").alias(url_col),
+                F.explode(F.split(F.lower("value"), ",")).alias("d"))
+        .filter(F.trim(F.col("d")).isin("noindex", "none"))
+        .select(url_col).distinct())
+    return pages.join(opted_out, url_col, "left_anti")

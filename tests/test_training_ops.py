@@ -1424,3 +1424,42 @@ def test_pq_topk_adc_recall_and_determinism(spark):
             for r in similarity.pq_topk(emb.repartition(7), qs, dim,
                                         k=3, m=4, ksub=8).collect()}
     assert got == got2
+
+
+def test_strip_repeated_paragraphs(spark):
+    from ferenda_spark.operators.dedup import strip_repeated_paragraphs
+    docs = spark.createDataFrame(
+        [(1, "A\nB\nA\nC\nB"), (2, "A\nA\nA"), (3, "A\nB\nC"),
+         (4, "solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           strip_repeated_paragraphs(docs).collect()}
+    # first occurrences, original order
+    assert out[1]["text"] == "A\nB\nC"
+    assert out[1]["n_paras"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "A" and out[2]["n_removed"] == 2
+    assert out[3]["text"] == "A\nB\nC" and out[3]["n_removed"] == 0
+    assert out[4]["text"] == "solo" and out[4]["n_paras"] == 1
+    # zero shuffle: the fold runs in the scan
+    plan = strip_repeated_paragraphs(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_noindex_filter(spark):
+    from ferenda_spark.operators.webfilter import noindex_filter
+
+    def pg(meta):
+        return (f"<html><head>{meta}</head><body>x</body>"
+                "</html>").encode()
+
+    pages = spark.createDataFrame([
+        ("u1", pg('<meta name="robots" content="noindex, follow">')),
+        ("u2", pg('<meta name="ROBOTS" content="INDEX, FOLLOW">')),
+        ("u3", pg('<meta name="googlebot" content=" none ">')),
+        ("u4", pg("")),                       # absence = indexable
+        ("u5", pg('<meta name="robots" content="nofollow">'
+                  '<meta name="robots" content="noindex">')),
+    ], "url string, html binary")
+    kept = {r["url"] for r in noindex_filter(pages).collect()}
+    assert kept == {"u2", "u4"}
