@@ -2999,6 +2999,28 @@ LIMIT 10
                           "dist")
     q["kg_landmark_dist"] = kg_landmark_dist
 
+    def kg_harmonic_landmarks(spark, sf):
+        """Landmark-sampled harmonic centrality (rank.py
+        harmonic_centrality) over the same 60-node doubling graph
+        and {0, 7} landmark set as kg_landmark_dist — one combinable
+        groupBy over the distance rows, all-integer micro units.
+        Oracle: the recursive-CTE distances plus the identical
+        DIV arithmetic."""
+        from ferenda_spark.operators.rank import harmonic_centrality
+        v = F.col("v")
+        d = (_docs(spark, sf)
+             .select((F.col("doc_id") % 60).alias("v")).distinct())
+        edges = (d.select(v.alias("src"), ((v + 1) % 60).alias("dst"))
+                 .unionByName(
+                     d.select(v.alias("src"),
+                              ((v * 2) % 60).alias("dst"))))
+        lms = spark.createDataFrame([(0,), (7,)], "node long")
+        out = harmonic_centrality(edges, lms, max_depth=15)
+        return out.select(F.col("node").cast("long").alias("node"),
+                          "k_reached", "inv_dist_sum_micro",
+                          "harmonic_micro")
+    q["kg_harmonic_landmarks"] = kg_harmonic_landmarks
+
     def kg_assortativity(spark, sf):
         """Degree assortativity (rank.py degree_assortativity) of the
         citation graph: Pearson correlation of endpoint degrees over
@@ -6255,6 +6277,29 @@ walk AS (
   SELECT node, landmark, dist FROM w)
 SELECT node, landmark, min(dist) AS dist
 FROM walk GROUP BY node, landmark
+"""
+
+    o["kg_harmonic_landmarks"] = """
+WITH dd AS (SELECT DISTINCT doc_id % 60 AS v FROM documents),
+e AS MATERIALIZED (
+  SELECT v AS src, (v + 1) % 60 AS dst FROM dd
+  UNION
+  SELECT v, (v * 2) % 60 FROM dd),
+walk AS (
+  WITH RECURSIVE w(node, landmark, dist) AS (
+    SELECT CAST(v AS BIGINT), CAST(v AS BIGINT), CAST(0 AS BIGINT)
+    FROM (VALUES (0), (7)) lm(v)
+    UNION
+    SELECT CAST(e.src AS BIGINT), w.landmark, w.dist + 1
+    FROM w JOIN e ON e.dst = w.node
+    WHERE w.dist < 15)
+  SELECT node, landmark, min(dist) AS dist
+  FROM w GROUP BY node, landmark)
+SELECT node, count(*) AS k_reached,
+       CAST(sum(1000000 // dist) AS BIGINT) AS inv_dist_sum_micro,
+       CAST(sum(1000000 // dist) * 59 // 2 AS BIGINT)
+         AS harmonic_micro
+FROM walk WHERE dist > 0 GROUP BY node
 """
 
     # assortativity from first principles: distinct undirected edges,

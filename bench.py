@@ -145,6 +145,7 @@ HEADLINE = [
     "nb_classifier_docs",
     "strip_paragraphs_docs",
     "noindex_filter_docs",
+    "kg_harmonic_landmarks",
 ]
 
 

@@ -1051,3 +1051,47 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             / (F.col("m2").cast("double") * F.col("sx2")
                - F.col("sx").cast("double") * F.col("sx")),
             6).alias("r"))
+
+
+def harmonic_centrality(edges: DataFrame, landmarks: DataFrame,
+                        max_depth: int = 12,
+                        n_nodes: int | None = None) -> DataFrame:
+    """(node, k_reached, inv_dist_sum_micro, harmonic_micro) —
+    landmark-sampled harmonic centrality H(v) = Σ_u 1/d(v,u)
+    (Boldi & Vigna's axiomatically-preferred centrality; finite on
+    disconnected graphs, unlike closeness).
+
+    Exact all-pairs is Θ(V·E); the standard web-scale estimator
+    samples k targets and scales — here the targets are the
+    landmark set already paid for by :func:`landmark_distances`,
+    so the estimate is ONE map-side-combinable groupBy over its
+    (node, landmark, dist) rows: ``inv_dist_sum_micro`` =
+    Σ (1_000_000 DIV d) over reached landmarks at d > 0, and
+    ``harmonic_micro`` = inv_sum · (N−1) DIV k — every step exact
+    BIGINT integer division, so ranks are engine-reproducible and
+    the oracle restates the arithmetic bit-for-bit (no float
+    harmonic sums that round differently per engine).
+
+    ``n_nodes`` (N) defaults to the distinct endpoint count of
+    ``edges`` — one bounded aggregate job; pass it when the caller
+    already knows the graph size.  Unreached (node, landmark) pairs
+    contribute 0, exactly the harmonic convention for infinite
+    distance."""
+    lm = landmarks.select(F.col("node").alias("landmark")).distinct()
+    k = lm.count()
+    if k == 0:
+        raise ValueError("harmonic_centrality: empty landmark set")
+    if n_nodes is None:
+        n_nodes = (edges.select(F.col("src").alias("n"))
+                   .unionByName(edges.select(F.col("dst").alias("n")))
+                   .distinct().count())
+    d = landmark_distances(edges, landmarks, max_depth=max_depth)
+    return (d.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("k_reached"),
+                 F.sum(F.expr("1000000 DIV dist")).cast("long")
+                 .alias("inv_dist_sum_micro"))
+            .withColumn(
+                "harmonic_micro",
+                F.expr(f"inv_dist_sum_micro * {int(n_nodes) - 1} "
+                       f"DIV {int(k)}").cast("long")))

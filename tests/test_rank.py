@@ -664,3 +664,30 @@ def test_pagerank_warm_start_reconverges(spark):
     for v, want in cold.items():
         assert abs(warm[v] - want) <= max(2, want // 10), (v, warm[v],
                                                            want)
+
+
+def test_harmonic_centrality_landmark_estimate(spark):
+    from ferenda_spark.operators.rank import harmonic_centrality
+    # path graph 0→1→2→3 plus isolated pair 8→9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], "src long, dst long")
+    lms = spark.createDataFrame([(3,), (9,)], "node long")
+    out = {r["node"]: r for r in harmonic_centrality(
+        edges, lms, max_depth=6).collect()}
+    # node 0: d(0,3)=3, 9 unreachable → 1000000//3; N=6, k=2
+    assert out["0"]["k_reached"] == 1
+    assert out["0"]["inv_dist_sum_micro"] == 333333
+    assert out["0"]["harmonic_micro"] == 333333 * 5 // 2
+    # node 8 reaches only 9 at distance 1
+    assert out["8"]["inv_dist_sum_micro"] == 1000000
+    # landmarks exclude themselves (dist 0 skipped): node 3 reaches
+    # neither other landmark → absent
+    assert "3" not in out
+    # explicit n_nodes overrides the endpoint count
+    out2 = {r["node"]: r for r in harmonic_centrality(
+        edges, lms, max_depth=6, n_nodes=101).collect()}
+    assert out2["8"]["harmonic_micro"] == 1000000 * 100 // 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty landmark"):
+        harmonic_centrality(edges, spark.createDataFrame(
+            [], "node long"), max_depth=3)
