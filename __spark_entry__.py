@@ -548,7 +548,14 @@ GATE_ORDER = [
     # kg_sparql_aggregates, kg_triangles, kg_linkpred,
     # kg_communities, kg_cocitation, quota_sample_docs,
     # anchor_text_docs, fetch_schedule_docs, profile_documents,
-    # quantiles_documents, check_documents.
+    # quantiles_documents, check_documents; plus the session-8
+    # additions (all locally oracle-green at sf0.01 via
+    # tools/check_queries.py this round): rdfa_roundtrip_docs,
+    # head_meta_docs, canonical_declared_dedup, bpe_train_docs,
+    # bpe_encode_docs, main_content_docs, curation_pipeline_v5,
+    # nb_classifier_docs, atom_roundtrip_events, rss_discovery_docs,
+    # strip_paragraphs_docs, noindex_filter_docs,
+    # kg_harmonic_landmarks.
     # --- round-4 session-5 rotation: ten never-driver-checked ops
     # take their first rows.  Slots (each swap-out keeps its family
     # covered in-gate and stays locally oracle-checked as an extra):
@@ -2468,6 +2475,21 @@ LIMIT 10
                                         html.alias("html"))
         return noindex_filter(pages).select("url")
     q["noindex_filter_docs"] = noindex_filter_docs
+
+    def langid_trained_docs(spark, sf):
+        """Trained language ID (langprofile.py): Cavnar–Trenkle
+        char-3-gram rank profiles learned per language from the
+        corpus's own lang labels, then every document classified by
+        the integer out-of-place metric (top-150 profiles, top-80
+        doc grams, penalty 150).  The oracle replays training AND
+        classification — gram windows, rank truncation, the
+        coalesce-penalty sum and the (dist, lang) argmin — in SQL."""
+        from ferenda_spark.operators.langprofile import (
+            classify_language, train_lang_profiles)
+        d = _docs(spark, sf)
+        prof = train_lang_profiles(d, k=150)
+        return classify_language(d, prof, k_doc=80, penalty=150)
+    q["langid_trained_docs"] = langid_trained_docs
 
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
@@ -5636,6 +5658,42 @@ SELECT tk.doc_id AS id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
        CASE WHEN len(tk.toks) = 0 THEN TRUE
             ELSE coalesce(sc.s, 0) * 1000 >= 0 END AS keep
 FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id
+"""
+
+    o["langid_trained_docs"] = """
+WITH src AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, u.gram
+  FROM src, unnest(list_transform(
+      generate_series(1, greatest(len(s) - 2, 0)),
+      i -> substr(s, CAST(i AS INT), 3))) AS u(gram)),
+tg AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+prof AS (
+  SELECT lang, gram, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, gram) AS rank FROM tg)
+  WHERE rank <= 150),
+dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+dprof AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, gram) AS drank FROM dg)
+  WHERE drank <= 80),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (
+  SELECT d.doc_id, l.lang,
+         CAST(sum(coalesce(abs(d.drank - p.rank), 150)) AS BIGINT)
+           AS dist
+  FROM dprof d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY 1, 2)
+SELECT doc_id AS id, lang AS lang_pred, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY dist, lang) AS rn FROM dist)
+WHERE rn = 1
 """
 
     o["strip_paragraphs_docs"] = """

@@ -146,6 +146,7 @@ HEADLINE = [
     "strip_paragraphs_docs",
     "noindex_filter_docs",
     "kg_harmonic_landmarks",
+    "langid_trained_docs",
 ]
 
 
