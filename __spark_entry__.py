@@ -2491,6 +2491,19 @@ LIMIT 10
         return classify_language(d, prof, k_doc=80, penalty=150)
     q["langid_trained_docs"] = langid_trained_docs
 
+    def hash_embed_docs(spark, sf):
+        """Model-free document embeddings (similarity.hash_embed):
+        signed feature-hashed bag-of-words vectors at dim=32,
+        returned as exploded NONZERO components so every integer
+        coordinate is value-checked.  Oracle: bucket and sign
+        hashes restated per token, summed per (doc, coordinate)."""
+        from ferenda_spark.operators.similarity import hash_embed
+        emb = hash_embed(_docs(spark, sf), dim=32)
+        return (emb.select("id", F.posexplode("embedding")
+                           .alias("j", "v"))
+                .filter(F.col("v") != 0))
+    q["hash_embed_docs"] = hash_embed_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5658,6 +5671,24 @@ SELECT tk.doc_id AS id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
        CASE WHEN len(tk.toks) = 0 THEN TRUE
             ELSE coalesce(sc.s, 0) * 1000 >= 0 END AS keep
 FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id
+"""
+
+    o["hash_embed_docs"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+ex AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5('he-v1:' || u.t), 1, 15))
+         AS BIGINT) % 32 AS j,
+    CASE WHEN CAST(concat('0x', substr(md5('he-v1#s:' || u.t), 1, 15))
+              AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END AS s
+  FROM tk, unnest(toks) AS u(t))
+SELECT doc_id AS id, CAST(j AS INT) AS j,
+       CAST(sum(s) AS BIGINT) AS v
+FROM ex GROUP BY 1, 2 HAVING sum(s) <> 0
 """
 
     o["langid_trained_docs"] = """

@@ -147,6 +147,7 @@ HEADLINE = [
     "noindex_filter_docs",
     "kg_harmonic_landmarks",
     "langid_trained_docs",
+    "hash_embed_docs",
 ]
 
 

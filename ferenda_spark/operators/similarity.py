@@ -515,3 +515,49 @@ def pq_topk(items: DataFrame, queries: DataFrame, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "item_id", "adist", "rank"))
+
+
+def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id",
+               salt: str = "he-v1") -> DataFrame:
+    """(id, embedding): signed feature-hashed bag-of-words document
+    vectors — text → ``array<long>`` of length ``dim`` with NO
+    trained model (Weinberger et al., ICML 2009: token j lands in
+    bucket h(j) mod dim with sign ±1 from an independent hash bit,
+    which keeps inner products unbiased).
+
+    This is the bridge from raw text into this module's ANN family:
+    hash-embed the corpus once, then brute/LSH/IVF/PQ search and
+    embedding near-dup all apply to text that never saw a neural
+    encoder — the cheap semantic-ish dedup baseline curation stacks
+    run before paying for model embeddings.
+
+    Pure-column fold, zero shuffle: the vector accumulates with an
+    O(n_tokens·dim) transform per document — dim is small by design
+    (64–512); integer counts, so vectors reproduce bit-for-bit and
+    the hash_embed_docs oracle restates every component.  Hashing
+    reuses the engine's salted-md5 60-bit fold (classify.py's
+    contract): bucket = h(salt) mod dim, sign from an INDEPENDENT
+    second fold h(salt#s) mod 2 — a quotient of the first hash
+    would need 60-bit integer division, which doubles cannot carry
+    exactly, and h mod 2 is correlated with h mod dim for even
+    dims."""
+    from ferenda_spark.operators.classify import _token_hash60
+    from ferenda_spark.operators.textstats import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def step(acc, t):
+        b = (_token_hash60(t, salt) % dim).cast("int")
+        sign = F.when(_token_hash60(t, salt + "#s") % 2 == 1,
+                      F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        return F.transform(
+            acc, lambda x, i: x + F.when(i == b, sign)
+            .otherwise(F.lit(0).cast("long")))
+
+    vec = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        step)
+    return docs.select(F.col(id_col).alias("id"),
+                       vec.alias("embedding"))

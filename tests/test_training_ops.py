@@ -1463,3 +1463,36 @@ def test_noindex_filter(spark):
     ], "url string, html binary")
     kept = {r["url"] for r in noindex_filter(pages).collect()}
     assert kept == {"u2", "u4"}
+
+
+def test_hash_embed_into_ann_family(spark):
+    """hash_embed bridges raw text into the similarity operators:
+    near-identical docs land close in cosine, disjoint docs do not,
+    and the vectors plug straight into cosine_topk."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.similarity import (cosine_topk,
+                                                    hash_embed)
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join agg window partition"),
+         (2, "spark shuffle join agg window partition extra"),
+         (3, "violin sonata cadenza allegro tempo adagio")],
+        "doc_id long, text string")
+    emb = hash_embed(docs, dim=32)
+    rows = {r["id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    # integer, deterministic
+    again = {r["id"]: r["embedding"] for r in
+             hash_embed(docs, dim=32).collect()}
+    assert again == rows
+    # plug into the existing exact ANN path
+    items = emb.select(F.col("id").alias("vec_id"), "embedding")
+    qs = emb.filter("id = 1").select(
+        F.col("id").alias("query_id"), "embedding")
+    top = cosine_topk(items, qs, k=2).collect()
+    ranked = [r["item_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 2          # near-dup text ranks above disjoint
+    # zero shuffle in the embed itself
+    plan = hash_embed(docs, dim=32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
