@@ -409,3 +409,49 @@ def test_class_links_partitions_nontype_triples(spark):
     }
     # partition property: matrix triple count == non-type triples
     assert sum(v[0] for v in got.values()) == 3
+
+
+def test_curate_cli_pages_mode(spark, tmp_path, capsys):
+    """--pages runs the wild-HTML front (noindex → declared-canonical
+    dedup → main-content) before the standard curation chain."""
+    import datetime as dt
+    import importlib.util
+    from pathlib import Path
+
+    cli_path = Path(__file__).resolve().parents[1] / "tools" / "curate.py"
+    spec = importlib.util.spec_from_file_location("curate", cli_path)
+    curate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate)
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "the other dog carries on with the usual daily things "
+             "for a while longer than it should in this test ") * 3
+    rows = []
+    for i in range(30):
+        canon = f"https://s.example/art/{i - i % 3}"
+        noindex = ('<meta name="robots" content="noindex">'
+                   if i % 10 == 9 else "")
+        html = (f"<html><head>{noindex}"
+                f'<link rel="canonical" href="{canon}"></head>'
+                f'<body><nav><a href="/">Home</a></nav>'
+                f"<p>{prose} article {i - i % 3}</p>"
+                f"<footer>c</footer></body></html>").encode()
+        rows.append((f"https://m{i % 3}.example/p/{i}",
+                     dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                     html))
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary") \
+        .write.parquet(src)
+    out = str(tmp_path / "shards")
+    stats = curate.run(spark, [src, out, "--pages",
+                               "--min-stopwords", "1",
+                               "--min-words", "30"])
+    txt = capsys.readouterr().out
+    # 3 pages noindexed (i=9,19,29); canonical groups of 3 collapse —
+    # group texts are identical per group, mirrors dedup to 10 canon
+    # urls minus fully-noindexed none → winners = 10
+    assert "stage=noindex kept=27 dropped=3" in txt
+    assert "stage=canonical_dedup kept=10" in txt
+    assert "stage=main_content kept=10" in txt
+    assert stats["out"] > 0 and stats["shards"] >= 1

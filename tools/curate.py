@@ -9,6 +9,12 @@ stage.
 
 The chain, each stage an independently oracle-gated operator:
 
+  0. (--pages: raw crawl in)   noindex opt-out → declared-canonical
+                               snapshot dedup → main-content strip
+                               (webfilter.noindex_filter /
+                               declared_canonical_fetch,
+                               content.main_content) — the wild-HTML
+                               front producing (url, text)
   1. Gopher rule filter        (operators/textstats.gopher_rules)
   2. exact dedup               (keep min id per text md5)
   3. MinHash near-dup clusters (LSH bands → verify → components,
@@ -49,6 +55,14 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
                    help="Gopher required-stopword floor (published "
                         "default 2; lower for non-English or "
                         "synthetic corpora)")
+    p.add_argument("--pages", action="store_true",
+                   help="input is a raw crawl pages parquet "
+                        "(url, warc_ts, html) instead of extracted "
+                        "documents: run the wild-HTML front — "
+                        "robots-meta noindex opt-out → "
+                        "declared-canonical snapshot dedup → "
+                        "main-content chrome strip — then curate the "
+                        "extracted text (id = canonical url)")
     return p.parse_args(argv)
 
 
@@ -68,8 +82,34 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
 
     args = _parse_args(argv)
     ic, tc = args.id_col, args.text_col
-    docs = spark.read.parquet(args.docs_parquet).persist()
-    n0 = docs.count()
+    if args.pages:
+        # wild-HTML front: consent → canonical identity → content
+        from ferenda_spark.operators.content import main_content
+        from ferenda_spark.operators.webfilter import (
+            declared_canonical_fetch, noindex_filter)
+        pages = spark.read.parquet(args.docs_parquet).persist()
+        p0 = pages.count()
+        allowed = noindex_filter(pages).persist()
+        p1 = allowed.count()
+        pages.unpersist()
+        _stat("noindex", p1, p0 - p1)
+        winners = declared_canonical_fetch(allowed).persist()
+        p2 = winners.count()
+        allowed.unpersist()
+        _stat("canonical_dedup", p2, p1 - p2)
+        content = main_content(
+            winners.select(F.col("canonical_url").alias("url"),
+                           "html"))
+        ic, tc = "url", "text"
+        docs = (content.filter(F.col("content_chars") > 0)
+                .select("url", F.col("content").alias("text"))
+                .persist())
+        n0 = docs.count()
+        winners.unpersist()
+        _stat("main_content", n0, p2 - n0)
+    else:
+        docs = spark.read.parquet(args.docs_parquet).persist()
+        n0 = docs.count()
 
     # 1. rule-based quality floor
     keep_ids = (gopher_rules(docs, text_col=tc, id_col=ic,
@@ -89,13 +129,27 @@ def run(spark: SparkSession, argv: list[str]) -> dict:
     docs1.unpersist()
     _stat("exact_dedup", n2, n1 - n2)
 
-    # 3. near-dup clusters: keep each cluster's min id
-    pairs = dedup.minhash_dedup_pairs(docs2, tc, ic,
-                                      threshold=args.jaccard)
-    drop = (dedup.components(pairs)
-            .filter(F.col("id") != F.col("comp"))
-            .select(F.col("id").alias(ic)))
-    docs3 = docs2.join(drop, ic, "left_anti").persist()
+    # 3. near-dup clusters: keep each cluster's min id.  components()
+    # speaks BIGINT — string ids (--pages canonical urls) ride the
+    # deterministic 64-bit hash there and back, the webgraph CLI's
+    # host convention
+    id_is_str = dict(docs2.dtypes)[ic] == "string"
+    if id_is_str:
+        keyed = docs2.withColumn("__h", F.xxhash64(F.col(ic)))
+        pairs = dedup.minhash_dedup_pairs(keyed, tc, "__h",
+                                          threshold=args.jaccard)
+        drop = (dedup.components(pairs)
+                .filter(F.col("id") != F.col("comp"))
+                .select(F.col("id").alias("__h")))
+        docs3 = (keyed.join(drop, "__h", "left_anti")
+                 .drop("__h").persist())
+    else:
+        pairs = dedup.minhash_dedup_pairs(docs2, tc, ic,
+                                          threshold=args.jaccard)
+        drop = (dedup.components(pairs)
+                .filter(F.col("id") != F.col("comp"))
+                .select(F.col("id").alias(ic)))
+        docs3 = docs2.join(drop, ic, "left_anti").persist()
     n3 = docs3.count()
     docs2.unpersist()
     _stat("near_dup", n3, n2 - n3)
