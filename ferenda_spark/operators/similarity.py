@@ -546,18 +546,23 @@ def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text",
     from ferenda_spark.operators.textstats import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
-
-    def step(acc, t):
-        b = (_token_hash60(t, salt) % dim).cast("int")
-        sign = F.when(_token_hash60(t, salt + "#s") % 2 == 1,
-                      F.lit(-1)).otherwise(F.lit(1)).cast("long")
-        return F.transform(
-            acc, lambda x, i: x + F.when(i == b, sign)
-            .otherwise(F.lit(0).cast("long")))
+    # materialize (bucket, sign) ONCE per token before the fold: a
+    # hash referenced inside the fold's inner transform would be
+    # re-evaluated for every one of the dim array slots (dim× md5
+    # work — the difference between 2 and 2·dim digests per token)
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (_token_hash60(t, salt) % dim).cast("int").alias("b"),
+            F.when(_token_hash60(t, salt + "#s") % 2 == 1,
+                   F.lit(-1)).otherwise(F.lit(1)).cast("long")
+            .alias("s")))
 
     vec = F.aggregate(
-        toks,
+        pairs,
         F.array_repeat(F.lit(0).cast("long"), dim),
-        step)
+        lambda acc, p: F.transform(
+            acc, lambda x, i: x + F.when(i == p["b"], p["s"])
+            .otherwise(F.lit(0).cast("long"))))
     return docs.select(F.col(id_col).alias("id"),
                        vec.alias("embedding"))
