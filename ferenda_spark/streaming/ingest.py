@@ -221,3 +221,66 @@ def stream_decontaminate(spark: SparkSession, docs_stream: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def read_feed_stream(spark: SparkSession, path: str,
+                     max_files: int = 64) -> DataFrame:
+    """Streaming source over a directory of polled feed snapshots —
+    parquet files of (url, xml) rows, one file per poll drop (the
+    shape a fetcher fleet lands)."""
+    return (spark.readStream
+            .schema("url string, xml string")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(path))
+
+
+def stream_feed_discovery(spark: SparkSession, feeds_stream: DataFrame,
+                          store: "GraphStore", checkpoint_dir: str,
+                          table: str = "frontier_candidates"):
+    """Continuous crawl discovery from polled feeds: each micro-batch
+    of fetched feed documents parses through sources/feeds.py (Atom +
+    RSS), entry links become frontier candidates, and ONLY
+    first-ever-seen urls are appended — re-polling a feed whose
+    entries haven't changed appends nothing, so the frontier table
+    stays proportional to genuinely new content, not to poll
+    frequency.
+
+    First-seen is decided against the STORE (left-anti join on the
+    already-appended url set), not per-batch state: the store is the
+    durable dedup ledger, surviving checkpoint resets, and the
+    anti-join's build side is the frontier table itself — bounded by
+    discovered-url count.  Appends carry ``batch_seq`` + the feed
+    provenance; parse-error rows are appended to ``<table>_errors``
+    (loud, never dropped).  The batch-parity contract: after any
+    sequence of drops, ``store.read(table)`` equals the one-shot
+    batch parse of all drops deduped to first occurrence."""
+    from ferenda_spark.sources.feeds import feed_entries
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        ent = feed_entries(batch).localCheckpoint()
+        errs = ent.filter(F.col("error").isNotNull())
+        if not errs.isEmpty():
+            store.append(
+                errs.select("src_url", "error")
+                .withColumn("batch_seq", F.lit(batch_id).cast("long")),
+                table + "_errors")
+        cand = (ent.filter(F.col("error").isNull()
+                           & F.col("link").isNotNull())
+                .groupBy(F.col("link").alias("url"))
+                .agg(F.min("src_url").alias("via_feed"),
+                     F.min("entry_id").alias("via_entry")))
+        if store.exists(table):
+            seen = store.read(table).select("url").distinct()
+            cand = cand.join(seen, "url", "left_anti")
+        store.append(
+            cand.withColumn("batch_seq", F.lit(batch_id).cast("long")),
+            table)
+
+    return (feeds_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -364,3 +364,60 @@ def test_stateful_first_seen_batch_parity_under_reorder(spark, tmp_path):
                "SELECT * FROM first_seen WHERE key <> 'Z'").collect()}
     # one row per key, carrying the MINIMUM ts across batches
     assert got == {("A", t0 + 60), ("B", t0)}
+
+
+def test_stream_feed_discovery_first_seen_parity(spark, tmp_path):
+    """Polled feeds → frontier candidates: re-polls append nothing,
+    new entries append exactly once, parse errors land loudly in the
+    sidecar table, and the final frontier equals the one-shot batch
+    parse deduped to first occurrence."""
+    from ferenda_spark.sources.feeds import feed_entries
+    from ferenda_spark.streaming.ingest import (read_feed_stream,
+                                                stream_feed_discovery)
+
+    def atom(feed, entries):
+        body = "".join(
+            f"<entry><id>urn:e:{i}</id><title>t{i}</title>"
+            f'<link href="https://s.example/a/{i}"/>'
+            f"<updated>2024-01-0{d}T00:00:00Z</updated></entry>"
+            for i, d in entries)
+        return (f'<feed xmlns="http://www.w3.org/2005/Atom">'
+                f"<title>{feed}</title>{body}</feed>")
+
+    in_dir = str(tmp_path / "polls")
+    ckpt = str(tmp_path / "ckpt")
+    store = GraphStore(spark, str(tmp_path / "graph"))
+
+    # poll 1: two feeds, three urls, one broken document
+    drop1 = [("https://h1/feed", atom("f1", [(1, 1), (2, 1)])),
+             ("https://h2/feed", atom("f2", [(3, 1)])),
+             ("https://bad/feed", "not xml <")]
+    spark.createDataFrame(drop1, "url string, xml string") \
+        .write.mode("append").parquet(in_dir)
+    q = stream_feed_discovery(spark, read_feed_stream(spark, in_dir),
+                              store, ckpt)
+    q.awaitTermination(120)
+    t = store.read("frontier_candidates")
+    assert t.count() == 3
+    assert store.read("frontier_candidates_errors").count() == 1
+
+    # poll 2: feed 1 unchanged (pure re-poll), feed 2 gains one entry
+    drop2 = [("https://h1/feed", atom("f1", [(1, 1), (2, 1)])),
+             ("https://h2/feed", atom("f2", [(3, 1), (4, 2)]))]
+    spark.createDataFrame(drop2, "url string, xml string") \
+        .write.mode("append").parquet(in_dir)
+    q = stream_feed_discovery(spark, read_feed_stream(spark, in_dir),
+                              store, ckpt)
+    q.awaitTermination(120)
+    rows = store.read("frontier_candidates").collect()
+    assert len(rows) == 4                       # only url 4 is new
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://s.example/a/4"]["batch_seq"] == 1
+
+    # batch parity: one-shot parse of all drops, first occurrence
+    all_feeds = spark.createDataFrame(drop1 + drop2,
+                                      "url string, xml string")
+    batch_urls = {r["link"] for r in feed_entries(
+        all_feeds, xml_col="xml").collect()
+        if r["error"] is None and r["link"]}
+    assert {r["url"] for r in rows} == batch_urls
