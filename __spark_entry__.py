@@ -2504,6 +2504,27 @@ LIMIT 10
                 .filter(F.col("v") != 0))
     q["hash_embed_docs"] = hash_embed_docs
 
+    def classifier_eval_docs(spark, sf):
+        """Model-selection loop for the trained classifier
+        (classify.score_eval): NB weights trained on English-vs-rest
+        labels, then a four-threshold sweep reporting confusion
+        counts and integer-milli precision/recall in ONE combinable
+        pass.  Oracle: the shared NB training/scoring CTEs plus the
+        identical sweep arithmetic."""
+        from ferenda_spark.operators.classify import (quality_score,
+                                                      score_eval,
+                                                      train_nb_weights)
+        d = _docs(spark, sf)
+        labeled = d.select((F.col("lang") == "en").alias("label"),
+                           "text")
+        w = train_nb_weights(labeled, n_buckets=512)
+        scored = quality_score(d, weights=w, n_buckets=512)
+        labels = d.select(F.col("doc_id").alias("id"),
+                          (F.col("lang") == "en").alias("label"))
+        return score_eval(scored, labels,
+                          thresholds=[-1200, -1000, -800, 0])
+    q["classifier_eval_docs"] = classifier_eval_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5642,8 +5663,7 @@ cs AS (SELECT url, n_tokens,
 SELECT url, CAST(prev // 2000 AS BIGINT) AS shard, n_tokens FROM cs
 """
 
-    o["nb_classifier_docs"] = """
-WITH tk AS (
+    _nb_ctes = """tk AS (
   SELECT doc_id, lang,
          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                      x -> x != '') AS toks
@@ -5665,12 +5685,45 @@ w AS (
   FROM c, tot),
 sc AS (
   SELECT doc_id, count(*) AS n, sum(wt) AS s
-  FROM ex JOIN w USING (b) GROUP BY doc_id)
-SELECT tk.doc_id AS id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-       CAST(coalesce(sc.s, 0) AS BIGINT) AS score_sum_milli,
-       CASE WHEN len(tk.toks) = 0 THEN TRUE
-            ELSE coalesce(sc.s, 0) * 1000 >= 0 END AS keep
-FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id
+  FROM ex JOIN w USING (b) GROUP BY doc_id),
+scored AS (
+  SELECT tk.doc_id AS id, tk.lang,
+         CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sc.s, 0) AS BIGINT) AS score_sum_milli
+  FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id)"""
+
+    o["nb_classifier_docs"] = f"""
+WITH {_nb_ctes}
+SELECT id, n_tokens, score_sum_milli,
+       CASE WHEN n_tokens = 0 THEN TRUE
+            ELSE score_sum_milli * 1000 >= 0 END AS keep
+FROM scored
+"""
+
+    o["classifier_eval_docs"] = f"""
+WITH {_nb_ctes},
+e AS (
+  SELECT s.*, s.lang = 'en' AS y, t.thr
+  FROM scored s, (VALUES (-1200), (-1000), (-800), (0)) t(thr)),
+k AS (
+  SELECT thr, y,
+    CASE WHEN n_tokens = 0 THEN thr <= 0
+         ELSE score_sum_milli * 1000 >= CAST(thr AS BIGINT) * n_tokens
+    END AS kept
+  FROM e),
+agg AS (
+  SELECT thr AS threshold_milli,
+    sum(CASE WHEN kept AND y THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN kept AND NOT y THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN NOT kept AND y THEN 1 ELSE 0 END) AS fn,
+    sum(CASE WHEN NOT kept AND NOT y THEN 1 ELSE 0 END) AS tn
+  FROM k GROUP BY 1)
+SELECT threshold_milli, tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0 THEN CAST(tp * 1000 // (tp + fp) AS BIGINT)
+       END AS precision_milli,
+  CASE WHEN tp + fn > 0 THEN CAST(tp * 1000 // (tp + fn) AS BIGINT)
+       END AS recall_milli
+FROM agg
 """
 
     o["hash_embed_docs"] = """

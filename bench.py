@@ -148,6 +148,7 @@ HEADLINE = [
     "kg_harmonic_landmarks",
     "langid_trained_docs",
     "hash_embed_docs",
+    "classifier_eval_docs",
 ]
 
 

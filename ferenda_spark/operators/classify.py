@@ -107,10 +107,15 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     """(id, n_tokens, score_sum_milli, keep) — linear quality score
     over hashed token features, scan-side.
 
-    ``keep`` ⇔ the MEAN token weight clears ``threshold_milli``,
-    tested as ``score_sum·1000 ≥ threshold·n_tokens`` (pure integer
-    multiplication — engine-exact).  Empty documents score 0 and keep
-    iff the threshold is ≤ 0.
+    ``keep`` ⇔ the MEAN token weight clears the threshold, tested
+    as ``score_sum·1000 ≥ threshold·n_tokens`` (pure integer
+    multiplication — engine-exact).  Units, precisely: score_sum is
+    milli per token, so the comparison puts the mean in MICRO-units
+    — ``threshold_milli=500_000`` means "mean token weight ≥ 0.5"
+    (the historical parameter name understates the scale by 1000;
+    every gate/oracle states the same formula, so the contract is
+    the formula).  Empty documents score 0 and keep iff the
+    threshold is ≤ 0.
 
     Trained ``weights`` of ≤ ``_LITERAL_MAX_BUCKETS`` entries inline
     as a codegen literal array; larger tables go through the
@@ -196,3 +201,56 @@ def train_nb_weights(labeled: DataFrame, label_col: str = "label",
         val = (math.log(r["pos"] + 1) - math.log(r["neg"] + 1) + base)
         weights[r["b"]] = math.floor(1000 * val + 0.5)
     return weights
+
+
+def score_eval(scored: DataFrame, labels: DataFrame,
+               thresholds: list[int],
+               id_col: str = "id", label_col: str = "label"
+               ) -> DataFrame:
+    """Threshold-sweep evaluation of a quality scorer: for each
+    candidate ``threshold_milli`` apply :func:`quality_score`'s keep
+    rule (``score_sum·1000 ≥ thr·n_tokens``; empty docs keep iff
+    thr ≤ 0) against boolean ``labels`` and report the confusion
+    counts plus precision/recall in exact milli-units (``tp·1000
+    DIV (tp+fp)`` — integer division, engine-reproducible; NULL
+    when the denominator is empty rather than a fake 0).
+
+    The whole sweep is ONE pass: thresholds explode against the
+    scored rows (a |thresholds|-way fan-out of an already-scored
+    projection, not a rescore) into a single map-side-combinable
+    groupBy — choosing an operating point over 20 candidate
+    thresholds costs one shuffle of 20 aggregated rows per
+    partition.  This is the model-selection loop for
+    :func:`train_nb_weights`: train once, sweep, pick the threshold
+    hitting the target keep-rate or precision."""
+    if not thresholds:
+        raise ValueError("score_eval: empty threshold list")
+    j = scored.join(labels.select(F.col(id_col),
+                                  F.col(label_col).cast("boolean")
+                                  .alias("__y")), id_col)
+    thr = F.explode(F.array(*[F.lit(int(t)) for t in thresholds]))
+    e = j.select("n_tokens", "score_sum_milli", "__y",
+                 thr.alias("threshold_milli"))
+    keep = F.when(F.col("n_tokens") == 0,
+                  F.col("threshold_milli") <= 0) \
+        .otherwise(F.col("score_sum_milli") * 1000
+                   >= F.col("threshold_milli").cast("long")
+                   * F.col("n_tokens").cast("long"))
+    e = e.withColumn("__k", keep)
+    agg = e.groupBy("threshold_milli").agg(
+        F.sum(F.when(F.col("__k") & F.col("__y"), 1).otherwise(0))
+        .alias("tp"),
+        F.sum(F.when(F.col("__k") & ~F.col("__y"), 1).otherwise(0))
+        .alias("fp"),
+        F.sum(F.when(~F.col("__k") & F.col("__y"), 1).otherwise(0))
+        .alias("fn"),
+        F.sum(F.when(~F.col("__k") & ~F.col("__y"), 1).otherwise(0))
+        .alias("tn"))
+    return agg.select(
+        "threshold_milli", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("tp * 1000 DIV (tp + fp)"))
+        .cast("long").alias("precision_milli"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("tp * 1000 DIV (tp + fn)"))
+        .cast("long").alias("recall_milli"))

@@ -159,3 +159,33 @@ def test_train_nb_weights_single_class_raises(spark):
         [(True, "only positive text here")], "label boolean, text string")
     with _pytest.raises(ValueError, match="single-class"):
         train_nb_weights(labeled, n_buckets=64)
+
+
+def test_score_eval_threshold_sweep(spark):
+    from ferenda_spark.operators.classify import score_eval
+    scored = spark.createDataFrame(
+        [(1, 4, 4000), (2, 4, -4000), (3, 4, 400), (4, 0, 0)],
+        "id long, n_tokens long, score_sum_milli long")
+    labels = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False)],
+        "id long, label boolean")
+    out = {r["threshold_milli"]: r for r in score_eval(
+        scored, labels, thresholds=[0, 500_000]).collect()}
+    # thr=0: keep = mean >= 0 → docs 1,3 kept (both pos), doc 4
+    # empty keeps (neg), doc 2 dropped (neg)
+    t0 = out[0]
+    assert (t0["tp"], t0["fp"], t0["fn"], t0["tn"]) == (2, 1, 0, 1)
+    assert t0["precision_milli"] == 2000 // 3
+    assert t0["recall_milli"] == 1000
+    # thr=500000 (micro units — mean_milli 500): doc 3 (mean_milli
+    # 100) drops, the empty doc drops too
+    t5 = out[500_000]
+    assert (t5["tp"], t5["fp"], t5["fn"], t5["tn"]) == (1, 0, 1, 2)
+    assert t5["precision_milli"] == 1000
+    assert t5["recall_milli"] == 500
+    # degenerate denominators are NULL, never fake zeros
+    hi = score_eval(scored, labels, thresholds=[10_000_000]).first()
+    assert hi["tp"] == 0 and hi["precision_milli"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty threshold"):
+        score_eval(scored, labels, thresholds=[])
