@@ -295,3 +295,73 @@ def test_winnow_selection_per_row_no_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan.split("Generate")[0]
+
+
+def test_bpe_pair_counts_partial_aggregation(spark):
+    """Training's pair-count groupBy pre-aggregates map-side — hot
+    pairs like (t,h) combine per partition before the shuffle."""
+    from ferenda_spark.operators.tokenize import word_counts
+    docs = spark.createDataFrame(
+        [(f"u{i}", "the thin thing then") for i in range(8)],
+        "url string, text string")
+    plan = _plan(word_counts(docs))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
+
+
+def test_declared_canonical_no_python_after_harvest(spark):
+    """After the one Arrow head harvest, key derivation and the
+    winner window stay JVM-side; exactly one window partitioning."""
+    from ferenda_spark.operators.webfilter import declared_canonical_fetch
+    import datetime as dt
+    fetches = spark.createDataFrame(
+        [(f"https://s/{i}", dt.datetime(2024, 1, 1), b"<html/>")
+         for i in range(4)],
+        "url string, warc_ts timestamp, html binary")
+    plan = _plan(declared_canonical_fetch(fetches))
+    # one Arrow pass (the harvest), zero row-at-a-time Python
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan
+    # row_number + count are two window specs but share ONE
+    # partitioning: every Window node keys on canonical_url
+    wins = [seg[:120] for seg in plan.split("Window")[1:]]
+    assert wins and all("canonical_url" in seg for seg in wins)
+
+
+def test_langid_profile_window_partitioned_by_lang(spark):
+    """The training window runs over PRE-AGGREGATED (lang, gram)
+    counts partitioned by lang — never a global single-partition
+    window (the r2 WindowExec lesson)."""
+    from ferenda_spark.operators.langprofile import train_lang_profiles
+    docs = spark.createDataFrame(
+        [("en", "the thing there"), ("sv", "det var det")],
+        "lang string, text string")
+    plan = _plan(train_lang_profiles(docs, k=10))
+    w = plan[plan.index("Window"):plan.index("Window") + 200]
+    assert "lang" in w          # partitioned by lang, never global
+    # gram counts pre-aggregate map-side before the shuffle
+    assert "partial_count" in plan
+
+
+def test_score_eval_single_shuffle(spark):
+    """The whole threshold sweep is one combinable aggregation over
+    the exploded (row × threshold) fan-out — plus only the join of
+    scores to labels."""
+    from ferenda_spark.operators.classify import score_eval
+    scored = spark.createDataFrame(
+        [(1, 3, 100)], "id long, n_tokens long, score_sum_milli long")
+    labels = spark.createDataFrame([(1, True)], "id long, label boolean")
+    plan = _plan(score_eval(scored, labels, thresholds=[0, 1, 2]))
+    assert "partial_sum" in plan
+    assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_harmonic_centrality_combinable_aggregate(spark):
+    """The centrality reduction over distance rows is one groupBy
+    with map-side partials — no window, no python."""
+    from ferenda_spark.operators.rank import harmonic_centrality
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    lms = spark.createDataFrame([(2,)], "node long")
+    plan = _plan(harmonic_centrality(edges, lms, max_depth=4))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan and "BatchEvalPython" not in plan
