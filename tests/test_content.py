@@ -71,3 +71,25 @@ def test_main_content_spark_matches_twin(spark):
     plan = main_content(pages)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.one_of(
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=["Cs"]),
+            max_size=400),
+    st.lists(st.sampled_from(
+        ["<div>", "</div>", "<p>", "</p>", "<nav>", "</nav>",
+         "<a href=x>", "</a>", "<script>", "</script>", "text here ",
+         "<head>", "</head>", "<![CDATA[", "&amp;", "\x00"]),
+        max_size=30).map("".join)))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_content_extractor_never_crashes(html):
+    r = extract_content("u", html)
+    # invariants hold on any input: counters reconcile with output
+    assert r["n_kept"] == len([b for b in r["content"].split("\n") if b]) \
+        or (r["content"] == "" and r["n_kept"] == 0)
+    assert r["content_chars"] <= r["total_chars"]

@@ -92,3 +92,27 @@ def test_writer_reader_roundtrip_with_links(spark):
     plan = feed_entries(plain_src)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_wildxml = st.one_of(
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=["Cs"]),
+            max_size=300),
+    st.lists(st.sampled_from(
+        ["<feed", ' xmlns="http://www.w3.org/2005/Atom"', "><entry>",
+         "<id>", "</id>", "<rss", "<channel>", "<item>", "<guid>",
+         "<pubDate>whenever</pubDate>", "<link>", "</link>", "]]>",
+         "&", "<", ">"]), max_size=25).map("".join))
+
+
+@given(_wildxml)
+@settings(max_examples=150, deadline=None)
+def test_fuzz_feed_parser_never_crashes(xml):
+    rows = parse_feed("https://f.example/feed", xml)
+    assert isinstance(rows, list)
+    for r in rows:
+        # a row is either a parse error or a well-formed entry shell
+        assert r["error"] is not None or r["format"] in ("atom", "rss")

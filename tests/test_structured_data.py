@@ -397,3 +397,28 @@ def test_head_meta_spark_matches_twin(spark):
     plan = head_meta(pages)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+# ---- fuzz: parsers never crash, never guess -----------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_wild = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    max_size=400)
+_taggy = st.lists(st.sampled_from(
+    ["<div ", "<meta ", '<link rel="', "property=", 'about="', ">",
+     "</div>", '"', "og:t", "vocab=", "prefix=", "x: y", "&amp;",
+     "<![CDATA[", "<title>", "</title>", "typeof=", "rel=", "\x00"]),
+    max_size=30).map("".join)
+
+
+@given(st.one_of(_wild, _taggy))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_rdfa_and_head_meta_never_crash(html):
+    for r in extract_rdfa("https://f.example/p", html):
+        assert (r["error"] is None) != (r["subj"] is None)
+    for r in extract_head_meta("https://f.example/p", html):
+        assert r["kind"] in ("title", "meta", "link")
+        assert r["value"] is not None
