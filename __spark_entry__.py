@@ -2485,10 +2485,13 @@ LIMIT 10
         classification — gram windows, rank truncation, the
         coalesce-penalty sum and the (dist, lang) argmin — in SQL."""
         from ferenda_spark.operators.langprofile import (
-            classify_language, train_lang_profiles)
+            classify_language, explode_grams, train_lang_profiles)
         d = _docs(spark, sf)
-        prof = train_lang_profiles(d, k=150)
-        return classify_language(d, prof, k_doc=80, penalty=150)
+        # ONE gram explode feeds both stages (the dominant cost)
+        g = explode_grams(d, ["doc_id", "lang"]).persist()
+        prof = train_lang_profiles(d, k=150, grams=g)
+        return classify_language(d, prof, k_doc=80, penalty=150,
+                                 grams=g)
     q["langid_trained_docs"] = langid_trained_docs
 
     def hash_embed_docs(spark, sf):

@@ -57,17 +57,32 @@ def _grams(df: DataFrame, text_col: str, n: int) -> Column:
     return char_ngrams(F.col(text_col), n)
 
 
+def explode_grams(docs: DataFrame, cols: list[str],
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(cols..., gram) rows — the shared gram explode.  Compute it
+    ONCE and hand it to both :func:`train_lang_profiles` and
+    :func:`classify_language` (via ``grams=``) when training and
+    classifying over the same corpus: the explode is the dominant
+    cost and otherwise runs twice."""
+    return docs.select(*cols, F.explode(_grams(docs, text_col, n))
+                       .alias("gram"))
+
+
 def train_lang_profiles(labeled: DataFrame, lang_col: str = "lang",
                         text_col: str = "text", k: int = 200,
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        grams: DataFrame | None = None) -> DataFrame:
     """(lang, gram, rank): the top-``k`` character n-grams per
     language, ranked by (count desc, gram) — the Cavnar–Trenkle
-    profile table."""
+    profile table.  ``grams`` (optional): precomputed
+    (lang, gram) rows from :func:`explode_grams`."""
     from pyspark.sql import Window
 
-    ex = labeled.select(F.col(lang_col).alias("lang"),
-                        F.explode(_grams(labeled, text_col, n))
-                        .alias("gram"))
+    ex = grams.select(F.col(lang_col).alias("lang"), "gram") \
+        if grams is not None else \
+        labeled.select(F.col(lang_col).alias("lang"),
+                       F.explode(_grams(labeled, text_col, n))
+                       .alias("gram"))
     counts = ex.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
@@ -79,7 +94,8 @@ def train_lang_profiles(labeled: DataFrame, lang_col: str = "lang",
 def classify_language(docs: DataFrame, profiles: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       k_doc: int = 100, penalty: int = 200,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      grams: DataFrame | None = None) -> DataFrame:
     """(id, lang_pred, dist): out-of-place classification — each of
     the document's top-``k_doc`` grams contributes |doc_rank −
     profile_rank|, or ``penalty`` when the language's profile lacks
@@ -87,9 +103,11 @@ def classify_language(docs: DataFrame, profiles: DataFrame,
     language code)."""
     from pyspark.sql import Window
 
-    ex = docs.select(F.col(id_col).alias("id"),
-                     F.explode(_grams(docs, text_col, n))
-                     .alias("gram"))
+    ex = grams.select(F.col(id_col).alias("id"), "gram") \
+        if grams is not None else \
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(_grams(docs, text_col, n))
+                    .alias("gram"))
     counts = ex.groupBy("id", "gram").agg(
         F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
