@@ -2528,6 +2528,45 @@ LIMIT 10
                           thresholds=[-1200, -1000, -800, 0])
     q["classifier_eval_docs"] = classifier_eval_docs
 
+    def kg_metadata_triad(spark, sf):
+        """All three embedded-metadata harvesters over ONE page set
+        — each page carries a JSON-LD block (Product name + type),
+        microdata (an Offer with a price), and RDFa (a sku on the
+        same Product subject, whose typeof DUPLICATES the JSON-LD
+        rdf:type) — union-deduped into a single graph: the
+        Web-Data-Commons story end-to-end, including the
+        cross-format duplicate collapsing to one triple.  Oracle:
+        the five distinct triples per page restated arm by arm."""
+        from ferenda_spark.operators.structured_data import (
+            jsonld_triples, microdata_triples, rdfa_triples)
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://shop"),
+                       (F.col("doc_id") % 3).cast("string"),
+                       F.lit(".example/p/"), did)
+        html = F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@context": "https://schema.org", "@id": "'),
+            url, F.lit('#prod", "@type": "Product", "name": "P'),
+            did, F.lit('"}</script></head><body>'
+                       '<div itemscope '
+                       'itemtype="https://schema.org/Offer" itemid="'),
+            url, F.lit('#offer"><span itemprop="price">'),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit('</span></div>'
+                  '<div vocab="https://schema.org/" about="'),
+            url, F.lit('#prod" typeof="Product">'
+                       '<span property="sku">S'), did,
+            F.lit("</span></div></body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        cols = ["subj", "pred", "obj", "obj_is_literal"]
+        t = (jsonld_triples(pages)
+             .unionByName(microdata_triples(pages))
+             .unionByName(rdfa_triples(pages)))
+        return (t.filter(F.col("error").isNull())
+                .select(*cols).distinct())
+    q["kg_metadata_triad"] = kg_metadata_triad
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5781,6 +5820,25 @@ SELECT doc_id AS id, lang AS lang_pred, dist FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY dist, lang) AS rn FROM dist)
 WHERE rn = 1
+"""
+
+    o["kg_metadata_triad"] = """
+WITH d AS (
+  SELECT 'https://shop' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id % 90 + 10 AS VARCHAR) AS price
+  FROM documents)
+SELECT url || '#prod' AS subj, 'rdf:type' AS pred,
+       'schema:Product' AS obj, FALSE AS obj_is_literal FROM d
+UNION ALL
+SELECT url || '#prod', 'schema:name', 'P' || did, TRUE FROM d
+UNION ALL
+SELECT url || '#offer', 'rdf:type', 'schema:Offer', FALSE FROM d
+UNION ALL
+SELECT url || '#offer', 'schema:price', price, TRUE FROM d
+UNION ALL
+SELECT url || '#prod', 'schema:sku', 'S' || did, TRUE FROM d
 """
 
     o["strip_paragraphs_docs"] = """

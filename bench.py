@@ -149,6 +149,7 @@ HEADLINE = [
     "langid_trained_docs",
     "hash_embed_docs",
     "classifier_eval_docs",
+    "kg_metadata_triad",
 ]
 
 
