@@ -2567,6 +2567,62 @@ LIMIT 10
                 .select(*cols).distinct())
     q["kg_metadata_triad"] = kg_metadata_triad
 
+    def threshold_calibration_docs(spark, sf):
+        """Keep-rate threshold calibration (classify.
+        threshold_for_keep_rate): the largest integer threshold
+        keeping ≥30% of NB-scored docs, picked via the exact
+        integer floor-mean order.  Oracle: the identical k-th
+        largest selection (ORDER BY DESC OFFSET) plus the keep
+        count under that threshold."""
+        from ferenda_spark.operators.classify import (
+            quality_score, threshold_for_keep_rate, train_nb_weights)
+        d = _docs(spark, sf)
+        labeled = d.select((F.col("lang") == "en").alias("label"),
+                           "text")
+        w = train_nb_weights(labeled, n_buckets=512)
+        scored = quality_score(d, weights=w, n_buckets=512)
+        r = threshold_for_keep_rate(scored, rate_milli=300)
+        return spark.createDataFrame(
+            [(r["threshold_milli"], r["kept"], r["n"],
+              r["n_empty"])],
+            "threshold_milli long, kept long, n long, n_empty long")
+    q["threshold_calibration_docs"] = threshold_calibration_docs
+
+    def meta_refresh_docs(spark, sf):
+        """Client-side redirects (webfilter.meta_refresh_edges →
+        crawl.resolve_redirects): every 4k+1 page refreshes to its
+        canonical /art/ url (absolute-path target), every 4k+2 page
+        refreshes RELATIVELY to the 4k+1 page — a two-hop chain the
+        pointer-doubling resolver must follow — 4k+3 pages declare a
+        url-less self-reload (no edge, per spec) and 4k pages none.
+        Oracle: both chain classes in closed form."""
+        from ferenda_spark.operators.crawl import resolve_redirects
+        from ferenda_spark.operators.webfilter import (
+            meta_refresh_edges,
+        )
+        did = F.col("doc_id").cast("string")
+        url = F.concat(F.lit("https://w.example/p/"), did)
+        refresh = (F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('<meta http-equiv="refresh" '
+                           'content="0; url=/art/'), did,
+                     F.lit('">')))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit('<meta http-equiv="refresh" '
+                                 "content=\"5;URL='"),
+                           (F.col("doc_id") - 1).cast("string"),
+                           F.lit("'\">")))
+            .when(F.col("doc_id") % 4 == 3,
+                  F.lit('<meta http-equiv="refresh" content="30">'))
+            .otherwise(F.lit("")))
+        html = F.concat(F.lit("<html><head>"), refresh,
+                        F.lit("</head><body>x</body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        edges = meta_refresh_edges(pages)
+        return resolve_redirects(edges.select("src", "dst"))
+    q["meta_refresh_docs"] = meta_refresh_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5820,6 +5876,38 @@ SELECT doc_id AS id, lang AS lang_pred, dist FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY dist, lang) AS rn FROM dist)
 WHERE rn = 1
+"""
+
+    o["meta_refresh_docs"] = """
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS did
+           FROM documents)
+SELECT 'https://w.example/p/' || did AS src,
+       'https://w.example/art/' || did AS final_url,
+       CAST(1 AS BIGINT) AS hops, TRUE AS resolved
+FROM d WHERE doc_id % 4 = 1
+UNION ALL
+SELECT 'https://w.example/p/' || did,
+       'https://w.example/art/' || CAST(doc_id - 1 AS VARCHAR),
+       CAST(2 AS BIGINT), TRUE
+FROM d WHERE doc_id % 4 = 2
+"""
+
+    o["threshold_calibration_docs"] = f"""
+WITH {_nb_ctes},
+m AS (
+  SELECT score_sum_milli * 1000 // n_tokens AS m
+  FROM scored WHERE n_tokens > 0),
+p AS (SELECT count(*) AS n FROM m),
+kk AS (SELECT CAST((300 * n + 999) // 1000 AS BIGINT) AS k, n FROM p),
+thr AS (
+  SELECT m AS t FROM m, kk ORDER BY m DESC
+  LIMIT 1 OFFSET (SELECT k - 1 FROM kk))
+SELECT CAST(thr.t AS BIGINT) AS threshold_milli,
+       (SELECT count(*) FROM m WHERE m.m >= thr.t) AS kept,
+       CAST(kk.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM scored WHERE n_tokens = 0)
+            AS BIGINT) AS n_empty
+FROM thr, kk
 """
 
     o["kg_metadata_triad"] = """

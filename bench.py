@@ -150,6 +150,8 @@ HEADLINE = [
     "hash_embed_docs",
     "classifier_eval_docs",
     "kg_metadata_triad",
+    "threshold_calibration_docs",
+    "meta_refresh_docs",
 ]
 
 

@@ -254,3 +254,43 @@ def score_eval(scored: DataFrame, labels: DataFrame,
         F.when(F.col("tp") + F.col("fn") > 0,
                F.expr("tp * 1000 DIV (tp + fn)"))
         .cast("long").alias("recall_milli"))
+
+
+def threshold_for_keep_rate(scored: DataFrame,
+                            rate_milli: int) -> dict:
+    """Calibrate the keep threshold to a target keep-rate: the
+    LARGEST integer threshold keeping at least ``rate_milli/1000``
+    of the scored documents.
+
+    Exactness without float means: under an integer threshold t the
+    keep rule ``score_sum·1000 ≥ t·n`` is equivalent to
+    ``floor(score_sum·1000 / n) ≥ t`` — so ranking documents by
+    their integer floor-mean ``m`` and taking the k-th largest
+    (k = ceil(rate·N/1000)) yields a threshold whose keep-set is
+    exactly ``{m ≥ t}``, size ≥ k, deterministic across engines.
+
+    Empty documents (n_tokens = 0) sit outside the mean scale — the
+    keep rule pins them to ``t ≤ 0`` regardless — so they are
+    EXCLUDED from calibration, loudly reported in the result.
+
+    Returns ``{"threshold_milli", "kept", "n", "n_empty"}``.  The
+    k-th-largest selection is a sort-limit: exact and fine up to
+    k in the millions; for a 99%-keep sweep over 10^12 docs use the
+    score distribution (score_eval over candidate thresholds) or an
+    approximate percentile instead of this exact picker."""
+    if not 0 < rate_milli <= 1000:
+        raise ValueError(
+            f"rate_milli must be in (0, 1000], got {rate_milli}")
+    nonempty = scored.filter(F.col("n_tokens") > 0)
+    n = nonempty.count()
+    n_empty = scored.count() - n
+    if n == 0:
+        raise ValueError("threshold_for_keep_rate: no non-empty docs")
+    k = (int(rate_milli) * n + 999) // 1000
+    m = nonempty.select(
+        F.expr("score_sum_milli * 1000 DIV n_tokens").alias("m"))
+    thr = (m.orderBy(F.desc("m")).limit(k)
+           .agg(F.min("m").alias("t")).first()["t"])
+    kept = m.filter(F.col("m") >= thr).count()
+    return {"threshold_milli": int(thr), "kept": int(kept),
+            "n": int(n), "n_empty": int(n_empty)}

@@ -234,3 +234,56 @@ def noindex_filter(pages: DataFrame, url_col: str = "url",
         .filter(F.trim(F.col("d")).isin("noindex", "none"))
         .select(url_col).distinct())
     return pages.join(opted_out, url_col, "left_anti")
+
+
+#: "5; url=/new", "0;URL='x'" — the content syntax of a meta refresh
+_REFRESH_RE = (r"^\s*(\d+)\s*(?:;\s*[uU][rR][lL]\s*=\s*"
+               r"['\"]?([^'\"]+?)['\"]?\s*)?$")
+
+
+def meta_refresh_edges(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """(src, dst, delay_sec): client-side redirects declared as
+    ``<meta http-equiv="refresh" content="N; url=...">`` — the
+    redirect hop HTTP archives do NOT record (the server returned
+    200; the page bounces in the browser).  Doorway pages, moved
+    content and ad-laden interstitials all redirect this way, so a
+    crawl that only follows 3xx chains (sources/cdx.py
+    redirect_edges → crawl.resolve_redirects) still splits one
+    document's identity across urls.  These edges union with the
+    CDX 3xx edges and ride the same pointer-doubling resolution.
+
+    Parsing per the WHATWG refresh steps, restated exactly in the
+    oracle: integer delay, optional ``url=`` clause
+    (case-insensitive, optional quotes), target resolved against
+    the page url; a refresh WITHOUT a url (a pure self-reload) is
+    not a redirect and yields no edge.  First refresh declaration
+    per page wins (document order — head_meta's ``pos``).  One
+    Arrow harvest + one per-url min-struct aggregate, both keyed
+    uniformly."""
+    from ferenda_spark.operators.structured_data import head_meta
+
+    meta = head_meta(pages, url_col=url_col, html_col=html_col)
+    r = (meta.filter((F.col("kind") == "meta")
+                     & (F.col("key") == "refresh"))
+         .groupBy(F.col("src_url").alias("src"))
+         .agg(F.min(F.struct("pos", "value")).alias("_f"))
+         .select("src", F.col("_f.value").alias("content")))
+    delay = F.regexp_extract("content", _REFRESH_RE, 1)
+    target = F.regexp_extract("content", _REFRESH_RE, 2)
+    out = r.select(
+        "src",
+        F.when(target != "", target).alias("_t"),
+        F.when(delay != "", delay.cast("long")).alias("delay_sec"))
+    # resolve relative targets against the source url (JVM-side:
+    # scheme+authority prefix for absolute-path refs, full copy for
+    # absolute urls — the subset real refresh targets use)
+    base = F.regexp_extract("src", r"^(https?://[^/]+)", 1)
+    dst = F.when(F.col("_t").rlike("^https?://"), F.col("_t")) \
+        .when(F.col("_t").startswith("/"),
+              F.concat(base, F.col("_t"))) \
+        .otherwise(F.concat(
+            F.regexp_extract("src", r"^(.*/)[^/]*$", 1), F.col("_t")))
+    return (out.filter(F.col("_t").isNotNull())
+            .select("src", dst.alias("dst"), "delay_sec")
+            .filter(F.col("dst") != F.col("src")))

@@ -232,3 +232,55 @@ def test_declared_canonical_fetch_collapse_and_fallback(spark):
     b = {(r["canonical_url"], r["url"])
          for r in latest_fetch(silent_only).collect()}
     assert a == b
+
+
+def test_meta_refresh_edges(spark):
+    from ferenda_spark.operators.webfilter import meta_refresh_edges
+
+    def pg(content):
+        return (f'<html><head><meta http-equiv="refresh" '
+                f'content="{content}"></head></html>').encode() \
+            if content is not None else b"<html/>"
+
+    pages = spark.createDataFrame([
+        ("https://a.com/x/p1", pg("0; url=/new")),          # abs path
+        ("https://a.com/x/p2", pg("5;URL='q2'")),           # relative
+        ("https://a.com/x/p3", pg("7 ; url = https://b.com/t")),
+        ("https://a.com/x/p4", pg("30")),                   # reload
+        ("https://a.com/x/p5", pg(None)),                   # none
+        ("https://a.com/x/p6", pg("nonsense garbage")),     # invalid
+        ("https://a.com/x/p7", pg("1; url=p7")),            # self
+    ], "url string, html binary")
+    out = {r["src"]: r for r in meta_refresh_edges(pages).collect()}
+    assert set(out) == {"https://a.com/x/p1", "https://a.com/x/p2",
+                        "https://a.com/x/p3"}
+    assert out["https://a.com/x/p1"]["dst"] == "https://a.com/new"
+    assert out["https://a.com/x/p1"]["delay_sec"] == 0
+    assert out["https://a.com/x/p2"]["dst"] == "https://a.com/x/q2"
+    assert out["https://a.com/x/p3"]["dst"] == "https://b.com/t"
+    assert out["https://a.com/x/p3"]["delay_sec"] == 7
+
+
+def test_threshold_for_keep_rate(spark):
+    import pytest as _pytest
+
+    from ferenda_spark.operators.classify import threshold_for_keep_rate
+    scored = spark.createDataFrame(
+        [(1, 2, 8), (2, 2, 6), (3, 2, 4), (4, 2, 2), (5, 0, 0)],
+        "id long, n_tokens long, score_sum_milli long")
+    # means (micro): 4000, 3000, 2000, 1000; empty doc excluded
+    r = threshold_for_keep_rate(scored, rate_milli=500)
+    assert r == {"threshold_milli": 3000, "kept": 2, "n": 4,
+                 "n_empty": 1}
+    # rate 600 of 4 docs → k = ceil(2.4) = 3 → third largest mean
+    r = threshold_for_keep_rate(scored, rate_milli=600)
+    assert r["threshold_milli"] == 2000 and r["kept"] == 3
+    # the chosen threshold reproduces its keep-set via the keep rule
+    from ferenda_spark.operators.classify import score_eval
+    labels = scored.select("id", (F.col("id") <= 3).alias("label"))
+    ev = score_eval(scored, labels,
+                    thresholds=[r["threshold_milli"]]).first()
+    # t=2000 > 0, so the empty doc drops; kept counts reconcile
+    assert ev["tp"] + ev["fp"] == r["kept"]
+    with _pytest.raises(ValueError, match="rate_milli"):
+        threshold_for_keep_rate(scored, rate_milli=0)
