@@ -555,7 +555,9 @@ GATE_ORDER = [
     # bpe_encode_docs, main_content_docs, curation_pipeline_v5,
     # nb_classifier_docs, atom_roundtrip_events, rss_discovery_docs,
     # strip_paragraphs_docs, noindex_filter_docs,
-    # kg_harmonic_landmarks.
+    # kg_harmonic_landmarks, langid_trained_docs, hash_embed_docs,
+    # classifier_eval_docs, kg_metadata_triad,
+    # threshold_calibration_docs, meta_refresh_docs.
     # --- round-4 session-5 rotation: ten never-driver-checked ops
     # take their first rows.  Slots (each swap-out keeps its family
     # covered in-gate and stays locally oracle-checked as an extra):
