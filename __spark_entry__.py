@@ -2625,6 +2625,45 @@ LIMIT 10
         return resolve_redirects(edges.select("src", "dst"))
     q["meta_refresh_docs"] = meta_refresh_docs
 
+    def anchor_alias_linking(spark, sf):
+        """Web-anchor entity linking (anchors.anchor_profile →
+        linker.link_labels): the crowd-sourced alias dictionary —
+        each target's majority anchor text across the link graph
+        (a minority variant text on every fifth page must LOSE the
+        argmax) becomes the label that free-text mentions link
+        against; unmatchable mentions (every seventh doc) stay
+        null through the lossless length-band fuzzy phase.
+        Oracle: majority aliases and the link outcome in closed
+        form."""
+        from ferenda_spark.operators.anchors import (anchor_pairs,
+                                                     anchor_profile,
+                                                     resolve_hrefs)
+        from ferenda_spark.operators.linker import link_labels
+        did = F.col("doc_id").cast("string")
+        k = (F.col("doc_id") % 29).cast("string")
+        src = F.concat(F.lit("https://hub.example/p/"), did)
+        text = F.when(F.col("doc_id") % 5 == 0,
+                      F.concat(F.lit("T-"), k, F.lit(" alt")))  \
+            .otherwise(F.concat(F.lit("Topic phrase "), k))
+        html = F.concat(F.lit('<html><body><a href="/res/topic/'),
+                        k, F.lit('">'), text,
+                        F.lit("</a></body></html>"))
+        pages = _docs(spark, sf).select(
+            src.alias("url"),
+            F.encode(html, "UTF-8").alias("html"))
+        prof = anchor_profile(resolve_hrefs(anchor_pairs(pages)))
+        ents = prof.select(F.col("href").alias("uri"),
+                           F.col("top_anchor").alias("label"))
+        mentions = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("zzqx"), did))
+            .otherwise(F.concat(F.lit("Topic phrase "), k))
+            .alias("label"))
+        return link_labels(mentions, ents).select(
+            "doc_id", "label", "entity_uri")
+    q["anchor_alias_linking"] = anchor_alias_linking
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5878,6 +5917,19 @@ SELECT doc_id AS id, lang AS lang_pred, dist FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY dist, lang) AS rn FROM dist)
 WHERE rn = 1
+"""
+
+    o["anchor_alias_linking"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id % 29 AS VARCHAR) AS k
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 'zzqx' || did
+       ELSE 'Topic phrase ' || k END AS label,
+  CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS VARCHAR)
+       ELSE 'https://hub.example/res/topic/' || k END AS entity_uri
+FROM d
 """
 
     o["meta_refresh_docs"] = """

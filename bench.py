@@ -152,6 +152,7 @@ HEADLINE = [
     "kg_metadata_triad",
     "threshold_calibration_docs",
     "meta_refresh_docs",
+    "anchor_alias_linking",
 ]
 
 
