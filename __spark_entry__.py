@@ -557,7 +557,8 @@ GATE_ORDER = [
     # strip_paragraphs_docs, noindex_filter_docs,
     # kg_harmonic_landmarks, langid_trained_docs, hash_embed_docs,
     # classifier_eval_docs, kg_metadata_triad,
-    # threshold_calibration_docs, meta_refresh_docs.
+    # threshold_calibration_docs, meta_refresh_docs,
+    # anchor_alias_linking.
     # --- round-4 session-5 rotation: ten never-driver-checked ops
     # take their first rows.  Slots (each swap-out keeps its family
     # covered in-gate and stays locally oracle-checked as an extra):
