@@ -2665,6 +2665,42 @@ LIMIT 10
             "doc_id", "label", "entity_uri")
     q["anchor_alias_linking"] = anchor_alias_linking
 
+    def text_neardup_hash(spark, sf):
+        """Model-free semantic near-dup on raw TEXT
+        (similarity.hash_embed + int_cosine_test): each document is
+        paired with a variant — two appended tokens (near-dup must
+        hold), a completely different sentence (must not), or an
+        exact copy — and the 0.95-cosine verdict is decided in
+        EXACT integer arithmetic (dot²·10⁶ ≥ t²·|a|²·|b|², no sqrt,
+        no floats), so even boundary verdicts agree with the
+        oracle bit-for-bit."""
+        from ferenda_spark.operators.similarity import (
+            hash_embed, int_cosine_test)
+        d = _docs(spark, sf)
+        did = F.col("doc_id").cast("string")
+        btext = (F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.col("text"), F.lit(" zzz yyy")))
+                 .when(F.col("doc_id") % 3 == 1,
+                       F.concat(F.lit("quite different wording "
+                                      "entirely unrelated to "
+                                      "source "), did))
+                 .otherwise(F.col("text")))
+        ea = hash_embed(d, dim=32).withColumnRenamed("embedding", "va")
+        eb = hash_embed(d.select("doc_id", btext.alias("text")),
+                        dim=32).withColumnRenamed("embedding", "vb")
+        j = ea.join(eb, "id")
+        va, vb = F.col("va"), F.col("vb")
+        idot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+        nsq = lambda v: F.aggregate(  # noqa: E731
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        return j.select(
+            F.col("id").alias("doc_id"), idot.alias("dot"),
+            nsq(va).alias("na"), nsq(vb).alias("nb"),
+            int_cosine_test(va, vb, 950).alias("is_near"))
+    q["text_neardup_hash"] = text_neardup_hash
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5918,6 +5954,55 @@ SELECT doc_id AS id, lang AS lang_pred, dist FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY dist, lang) AS rn FROM dist)
 WHERE rn = 1
+"""
+
+    o["text_neardup_hash"] = """
+WITH d AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' zzz yyy'
+         WHEN doc_id % 3 = 1
+           THEN 'quite different wording entirely unrelated to '
+                || 'source ' || CAST(doc_id AS VARCHAR)
+         ELSE text END AS btext
+  FROM documents),
+ta AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5('he-v1:' || u.t), 1, 15))
+         AS BIGINT) % 32 AS j,
+    sum(CASE WHEN CAST(concat('0x',
+            substr(md5('he-v1#s:' || u.t), 1, 15)) AS BIGINT) % 2 = 1
+        THEN -1 ELSE 1 END) AS v
+  FROM d, unnest(list_filter(
+      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      x -> x != '')) AS u(t)
+  GROUP BY 1, 2),
+tb AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5('he-v1:' || u.t), 1, 15))
+         AS BIGINT) % 32 AS j,
+    sum(CASE WHEN CAST(concat('0x',
+            substr(md5('he-v1#s:' || u.t), 1, 15)) AS BIGINT) % 2 = 1
+        THEN -1 ELSE 1 END) AS v
+  FROM d, unnest(list_filter(
+      regexp_split_to_array(trim(lower(btext)), '\\s+'),
+      x -> x != '')) AS u(t)
+  GROUP BY 1, 2),
+na AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS na
+       FROM ta GROUP BY 1),
+nb AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nb
+       FROM tb GROUP BY 1),
+dt AS (SELECT a.doc_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+       FROM ta a JOIN tb b ON a.doc_id = b.doc_id AND a.j = b.j
+       GROUP BY 1)
+SELECT d.doc_id, coalesce(dt.dot, 0) AS dot, na.na, nb.nb,
+       (coalesce(dt.dot, 0) >= 0
+        AND coalesce(dt.dot, 0) * coalesce(dt.dot, 0) * 1000000
+            >= 950 * 950 * na.na * nb.nb
+        AND na.na > 0 AND nb.nb > 0) AS is_near
+FROM d
+JOIN na ON na.doc_id = d.doc_id
+JOIN nb ON nb.doc_id = d.doc_id
+LEFT JOIN dt ON dt.doc_id = d.doc_id
 """
 
     o["anchor_alias_linking"] = """

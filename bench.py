@@ -153,6 +153,7 @@ HEADLINE = [
     "threshold_calibration_docs",
     "meta_refresh_docs",
     "anchor_alias_linking",
+    "text_neardup_hash",
 ]
 
 

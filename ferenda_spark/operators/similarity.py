@@ -566,3 +566,26 @@ def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))))
     return docs.select(F.col(id_col).alias("id"),
                        vec.alias("embedding"))
+
+
+def int_cosine_test(va: Column, vb: Column,
+                    threshold_milli: int) -> Column:
+    """Exact integer cosine threshold test for integer vectors
+    (hash_embed's output): ``cos(a,b) ≥ t/1000`` decided WITHOUT
+    floats or sqrt — ``dot ≥ 0 AND dot²·10⁶ ≥ t²·|a|²·|b|²`` — so
+    near-dup verdicts reproduce bit-for-bit in any engine (the
+    float-cosine paths round; a verdict at the threshold boundary
+    must not flip between Spark and the oracle).  All BIGINT: safe
+    while dot² < 2⁶³ (hash_embed counts over ≤ ~50k-token docs at
+    dim ≥ 32 stay far under)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    na = F.aggregate(F.transform(va, lambda x: x * x),
+                     F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate(F.transform(vb, lambda x: x * x),
+                     F.lit(0).cast("long"), lambda a, x: a + x)
+    t = int(threshold_milli)
+    return ((dot >= 0)
+            & (dot * dot * 1_000_000 >= F.lit(t * t) * na * nb)
+            & (na > 0) & (nb > 0))

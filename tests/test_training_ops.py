@@ -1496,3 +1496,31 @@ def test_hash_embed_into_ann_family(spark):
     plan = hash_embed(docs, dim=32)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_int_cosine_test_exact_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.similarity import int_cosine_test
+    rows = [
+        (1, [3, 4], [3, 4]),      # identical: cos = 1
+        (2, [1, 0], [0, 1]),      # orthogonal: cos = 0
+        (3, [1, 0], [-1, 0]),     # opposite: cos = -1 (dot < 0 arm)
+        (4, [1, 1], [1, 0]),      # cos = 1/sqrt(2) ≈ 0.7071
+        (5, [0, 0], [1, 1]),      # zero vector: never near
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<long>, b array<long>")
+
+    def verdicts(t):
+        return {r["id"]: r["v"] for r in df.select(
+            "id", int_cosine_test(F.col("a"), F.col("b"), t)
+            .alias("v")).collect()}
+
+    v95 = verdicts(950)
+    assert v95 == {1: True, 2: False, 3: False, 4: False, 5: False}
+    # the sqrt(2)/2 boundary: 707 keeps it, 708 rejects — exact
+    # integer arithmetic decides the fence, no float rounding
+    assert verdicts(707)[4] is True
+    assert verdicts(708)[4] is False
+    assert verdicts(1000)[1] is True    # cos=1 at threshold 1.0
