@@ -2701,6 +2701,46 @@ LIMIT 10
             int_cosine_test(va, vb, 950).alias("is_near"))
     q["text_neardup_hash"] = text_neardup_hash
 
+    def hreflang_clusters_docs(spark, sf):
+        """Multilingual document families (webfilter.
+        hreflang_clusters): en/sv/de triples with deliberately
+        ASYMMETRIC declarations — the en page lists all variants,
+        the sv page lists only en (and never itself, so its own
+        hreflang stays NULL), the de page lists de+en — must
+        cluster transitively under one min-url label, including
+        the last partial family whose de PAGE does not exist but
+        whose de url is still a referenced node.  Oracle: the
+        family rows in closed form."""
+        from ferenda_spark.operators.webfilter import hreflang_clusters
+        r = F.col("doc_id") % 3
+        L = (F.col("doc_id") - r).cast("string")
+        lang = (F.when(r == 0, "en").when(r == 1, "sv")
+                .otherwise("de"))
+        url = F.concat(F.lit("https://x.example/"), lang,
+                       F.lit("/"), L)
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(r == 0, F.concat(
+                F.lit('<link rel="alternate" hreflang="en" '
+                      'href="https://x.example/en/'), L,
+                F.lit('"><link rel="alternate" hreflang="sv" '
+                      'href="/sv/'), L,
+                F.lit('"><link rel="alternate" hreflang="de" '
+                      'href="/de/'), L, F.lit('">')))
+            .when(r == 1, F.concat(
+                F.lit('<link rel="alternate" hreflang="en" '
+                      'href="/en/'), L, F.lit('">')))
+            .otherwise(F.concat(
+                F.lit('<link rel="alternate" hreflang="de" '
+                      'href="https://x.example/de/'), L,
+                F.lit('"><link rel="alternate" hreflang="en" '
+                      'href="/en/'), L, F.lit('">'))),
+            F.lit("</head><body>x</body></html>"))
+        pages = _docs(spark, sf).select(url.alias("url"),
+                                        html.alias("html"))
+        return hreflang_clusters(pages)
+    q["hreflang_clusters_docs"] = hreflang_clusters_docs
+
     def curation_pipeline_v4(spark, sf):
         """The ingest-to-export story in one query: multi-snapshot
         crawl (refetch variants at later times, same content) →
@@ -5954,6 +5994,27 @@ SELECT doc_id AS id, lang AS lang_pred, dist FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY dist, lang) AS rn FROM dist)
 WHERE rn = 1
+"""
+
+    o["hreflang_clusters_docs"] = """
+WITH fam AS (
+  SELECT DISTINCT CAST(doc_id - doc_id % 3 AS VARCHAR) AS L,
+         doc_id - doc_id % 3 AS ln
+  FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT 'https://x.example/en/' || L AS url,
+       'https://x.example/de/' || L AS cluster,
+       'en' AS hreflang
+FROM fam
+UNION ALL
+SELECT 'https://x.example/sv/' || L,
+       'https://x.example/de/' || L, CAST(NULL AS VARCHAR)
+FROM fam
+UNION ALL
+SELECT 'https://x.example/de/' || L,
+       'https://x.example/de/' || L,
+       CASE WHEN ln + 2 <= mx.m THEN 'de' END
+FROM fam, mx
 """
 
     o["text_neardup_hash"] = """

@@ -154,6 +154,7 @@ HEADLINE = [
     "meta_refresh_docs",
     "anchor_alias_linking",
     "text_neardup_hash",
+    "hreflang_clusters_docs",
 ]
 
 

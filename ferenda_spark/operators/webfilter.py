@@ -287,3 +287,63 @@ def meta_refresh_edges(pages: DataFrame, url_col: str = "url",
     return (out.filter(F.col("_t").isNotNull())
             .select("src", dst.alias("dst"), "delay_sec")
             .filter(F.col("dst") != F.col("src")))
+
+
+def hreflang_clusters(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, cluster, hreflang): multilingual document families from
+    ``<link rel="alternate" hreflang=...>`` — a site publishing the
+    same article in five languages declares the other four on every
+    variant, and a curation pipeline wants that as ONE family: keep
+    per-language members for multilingual corpora, or exactly one
+    per family for deduplicated monolingual ones, but never treat
+    the variants as five unrelated documents (near-dup cannot find
+    them — different languages share almost no n-grams).
+
+    Cluster identity: connected components over the url ↔ alternate
+    edges (declarations are often ASYMMETRIC in the wild — the
+    English page lists all variants, the others list only English —
+    so transitive closure, not pairwise agreement, defines the
+    family), labels = min url via the engine's hash-bridge into
+    dedup.components.  ``hreflang`` is the tag the page claims FOR
+    ITSELF (``x-default`` and untagged pages: NULL) — first
+    self-referencing alternate in document order wins.
+
+    One Arrow harvest + the components fixpoint over the (tiny)
+    alternate edge set; pages with no alternates are their own
+    singleton family (absent from edges, present in output)."""
+    from ferenda_spark.operators.dedup import components
+    from ferenda_spark.operators.structured_data import head_meta
+
+    meta = head_meta(pages, url_col=url_col, html_col=html_col)
+    alts = (meta.filter((F.col("kind") == "link")
+                        & (F.col("key") == "alternate")
+                        & F.col("hreflang").isNotNull())
+            .select(F.col("src_url").alias("src"),
+                    F.col("value").alias("dst"),
+                    F.col("hreflang"), "pos"))
+    # the page's own tag: the first alternate pointing at itself
+    self_tag = (alts.filter(F.col("dst") == F.col("src"))
+                .groupBy(F.col("src").alias(url_col))
+                .agg(F.min(F.struct("pos", "hreflang")).alias("_f"))
+                .select(url_col,
+                        F.col("_f.hreflang").alias("hreflang")))
+    edges = (alts.filter(F.col("dst") != F.col("src"))
+             .select(F.xxhash64("src").alias("id_a"),
+                     F.xxhash64("dst").alias("id_b"))
+             .distinct())
+    nodes = (pages.select(F.col(url_col))
+             .unionByName(alts.select(F.col("dst").alias(url_col)))
+             .distinct()
+             .withColumn("_h", F.xxhash64(F.col(url_col))))
+    comp = components(edges)
+    labeled = (nodes.join(comp.withColumnRenamed("id", "_h"), "_h",
+                          "left")
+               .withColumn("_c", F.coalesce(F.col("comp"),
+                                            F.col("_h"))))
+    # component label back to a URL: min url within each component
+    canon = (labeled.groupBy("_c")
+             .agg(F.min(url_col).alias("cluster")))
+    return (labeled.join(canon, "_c")
+            .join(self_tag, url_col, "left")
+            .select(url_col, "cluster", "hreflang"))

@@ -284,3 +284,32 @@ def test_threshold_for_keep_rate(spark):
     assert ev["tp"] + ev["fp"] == r["kept"]
     with _pytest.raises(ValueError, match="rate_milli"):
         threshold_for_keep_rate(scored, rate_milli=0)
+
+
+def test_hreflang_clusters_asymmetric_and_singletons(spark):
+    from ferenda_spark.operators.webfilter import hreflang_clusters
+
+    def pg(links):
+        body = "".join(
+            f'<link rel="alternate" hreflang="{h}" href="{u}">'
+            for h, u in links)
+        return f"<html><head>{body}</head></html>".encode()
+
+    pages = spark.createDataFrame([
+        # asymmetric family: en lists everyone; fr lists only en
+        ("https://s/en", pg([("en", "https://s/en"),
+                             ("fr", "https://s/fr"),
+                             ("de", "https://s/de")])),
+        ("https://s/fr", pg([("en", "https://s/en")])),
+        # de exists but declares nothing at all
+        ("https://s/de", pg([])),
+        # untouched singleton
+        ("https://s/solo", pg([])),
+    ], "url string, html binary")
+    out = {r["url"]: r for r in hreflang_clusters(pages).collect()}
+    fam = {"https://s/en", "https://s/fr", "https://s/de"}
+    # transitive closure joins all three under the min url
+    assert {out[u]["cluster"] for u in fam} == {"https://s/de"}
+    assert out["https://s/en"]["hreflang"] == "en"     # self-tag
+    assert out["https://s/fr"]["hreflang"] is None     # no self-tag
+    assert out["https://s/solo"]["cluster"] == "https://s/solo"
