@@ -518,166 +518,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # still oracle-verified locally by tools/check_queries.py and
 # benchable via bench.py.
 GATE_ORDER = [
-    # --- round-4 session-7 rotation: seventeen never-driver-checked
-    # ops take their first rows — the session-7 additions (TrustRank,
-    # SCC, condensation, URL templates + budget chain, containment,
-    # Count-Min, winnowing) and the session-5/6 webgraph/CDX family.
-    # Slots come from seventeen single-green-round gates (all stay
-    # locally oracle-checked as extras; families remain in-gate):
-    # feedsets_events (r2; atom_feeds extra), kg_sparql_annotations
-    # (r3; describe/subdocs/topcited/describe_form all in-window),
-    # dedup_token_spans_docs + quality_classifier_docs (r3 rows for
-    # the round-3 rewrites, code unchanged since), entity_link_fuzzy
-    # (r1+r3), pdf_style_metrics (r3; margin metrics has r3 too),
-    # fragments_udtf + text_metrics (r3), domain_stats_docs (r3; the
-    # webfilter family returns via url_templates + template_budget),
-    # doc_versions_views (r3), sim_ann_topk (r3; sim_semantic_dedup
-    # stays), visit_structure_docs + keyword_termset_docs +
-    # render_xhtml_docs (r3), sample_mixture_docs (r3; the sampling
-    # draw is re-exercised inside template_budget_docs),
-    # redact_pii_docs + strip_boilerplate_docs (r3).
-    "kg_trustrank", "kg_scc", "kg_condensation",
-    "url_templates_docs", "template_budget_docs", "containment_docs",
-    "cms_heavy_hitters_docs", "winnow_fingerprints_docs",
-    "microdata_extract_docs", "crawl_churn_docs", "kg_host_graph",
-    "kg_host_rank", "graph_random_walks", "redirect_resolution",
-    "cdx_latest_capture", "cdx_fetch_plan", "sitemap_discovery",
-    # never-driver-checked pool left for the round-5 rotation:
-    # kg_void_description, kg_class_partitions, kg_degree_histogram,
-    # kg_shacl_violations, kg_sparql_graph_scoped,
-    # kg_sparql_aggregates, kg_triangles, kg_linkpred,
-    # kg_communities, kg_cocitation, quota_sample_docs,
-    # anchor_text_docs, fetch_schedule_docs, profile_documents,
-    # quantiles_documents, check_documents; plus the session-8
-    # additions (all locally oracle-green at sf0.01 via
-    # tools/check_queries.py this round): rdfa_roundtrip_docs,
-    # head_meta_docs, canonical_declared_dedup, bpe_train_docs,
-    # bpe_encode_docs, main_content_docs, curation_pipeline_v5,
-    # nb_classifier_docs, atom_roundtrip_events, rss_discovery_docs,
-    # strip_paragraphs_docs, noindex_filter_docs,
-    # kg_harmonic_landmarks, langid_trained_docs, hash_embed_docs,
-    # classifier_eval_docs, kg_metadata_triad,
-    # threshold_calibration_docs, meta_refresh_docs,
-    # anchor_alias_linking.
-    # --- round-4 session-5 rotation: ten never-driver-checked ops
-    # take their first rows.  Slots (each swap-out keeps its family
-    # covered in-gate and stays locally oracle-checked as an extra):
-    # atom_feeds_events (r2 row; feedsets_events stays, A4),
-    # grouped_agg_value_median (r2; fragments_udtf keeps §2.11),
-    # sim_ivf_topk (r2; sim_ann_topk + sim_semantic_dedup stay),
-    # kg_structure_tree (r2; visit_structure_docs keeps G7/G9 and
-    # kg_structure_closure stays an extra), pdf_margin_metrics (r3;
-    # pdf_style_metrics keeps A8/A9), url_canonical_dedup (r3;
-    # latest_fetch_docs runs canonical dedup inside), decontaminate_
-    # docs (r3; the Bloom path rotating IN states the same 13-gram
-    # rule), kg_pagerank (r3; kg_hits + kg_kcore keep rank.py
-    # in-gate), dedup_keepfirst_docs (r3; token-spans + incremental
-    # keep dedup), fulltext_fielded (r2+r3; bm25 + api_page keep Q1).
-    "robots_filter_docs", "jsonld_extract_docs", "kg_fused_metadata",
-    "kg_kcore", "kg_hits", "lm_perplexity_docs", "fulltext_bm25_docs",
-    "zorder_layout_docs", "decontaminate_bloom_docs",
-    "gopher_rules_docs",
-    # still never-driver-checked after this rotation — the round-5
-    # rotation pool: sitemap_discovery, fetch_schedule_docs,
-    # kg_triangles, kg_linkpred, kg_communities, anchor_text_docs,
-    # quota_sample_docs, kg_cocitation.
-    # --- round-4 session-2 rotation.  The three ops added after the
-    # last swap are never-driver-checked and lead for their first
-    # rows.  Slots come from salted_join_suppliers (driver-green
-    # r1+r3; the skew-salting family stays pytest-plan-audited in
-    # test_plans.py and inside the resolve path), dedup_components
-    # (green r3; the components family stays IN-GATE via
-    # kg_sameas_canonical itself — which runs components — and
-    # sim_semantic_dedup's min-label-closure oracle) and
-    # streaming_hourly_events (green r1+r3; the windowed-agg family
-    # stays pytest-proven streaming==batch in test_streaming.py).
-    # All three swap-outs stay locally oracle-checked as extras.
-    "dedup_incremental_docs", "kg_rdfs_entailed", "kg_sameas_canonical",
-    # --- round-4 rotation.  Never-driver-checked queries lead: the
-    # three SPARQL surface queries, the new SPARQL paging gate, the
-    # two composed curation chains and the new dependency-triggered
-    # regeneration operator had only local oracle signal before this
-    # round.
-    "kg_regen_dependents",
-    "kg_sparql_describe", "kg_sparql_subdocs", "kg_sparql_topcited",
-    "curation_pipeline_docs", "curation_pipeline_v3",
-    # thin history (a single driver row ever, in r2) — refresh these
-    # changed THIS round (sparql compiler rewrite: prefixes, modifiers,
-    # fixpoint closures, lazy star zero-arm; BIGINT token-span keys;
-    # classifier broadcast-weights path; closure memoization) — these
-    # must carry a fresh driver row
-    # round-4-late: the ingest-to-export chain (crawl snapshots →
-    # canonical dedup → extract → quality floor → training shards).
-    # Takes the slot of kg_closure (driver-green r1+r2+r3; the J3
-    # closure family stays in-gate via kg_regen_dependents'
-    # dependent-set closure, and kg_closure + kg_structure_closure
-    # stay locally oracle-checked as extras).
-    "curation_pipeline_v4",
-    # new THIS round — first driver rows: SemDeDup (its oracle rebuilds
-    # the sim_embedding_neardup pair list, keeping that family covered
-    # after its gate rotates out), the fulltext API envelope
-    # (fulltext_search_docs rotates out; fulltext_fielded stays), and
-    # the DESCRIBE query form
-    "sim_semantic_dedup", "fulltext_api_page", "kg_sparql_describe_form",
-    # round-3 first-row gates that keep their slot (≤2 green rounds)
-    # round-4-late: deterministic training-shard packing (new operator
-    # family — first driver row).  Takes the slot of
-    # first_success_events (driver-green r1+r3; the W6 per-group-first
-    # shape stays exercised inside doc_versions_views' current-version
-    # window and stays locally oracle-checked as an extra).
-    "training_shards_docs",
-    # rotated out for the three new round-4 ops: sim_embedding_neardup
-    # (pairs re-stated inside the sim_semantic_dedup oracle),
-    # fulltext_search_docs (fulltext_fielded + fulltext_api_page stay),
-    # media_meta (multimodal plumbing also pytest-covered by the new
-    # real binary codecs) — each driver-green in two prior rounds.
-    # round-4-final: the last three never-driver-checked queries take
-    # their first rows, so EVERY registered query now has at least one
-    # historical driver row.  Slots come from kg_structure_closure
-    # (driver-green r2+r3; the J3 closure family stays in-gate via
-    # kg_regen_dependents' dependent-set closure), crawl_reachable
-    # (driver-green r2+r3; S1 crawl stays covered by kg_edges +
-    # warc_extract_text) and kg_citation_classes (driver-green r2+r3;
-    # the G5/G6 grammar is exercised end-to-end inside kg_edges).  All
-    # three stay locally oracle-checked as extras.
-    "pack_contexts_docs", "latest_fetch_docs", "training_shard_manifest",
-    # round-4-late: the WARC crawl-archive source roundtrip (new
-    # operator family — first driver row).  Takes the slot of
-    # curation_survivors (driver-green r1+r2+r3; the v2 and v3
-    # curation chains keep the composed-pipeline family in-gate).
-    "warc_extract_text",
+    # --- ROUND-5 ROTATION (the VERDICT r4 "Next round #1" task): the
+    # 48 queries that have never held a driver row — computed exactly
+    # as _all_queries() minus every green row in CORRECTNESS_r01..r04
+    # — take the 48 rotating slots, so after this window EVERY
+    # registered query has at least one historical driver row.  The
+    # 48 swap-outs were all driver-green in r4 (see CORRECTNESS_r04)
+    # and stay locally oracle-checked as extras via
+    # tools/check_queries.py + tools/gate.py.  Family coverage of the
+    # outgoing gates is preserved in-window: webgraph ranking by
+    # kg_triangles/kg_linkpred/kg_communities/kg_cocitation/
+    # kg_harmonic_landmarks/kg_landmark_dist/kg_assortativity, the
+    # SPARQL surface by kg_sparql_aggregates/_graph_scoped, curation
+    # chains by curation_pipeline_v5, structured-data extraction by
+    # kg_metadata_triad/head_meta_docs/rdfa_roundtrip_docs, the WARC
+    # family by wet_roundtrip_docs/wat_links_docs, dedup by
+    # canonical_docs/canonical_declared_dedup/text_neardup_hash/
+    # strip_paragraphs_docs, training-data quality by
+    # nb_classifier_docs/classifier_eval_docs/threshold_calibration_
+    # docs/langid_trained_docs, and the tokenizer by bpe_train/encode.
+    "anchor_alias_linking", "anchor_text_docs", "atom_roundtrip_events",
+    "bpe_encode_docs", "bpe_train_docs", "canonical_declared_dedup",
+    "canonical_docs", "check_documents", "classifier_eval_docs",
+    "curation_pipeline_v5", "fetch_schedule_docs", "hash_embed_docs",
+    "head_meta_docs", "hreflang_clusters_docs", "kg_assortativity",
+    "kg_class_links", "kg_class_partitions", "kg_cocitation",
+    "kg_communities", "kg_degree_histogram", "kg_harmonic_landmarks",
+    "kg_landmark_dist", "kg_linkpred", "kg_metadata_triad",
+    "kg_shacl_violations", "kg_sparql_aggregates",
+    "kg_sparql_graph_scoped", "kg_triangles", "kg_void_description",
+    "langid_trained_docs", "main_content_docs", "meta_refresh_docs",
+    "nb_classifier_docs", "noindex_filter_docs", "profile_documents",
+    "quantiles_documents", "quota_sample_docs", "rdfa_roundtrip_docs",
+    "revisit_schedule_docs", "rss_discovery_docs", "script_mix_docs",
+    "sim_pq_topk", "strip_paragraphs_docs", "text_neardup_hash",
+    "threshold_calibration_docs", "unicode_norm_docs", "wat_links_docs",
+    "wet_roundtrip_docs",
     # flagship KG gates (the north-rule invariants: byte-identical
     # extracted text per url, exact triple multiset) — never rotated
     "kg_extract_text", "kg_edges",
-    # round-4-final rotation #2: the three inference/serialization ops
-    # added late this round take their FIRST driver rows, so every
-    # query registered BEFORE this rotation has at least one
-    # historical driver row.  (decontaminate_bloom_docs and
-    # gopher_rules_docs, added after it, are the never-driver-checked
-    # extras to rotate in next round.)  Slots
-    # come from kg_edges_modular (driver-green r1+r2; the modular path
-    # stays exercised by tools/scaling_job.py and pytest, and shares
-    # its oracle with the always-gated kg_edges), kg_facet_multitype
-    # (driver-green r2+r3; P4/A1 facets stay locally oracle-checked
-    # via kg_facet_projection + facet_stats_cube extras) and
-    # patch_documents (driver-green r2+r3; G10 patching keeps golden
-    # pytest coverage).  All three stay in extra_queries.
-    "kg_sparql_entailed", "kg_owl_properties", "rdf_ntriples_roundtrip",
-    # training-data ops with ≤2 green rounds
-    # Rotated OUT this round after THREE consecutive driver-green
-    # rounds (r1+r2+r3), each with its operator family still holding a
-    # driver row: kg_nodes (graph materialize: kg_edges stays),
-    # kg_citations_by_target (G3/G4: kg_edges + kg_citation_classes),
-    # kg_keyword_inversion (J5/W2: keyword_termset_docs),
-    # kg_dependency_edges (P6/SO3: kg_regen_dependents consumes the
-    # same edge builder), kg_resolved_citations + kg_inbound_refs (J2:
-    # salted_join_suppliers), kg_facet_statistics (A1:
-    # kg_facet_multitype), kg_sql_citations (Q2: the three SPARQL
-    # SELECT gates rotate in), q3_shipping (J4: q1/q5 extras),
-    # dedup_jaccard + dedup_minhash_lsh (P5: keepfirst/token-spans/
-    # components stay), sim_label_centroids (sim_ann_topk +
-    # sim_ivf_topk).  All remain locally oracle-checked in
-    # extra_queries via tools/check_queries.py.
 ]
 
 
@@ -5934,7 +5813,9 @@ agg AS (
     sum(CASE WHEN NOT kept AND y THEN 1 ELSE 0 END) AS fn,
     sum(CASE WHEN NOT kept AND NOT y THEN 1 ELSE 0 END) AS tn
   FROM k GROUP BY 1)
-SELECT threshold_milli, tp, fp, fn, tn,
+SELECT threshold_milli,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
   CASE WHEN tp + fp > 0 THEN CAST(tp * 1000 // (tp + fp) AS BIGINT)
        END AS precision_milli,
   CASE WHEN tp + fn > 0 THEN CAST(tp * 1000 // (tp + fn) AS BIGINT)
@@ -6096,7 +5977,12 @@ FROM d WHERE doc_id % 4 = 2
     o["threshold_calibration_docs"] = f"""
 WITH {_nb_ctes},
 m AS (
-  SELECT score_sum_milli * 1000 // n_tokens AS m
+  -- exact FLOOR division mirroring classify.threshold_for_keep_rate
+  -- (DuckDB integer // truncates toward zero, floor != trunc for
+  -- the negative score sums NB log-odds produce)
+  SELECT (score_sum_milli * 1000
+          - ((score_sum_milli * 1000 % n_tokens + n_tokens)
+             % n_tokens)) // n_tokens AS m
   FROM scored WHERE n_tokens > 0),
 p AS (SELECT count(*) AS n FROM m),
 kk AS (SELECT CAST((300 * n + 999) // 1000 AS BIGINT) AS k, n FROM p),

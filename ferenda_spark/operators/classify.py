@@ -287,8 +287,16 @@ def threshold_for_keep_rate(scored: DataFrame,
     if n == 0:
         raise ValueError("threshold_for_keep_rate: no non-empty docs")
     k = (int(rate_milli) * n + 999) // 1000
+    # exact FLOOR division, not SQL DIV (which truncates toward
+    # zero): the keep-rule equivalence score_sum*1000 >= t*n  <=>
+    # floor(score_sum*1000 / n) >= t needs floor, and NB log-odds
+    # score sums are routinely negative where trunc = floor + 1.
+    # pmod(M, n) is the non-negative remainder, so (M - pmod) is an
+    # exact multiple of n and DIV on it equals floor.
     m = nonempty.select(
-        F.expr("score_sum_milli * 1000 DIV n_tokens").alias("m"))
+        F.expr("(score_sum_milli * 1000"
+               " - pmod(score_sum_milli * 1000, n_tokens))"
+               " DIV n_tokens").alias("m"))
     thr = (m.orderBy(F.desc("m")).limit(k)
            .agg(F.min("m").alias("t")).first()["t"])
     kept = m.filter(F.col("m") >= thr).count()

@@ -575,9 +575,15 @@ def int_cosine_test(va: Column, vb: Column,
     floats or sqrt — ``dot ≥ 0 AND dot²·10⁶ ≥ t²·|a|²·|b|²`` — so
     near-dup verdicts reproduce bit-for-bit in any engine (the
     float-cosine paths round; a verdict at the threshold boundary
-    must not flip between Spark and the oracle).  All BIGINT: safe
-    while dot² < 2⁶³ (hash_embed counts over ≤ ~50k-token docs at
-    dim ≥ 32 stay far under)."""
+    must not flip between Spark and the oracle).
+
+    The comparison runs in DECIMAL(38,0): both sides stay ≤
+    |a|²·|b|²·10⁶, so with squared norms under 10¹⁵ every product
+    is < 10³⁶ and exactly representable (BIGINT alone overflows at
+    t²·na·nb ≥ 2⁶³ — a page repeating one token ~2000 times already
+    crosses it, silently flipping verdicts).  Norms ≥ 10¹⁵ (a
+    single bucket count ≥ ~3·10⁷ — no real document) fail the job
+    LOUDLY via assert_true rather than return a wrong verdict."""
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y),
         F.lit(0).cast("long"), lambda a, x: a + x)
@@ -586,6 +592,14 @@ def int_cosine_test(va: Column, vb: Column,
     nb = F.aggregate(F.transform(vb, lambda x: x * x),
                      F.lit(0).cast("long"), lambda a, x: a + x)
     t = int(threshold_milli)
-    return ((dot >= 0)
-            & (dot * dot * 1_000_000 >= F.lit(t * t) * na * nb)
-            & (na > 0) & (nb > 0))
+    safe = 10 ** 15
+    guard = F.assert_true(
+        (na < safe) & (nb < safe),
+        F.lit("int_cosine_test: squared norm >= 1e15 exceeds the "
+              "exact DECIMAL(38,0) comparison bound"))
+    dec = "decimal(38,0)"
+    lhs = (dot.cast(dec) * dot.cast(dec)
+           * F.lit(1_000_000).cast(dec))
+    rhs = (F.lit(t * t).cast(dec) * na.cast(dec) * nb.cast(dec))
+    verdict = (dot >= 0) & (lhs >= rhs) & (na > 0) & (nb > 0)
+    return F.when(guard.isNull(), verdict)

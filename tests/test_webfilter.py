@@ -286,6 +286,36 @@ def test_threshold_for_keep_rate(spark):
         threshold_for_keep_rate(scored, rate_milli=0)
 
 
+def test_threshold_for_keep_rate_negative_scores(spark):
+    """Negative NB log-odds score sums: the floor-mean must use true
+    floor division (trunc = floor + 1 there), or the calibrated
+    threshold keeps FEWER docs than the keep rule admits."""
+    from ferenda_spark.operators.classify import threshold_for_keep_rate
+    # floor-means (micro): -7000/3→-2334, -8000/3→-2667, -9000/4→
+    # -2250, -1000/7→-143.  Trunc would give -2333 and -2666 for
+    # docs 1/2 — thresholds the keep rule then REJECTS those docs
+    # under (e.g. -7000 >= -2333*3 = -6999 is false), so a trunc
+    # implementation reports kept=k while actually keeping k-1.
+    scored = spark.createDataFrame(
+        [(1, 3, -7), (2, 3, -8), (3, 4, -9), (4, 7, -1)],
+        "id long, n_tokens long, score_sum_milli long")
+    rows = scored.collect()
+    # k=3 → threshold is doc 1's floor-mean, where floor != trunc
+    r = threshold_for_keep_rate(scored, rate_milli=750)
+    assert r["threshold_milli"] == -2334 and r["kept"] == 3
+    t = r["threshold_milli"]
+    keep = [x.id for x in rows
+            if x.score_sum_milli * 1000 >= t * x.n_tokens]
+    assert len(keep) == r["kept"] == 3 and set(keep) == {1, 3, 4}
+    # k=4 → threshold is doc 2's floor-mean (also floor != trunc)
+    r = threshold_for_keep_rate(scored, rate_milli=1000)
+    assert r["threshold_milli"] == -2667
+    t = r["threshold_milli"]
+    keep = [x.id for x in rows
+            if x.score_sum_milli * 1000 >= t * x.n_tokens]
+    assert len(keep) == r["kept"] == 4
+
+
 def test_hreflang_clusters_asymmetric_and_singletons(spark):
     from ferenda_spark.operators.webfilter import hreflang_clusters
 
