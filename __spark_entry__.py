@@ -5675,12 +5675,14 @@ FROM k GROUP BY 1
                  generate_subscripts(string_split(trim(s, chr(31)),
                      chr(31) || chr(31)), 1) AS i
           FROM w{j})) WHERE r IS NOT NULL GROUP BY 1, 2),
-b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+b{k} AS (SELECT l, r, cnt FROM p{k} WHERE cnt >= 2
+         ORDER BY cnt DESC, l, r LIMIT 1),
 w{k} AS (SELECT word, wcount,
-  replace(s,
-          chr(31) || b{k}.l || chr(31) || chr(31) || b{k}.r || chr(31),
-          chr(31) || b{k}.l || b{k}.r || chr(31)) AS s
-  FROM w{j}, b{k})"""
+  CASE WHEN b{k}.l IS NULL THEN s ELSE
+    replace(s,
+            chr(31) || b{k}.l || chr(31) || chr(31) || b{k}.r || chr(31),
+            chr(31) || b{k}.l || b{k}.r || chr(31)) END AS s
+  FROM w{j} LEFT JOIN b{k} ON TRUE)"""
     _bpe_rounds = ",\n".join(
         _bpe_round.format(k=k, j=k - 1) for k in (1, 2, 3, 4))
     o["bpe_train_docs"] = f"""

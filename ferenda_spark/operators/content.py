@@ -107,6 +107,13 @@ class _ContentParser(HTMLParser):
             return
         if tag in _DROP_CONTAINERS:
             self._flush()
+            # a block drop container terminates any open inline
+            # anchor (the HTML content model forbids <a> around
+            # nav/header/...): without this reset an </a> swallowed
+            # inside the dropped subtree (the early return below
+            # precedes the anchor branch) would leave anchor_depth
+            # stuck > 0 and count ALL later prose as link text
+            self.anchor_depth = 0
             self.drop_depth += 1
             return
         if self.drop_depth or self.raw_depth:

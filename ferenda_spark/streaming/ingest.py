@@ -251,22 +251,65 @@ def stream_feed_discovery(spark: SparkSession, feeds_stream: DataFrame,
     anti-join's build side is the frontier table itself — bounded by
     discovered-url count.  Appends carry ``batch_seq`` + the feed
     provenance; parse-error rows are appended to ``<table>_errors``
-    (loud, never dropped).  The batch-parity contract: after any
-    sequence of drops, ``store.read(table)`` equals the one-shot
-    batch parse of all drops deduped to first occurrence."""
-    from ferenda_spark.sources.feeds import feed_entries
+    (loud, never dropped).
+
+    Retry-idempotent: ``foreachBatch`` is at-least-once, so a
+    micro-batch can replay after a mid-process failure.  Each append
+    records ``batch_seq``, and the batch body skips any arm (errors,
+    frontier) whose ``batch_seq`` is already committed — appends are
+    manifest-atomic (GraphStore.append commits under a lock), so a
+    recorded batch_seq means that arm landed COMPLETELY and a replay
+    must append nothing for it.  The batch-parity contract: after
+    any sequence of drops, including replays, ``store.read(table)``
+    equals the one-shot batch parse of all drops deduped to first
+    occurrence."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.localCheckpoint()
-        if batch.isEmpty():
-            return
-        ent = feed_entries(batch).localCheckpoint()
+        _feed_discovery_batch(store, table, batch_df, batch_id)
+
+    return (feeds_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def _batch_committed(store: "GraphStore", table: str,
+                     batch_id: int) -> bool:
+    """True iff an append tagged ``batch_seq == batch_id`` is already
+    committed to ``table`` — the replay ledger for at-least-once
+    foreachBatch (appends are manifest-atomic, so presence means the
+    whole arm landed)."""
+    if not store.exists(table):
+        return False
+    return not (store.read(table)
+                .filter(F.col("batch_seq") == batch_id).isEmpty())
+
+
+def _feed_discovery_batch(store: "GraphStore", table: str,
+                          batch_df: DataFrame, batch_id: int) -> None:
+    """One micro-batch of stream_feed_discovery, replay-safe: each
+    arm is skipped when its batch_seq is already committed, so
+    calling this twice with the same (batch_df, batch_id) — Spark's
+    at-least-once retry — appends nothing the second time."""
+    from ferenda_spark.sources.feeds import feed_entries
+
+    batch = batch_df.localCheckpoint()
+    if batch.isEmpty():
+        return
+    err_done = _batch_committed(store, table + "_errors", batch_id)
+    cand_done = _batch_committed(store, table, batch_id)
+    if err_done and cand_done:
+        return
+    ent = feed_entries(batch).localCheckpoint()
+    if not err_done:
         errs = ent.filter(F.col("error").isNotNull())
         if not errs.isEmpty():
             store.append(
                 errs.select("src_url", "error")
                 .withColumn("batch_seq", F.lit(batch_id).cast("long")),
                 table + "_errors")
+    if not cand_done:
         cand = (ent.filter(F.col("error").isNull()
                            & F.col("link").isNotNull())
                 .groupBy(F.col("link").alias("url"))
@@ -278,9 +321,3 @@ def stream_feed_discovery(spark: SparkSession, feeds_stream: DataFrame,
         store.append(
             cand.withColumn("batch_seq", F.lit(batch_id).cast("long")),
             table)
-
-    return (feeds_stream.writeStream
-            .foreachBatch(process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())

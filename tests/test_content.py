@@ -51,6 +51,22 @@ def test_content_density_boundary_and_containers():
     assert "color" not in r["content"] and r["n_kept"] == 1
 
 
+def test_anchor_closed_inside_drop_container():
+    """An </a> swallowed by a dropped subtree (anchor opened outside,
+    closed inside nav) must not leave anchor_depth stuck: prose after
+    the container is NOT link text and must be kept."""
+    prose = "A perfectly ordinary long paragraph of real content."
+    r = extract_content(
+        "u", f'<p><a href="/">home<nav>chrome links</a></nav></p>'
+             f"<p>{prose}</p>")
+    assert r["n_kept"] == 1
+    assert prose in r["content"]
+    # same shape, container closed properly around the anchor close
+    r = extract_content(
+        "u", f'<a href="/">x<nav></a>menu</nav><p>{prose}</p>')
+    assert r["n_kept"] == 1 and prose in r["content"]
+
+
 def test_content_survives_garbage():
     assert extract_content("u", None)["content"] == ""
     assert extract_content("u", "</p></div><p unclosed")["n_kept"] == 0

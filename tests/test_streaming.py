@@ -421,3 +421,47 @@ def test_stream_feed_discovery_first_seen_parity(spark, tmp_path):
         all_feeds, xml_col="xml").collect()
         if r["error"] is None and r["link"]}
     assert {r["url"] for r in rows} == batch_urls
+
+
+def test_stream_feed_discovery_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME micro-batch
+    body with the same batch_id (a Spark retry) must append nothing —
+    neither duplicate error rows nor duplicate frontier rows."""
+    from ferenda_spark.streaming.ingest import _feed_discovery_batch
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    feed = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+            '<entry><id>urn:e:1</id><title>t</title>'
+            '<link href="https://s.example/a/1"/>'
+            '<updated>2024-01-01T00:00:00Z</updated></entry></feed>')
+    batch = spark.createDataFrame(
+        [("https://h1/feed", feed), ("https://bad/feed", "not xml <")],
+        "url string, xml string")
+
+    _feed_discovery_batch(store, "frontier_candidates", batch, 0)
+    assert store.read("frontier_candidates").count() == 1
+    assert store.read("frontier_candidates_errors").count() == 1
+
+    # full replay of batch 0 — the pre-ADVICE-fix behavior appended
+    # the error row a second time unconditionally
+    _feed_discovery_batch(store, "frontier_candidates", batch, 0)
+    assert store.read("frontier_candidates").count() == 1
+    assert store.read("frontier_candidates_errors").count() == 1
+
+    # replay where only the ERRORS arm committed before the failure:
+    # simulate by a fresh store with just the errors append recorded
+    store2 = GraphStore(spark, str(tmp_path / "graph2"))
+    store2.append(
+        store.read("frontier_candidates_errors"),
+        "frontier_candidates_errors")
+    _feed_discovery_batch(store2, "frontier_candidates", batch, 0)
+    assert store2.read("frontier_candidates").count() == 1
+    assert store2.read("frontier_candidates_errors").count() == 1
+
+    # a genuinely new batch with a new id still appends
+    batch2 = spark.createDataFrame(
+        [("https://h1/feed", feed.replace("a/1", "a/2")
+          .replace("urn:e:1", "urn:e:2"))],
+        "url string, xml string")
+    _feed_discovery_batch(store, "frontier_candidates", batch2, 1)
+    assert store.read("frontier_candidates").count() == 2
