@@ -123,9 +123,87 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
         ).otherwise(F.concat(acc, F.array(s))))
 
 
+def _bpe_train_driver(syms_list: list[list[str]],
+                      wcounts: list[int], n_merges: int,
+                      min_pair_freq: int) -> list[tuple]:
+    """In-memory merge loop over a collected (syms, wcount) table —
+    bit-identical to the distributed loop (same pair counting
+    including overlaps, same (cnt desc, left asc, right asc)
+    argmax, same greedy-leftmost fold), but incremental: pair counts
+    update only for the words a merge touches, and the argmax is a
+    lazy-invalidation heap instead of a corpus-wide sort.  This is
+    the shape every real BPE trainer uses — one pass to count, then
+    driver-side rounds at microseconds per merge instead of one
+    Spark job per merge."""
+    import heapq
+    from collections import defaultdict
+
+    pair_counts: dict[tuple, int] = defaultdict(int)
+    pair_words: dict[tuple, set] = defaultdict(set)
+    for idx, syms in enumerate(syms_list):
+        wc = wcounts[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += wc
+            pair_words[p].add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            # stale heap entries (count changed since push) skip;
+            # (-cnt, (l, r)) tuple order IS the distributed
+            # orderBy(desc cnt, asc l, asc r) total order
+            if pair_counts.get(p, 0) == -negc and negc < 0:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_freq:
+            break
+        (left, right), cnt = best
+        merges.append((rank, left, right, int(cnt)))
+        merged = left + right
+        touched = pair_words.pop((left, right), set())
+        changed: set = set()
+        for idx in sorted(touched):
+            syms = syms_list[idx]
+            wc = wcounts[idx]
+            out: list[str] = []
+            hit = False
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                    hit = True
+                else:
+                    out.append(s)
+            if not hit:        # stale index: word changed earlier
+                continue
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= wc
+                changed.add(p)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += wc
+                pair_words[p].add(idx)
+                changed.add(p)
+            syms_list[idx] = out
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                pair_counts.pop(p, None)
+        pair_counts.pop((left, right), None)
+    return merges
+
+
 def bpe_train(docs_or_words: DataFrame, n_merges: int,
               text_col: str = "text", min_pair_freq: int = 2,
-              checkpoint_every: int = 8) -> list[tuple]:
+              checkpoint_every: int = 8,
+              driver_threshold: int = 10_000_000) -> list[tuple]:
     """Train ``n_merges`` BPE merges on the corpus; returns
     ``[(rank, left, right, freq), ...]`` in learned order.
 
@@ -136,7 +214,15 @@ def bpe_train(docs_or_words: DataFrame, n_merges: int,
     (merging hapax pairs memorizes the corpus instead of compressing
     it).  Determinism: ties on frequency break by lexicographic
     (left, right), so reruns and the SQL oracle agree bit-for-bit.
-    """
+
+    When the distinct-word table has at most ``driver_threshold``
+    rows it is collected ONCE and the merge loop runs in memory
+    (:func:`_bpe_train_driver`) — the components()/scc() driver
+    fast-path precedent.  Heaps' law keeps even a 10^12-document
+    corpus's distinct-word table around 10^8 rows, so real trainings
+    are one corpus pass + one collect, not ``n_merges`` sequential
+    Spark jobs; the distributed loop below remains the contract for
+    tables above the threshold (or ``driver_threshold=0``)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     cols = set(docs_or_words.columns)
@@ -146,6 +232,14 @@ def bpe_train(docs_or_words: DataFrame, n_merges: int,
         "wcount",
         F.filter(F.split("word", ""), lambda c: c != "").alias("syms"))
     words = words.persist()
+    if driver_threshold > 0 and words.count() <= driver_threshold:
+        try:
+            rows = words.collect()
+        finally:
+            words.unpersist()
+        return _bpe_train_driver([list(r["syms"]) for r in rows],
+                                 [r["wcount"] for r in rows],
+                                 n_merges, min_pair_freq)
     merges: list[tuple] = []
     try:
         for rank in range(n_merges):

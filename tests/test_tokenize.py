@@ -43,6 +43,29 @@ def test_bpe_train_hand_traced_with_ties(spark):
         == EXPECTED[:3]
 
 
+def test_bpe_train_driver_equals_distributed(spark):
+    """The driver fast path (collect + incremental in-memory loop)
+    and the distributed per-merge loop are the same algorithm: equal
+    merge lists on corpora exercising ties, overlapping pairs
+    (aaaa), early stops, and multi-round chains."""
+    import random
+    rng = random.Random(20260821)
+    vocab = ["the", "then", "aaaa", "aab", "brother", "xy", "x", "!",
+             "thin", "other", "in", "banana", "ananas", "bb", "ab"]
+    for trial in range(6):
+        n_docs = rng.randint(1, 8)
+        docs = spark.createDataFrame(
+            [(f"u{i}",
+              " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+             for i in range(n_docs)],
+            "url string, text string")
+        for n_merges, floor in ((5, 2), (12, 1), (3, 3)):
+            fast = bpe_train(docs, n_merges, min_pair_freq=floor)
+            slow = bpe_train(docs, n_merges, min_pair_freq=floor,
+                             driver_threshold=0)
+            assert fast == slow, (trial, n_merges, floor)
+
+
 def test_bpe_train_min_freq_stops_early(spark):
     docs = spark.createDataFrame(
         [("u", "ab cd ef gh")], "url string, text string")
