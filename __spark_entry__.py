@@ -511,6 +511,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+# Fixed language-ID profile artifact for langid_classify_docs: three
+# pseudo-languages over trigrams that genuinely occur in the
+# synthetic corpus (so matched-gram |drank - rank| arithmetic and
+# the miss penalty both execute).  'px' and 'qy' rank the same
+# grams in opposite orders; 'rz' ranks a disjoint set.  The oracle
+# restates these exact literals as a VALUES table.
+_LANGID_PX_GRAMS = ["er ", "ow ", "rt ", "par", "mer", "can",
+                    "sca", "col", "lum", "olu", "umn", "dow"]
+_LANGID_RZ_GRAMS = ["ind", "ndo", "win", "der", "ord", "rde",
+                    "ort", "sor", "val", "lue", "key", "joi"]
+_LANGID_PROFILE = (
+    [("px", g, i + 1) for i, g in enumerate(_LANGID_PX_GRAMS)]
+    + [("qy", g, i + 1)
+       for i, g in enumerate(reversed(_LANGID_PX_GRAMS))]
+    + [("rz", g, i + 1) for i, g in enumerate(_LANGID_RZ_GRAMS)])
+
 # The driver value-checks the FIRST 50 queries() entries (observed
 # cap, CORRECTNESS_r02).  GATE_ORDER curates exactly 50 gates —
 # never-driver-checked and this-round-changed queries FIRST — while
@@ -1360,6 +1376,24 @@ ORDER BY DESC(?n) ?s
 LIMIT 25
 """)
     q["kg_sparql_aggregates"] = kg_sparql_aggregates
+
+    def kg_sparql_regex_paths(spark, sf):
+        """The round-5 SPARQL extensions in one gate: zero-or-one
+        path ``isPartOf?`` (both the identity and one-step arms
+        produce rows), ``regex()`` with the case-insensitive flag,
+        ``str()`` coercion and ``lang()`` tag access — the
+        wsgiapp.py:388-435-shaped hand-written API query a real user
+        hits first beyond the reference's shipped .rq subset."""
+        from ferenda_spark.operators.sparql import sparql_query
+        return sparql_query(_kg_edges(spark, sf), """
+SELECT DISTINCT ?s ?d WHERE {
+  ?s dcterms:isPartOf? ?d .
+  ?s dcterms:title ?t .
+  ?d dcterms:title ?dt .
+  FILTER (regex(str(?t), "^(intro|det)", "i") && lang(?dt) = "fr")
+}
+""")
+    q["kg_sparql_regex_paths"] = kg_sparql_regex_paths
 
     def kg_pagerank(spark, sf):
         """Head-entity importance over the citation graph: fixed-
@@ -2375,6 +2409,22 @@ LIMIT 10
         return classify_language(d, prof, k_doc=80, penalty=150,
                                  grams=g)
     q["langid_trained_docs"] = langid_trained_docs
+
+    def langid_classify_docs(spark, sf):
+        """Deployment-shaped language ID: classification ONLY,
+        against the FIXED profile artifact ``_LANGID_PROFILE`` (the
+        shape a real pipeline ships — train once offline, broadcast
+        the artifact, classify forever).  This is the bench-honesty
+        split of langid_trained_docs (r4 verdict wrong-#2): its
+        bench row prices classification, while training exactness
+        stays covered by the trained gate.  Oracle: the identical
+        literal profile VALUES + the classification SQL alone."""
+        from ferenda_spark.operators.langprofile import classify_language
+        prof = spark.createDataFrame(
+            _LANGID_PROFILE, "lang string, gram string, rank int")
+        return classify_language(_docs(spark, sf), prof,
+                                 k_doc=80, penalty=150)
+    q["langid_classify_docs"] = langid_classify_docs
 
     def hash_embed_docs(spark, sf):
         """Model-free document embeddings (similarity.hash_embed):
@@ -4755,6 +4805,23 @@ SELECT s, n, "first", "last", chapters, meanch, refs, anych
 FROM a WHERE n >= 2 ORDER BY n DESC, s LIMIT 25
 """
 
+    o["kg_sparql_regex_paths"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+step AS (SELECT subj, obj FROM golden
+         WHERE pred = 'dcterms:isPartOf' AND NOT obj_is_literal),
+nodes AS (SELECT subj AS n FROM golden
+          UNION SELECT obj FROM golden WHERE NOT obj_is_literal),
+pairs AS (SELECT subj AS s, obj AS d FROM step
+          UNION SELECT n, n FROM nodes),
+t AS (SELECT subj, obj, obj_lang FROM golden
+      WHERE pred = 'dcterms:title')
+SELECT DISTINCT p.s, p.d
+FROM pairs p
+JOIN t ts ON ts.subj = p.s
+         AND regexp_matches(lower(ts.obj), '^(intro|det)')
+JOIN t td ON td.subj = p.d AND coalesce(td.obj_lang, '') = 'fr'
+"""
+
     # describe-with-subdocs.rq: referencers of the hub's fragments,
     # root = the referer's document (the only isPartOf* ancestor
     # carrying dcterms:identifier), OPTIONAL bibo:chapter decoration
@@ -5841,6 +5908,39 @@ ex AS (
 SELECT doc_id AS id, CAST(j AS INT) AS j,
        CAST(sum(s) AS BIGINT) AS v
 FROM ex GROUP BY 1, 2 HAVING sum(s) <> 0
+"""
+
+    _langid_values = ", ".join(
+        f"('{lg}', '{gr}', {rk})" for lg, gr, rk in _LANGID_PROFILE)
+    o["langid_classify_docs"] = f"""
+WITH prof(lang, gram, rank) AS (VALUES {_langid_values}),
+src AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+  FROM documents),
+g AS (
+  SELECT doc_id, u.gram
+  FROM src, unnest(list_transform(
+      generate_series(1, greatest(len(s) - 2, 0)),
+      i -> substr(s, CAST(i AS INT), 3))) AS u(gram)),
+dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+dprof AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, gram) AS drank FROM dg)
+  WHERE drank <= 80),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (
+  SELECT d.doc_id, l.lang,
+         CAST(sum(coalesce(abs(d.drank - p.rank), 150)) AS BIGINT)
+           AS dist
+  FROM dprof d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY 1, 2)
+SELECT doc_id AS id, lang AS lang_pred, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY dist, lang) AS rn FROM dist)
+WHERE rn = 1
 """
 
     o["langid_trained_docs"] = """

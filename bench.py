@@ -147,6 +147,7 @@ HEADLINE = [
     "noindex_filter_docs",
     "kg_harmonic_landmarks",
     "langid_trained_docs",
+    "langid_classify_docs",
     "hash_embed_docs",
     "classifier_eval_docs",
     "kg_metadata_triad",
@@ -155,6 +156,8 @@ HEADLINE = [
     "anchor_alias_linking",
     "text_neardup_hash",
     "hreflang_clusters_docs",
+    # round-5 additions
+    "kg_sparql_regex_paths",
 ]
 
 

@@ -53,7 +53,7 @@ Supported subset (everything the reference's .rq files exercise):
   the keyword_dv.rq context shape), ``FILTER [NOT] EXISTS { … }``
   (left-semi / left-anti on the shared vars — negation without a
   row-multiplying join).
-* Property paths ``pred*`` / ``pred+``, composed with sequence
+* Property paths ``pred*`` / ``pred+`` / ``pred?``, composed with sequence
   ``p1 / p2``, alternative ``p1 | p2`` and inverse ``^p`` — each
   desugars at parse time into the spec's own algebra translation
   (fresh hidden vars / UNION / endpoint swap, SPARQL 1.1
@@ -81,7 +81,11 @@ Supported subset (everything the reference's .rq files exercise):
 * ``FILTER(…)`` with ``= != > >= < <= && || !`` (range comparisons
   are lexical over the engine's string terms — correct for
   zero-padded date/identifier literals), ``?x IN (a, b)``,
-  ``isUri(?v)``, ``strstarts(str(?v), "…")``, parentheses.
+  ``isUri(?v)``, ``strstarts(str(?v), "…")``,
+  ``regex(?v, "pat" [, "ismxq-flags"])`` (partial match, rlike),
+  ``str(?v)`` (identity over the stored lexical form) and
+  ``lang(?v)`` ('' for IRIs/untagged) usable on either side of a
+  comparison, parentheses.
 * ``BIND(?x as ?y)``.
 * ``%(name)s`` parameter interpolation (the reference's convention,
   documentrepository.py:1861).
@@ -277,6 +281,32 @@ class StrStarts:
     prefix: str
 
 
+@dataclass
+class Regex:
+    """``regex(?v, "pat" [, "flags"])`` — SPARQL 17.4.3.14: partial
+    (unanchored) match, flags from the XPath set (i s m x q)."""
+    arg: object                  # Var or StrOf
+    pattern: str
+    flags: str = ""
+
+
+@dataclass
+class StrOf:
+    """``str(?v)`` — the lexical form.  The engine's terms are
+    already stored as their lexical strings, so this is an identity
+    coercion; it exists so queries written for full SPARQL (where
+    comparing an IRI to a plain literal needs the cast) parse and
+    mean the same thing here."""
+    var: object
+
+
+@dataclass
+class LangOf:
+    """``lang(?v)`` — the literal's language tag, '' when absent or
+    when the term is an IRI (SPARQL 17.4.2.2)."""
+    var: object
+
+
 # ---------------------------------------------------------------------------
 # tokenizer / parser
 # ---------------------------------------------------------------------------
@@ -289,7 +319,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<num>\d+)
   | (?P<name>[A-Za-z_][\w.-]*(?::[\w./#-]*)?)
-  | (?P<op>&&|\|\||!=|[{}().;,=!*+|^/])
+  | (?P<op>&&|\|\||!=|[{}().;,=!*+|^/?])
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -641,9 +671,17 @@ class _Parser:
                     if self.peek() == ".":
                         self.next()
                     continue
-                self.expect("(")
-                items.append(Filter(self.or_expr()))
-                self.expect(")")
+                if nxt is not None and self.peek(1) == "(" \
+                        and nxt.lower() in ("isuri", "strstarts",
+                                            "regex"):
+                    # FILTER BuiltInCall — no outer parens (the
+                    # grammar's Constraint ::= BrackettedExpression
+                    # | BuiltInCall)
+                    items.append(Filter(self.cmp_expr()))
+                else:
+                    self.expect("(")
+                    items.append(Filter(self.or_expr()))
+                    self.expect(")")
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -775,7 +813,7 @@ class _Parser:
             inv = True
         pred = self.term()
         mod = None
-        if self.peek() in ("*", "+") and isinstance(pred, Term):
+        if self.peek() in ("*", "+", "?") and isinstance(pred, Term):
             mod = self.next()
         if template and (inv or mod):
             raise ValueError("sparql: property paths are not allowed "
@@ -800,6 +838,23 @@ class _Parser:
         return pats
 
     # -- filter expressions (precedence: ! > =/!=/in > && > ||) -----------
+    def _fn_operand(self):
+        """A term, or ``str(?v)`` / ``lang(?v)`` wrapping one — the
+        operand positions of comparisons and of regex/strstarts."""
+        t = self.peek()
+        if t is not None and t.lower() in ("str", "lang") \
+                and self.peek(1) == "(":
+            fn = self.next().lower()
+            self.expect("(")
+            v = self.term()
+            self.expect(")")
+            if not isinstance(v, Var):
+                raise ValueError(f"sparql: {fn}() takes a variable")
+            return StrOf(v) if fn == "str" else LangOf(v)
+        return self.term()
+
+    _cmp_operand = _fn_operand
+
     def or_expr(self):
         e = self.and_expr()
         while self.peek() == "||":
@@ -836,24 +891,41 @@ class _Parser:
         if t.lower() == "strstarts":
             self.next()
             self.expect("(")
-            if self.peek().lower() == "str":    # str(?v) coercion
-                self.next()
-                self.expect("(")
-                v = self.term()
-                self.expect(")")
-            else:
-                v = self.term()
+            v = self._fn_operand()
             self.expect(",")
             pfx = self.term()
             self.expect(")")
             if not isinstance(pfx, Term):
                 raise ValueError("sparql: strstarts prefix must be constant")
             return StrStarts(v, pfx.value)
-        left = self.term()
+        if t.lower() == "regex":
+            self.next()
+            self.expect("(")
+            arg = self._fn_operand()
+            self.expect(",")
+            pat = self.term()
+            if not (isinstance(pat, Term) and pat.is_literal):
+                raise ValueError("sparql: regex pattern must be a "
+                                 "string literal")
+            flags = ""
+            if self.peek() == ",":
+                self.next()
+                fl = self.term()
+                if not (isinstance(fl, Term) and fl.is_literal):
+                    raise ValueError("sparql: regex flags must be a "
+                                     "string literal")
+                flags = fl.value
+            bad = set(flags) - set("ismxq")
+            if bad:
+                raise ValueError(f"sparql: unsupported regex flags "
+                                 f"{''.join(sorted(bad))!r}")
+            self.expect(")")
+            return Regex(arg, pat.value, flags)
+        left = self._cmp_operand()
         op = self.peek()
         if op in ("=", "!=", ">", ">=", "<", "<="):
             self.next()
-            return BinOp(op, left, self.term())
+            return BinOp(op, left, self._cmp_operand())
         if op and op.lower() == "in":
             self.next()
             self.expect("(")
@@ -1004,19 +1076,29 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
     # edge subsets — a scope-blind key would silently reuse the first
     # scope's closure for the second (wrong solutions on a quad store)
     key = (scope, pat.p.value, max_depth)
-    clo = clo_cache.get(key) if clo_cache is not None else None
-    if clo is None:
-        rel = (edges.filter((F.col("pred") == _lit(pat.p))
+    if pat.path == "?":
+        # zero-or-one: no closure needed — the "reachable pairs" are
+        # just the predicate's single-step edges (same IRI-object
+        # subset the closure walks), and the zero-length arm is the
+        # identity handled below exactly as for `*`
+        clo = (edges.filter((F.col("pred") == _lit(pat.p))
                             & ~F.col("obj_is_literal"))
-               .select("subj", "obj"))
-        clo = transitive_closure(rel, max_depth=max_depth,
-                                 child_col="subj", parent_col="obj")
-        if clo_cache is not None:
-            clo_cache[key] = clo
+               .select(F.col("subj").alias("descendant"),
+                       F.col("obj").alias("ancestor")))
+    else:
+        clo = clo_cache.get(key) if clo_cache is not None else None
+        if clo is None:
+            rel = (edges.filter((F.col("pred") == _lit(pat.p))
+                                & ~F.col("obj_is_literal"))
+                   .select("subj", "obj"))
+            clo = transitive_closure(rel, max_depth=max_depth,
+                                     child_col="subj", parent_col="obj")
+            if clo_cache is not None:
+                clo_cache[key] = clo
     if isinstance(pat.s, Var) and isinstance(pat.o, Term):
         out = clo.filter(F.col("ancestor") == _lit(pat.o)) \
                  .select(F.col("descendant").alias(pat.s.name))
-        if pat.path == "*":
+        if pat.path in ("*", "?"):
             one = edges.sparkSession.createDataFrame(
                 [(pat.o.value,)], f"{pat.s.name} string")
             out = out.unionByName(one).distinct()
@@ -1024,13 +1106,13 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
     if isinstance(pat.s, Term) and isinstance(pat.o, Var):
         out = clo.filter(F.col("descendant") == _lit(pat.s)) \
                  .select(F.col("ancestor").alias(pat.o.name))
-        if pat.path == "*":
+        if pat.path in ("*", "?"):
             one = edges.sparkSession.createDataFrame(
                 [(pat.s.value,)], f"{pat.o.name} string")
             out = out.unionByName(one).distinct()
         return _Plan(out, {pat.o.name}, set())
     if isinstance(pat.s, Var) and isinstance(pat.o, Var):
-        if pat.path == "*":
+        if pat.path in ("*", "?"):
             # zero-length arm = identity over the node universe (per
             # spec) — deferred so the join can prune it (see _StarPlan)
             return _StarPlan(clo, pat.s.name, pat.o.name, edges)
@@ -1039,6 +1121,9 @@ def _path_plan(edges: DataFrame, pat: Pattern, max_depth,
         return _Plan(out, {pat.s.name, pat.o.name}, set())
     # both constant: boolean — empty or unit pattern (limit(1): its
     # only group effect is existence, not multiplicity)
+    if pat.path in ("*", "?") and pat.s.value == pat.o.value:
+        # the zero-length arm makes C p*/p? C unconditionally true
+        return _Plan(edges.sparkSession.range(1).select(), set(), set())
     hit = clo.filter((F.col("descendant") == _lit(pat.s))
                      & (F.col("ancestor") == _lit(pat.o)))
     return _Plan(hit.select().limit(1), set(), set())
@@ -1127,10 +1212,35 @@ def _filter_col(expr, plan: _Plan):
         return F.lit(v in plan.vars)   # subj/pred bindings are IRIs
     if isinstance(expr, StrStarts):
         return _value_col(expr.var, plan).startswith(expr.prefix)
+    if isinstance(expr, Regex):
+        # SPARQL regex() is PARTIAL match (17.4.3.14) — exactly
+        # rlike's semantics; XPath flags map to Java's inline
+        # (?ismx) embedded-flag prefix, and 'q' quotes the pattern
+        pat = expr.pattern
+        flags = expr.flags
+        if "q" in flags:
+            pat = re.escape(pat)
+            flags = flags.replace("q", "")
+        if flags:
+            pat = f"(?{flags})" + pat
+        return _value_col(expr.arg, plan).rlike(pat)
     raise ValueError(f"sparql: unsupported filter node {expr!r}")
 
 
 def _value_col(node, plan: _Plan):
+    if isinstance(node, StrOf):
+        # terms are stored as their lexical strings: identity
+        return _value_col(node.var, plan)
+    if isinstance(node, LangOf):
+        v = node.var.name
+        if v not in plan.vars:
+            raise ValueError(f"sparql: FILTER references unbound "
+                             f"?{v}")
+        if v in plan.objvars:
+            # '' for IRIs and untagged literals (17.4.2.2); the
+            # metadata column is NULL in both cases
+            return F.coalesce(F.col(f"__lang__{v}"), F.lit(""))
+        return F.lit("")         # subject/pred bindings are IRIs
     if isinstance(node, Var):
         if node.name not in plan.vars:
             raise ValueError(f"sparql: FILTER references unbound "

@@ -803,6 +803,124 @@ def test_path_sequence_alternative_inverse(spark):
         sparql_query(edges, "SELECT ?s WHERE { ?s ^?p <A> . }")
 
 
+def test_zero_or_one_path(spark):
+    """``pred?`` — SPARQL 1.1 ZeroOrOnePath: identity ∪ one step,
+    in all four endpoint shapes and inside sequences."""
+    edges = _edges(spark)
+    # var–const: itself plus direct children
+    q = "SELECT DISTINCT ?x WHERE { ?x dcterms:isPartOf? <A> . }"
+    assert {r["x"] for r in sparql_query(edges, q).collect()} == \
+        {"A", "A#S1"}
+    # const–var
+    q2 = "SELECT DISTINCT ?x WHERE { <A#S1.1> dcterms:isPartOf? ?x . }"
+    assert {r["x"] for r in sparql_query(edges, q2).collect()} == \
+        {"A#S1.1", "A#S1"}
+    # var–var, joined (the deferred zero-arm path): every doc with a
+    # title, optionally hopping one isPartOf up, that B references
+    q3 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:isPartOf? ?t .
+      <B> dcterms:references ?s .
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q3).collect()} == \
+        {"A#S1"}
+    # sequence composition: one optional hop then the closure
+    q4 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s dcterms:isPartOf? / dcterms:isPartOf* <A> .
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q4).collect()} == \
+        {"A", "A#S1", "A#S1.1"}
+    # const–const: zero-length identity is unconditionally true
+    q5 = "ASK { <Z> dcterms:isPartOf? <Z> . }"
+    assert sparql_query(edges, q5).first()["ask"] is True
+    q6 = "ASK { <A#S1> dcterms:isPartOf? <A> . }"
+    assert sparql_query(edges, q6).first()["ask"] is True
+    q7 = "ASK { <A> dcterms:isPartOf? <A#S1.1> . }"
+    assert sparql_query(edges, q7).first()["ask"] is False
+    # ? in a CONSTRUCT template stays illegal
+    with pytest.raises(ValueError, match="CONSTRUCT template"):
+        sparql_query(edges, "CONSTRUCT { ?s dcterms:isPartOf? ?o . } "
+                            "WHERE { ?s ?p ?o . }")
+
+
+def test_regex_str_lang_filters(spark):
+    """The round-5 FILTER extensions: regex() partial match with
+    flags, str() lexical coercion, lang() tag access."""
+    edges = _edges(spark)
+    # regex partial match over titles
+    q = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER regex(?t, "Doc [AB]")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q).collect()} == \
+        {"A", "B"}
+    # case-insensitive flag + str() coercion
+    q2 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER regex(str(?t), "doc c", "i")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q2).collect()} == \
+        {"C"}
+    # q flag: pattern metacharacters are literal
+    q3 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER regex(?t, "Doc [AB]", "q")
+    }
+    """
+    assert sparql_query(edges, q3).count() == 0
+    # lang() equality — only A's title carries @en
+    q4 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER (lang(?t) = "en")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q4).collect()} == \
+        {"A"}
+    # lang() of an untagged literal is '' (not NULL-dropped)
+    q5 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER (lang(?t) = "")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q5).collect()} == \
+        {"B", "C"}
+    # str() on either comparison side
+    q6 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER (str(?t) = "Doc B")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q6).collect()} == \
+        {"B"}
+    # combined, the wsgiapp-shaped label query
+    q7 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t .
+      FILTER (regex(?t, "^Doc") && lang(?t) != "en")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q7).collect()} == \
+        {"B", "C"}
+    # parse failures stay loud
+    with pytest.raises(ValueError, match="regex pattern"):
+        parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
+                     'FILTER regex(?o, ?o) }')
+    with pytest.raises(ValueError, match="regex flags"):
+        parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
+                     'FILTER regex(?o, "x", ?s) }')
+    with pytest.raises(ValueError, match="unsupported regex flags"):
+        parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
+                     'FILTER regex(?o, "x", "z") }')
+    with pytest.raises(ValueError, match="takes a variable"):
+        parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
+                     'FILTER (lang("x") = "en") }')
+
+
 def test_values_inline_data(spark):
     """VALUES restricts solutions by equi-joining a tiny constant
     frame (broadcast — inline bindings prune the scan); single-var
@@ -957,7 +1075,7 @@ _FUZZ_TOKENS = [
     "SEPARATOR", "UNDEF", "IN", "a", "?s", "?p", "?o", "?n", "<a>",
     "<http://x/y>", '"lit"', "dcterms:title", "p:x", "5", "*", "+",
     "/", "|", "^", "=", "!=", ">", ">=", "<", "<=", "&&", "||", "!",
-    "isUri", "strstarts", "str",
+    "isUri", "strstarts", "str", "regex", "lang", "?", '"i"', '"pat"',
 ]
 
 
