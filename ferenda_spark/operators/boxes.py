@@ -170,9 +170,17 @@ def style_metrics(boxes: DataFrame,
 
 
 def decode_pdf_boxes(pdfs: DataFrame):
-    """PDF binary → box rows. Honest stub: the container ships no PDF
-    codec (same policy as multimodal.real_decode); production swaps in
-    pdfminer/poppler inside the same mapInPandas contract."""
+    """PDF binary → box rows. Honest stub for box GEOMETRY: the
+    engine's real PDF-subset codec (sources/binary_docs.py pdf_text —
+    plain/FlateDecode streams, Tj/'/\"/TJ text operators) extracts
+    TEXT but does not track the transformation matrices and font
+    metrics that give each glyph run its page-space (x, y, w, h) box;
+    a layout-capable renderer (pdfminer/poppler) is required for
+    that and is not shipped (same policy as multimodal.real_decode).
+    Production swaps one in inside the same mapInPandas contract;
+    the analytics above consume the boxes table contract directly."""
     raise NotImplementedError(
-        "PDF box decoding requires a PDF codec; the analytics above "
-        "consume the boxes table contract directly")
+        "PDF box decoding requires a layout-capable PDF renderer "
+        "(glyph positions + font metrics); the shipped subset codec "
+        "(sources/binary_docs.py::pdf_text) extracts text only — "
+        "the box analytics consume the boxes table contract directly")

@@ -11,13 +11,15 @@ each format to its decoder.
 
 The decoders are REAL for two of the three formats, stdlib-only:
 OOXML .docx (zipfile + ElementTree over word/document.xml) and the
-declared PDF subset (plain/FlateDecode content streams, simple font
-encodings — see ``pdf_text``); ``decode_binary_docs`` runs them in
-one mapInPandas over the routed streams, per-row error capture, no
+declared PDF subset (plain/FlateDecode content streams; simple
+latin-1-compatible fonts, or — round 5 — simple fonts carrying a
+single-byte ToUnicode CMap, decoded exactly through bfchar/bfrange
+— see ``pdf_text``); ``decode_binary_docs`` runs them in one
+mapInPandas over the routed streams, per-row error capture, no
 poison-document job kills.  Legacy OLE2 .doc (antiword's job) and
-out-of-subset PDFs (CMap/ToUnicode, encryption, non-Flate filters)
-stay declared, LOUD stubs: an ``error`` row, never silent wrong
-text.
+out-of-subset PDFs (composite Type0 fonts, encryption, non-Flate
+filters) stay declared, LOUD stubs: an ``error`` row, never silent
+wrong text.
 """
 
 from __future__ import annotations
@@ -107,9 +109,10 @@ def route_by_type(docs: DataFrame) -> dict[str, DataFrame]:
 # text-showing operators (Tj ' " TJ) a small scanner can read with
 # zlib alone.  Both run as plain-Python functions inside ONE
 # mapInPandas over the routed streams — the extract.py pattern.
-# Declared subset limits (loud, not silent): PDFs using CMap/ToUnicode
-# font encodings, encryption, or non-Flate filters yield an ``error``
+# Declared subset limits (loud, not silent): PDFs using composite
+# (Type0) fonts, encryption, or non-Flate filters yield an ``error``
 # row; legacy OLE2 .doc (antiword's job) stays a declared stub.
+# Simple-font ToUnicode CMaps are inside the subset since round 5.
 
 _DOCX_NS = ("{http://schemas.openxmlformats.org/wordprocessingml/"
             "2006/main}")
@@ -190,15 +193,158 @@ def _pdf_literal_string(data: bytes, i: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-def _pdf_stream_text(data: bytes) -> list[str]:
+def _parse_tounicode(data: bytes, font: str) -> dict[int, str]:
+    """One ToUnicode CMap stream → {single-byte code: unicode text}.
+
+    The SIMPLE-FONT subset: source codes must be one byte (2 hex
+    digits) — a multi-byte code means a composite (Type0) font,
+    which stays outside the declared subset and raises loudly.
+    Destinations are UTF-16BE hex (possibly multi-unit: ligatures
+    map one code to several characters).  Handles ``bfchar`` pairs
+    and both ``bfrange`` forms (scalar base incremented per spec
+    §9.10.3, and the explicit destination array)."""
+    import re
+
+    cmap: dict[int, str] = {}
+
+    def code(hx: bytes) -> int:
+        hx = bytes(c for c in hx if c not in b" \t\r\n")
+        if len(hx) != 2:
+            raise ValueError(
+                f"pdf subset: font {font}: multi-byte CMap code "
+                f"<{hx.decode()}> needs a composite-font codec")
+        return int(hx, 16)
+
+    def uni(hx: bytes) -> str:
+        hx = bytes(c for c in hx if c not in b" \t\r\n")
+        b = bytes.fromhex(hx.decode("ascii"))
+        if len(b) % 2:
+            raise ValueError(
+                f"pdf subset: font {font}: odd-length CMap "
+                f"destination <{hx.decode()}>")
+        return b.decode("utf-16-be")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f \t\r\n]+)>", m.group(1))
+        if len(toks) % 2:
+            raise ValueError(f"pdf subset: font {font}: unpaired "
+                             "bfchar entry")
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[code(src)] = uni(dst)
+    entry = re.compile(
+        rb"<([0-9A-Fa-f \t\r\n]+)>\s*<([0-9A-Fa-f \t\r\n]+)>\s*"
+        rb"(\[[^\]]*\]|<[0-9A-Fa-f \t\r\n]+>)")
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for em in entry.finditer(m.group(1)):
+            lo, hi, dst = em.groups()
+            lo_i, hi_i = code(lo), code(hi)
+            if hi_i < lo_i:
+                raise ValueError(f"pdf subset: font {font}: "
+                                 "descending bfrange")
+            if dst.startswith(b"["):
+                import re as _re
+                dsts = _re.findall(rb"<([0-9A-Fa-f \t\r\n]+)>", dst)
+                if len(dsts) != hi_i - lo_i + 1:
+                    raise ValueError(
+                        f"pdf subset: font {font}: bfrange array "
+                        "length mismatch")
+                for k, d in enumerate(dsts):
+                    cmap[lo_i + k] = uni(d)
+            else:
+                hx = bytes(c for c in dst[1:-1]
+                           if c not in b" \t\r\n")
+                width = len(hx)
+                base = int(hx, 16)
+                for k in range(hi_i - lo_i + 1):
+                    cmap[lo_i + k] = uni(
+                        format(base + k, f"0{width}x").encode())
+    return cmap
+
+
+def _pdf_objects(content: bytes) -> dict[int, bytes]:
+    """{object number: body bytes} for every ``N 0 obj … endobj``."""
+    import re
+
+    objs: dict[int, bytes] = {}
+    for m in re.finditer(rb"(\d+)\s+0\s+obj", content):
+        end = content.find(b"endobj", m.end())
+        objs[int(m.group(1))] = \
+            content[m.end():end if end != -1 else len(content)]
+    return objs
+
+
+def _pdf_font_cmaps(content: bytes,
+                    objs: dict[int, bytes]) -> dict[str, dict]:
+    """{font resource name: ToUnicode cmap} for simple fonts.
+
+    Resource names are resolved by scanning ``/Font << … >>``
+    dictionaries; the subset requires a name to resolve to ONE font
+    object across the file (per-page name reuse with different maps
+    raises loudly — silent misdecoding is the failure mode this
+    codec refuses everywhere)."""
+    import re
+    import zlib
+
+    fonts: dict[str, int] = {}
+    for m in re.finditer(rb"/Font\s*<<(.*?)>>", content, re.S):
+        for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1)):
+            name, num = fm.group(1).decode("ascii"), int(fm.group(2))
+            if fonts.get(name, num) != num:
+                raise ValueError(
+                    f"pdf subset: font name /{name} resolves to "
+                    "multiple font objects across pages")
+            fonts[name] = num
+    cmaps: dict[str, dict] = {}
+    for name, num in sorted(fonts.items()):
+        body = objs.get(num, b"")
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", body)
+        if tm is None:
+            continue
+        cm_obj = objs.get(int(tm.group(1)))
+        if cm_obj is None:
+            raise ValueError(f"pdf subset: font /{name}: dangling "
+                             "ToUnicode reference")
+        sm = re.search(rb"stream\r?\n", cm_obj)
+        if sm is None:
+            raise ValueError(f"pdf subset: font /{name}: ToUnicode "
+                             "object has no stream")
+        raw = cm_obj[sm.end():cm_obj.find(b"endstream", sm.end())] \
+            .rstrip(b"\r\n")
+        if b"/FlateDecode" in cm_obj[:sm.start()]:
+            raw = zlib.decompress(raw)
+        cmaps[name] = _parse_tounicode(raw, f"/{name}")
+    return cmaps
+
+
+def _pdf_stream_text(data: bytes,
+                     cmaps: dict[str, dict] | None = None) -> list[str]:
     """Text-showing strings of one decoded content stream, in order:
     ``(s) Tj``, ``(s) '``, ``(aw ac (s)) \"``, ``[(a) -120 (b)] TJ``
     — with ``T*``/``TD``/``Td``/``Tm``/``'`` emitting line breaks
     (the subset's layout heuristic: every text-positioning operator
     starts a new line, which keeps words and lines apart — the
-    pdftotext-like behavior; empty lines collapse in pdf_text)."""
+    pdftotext-like behavior; empty lines collapse in pdf_text).
+
+    ``cmaps`` maps font resource names to ToUnicode tables; ``Tf``
+    switches the active table and shown strings decode through it —
+    an unmapped code under an active table raises loudly (the
+    ToUnicode exists precisely to define the text; guessing would be
+    silent wrong-text)."""
     out: list[str] = []
     pending: list[str] = []
+    last_name: str | None = None
+    cur_cmap: dict[int, str] | None = None
+
+    def shown(s: str) -> str:
+        if cur_cmap is None:
+            return s
+        try:
+            return "".join(cur_cmap[ord(ch)] for ch in s)
+        except KeyError as e:
+            raise ValueError(
+                f"pdf subset: code {e.args[0]:#04x} not in the "
+                "active font's ToUnicode map") from None
+
     i, n = 0, len(data)
     while i < n:
         c = data[i]
@@ -219,6 +365,12 @@ def _pdf_stream_text(data: bytes) -> list[str]:
             except ValueError:
                 pass
             i = j + 1
+        elif c == 0x2F:                    # /Name token
+            j = i + 1
+            while j < n and data[j] not in b" \t\r\n()<>[]/%":
+                j += 1
+            last_name = data[i + 1:j].decode("latin-1")
+            i = j
         elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) \
                 or c in (0x27, 0x22, 0x2A):  # operator token
             j = i
@@ -226,17 +378,19 @@ def _pdf_stream_text(data: bytes) -> list[str]:
                 j += 1
             op = data[i:j]
             if op in (b"Tj", b"TJ"):
-                out.extend(pending)
+                out.extend(shown(s) for s in pending)
             elif op == b"'":
                 out.append("\n")
-                out.extend(pending[-1:])
+                out.extend(shown(s) for s in pending[-1:])
             elif op == b'"':
                 out.append("\n")
-                out.extend(pending[-1:])
+                out.extend(shown(s) for s in pending[-1:])
             elif op in (b"T*", b"TD", b"Td", b"Tm"):
                 out.append("\n")
             elif op == b"ET":
                 out.append("\n")
+            elif op == b"Tf" and cmaps is not None:
+                cur_cmap = cmaps.get(last_name or "")
             pending.clear()
             i = j if j > i else i + 1
         elif c == 0x25:                    # % comment to EOL
@@ -247,15 +401,18 @@ def _pdf_stream_text(data: bytes) -> list[str]:
     return out
 
 
-_UNSUPPORTED_PDF = (b"/Encrypt", b"/ToUnicode", b"/Type0",
+_UNSUPPORTED_PDF = (b"/Encrypt", b"/Type0",
                     b"/LZWDecode", b"/DCTDecode", b"/ASCII85Decode")
 
 
 def pdf_text(content: bytes) -> str:
     """PDF → plain text for the DECLARED SUBSET: unencrypted files
     whose content streams are plain or FlateDecode and whose fonts
-    are simple (latin-1-compatible) encodings.  Files needing CMap
-    decoding, encryption, or other filters raise ValueError — callers
+    are simple — latin-1-compatible encodings, or (round 5) simple
+    fonts carrying a single-byte ToUnicode CMap, which decode
+    through it exactly (reference analog: pdfreader.py:961-1024's
+    glyph-to-text mapping).  Files needing composite (Type0) fonts,
+    encryption, or other filters raise ValueError — callers
     (decode_binary_docs) surface that as an ``error`` row, never a
     silent wrong-text."""
     import re
@@ -266,6 +423,13 @@ def pdf_text(content: bytes) -> str:
             raise ValueError(
                 f"pdf subset: {marker.decode()} not supported "
                 "(needs an external codec)")
+    cmaps: dict[str, dict] = {}
+    cmap_objs: set[int] = set()
+    if b"/ToUnicode" in content:
+        objs = _pdf_objects(content)
+        cmaps = _pdf_font_cmaps(content, objs)
+        cmap_objs = {int(m.group(1)) for m in re.finditer(
+            rb"/ToUnicode\s+(\d+)\s+0\s+R", content)}
     texts: list[str] = []
     for m in re.finditer(rb"stream\r?\n", content):
         start = m.end()
@@ -280,6 +444,14 @@ def pdf_text(content: bytes) -> str:
         # would be scanned as text, a silent loss)
         obj_at = content.rfind(b"obj", 0, m.start())
         head = content[max(obj_at, 0):m.start()]
+        if cmap_objs:
+            # a ToUnicode CMap stream is data, not page content —
+            # its hex ranges could contain 'BT' bytes and would scan
+            # as garbage text
+            om = re.search(rb"(\d+)\s+0\s+$",
+                           content[max(obj_at - 32, 0):obj_at])
+            if om is not None and int(om.group(1)) in cmap_objs:
+                continue
         has_parms = b"/DecodeParms" in head
         if b"/FlateDecode" in head:
             try:
@@ -295,7 +467,7 @@ def pdf_text(content: bytes) -> str:
             # above)
             raise ValueError("pdf subset: /DecodeParms predictor on a "
                              "text content stream not supported")
-        texts.extend(_pdf_stream_text(raw))
+        texts.extend(_pdf_stream_text(raw, cmaps or None))
     joined = "".join(texts)
     lines = [" ".join(ln.split()) for ln in joined.split("\n")]
     return "\n".join(ln for ln in lines if ln)

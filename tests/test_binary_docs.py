@@ -128,8 +128,85 @@ def test_pdf_text_operators_escapes_hex_flate():
 def test_pdf_subset_limits_are_loud():
     with pytest.raises(ValueError, match="Encrypt"):
         pdf_text(_mk_pdf(b"BT (x) Tj ET") + b"/Encrypt 9 0 R")
-    with pytest.raises(ValueError, match="ToUnicode"):
-        pdf_text(_mk_pdf(b"BT (x) Tj ET") + b"/ToUnicode 9 0 R")
+    with pytest.raises(ValueError, match="Type0"):
+        pdf_text(_mk_pdf(b"BT (x) Tj ET") + b"/Type0 9 0 R")
+
+
+def _mk_cmap_pdf(content_stream: bytes, cmap_body: bytes,
+                 flate_cmap: bool = False) -> bytes:
+    """A one-page PDF whose /F1 font carries a ToUnicode CMap."""
+    import zlib
+
+    def obj(n, body):
+        return b"%d 0 obj\n%s\nendobj\n" % (n, body)
+
+    cm = (b"/CIDInit /ProcSet findresource begin\n"
+          b"begincmap\n" + cmap_body + b"\nendcmap\nend\n")
+    if flate_cmap:
+        cm = zlib.compress(cm)
+        cm_hdr = b"<< /Length %d /Filter /FlateDecode >>" % len(cm)
+    else:
+        cm_hdr = b"<< /Length %d >>" % len(cm)
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                  b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> "
+                  b">> >>")
+    pdf += obj(4, b"<< /Length %d >>\nstream\n" % len(content_stream)
+                  + content_stream + b"\nendstream")
+    pdf += obj(5, b"<< /Type /Font /Subtype /TrueType "
+                  b"/BaseFont /Mapped /ToUnicode 6 0 R >>")
+    pdf += obj(6, cm_hdr + b"\nstream\n" + cm + b"\nendstream")
+    pdf += obj(7, b"<< /Type /Font /Subtype /TrueType "
+                  b"/BaseFont /Plain >>")
+    return pdf + b"%%EOF\n"
+
+
+_CMAP = (b"2 beginbfchar\n<01> <0048>\n<03> <00660066 0069>\n"
+         b"endbfchar\n"
+         b"2 beginbfrange\n<20> <7E> <0020>\n"
+         b"<04> <06> [<0058> <0059> <005A>]\nendbfrange\n")
+
+
+def test_pdf_tounicode_simple_font():
+    """Round-5 CMap subset: bfchar (incl. multi-unit ligature dst),
+    scalar bfrange (base increments), array bfrange, Tf font
+    switching (mapped → unmapped falls back to latin-1), and a
+    FlateDecode'd CMap stream."""
+    # codes: 01=H, ASCII range identity, 03=ffi ligature, 04..06=XYZ
+    body = b"BT /F1 12 Tf (\x01i \x03 \x04\x05\x06 ok) Tj ET"
+    assert pdf_text(_mk_cmap_pdf(body, _CMAP)) == "Hi ffi XYZ ok"
+    # Flate-compressed CMap stream decodes identically
+    assert pdf_text(_mk_cmap_pdf(body, _CMAP, flate_cmap=True)) \
+        == "Hi ffi XYZ ok"
+    # font switch: /F2 has no ToUnicode -> latin-1 passthrough
+    body2 = (b"BT /F1 12 Tf (\x01i) Tj T* /F2 12 Tf (plain) Tj ET")
+    assert pdf_text(_mk_cmap_pdf(body2, _CMAP)) == "Hi\nplain"
+    # hex strings decode through the active map too
+    body3 = b"BT /F1 12 Tf <012003> Tj ET"
+    assert pdf_text(_mk_cmap_pdf(body3, _CMAP)) == "H ffi"
+
+
+def test_pdf_tounicode_loud_contract():
+    # unmapped code under an active ToUnicode: loud, never guessed
+    with pytest.raises(ValueError, match="not in the active font"):
+        pdf_text(_mk_cmap_pdf(b"BT /F1 12 Tf (\x02) Tj ET", _CMAP))
+    # multi-byte source code = composite font territory
+    with pytest.raises(ValueError, match="multi-byte CMap code"):
+        pdf_text(_mk_cmap_pdf(
+            b"BT /F1 12 Tf (x) Tj ET",
+            b"1 beginbfchar\n<0001> <0048>\nendbfchar\n"))
+    # bfrange destination array length mismatch
+    with pytest.raises(ValueError, match="length mismatch"):
+        pdf_text(_mk_cmap_pdf(
+            b"BT /F1 12 Tf (x) Tj ET",
+            b"1 beginbfrange\n<01> <03> [<0058>]\nendbfrange\n"))
+    # dangling ToUnicode reference on a declared font
+    bad = _mk_cmap_pdf(b"BT (x) Tj ET", _CMAP).replace(
+        b"/ToUnicode 6 0 R", b"/ToUnicode 9 0 R")
+    with pytest.raises(ValueError, match="dangling ToUnicode"):
+        pdf_text(bad)
 
 
 # -- distributed decode --------------------------------------------------------

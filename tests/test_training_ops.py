@@ -373,6 +373,27 @@ def test_media_metadata_fake_and_stub(docs, spark):
         exc.value, NotImplementedError)
 
 
+def test_stub_messages_name_missing_capability(spark):
+    """Contract: every declared codec stub fails LOUDLY with a
+    message naming the specific missing capability for its media
+    type (r4 verdict next-round #9) — a user hitting the stub must
+    learn what to install, not just that something is missing."""
+    media = spark.createDataFrame([(1, b"x")],
+                                  "media_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="media codecs"):
+        multimodal.real_decode(b"x")
+    with pytest.raises(NotImplementedError, match="image codecs"):
+        multimodal.resize_images(media, 8, 8, fake=False)
+    with pytest.raises(NotImplementedError, match="video codecs"):
+        multimodal.sample_frames(media, fake=False)
+    with pytest.raises(NotImplementedError, match="embedding models"):
+        multimodal.extract_features(media, fake=False)
+    from ferenda_spark.operators import boxes as _boxes
+    with pytest.raises(NotImplementedError,
+                       match="layout-capable PDF renderer"):
+        _boxes.decode_pdf_boxes(media)
+
+
 def test_asof_join(spark):
     left = spark.createDataFrame([
         Row(k="a", ts=10, v="l1"), Row(k="a", ts=20, v="l2"),
