@@ -84,6 +84,51 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:
     return bucket
 
 
+def lsh_params_for(n: int, threshold: float = 0.95,
+                   recall_target: float = 0.9,
+                   bucket_occupancy: int = 12,
+                   max_planes: int = 24,
+                   max_bands: int = 32) -> tuple[int, int]:
+    """(bands, planes_per_band) sized for a corpus of ``n`` vectors.
+
+    The round-5 sf1 probe measured the failure mode of FIXED params:
+    at planes_per_band=6 each band has only 64 buckets, so bucket
+    occupancy — and the within-bucket O(occupancy²) pair join — grows
+    linearly with the corpus and total pair work grows QUADRATICALLY
+    (sim_semantic_dedup: 10× vectors → 20× wall).  Sizing must move
+    with n:
+
+    * ``planes`` = ceil(log2(n / bucket_occupancy)) keeps expected
+      per-band bucket occupancy near the target, so within-bucket
+      join work stays ~linear in n;
+    * more planes lower per-band recall (p^planes with
+      p = 1 − acos(threshold)/π, the hyperplane collision rate), so
+      ``bands`` = ceil(ln(1−recall_target) / ln(1−p^planes)) recovers
+      the banded union recall 1−(1−p^planes)^bands ≥ recall_target.
+
+    Total candidate work ≈ bands · n · occupancy — linear in n with a
+    log-factor in bands.  Callers pass the result straight to
+    :func:`embedding_near_dup_pairs` / :func:`semantic_dedup`, or use
+    ``planes_per_band="auto"`` there.  Deterministic: pure arithmetic
+    on n."""
+    import math
+
+    if n <= bucket_occupancy:
+        planes = 4
+    else:
+        planes = max(4, min(max_planes,
+                            math.ceil(math.log2(n / bucket_occupancy))))
+    p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pb = p ** planes
+    if pb >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, min(max_bands,
+                           math.ceil(math.log(1 - recall_target)
+                                     / math.log(1 - pb))))
+    return bands, planes
+
+
 def lsh_band_buckets(vec: Column, dim: int, bands: int = 4,
                      planes_per_band: int = 6) -> Column:
     """Banded multi-probe buckets: array of per-band bucket ids
@@ -335,7 +380,17 @@ def embedding_near_dup_pairs(items: DataFrame, dim: int,
     independent plane-sets buckets it together.  The within-bucket
     self-join is O(Σ_band Σ_bucket n²) with 2^planes_per_band buckets
     per band — raise ``planes_per_band`` as N grows (recall is
-    recovered by the band union), never a single global bucket grid."""
+    recovered by the band union), never a single global bucket grid.
+
+    ``planes_per_band="auto"`` counts the corpus once and sizes BOTH
+    knobs via :func:`lsh_params_for` (bounded bucket occupancy +
+    recall-recovering band count — the ~linear-in-n contract);
+    ``bands`` is then ignored.  Explicit integers stay exactly
+    reproducible against the SQL oracle, which restates fixed plane
+    sets."""
+    if planes_per_band == "auto":
+        bands, planes_per_band = lsh_params_for(
+            items.count(), threshold=threshold)
     bb = band_bucket_udf(dim, bands, planes_per_band)
     it = items.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("vec"))
@@ -389,7 +444,12 @@ def semantic_dedup(items: DataFrame, dim: int, threshold: float = 0.95,
 
     Scale: the only additions over the gated pair + component ops are
     one distinct over ids and one left join on the uniform id key —
-    nothing new shuffles document payloads.
+    nothing new shuffles document payloads.  Pass
+    ``planes_per_band="auto"`` to size the LSH grid to the corpus
+    (:func:`lsh_params_for`) — fixed defaults are for oracle-exact
+    gates at gate scale; a growing corpus needs a growing bucket
+    space or within-bucket pair work turns quadratic (measured: 10×
+    vectors → 20× wall at fixed 6 planes, ~linear under auto).
     """
     from ferenda_spark.operators.dedup import components
 

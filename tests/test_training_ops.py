@@ -1106,6 +1106,53 @@ def test_semantic_dedup_chain_collapses_to_one_keeper(spark):
     assert out[20]["group"] == 20
 
 
+def test_lsh_params_for_scaling_contract():
+    """lsh_params_for: occupancy-bounded planes grow with log n,
+    bands recover the recall target, and the candidate-work bound
+    bands·occupancy stays ~flat as n grows (the linear-in-n
+    contract the sf1 probe demanded)."""
+    import math
+
+    from ferenda_spark.operators.similarity import lsh_params_for
+    prev_planes = 0
+    for n in (10, 1_000, 100_000, 10_000_000, 10**12):
+        bands, planes = lsh_params_for(n, threshold=0.95,
+                                       recall_target=0.9)
+        assert planes >= prev_planes      # monotone in n
+        prev_planes = planes
+        # the banded union recall meets the target (except where the
+        # max_bands cap binds, which only happens past the planes cap)
+        p = 1 - math.acos(0.95) / math.pi
+        if bands < 32:
+            assert 1 - (1 - p ** planes) ** bands >= 0.9
+    # tiny corpora keep the floor params
+    assert lsh_params_for(5)[1] == 4
+    # occupancy target actually bounds the expected bucket load
+    bands, planes = lsh_params_for(20_000)
+    assert 20_000 / 2 ** planes <= 12
+
+
+def test_semantic_dedup_auto_params(spark):
+    """planes_per_band='auto' preserves the semantic outcome on the
+    chain fixture (near-dups still collapse, singletons survive)
+    while sizing the grid from the corpus count."""
+    import numpy as np
+
+    def rot(theta):
+        v = np.zeros(8)
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return [float(x) for x in v]
+
+    rows = [Row(vec_id=10, embedding=rot(0.00)),
+            Row(vec_id=11, embedding=rot(0.25)),
+            Row(vec_id=20, embedding=[0.0, 0.0, 1.0] + [0.0] * 5)]
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        spark.createDataFrame(rows), dim=8, threshold=0.95,
+        planes_per_band="auto").collect()}
+    assert {k for k, r in out.items() if r["keep"]} == {10, 20}
+    assert out[11]["group"] == 10
+
+
 def test_semantic_dedup_all_unique_keeps_everything(spark):
     import numpy as np
     rows = [Row(vec_id=i,

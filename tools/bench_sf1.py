@@ -39,8 +39,13 @@ def main() -> None:
     spark = get_spark(app_name="bench-sf1", master="local[32]",
                       shuffle_partitions=32)
     rows = {}
-    for level, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
-                          ("sf1", sf1_dir)):
+    # three passes: the first sf0.1 pass eats JVM/JIT/scan warmup
+    # (kg_edges measured 0.6× "scaling" without it); the sf0.1-warm
+    # pass is the honest small-scale number, sf1/sf0.1-warm the
+    # honest factor.
+    for level, sf_dir in (("sf0.1-cold", "/root/testdata/sf0.1"),
+                          ("sf1", sf1_dir),
+                          ("sf0.1", "/root/testdata/sf0.1")):
         canary = _mp_canary()
         print(f"PASS level={level} canary={canary}", flush=True)
         for name in names:
@@ -51,11 +56,12 @@ def main() -> None:
             print(f"Q {level} {name} {dt}s", flush=True)
         rows.setdefault("_canary", {})[level] = canary
     print(json.dumps(rows))
-    print("| query | sf0.1 (s) | sf1 (s) | factor |")
-    print("|---|---|---|---|")
+    print("| query | sf0.1 cold (s) | sf0.1 warm (s) | sf1 (s) | factor (vs warm) |")
+    print("|---|---|---|---|---|")
     for name in names:
+        c = rows[name]["sf0.1-cold"]
         a, b = rows[name]["sf0.1"], rows[name]["sf1"]
-        print(f"| {name} | {a} | {b} | {b / max(a, 0.01):.1f}x |")
+        print(f"| {name} | {c} | {a} | {b} | {b / max(a, 0.01):.1f}x |")
     spark.stop()
 
 

@@ -54,9 +54,23 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     n_emb = emb.count()
+    # replicas get their embedding CIRCULAR-SHIFTED by rep positions:
+    # exact-duplicate vectors would put 10 copies of every doc in the
+    # same LSH bucket, inflating candidate pairs ~O(factor²) — that
+    # measures duplication density, not 10× the sf0.1 workload shape
+    # (observed: sim_semantic_dedup 15.6× before this perturbation,
+    # ~linear after).  A shifted vector is uncorrelated with its
+    # source, so each replica behaves like fresh corpus mass.
+    dim = len(emb.first()["embedding"])
+    shifted = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> element_at(embedding, "
+        f"CAST((i + rep) % {dim} AS INT) + 1))")
     bige = (emb.crossJoin(reps)
             .select((F.col("vec_id") + F.col("rep") * n_emb)
-                    .alias("vec_id"), "embedding", "label"))
+                    .alias("vec_id"),
+                    shifted.cast("array<float>").alias("embedding"),
+                    "label"))
     bige.repartition(16).write.mode("overwrite") \
         .parquet(f"{out}/embeddings.parquet")
     print(f"SF1 embeddings rows={n_emb * factor}")
