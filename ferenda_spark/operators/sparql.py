@@ -83,6 +83,7 @@ Supported subset (everything the reference's .rq files exercise):
   zero-padded date/identifier literals), ``?x IN (a, b)``,
   ``isUri(?v)``, ``strstarts(str(?v), "…")``,
   ``regex(?v, "pat" [, "ismxq-flags"])`` (partial match, rlike),
+  ``langMatches(lang(?v), "range")`` (RFC 4647 basic filtering),
   ``str(?v)`` (identity over the stored lexical form) and
   ``lang(?v)`` ('' for IRIs/untagged) usable on either side of a
   comparison, parentheses.
@@ -305,6 +306,16 @@ class LangOf:
     """``lang(?v)`` — the literal's language tag, '' when absent or
     when the term is an IRI (SPARQL 17.4.2.2)."""
     var: object
+
+
+@dataclass
+class LangMatches:
+    """``langMatches(lang(?v), "range")`` — RFC 4647 basic filtering
+    (SPARQL 17.4.3.1): ``*`` matches any non-empty tag; otherwise a
+    case-insensitive exact match or subtag-boundary prefix
+    ("en" matches "en-US", not "enx")."""
+    arg: object                  # LangOf (or any string-valued node)
+    range: str
 
 
 # ---------------------------------------------------------------------------
@@ -673,7 +684,7 @@ class _Parser:
                     continue
                 if nxt is not None and self.peek(1) == "(" \
                         and nxt.lower() in ("isuri", "strstarts",
-                                            "regex"):
+                                            "regex", "langmatches"):
                     # FILTER BuiltInCall — no outer parens (the
                     # grammar's Constraint ::= BrackettedExpression
                     # | BuiltInCall)
@@ -898,6 +909,17 @@ class _Parser:
             if not isinstance(pfx, Term):
                 raise ValueError("sparql: strstarts prefix must be constant")
             return StrStarts(v, pfx.value)
+        if t.lower() == "langmatches":
+            self.next()
+            self.expect("(")
+            arg = self._fn_operand()
+            self.expect(",")
+            rng = self.term()
+            if not (isinstance(rng, Term) and rng.is_literal):
+                raise ValueError("sparql: langMatches range must be "
+                                 "a string literal")
+            self.expect(")")
+            return LangMatches(arg, rng.value)
         if t.lower() == "regex":
             self.next()
             self.expect("(")
@@ -1212,6 +1234,13 @@ def _filter_col(expr, plan: _Plan):
         return F.lit(v in plan.vars)   # subj/pred bindings are IRIs
     if isinstance(expr, StrStarts):
         return _value_col(expr.var, plan).startswith(expr.prefix)
+    if isinstance(expr, LangMatches):
+        tag = _value_col(expr.arg, plan)
+        if expr.range == "*":
+            return tag != ""
+        rng = expr.range.lower()
+        low = F.lower(tag)
+        return (low == rng) | low.startswith(rng + "-")
     if isinstance(expr, Regex):
         # SPARQL regex() is PARTIAL match (17.4.3.14) — exactly
         # rlike's semantics; XPath flags map to Java's inline

@@ -906,7 +906,32 @@ def test_regex_str_lang_filters(spark):
     """
     assert {r["s"] for r in sparql_query(edges, q7).collect()} == \
         {"B", "C"}
+    # langMatches: RFC 4647 basic filtering
+    q8 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER langMatches(lang(?t), "EN")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q8).collect()} == \
+        {"A"}
+    # '*' matches any non-empty tag (untagged B/C drop)
+    q9 = """
+    SELECT ?s WHERE {
+      ?s dcterms:title ?t . FILTER langMatches(lang(?t), "*")
+    }
+    """
+    assert {r["s"] for r in sparql_query(edges, q9).collect()} == \
+        {"A"}
+    # subtag-boundary prefix: "en" matches "en-US" but not "enx"
+    edges2 = spark.createDataFrame(
+        [("X", "dcterms:title", "t1", True, None, "en-US"),
+         ("Y", "dcterms:title", "t2", True, None, "enx")], SCHEMA)
+    assert {r["s"] for r in sparql_query(edges2, q8).collect()} == \
+        {"X"}
     # parse failures stay loud
+    with pytest.raises(ValueError, match="langMatches range"):
+        parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
+                     'FILTER langMatches(lang(?o), ?s) }')
     with pytest.raises(ValueError, match="regex pattern"):
         parse_sparql('SELECT ?s WHERE { ?s ?p ?o . '
                      'FILTER regex(?o, ?o) }')
@@ -1075,7 +1100,8 @@ _FUZZ_TOKENS = [
     "SEPARATOR", "UNDEF", "IN", "a", "?s", "?p", "?o", "?n", "<a>",
     "<http://x/y>", '"lit"', "dcterms:title", "p:x", "5", "*", "+",
     "/", "|", "^", "=", "!=", ">", ">=", "<", "<=", "&&", "||", "!",
-    "isUri", "strstarts", "str", "regex", "lang", "?", '"i"', '"pat"',
+    "isUri", "strstarts", "str", "regex", "lang", "langMatches",
+    "?", '"i"', '"pat"',
 ]
 
 
