@@ -824,7 +824,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ferenda_spark.sources.testdata import (
             statute_pages_from_documents,
         )
-        d = _docs(spark, sf)
+        # single-file sf scan = one partition; spread the tiny doc
+        # table before the render fold (round-5 file-layout lesson)
+        d = _docs(spark, sf).repartition(
+            spark.sparkContext.defaultParallelism)
         url = F.concat(F.lit("https://example.org/res/act/"),
                        F.col("doc_id").cast("string"))
 
@@ -2402,7 +2405,12 @@ LIMIT 10
         coalesce-penalty sum and the (dist, lang) argmin — in SQL."""
         from ferenda_spark.operators.langprofile import (
             classify_language, explode_grams, train_lang_profiles)
-        d = _docs(spark, sf)
+        # the sf tables are single small parquet files = ONE scan
+        # partition; spread the (tiny) doc table before the gram
+        # explode so the per-char work runs corpus-parallel (the
+        # round-5 sf1 probe's file-layout lesson — measured 7×)
+        d = _docs(spark, sf).repartition(
+            spark.sparkContext.defaultParallelism)
         # ONE gram explode feeds both stages (the dominant cost)
         g = explode_grams(d, ["doc_id", "lang"]).persist()
         prof = train_lang_profiles(d, k=150, grams=g)
@@ -2422,8 +2430,9 @@ LIMIT 10
         from ferenda_spark.operators.langprofile import classify_language
         prof = spark.createDataFrame(
             _LANGID_PROFILE, "lang string, gram string, rank int")
-        return classify_language(_docs(spark, sf), prof,
-                                 k_doc=80, penalty=150)
+        d = _docs(spark, sf).repartition(
+            spark.sparkContext.defaultParallelism)
+        return classify_language(d, prof, k_doc=80, penalty=150)
     q["langid_classify_docs"] = langid_classify_docs
 
     def hash_embed_docs(spark, sf):
