@@ -1398,6 +1398,23 @@ SELECT DISTINCT ?s ?d WHERE {
 """)
     q["kg_sparql_regex_paths"] = kg_sparql_regex_paths
 
+    def kg_sparql_subquery(spark, sf):
+        """Nested SELECT (SPARQL 1.1 §12, round 5): aggregate
+        bottom-up — the 10 most-cited targets — then decorate the
+        winners by joining the outer group, the analytics-then-
+        decorate shape subqueries exist for.  The inner ORDER BY
+        DESC(?n) ?s LIMIT 10 compiles to TakeOrdered."""
+        from ferenda_spark.operators.sparql import sparql_query
+        return sparql_query(_kg_edges(spark, sf), """
+SELECT ?s ?n ?ch WHERE {
+  { SELECT ?s (COUNT(?t) AS ?n) WHERE {
+      ?s dcterms:references ?t .
+    } GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 10 }
+  ?s bibo:chapter ?ch .
+}
+""")
+    q["kg_sparql_subquery"] = kg_sparql_subquery
+
     def kg_pagerank(spark, sf):
         """Head-entity importance over the citation graph: fixed-
         iteration integer PageRank (training-data curation's standard
@@ -4812,6 +4829,17 @@ a AS (SELECT s, count(o) AS n, min(o) AS "first", max(o) AS "last",
       FROM j GROUP BY s)
 SELECT s, n, "first", "last", chapters, meanch, refs, anych
 FROM a WHERE n >= 2 ORDER BY n DESC, s LIMIT 25
+"""
+
+    o["kg_sparql_subquery"] = f"""
+WITH {_F_CTE}, {_TRIPLES_CTE},
+top10 AS (
+  SELECT subj AS s, CAST(count(*) AS BIGINT) AS n
+  FROM golden WHERE pred = 'dcterms:references'
+  GROUP BY subj ORDER BY n DESC, s LIMIT 10)
+SELECT top10.s, top10.n, g.obj AS ch
+FROM top10 JOIN golden g
+  ON g.subj = top10.s AND g.pred = 'bibo:chapter'
 """
 
     o["kg_sparql_regex_paths"] = f"""

@@ -158,6 +158,7 @@ HEADLINE = [
     "hreflang_clusters_docs",
     # round-5 additions
     "kg_sparql_regex_paths",
+    "kg_sparql_subquery",
 ]
 
 

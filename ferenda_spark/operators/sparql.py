@@ -88,6 +88,10 @@ Supported subset (everything the reference's .rq files exercise):
   ``lang(?v)`` ('' for IRIs/untagged) usable on either side of a
   comparison, parentheses.
 * ``BIND(?x as ?y)``.
+* Nested ``{ SELECT … }`` subqueries (§12): evaluated bottom-up with
+  their own DISTINCT/aggregates/modifiers; only projected vars join
+  the enclosing group, and plain projections carry term-kind
+  metadata through so outer joins keep literal/IRI identity.
 * ``%(name)s`` parameter interpolation (the reference's convention,
   documentrepository.py:1861).
 
@@ -205,6 +209,14 @@ class Group:
 @dataclass
 class Union:
     arms: list = field(default_factory=list)
+
+
+@dataclass
+class SubSelect:
+    """``{ SELECT … WHERE { … } [modifiers] }`` nested in a group
+    (SPARQL 1.1 §12): evaluated bottom-up, only its projected vars
+    visible to — and joined with — the enclosing group."""
+    query: "Query"
 
 
 @dataclass
@@ -629,6 +641,21 @@ class _Parser:
                 self.next()
                 return Group(items)
             if t == "{":
+                nxt = self.peek(1)
+                if nxt is not None and nxt.lower() == "select":
+                    # nested SELECT (SPARQL 1.1 §12): the sub-query's
+                    # own modifiers parse up to the closing brace
+                    self.next()
+                    sub = self.query()   # head is SELECT (peeked)
+                    self.expect("}")
+                    if self.peek() and self.peek().lower() == "union":
+                        raise ValueError("sparql: a subquery cannot "
+                                         "be a UNION arm (wrap it in "
+                                         "a group)")
+                    items.append(SubSelect(sub))
+                    if self.peek() == ".":
+                        self.next()
+                    continue
                 arms = [self.group()]
                 while self.peek() and self.peek().lower() == "union":
                     self.next()
@@ -1369,9 +1396,14 @@ def _group_plan(edges: DataFrame, grp, max_depth,
                               sub_scope)
             plan = sub if plan is None else _join(plan, sub)
             continue
-        sub = (_pattern_plan(edges, item, max_depth, clo_cache, scope)
-               if isinstance(item, Pattern)
-               else _group_plan(edges, item, max_depth, clo_cache, scope))
+        if isinstance(item, SubSelect):
+            sub = _subselect_plan(edges, item.query, max_depth,
+                                  clo_cache, scope)
+        elif isinstance(item, Pattern):
+            sub = _pattern_plan(edges, item, max_depth, clo_cache,
+                                scope)
+        else:
+            sub = _group_plan(edges, item, max_depth, clo_cache, scope)
         plan = sub if plan is None else _join(plan, sub)
     if plan is None:
         raise ValueError("sparql: empty group")
@@ -1615,6 +1647,13 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
         out = plan.df.select(*plain)
         if q.distinct:
             out = out.distinct()
+    return _apply_modifiers(out, q)
+
+
+def _apply_modifiers(out: DataFrame, q: Query) -> DataFrame:
+    """ORDER BY / OFFSET / LIMIT — shared by top-level SELECT and
+    subqueries.  ``orderBy().limit(k)`` stays one plan so Spark
+    compiles TakeOrdered (distributed top-k)."""
     bad_order = [v for v, _ in q.order_by if v not in out.columns]
     if bad_order:
         raise ValueError(f"sparql: ORDER BY of unprojected vars "
@@ -1627,6 +1666,43 @@ def _select_out(plan: _Plan, q: Query) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def _subselect_plan(edges: DataFrame, sub: Query, max_depth,
+                    clo_cache: dict | None,
+                    scope: str | None) -> _Plan:
+    """Compile a nested SELECT to a joinable plan.
+
+    Aggregating subqueries ride the full _select_out pipeline; their
+    projected columns join the outer group as plain value columns
+    (aggregate outputs are fresh literals — no term-kind metadata to
+    preserve).  PLAIN projections instead carry the inner plan's
+    ``__lit__/__dt__/__lang__`` metadata through projection, DISTINCT
+    and modifiers, so an outer join on a subquery var that bound
+    literals keeps RDF term-kind identity (DISTINCT over value+kind
+    is the spec's term-distinctness, not a widening)."""
+    inner = _group_plan(edges, sub.where, max_depth, clo_cache, scope)
+    if isinstance(inner, _StarPlan):
+        inner = inner.resolve()
+    plain = [v for v in sub.select_vars if not isinstance(v, Agg)]
+    aggs = [a for a in sub.select_vars if isinstance(a, Agg)]
+    if aggs or sub.having:
+        df = _select_out(inner, sub)
+        names = set(plain) | {a.alias for a in aggs}
+        return _Plan(df, names, set())
+    missing = [v for v in plain if v not in inner.vars]
+    if missing:
+        raise ValueError(f"sparql: SELECT of unbound vars {missing}")
+    if sub.group_by:
+        raise ValueError("sparql: GROUP BY without an aggregate")
+    meta = [v for v in plain if v in inner.objvars]
+    cols = [F.col(v) for v in plain] + \
+        [F.col(f"__{k}__{v}") for v in meta
+         for k in ("lit", "dt", "lang")]
+    df = inner.df.select(*cols)
+    if sub.distinct:
+        df = df.distinct()
+    return _Plan(_apply_modifiers(df, sub), set(plain), set(meta))
 
 
 def construct_annotations(edges: DataFrame, uri: str,

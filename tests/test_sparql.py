@@ -946,6 +946,74 @@ def test_regex_str_lang_filters(spark):
                      'FILTER (lang("x") = "en") }')
 
 
+def test_subquery_aggregate_join(spark):
+    """{ SELECT … GROUP BY … } nested in a group: the aggregation
+    runs bottom-up and its projection joins the outer patterns —
+    the find-the-most-cited-then-decorate shape."""
+    edges = _edges(spark)
+    q = """
+    SELECT ?t ?n ?src WHERE {
+      { SELECT ?t (COUNT(?s) AS ?n) WHERE {
+          ?s dcterms:references ?t .
+        } GROUP BY ?t }
+      ?src dcterms:references ?t .
+    }
+    """
+    got = {(r["t"], r["n"], r["src"])
+           for r in sparql_query(_edges(spark), q).collect()}
+    assert got == {("A#S1", 1, "B"), ("Z", 1, "C"), ("B", 1, "E")}
+    # inner modifiers: top-1 most-referenced target only
+    q2 = """
+    SELECT ?t ?src WHERE {
+      { SELECT ?t (COUNT(?s) AS ?n) WHERE {
+          ?s dcterms:references ?t .
+        } GROUP BY ?t ORDER BY DESC(?n) ?t LIMIT 1 }
+      ?src dcterms:references ?t .
+    }
+    """
+    got2 = {(r["t"], r["src"])
+            for r in sparql_query(edges, q2).collect()}
+    assert got2 == {("A#S1", "B")}
+
+
+def test_subquery_plain_projection_keeps_term_kind(spark):
+    """A plain subselect carries literal/IRI metadata through: its
+    DISTINCT is term-distinct and outer isUri() still works."""
+    edges = _edges(spark)
+    q = """
+    SELECT DISTINCT ?o WHERE {
+      { SELECT DISTINCT ?o WHERE { ?s ?p ?o . } }
+      FILTER(!isUri(?o))
+    }
+    """
+    got = {r["o"] for r in sparql_query(edges, q).collect()}
+    assert got == {"Doc A", "Doc B", "Doc C", "2001-01"}
+    # join with an outer pattern on the projected var
+    q2 = """
+    SELECT DISTINCT ?part WHERE {
+      { SELECT ?part WHERE { ?part dcterms:isPartOf <A> . } }
+      ?x dcterms:references ?part .
+    }
+    """
+    assert {r["part"] for r in sparql_query(edges, q2).collect()} == \
+        {"A#S1"}
+
+
+def test_subquery_parse_contracts(spark):
+    # only SELECT nests: an ASK group head falls through to the
+    # pattern parser and fails loudly there
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?s WHERE { { ASK { ?s ?p ?o . } } }")
+    with pytest.raises(ValueError, match="UNION arm"):
+        parse_sparql("SELECT ?s WHERE { { SELECT ?s WHERE "
+                     "{ ?s ?p ?o . } } UNION { ?s ?p ?o . } }")
+    # unbound projection inside the subquery is loud at compile
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_query(_edges(spark),
+                     "SELECT ?q WHERE { { SELECT ?q WHERE "
+                     "{ ?s ?p ?o . } } }")
+
+
 def test_values_inline_data(spark):
     """VALUES restricts solutions by equi-joining a tiny constant
     frame (broadcast — inline bindings prune the scan); single-var
