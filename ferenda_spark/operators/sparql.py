@@ -53,7 +53,9 @@ Supported subset (everything the reference's .rq files exercise):
   the keyword_dv.rq context shape), ``FILTER [NOT] EXISTS { … }``
   (left-semi / left-anti on the shared vars — negation without a
   row-multiplying join).
-* Property paths ``pred*`` / ``pred+`` / ``pred?``, composed with sequence
+* Property paths ``pred*`` / ``pred+`` / ``pred?`` and negated
+  property sets ``!p`` / ``!(p1|p2|…)`` (forward constant members),
+  composed with sequence
   ``p1 / p2``, alternative ``p1 | p2`` and inverse ``^p`` — each
   desugars at parse time into the spec's own algebra translation
   (fresh hidden vars / UNION / endpoint swap, SPARQL 1.1
@@ -209,6 +211,14 @@ class Group:
 @dataclass
 class Union:
     arms: list = field(default_factory=list)
+
+
+@dataclass
+class NegSet:
+    """``!(p1|p2|…)`` / ``!p`` — negated property set (SPARQL 1.1
+    §9.1 PathNegatedPropertySet, forward members only): matches any
+    edge whose predicate is NOT in the set."""
+    preds: list
 
 
 @dataclass
@@ -849,6 +859,36 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inv = True
+        if self.peek() == "!":
+            # negated property set: !p or !(p1|p2|…) — constant
+            # forward members only (inverse members ^p stay out,
+            # loudly, as does negating a variable)
+            self.next()
+            if template:
+                raise ValueError("sparql: property paths are not "
+                                 "allowed in a CONSTRUCT template")
+            if inv:
+                raise ValueError("sparql: inverse negated property "
+                                 "sets are not supported")
+            members = []
+            if self.peek() == "(":
+                self.next()
+                members.append(self.term())
+                while self.peek() == "|":
+                    self.next()
+                    members.append(self.term())
+                self.expect(")")
+            else:
+                members.append(self.term())
+            bad = [m for m in members if not isinstance(m, Term)]
+            if bad:
+                raise ValueError("sparql: negated property set "
+                                 "members must be constant IRIs")
+            if self.peek() in ("*", "+", "?"):
+                raise ValueError("sparql: path modifiers on a "
+                                 "negated property set are not "
+                                 "supported")
+            return (False, NegSet([m.value for m in members]), None)
         pred = self.term()
         mod = None
         if self.peek() in ("*", "+", "?") and isinstance(pred, Term):
@@ -1048,6 +1088,9 @@ def _pattern_plan(edges: DataFrame, pat: Pattern, max_depth,
                     sel += [F.col("obj_is_literal").alias(f"__lit__{node.name}"),
                             F.col("obj_datatype").alias(f"__dt__{node.name}"),
                             F.col("obj_lang").alias(f"__lang__{node.name}")]
+        elif isinstance(node, NegSet):
+            # negated property set: any predicate outside the set
+            df = df.filter(~F.col("pred").isin(node.preds))
         else:
             df = df.filter(F.col(pos) == _lit(node))
             if pos == "obj":

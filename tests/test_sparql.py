@@ -946,6 +946,39 @@ def test_regex_str_lang_filters(spark):
                      'FILTER (lang("x") = "en") }')
 
 
+def test_negated_property_set(spark):
+    """``!(p1|p2)`` / ``!p`` — any predicate outside the set."""
+    edges = _edges(spark)
+    q = """
+    SELECT DISTINCT ?p WHERE {
+      <C> !(dcterms:title) ?o .
+      <C> ?p ?o .
+    }
+    """
+    # C's non-title edges: obsoletes A, references Z
+    got = {r["p"] for r in sparql_query(edges, q).collect()}
+    assert got == {"rfc:obsoletes", "dcterms:references"}
+    q2 = """
+    SELECT DISTINCT ?s WHERE {
+      ?s !(dcterms:references|dcterms:title|dcterms:issued) <A> .
+    }
+    """
+    # edges into A that are neither references/title/issued:
+    # isPartOf (A#S1), obsoletes (C), updates (D)
+    assert {r["s"] for r in sparql_query(edges, q2).collect()} == \
+        {"A#S1", "C", "D"}
+    # loud contracts
+    with pytest.raises(ValueError, match="negated property set"):
+        parse_sparql("SELECT ?s WHERE { ?s !(?p) <A> . }")
+    with pytest.raises(ValueError, match="modifiers on a negated"):
+        parse_sparql("SELECT ?s WHERE { ?s !(rdf:type)* <A> . }")
+    with pytest.raises(ValueError, match="inverse negated"):
+        parse_sparql("SELECT ?s WHERE { ?s ^!(rdf:type) <A> . }")
+    with pytest.raises(ValueError, match="CONSTRUCT template"):
+        parse_sparql("CONSTRUCT { ?s !(rdf:type) ?o . } "
+                     "WHERE { ?s ?p ?o . }")
+
+
 def test_subquery_aggregate_join(spark):
     """{ SELECT … GROUP BY … } nested in a group: the aggregation
     runs bottom-up and its projection joins the outer patterns —
@@ -1168,7 +1201,7 @@ _FUZZ_TOKENS = [
     "SEPARATOR", "UNDEF", "IN", "a", "?s", "?p", "?o", "?n", "<a>",
     "<http://x/y>", '"lit"', "dcterms:title", "p:x", "5", "*", "+",
     "/", "|", "^", "=", "!=", ">", ">=", "<", "<=", "&&", "||", "!",
-    "isUri", "strstarts", "str", "regex", "lang", "langMatches",
+    "isUri", "strstarts", "str", "regex", "lang", "langMatches", "!(",
     "?", '"i"', '"pat"',
 ]
 
