@@ -313,7 +313,17 @@ def ivf_topk(items: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     query probes its ``nprobe`` nearest lists.  Scoring touches only
     items in probed lists: O(N/C · nprobe) per query instead of O(N),
     and at scale the items side is hash-partitioned by ``list_id`` so
-    probes are partition-pruned joins."""
+    probes are partition-pruned joins.
+
+    ``n_centroids="auto"`` sizes C = clamp(√N, 8, 65536) after one
+    corpus count — the standard IVF rule: with FIXED C, per-query
+    probe cost O(nprobe·N/C) is still linear in N (the LSH
+    fixed-grid lesson, gentler slope); C ~ √N keeps both the
+    centroid scan and the probed-list scan at O(√N).  Explicit
+    integers stay oracle-exact."""
+    if n_centroids == "auto":
+        n_centroids = max(8, min(65536,
+                                 int(items.count() ** 0.5)))
     cents = (items.select(F.col(id_col).alias("cid"),
                           _as_double(F.col(vec_col)).alias("cv"))
              .orderBy("cid").limit(n_centroids).collect())

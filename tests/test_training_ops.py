@@ -1153,6 +1153,27 @@ def test_semantic_dedup_auto_params(spark):
     assert out[11]["group"] == 10
 
 
+def test_ivf_auto_centroids(spark):
+    """n_centroids='auto' = clamp(sqrt(N), 8, 65536): identical
+    results to the equivalent explicit value."""
+    import numpy as np
+
+    from ferenda_spark.operators.similarity import ivf_topk
+    rng = np.random.RandomState(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.randn(8)])
+            for i in range(100)]
+    items = spark.createDataFrame(rows)
+    queries = spark.createDataFrame(
+        [Row(query_id=1, embedding=rows[3]["embedding"])])
+    auto = ivf_topk(items, queries, dim=8, k=3,
+                    n_centroids="auto").collect()
+    # sqrt(100) = 10
+    explicit = ivf_topk(items, queries, dim=8, k=3,
+                        n_centroids=10).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    assert len(auto) > 0
+
+
 def test_semantic_dedup_all_unique_keeps_everything(spark):
     import numpy as np
     rows = [Row(vec_id=i,
