@@ -3744,6 +3744,20 @@ LIMIT 10
             emb, dim=64, threshold=0.4))
     q["sim_semantic_dedup"] = sim_semantic_dedup
 
+    def sim_semantic_dedup_auto(spark, sf):
+        """SemDeDup under corpus-auto-sized LSH (round 5): the same
+        epsilon-grouping, with planes_per_band="auto" deriving
+        (bands, planes) from one corpus count via lsh_params_for.
+        The corpus is PINNED to vec_id < 200 so the derived grid —
+        (22 bands, 5 planes) at threshold 0.4 — is a static shape
+        the oracle restates exactly; bigger corpora exercise the
+        sizing in BENCH.md's sf1 probe, exactness lives here."""
+        emb = (load_table(spark, sf, "embeddings")
+               .filter(F.col("vec_id") < 200))
+        return _longify(similarity.semantic_dedup(
+            emb, dim=64, threshold=0.4, planes_per_band="auto"))
+    q["sim_semantic_dedup_auto"] = sim_semantic_dedup_auto
+
     def text_metrics(spark, sf):
         """A7 + curation feature vector: token stats, quality,
         language ID, fingerprints, and Gopher-style repetition
@@ -7597,6 +7611,35 @@ SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
     # SemDeDup: identical pair construction, then the same
     # recursive-CTE min-label closure the dedup_components oracle
     # states, left-joined back over every id (singletons keep).
+    _banded22 = " UNION ALL ".join(
+        f"SELECT vec_id AS id, v, {b} AS band, "
+        f"{_band_bucket_sql('v', b, 5)} AS bucket FROM it"
+        for b in range(22))
+    o["sim_semantic_dedup_auto"] = f"""
+WITH RECURSIVE it AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200),
+itb AS ({_banded22}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_cos_sql('a.v', 'b.v')} AS cos_sim
+  FROM itb a JOIN itb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+cand AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE cos_sim >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(c.comp, e.vec_id) AS BIGINT) AS "group",
+       coalesce(c.comp, e.vec_id) = e.vec_id AS keep
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 200) e
+LEFT JOIN comp c ON e.vec_id = c.id
+"""
+
     o["sim_semantic_dedup"] = f"""
 WITH RECURSIVE it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),

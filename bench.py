@@ -159,6 +159,7 @@ HEADLINE = [
     # round-5 additions
     "kg_sparql_regex_paths",
     "kg_sparql_subquery",
+    "sim_semantic_dedup_auto",
 ]
 
 

@@ -365,3 +365,62 @@ def test_harmonic_centrality_combinable_aggregate(spark):
     plan = _plan(harmonic_centrality(edges, lms, max_depth=4))
     assert "partial_sum" in plan or "partial_count" in plan
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sparql_subquery_takeordered_broadcast(spark):
+    """A nested SELECT with ORDER BY DESC LIMIT compiles the inner
+    top-k to TakeOrdered (never a global sort) and its tiny result
+    broadcasts into the decorating join."""
+    from ferenda_spark.operators.sparql import sparql_query
+    edges = spark.createDataFrame(
+        [("a", "p:ref", f"t{i}", False, None, None)
+         for i in range(5)] +
+        [(f"t{i}", "p:ch", str(i), True, None, None)
+         for i in range(5)],
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string")
+    df = sparql_query(edges, """
+SELECT ?t ?n ?ch WHERE {
+  { SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s p:ref ?t . }
+    GROUP BY ?t ORDER BY DESC(?n) ?t LIMIT 3 }
+  ?t p:ch ?ch .
+}
+""")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_zero_or_one_path_no_closure_iteration(spark, monkeypatch):
+    """pred? compiles to the single-step edge set — the iterative
+    transitive closure must never run (it is the expensive machinery
+    * and + pay for)."""
+    from ferenda_spark.operators import analytics
+    from ferenda_spark.operators.sparql import sparql_query
+
+    def boom(*a, **kw):
+        raise AssertionError("? path must not build a closure")
+    monkeypatch.setattr(analytics, "transitive_closure", boom)
+    edges = spark.createDataFrame(
+        [("a", "p:part", "b", False, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string")
+    got = sparql_query(
+        edges, "SELECT ?x WHERE { ?x p:part? <b> . }").collect()
+    assert {r["x"] for r in got} == {"a", "b"}
+
+
+def test_negated_property_set_is_scan_filter(spark):
+    """!(p1|p2) compiles to a NOT IN filter at the scan — no join,
+    no python."""
+    from ferenda_spark.operators.sparql import sparql_query
+    edges = spark.createDataFrame(
+        [("a", "p:x", "b", False, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean,"
+        " obj_datatype string, obj_lang string")
+    df = sparql_query(
+        edges, "SELECT ?s WHERE { ?s !(p:x|p:y) <b> . }")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
