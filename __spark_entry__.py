@@ -573,6 +573,11 @@ GATE_ORDER = [
     # flagship KG gates (the north-rule invariants: byte-identical
     # extracted text per url, exact triple multiset) — never rotated
     "kg_extract_text", "kg_edges",
+    # Queries ADDED in round 5 (after this rotation was sized):
+    # langid_classify_docs, kg_sparql_regex_paths, kg_sparql_subquery,
+    # sim_semantic_dedup_auto — never-driver-checked, all verified
+    # green by tools/gate.py runs this round (logged in BENCH.md);
+    # they are the rotation pool for any future window.
 ]
 
 

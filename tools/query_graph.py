@@ -6,7 +6,7 @@ endpoint), here a batch job over the committed graph tables.
 Usage:
     spark-submit --master local[N] --py-files ferenda_spark.zip \
         tools/query_graph.py <store_dir> <query.rq | -> \
-        [--max-depth N] [key=value ...]
+        [--max-depth N] [--explain] [key=value ...]
 
 Property-path closures iterate to fixpoint by default (real SPARQL
 semantics); --max-depth N bounds them for known-shallow hierarchies.
@@ -35,6 +35,9 @@ def run(spark: SparkSession, argv: list[str]) -> None:
             raise ValueError("--max-depth needs a value")
         max_depth = int(rest[i + 1])
         rest = rest[:i] + rest[i + 2:]
+    explain = "--explain" in rest
+    if explain:
+        rest.remove("--explain")
     params = dict(kv.split("=", 1) for kv in rest)
     text = (sys.stdin.read() if query_src == "-"
             else open(query_src, encoding="utf-8").read())
@@ -45,6 +48,14 @@ def run(spark: SparkSession, argv: list[str]) -> None:
         "obj_lang")
     q = parse_sparql(text, params)
     out = sparql_query(edges, text, params, max_depth=max_depth)
+    if explain:
+        # serving-side diagnosability: print the compiled physical
+        # plan (grep ^PLAN) without executing the query
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            print(f"PLAN\t{line}")
+        print("DONE 0 rows (explain only)")
+        return
     if q.form in ("construct", "describe"):
         rows = out.orderBy("subj", "pred", "obj").collect()
         for r in rows:
