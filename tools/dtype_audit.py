@@ -9,7 +9,11 @@ gate.  This audit compares the DuckDB relation's column types against
 the Spark DataFrame schema for every queries()/oracle_sql() pair and
 fails on any column whose engine types are not equivalent.
 
-Usage:  python tools/dtype_audit.py [sf_dir]
+Usage:  python tools/dtype_audit.py [sf_dir] [--all]
+
+``--all`` audits EVERY registered query (extras included), not just
+the 50 driver gates - catching HUGEINT-class drift in extras before
+a future rotation puts them in a window.
 """
 
 from __future__ import annotations
@@ -38,7 +42,9 @@ EQUIV = {
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    all_queries = "--all" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="dtype-audit", master="local[8]",
                       shuffle_partitions=8)
     con = duckdb.connect()
@@ -46,9 +52,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     bad = []
-    oracles = entry_mod.oracle_sql()
+    if all_queries:
+        oracles = {**entry_mod.oracle_sql(),
+                   **entry_mod.extra_oracle_sql()}
+        qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    else:
+        oracles = entry_mod.oracle_sql()
+        qs = entry_mod.queries()
     for name, sql in oracles.items():
-        sdf = entry_mod.queries()[name](spark, sf)
+        sdf = qs[name](spark, sf)
         stypes = {f.name: f.dataType.simpleString()
                   for f in sdf.schema.fields}
         rel = con.sql(sql)
@@ -61,7 +73,8 @@ def main() -> int:
             if dtypes[c] not in EQUIV.get(st, {st.upper()}):
                 bad.append((name, c, st, dtypes[c]))
 
-    print(f"AUDITED {len(oracles)} gate queries")
+    print(f"AUDITED {len(oracles)} "
+          f"{'registered' if all_queries else 'gate'} queries")
     for b in bad:
         print("MISMATCH", *b)
     print("CLEAN" if not bad else f"{len(bad)} mismatches")
