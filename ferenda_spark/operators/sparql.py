@@ -83,7 +83,8 @@ Supported subset (everything the reference's .rq files exercise):
 * ``FILTER(…)`` with ``= != > >= < <= && || !`` (range comparisons
   are lexical over the engine's string terms — correct for
   zero-padded date/identifier literals), ``?x IN (a, b)``,
-  ``isUri(?v)``, ``strstarts(str(?v), "…")``,
+  ``isUri(?v)`` / ``isLiteral(?v)``, ``sameTerm(?a, ?b)``
+  (value AND term-kind equality), ``strstarts(str(?v), "…")``,
   ``regex(?v, "pat" [, "ismxq-flags"])`` (partial match, rlike),
   ``langMatches(lang(?v), "range")`` (RFC 4647 basic filtering),
   ``str(?v)`` (identity over the stored lexical form) and
@@ -296,6 +297,22 @@ class InList:
 @dataclass
 class IsUri:
     var: object
+
+
+@dataclass
+class IsLiteral:
+    """``isLiteral(?v)`` (17.4.2.3): the term-kind complement of
+    isUri in this engine (no unskolemized blank nodes exist)."""
+    var: object
+
+
+@dataclass
+class SameTerm:
+    """``sameTerm(?a, ?b)`` (17.4.1.8): equality of value AND
+    term kind — a literal "A" is not the IRI <A> even though their
+    lexical strings match."""
+    a: object
+    b: object
 
 
 @dataclass
@@ -720,7 +737,8 @@ class _Parser:
                         self.next()
                     continue
                 if nxt is not None and self.peek(1) == "(" \
-                        and nxt.lower() in ("isuri", "strstarts",
+                        and nxt.lower() in ("isuri", "isliteral",
+                                            "sameterm", "strstarts",
                                             "regex", "langmatches"):
                     # FILTER BuiltInCall — no outer parens (the
                     # grammar's Constraint ::= BrackettedExpression
@@ -960,12 +978,20 @@ class _Parser:
             e = self.or_expr()
             self.expect(")")
             return e
-        if t.lower() == "isuri":
-            self.next()
+        if t.lower() in ("isuri", "isliteral"):
+            fn = self.next().lower()
             self.expect("(")
             v = self.term()
             self.expect(")")
-            return IsUri(v)
+            return IsUri(v) if fn == "isuri" else IsLiteral(v)
+        if t.lower() == "sameterm":
+            self.next()
+            self.expect("(")
+            a = self.term()
+            self.expect(",")
+            b = self.term()
+            self.expect(")")
+            return SameTerm(a, b)
         if t.lower() == "strstarts":
             self.next()
             self.expect("(")
@@ -1302,6 +1328,26 @@ def _filter_col(expr, plan: _Plan):
         if v in plan.objvars:
             return ~F.col(f"__lit__{v}")
         return F.lit(v in plan.vars)   # subj/pred bindings are IRIs
+    if isinstance(expr, IsLiteral):
+        v = expr.var.name
+        if v in plan.objvars:
+            return F.col(f"__lit__{v}")
+        # subj/pred bindings are IRIs; an unbound var would have
+        # raised in _value_col — mirror that loudly here
+        if v not in plan.vars:
+            raise ValueError(f"sparql: FILTER references unbound "
+                             f"?{v}")
+        return F.lit(False)
+    if isinstance(expr, SameTerm):
+        def _kind(node):
+            if isinstance(node, Var):
+                if node.name in plan.objvars:
+                    return F.coalesce(F.col(f"__lit__{node.name}"),
+                                      F.lit(False))
+                return F.lit(False)          # subj/pred = IRI
+            return F.lit(bool(node.is_literal))
+        return ((_value_col(expr.a, plan) == _value_col(expr.b, plan))
+                & (_kind(expr.a).eqNullSafe(_kind(expr.b))))
     if isinstance(expr, StrStarts):
         return _value_col(expr.var, plan).startswith(expr.prefix)
     if isinstance(expr, LangMatches):

@@ -946,6 +946,44 @@ def test_regex_str_lang_filters(spark):
                      'FILTER (lang("x") = "en") }')
 
 
+def test_isliteral_and_sameterm(spark):
+    """isLiteral() is the term-kind complement of isUri();
+    sameTerm() equates value AND kind."""
+    edges = _edges(spark)
+    q = """
+    SELECT DISTINCT ?o WHERE {
+      <C> ?p ?o . FILTER isLiteral(?o)
+    }
+    """
+    assert {r["o"] for r in sparql_query(edges, q).collect()} == \
+        {"Doc C"}
+    # sameTerm on a self-join: only identical terms survive
+    q2 = """
+    SELECT DISTINCT ?a WHERE {
+      ?s dcterms:title ?a .
+      ?s ?p ?b .
+      FILTER (sameTerm(?a, ?b))
+    }
+    """
+    got = {r["a"] for r in sparql_query(edges, q2).collect()}
+    assert got == {"Doc A", "Doc B", "Doc C"}
+    # literal "A" vs IRI <A>: same string, DIFFERENT terms
+    mixed = spark.createDataFrame(
+        [("x", "p:lit", "A", True, None, None),
+         ("x", "p:iri", "A", False, None, None)], SCHEMA)
+    q3 = """
+    SELECT ?u ?v WHERE {
+      <x> p:lit ?u . <x> p:iri ?v . FILTER sameTerm(?u, ?v)
+    }
+    """
+    assert sparql_query(mixed, q3).count() == 0
+    q4 = q3.replace("p:iri ?v", "p:lit ?v")
+    assert sparql_query(mixed, q4).count() == 1
+    # isLiteral on a subject binding is False, never an error
+    q5 = "SELECT ?s WHERE { ?s rdf:type ?t . FILTER isLiteral(?s) }"
+    assert sparql_query(edges, q5).count() == 0
+
+
 def test_negated_property_set(spark):
     """``!(p1|p2)`` / ``!p`` — any predicate outside the set."""
     edges = _edges(spark)
@@ -1201,7 +1239,8 @@ _FUZZ_TOKENS = [
     "SEPARATOR", "UNDEF", "IN", "a", "?s", "?p", "?o", "?n", "<a>",
     "<http://x/y>", '"lit"', "dcterms:title", "p:x", "5", "*", "+",
     "/", "|", "^", "=", "!=", ">", ">=", "<", "<=", "&&", "||", "!",
-    "isUri", "strstarts", "str", "regex", "lang", "langMatches", "!(",
+    "isUri", "isLiteral", "sameTerm", "strstarts", "str", "regex",
+    "lang", "langMatches", "!(",
     "?", '"i"', '"pat"',
 ]
 
